@@ -1,0 +1,29 @@
+"""Operator registry: every implemented SURVEY.md §2 row registers a
+named query builder + (where SQL-expressible) a DuckDB oracle string.
+
+Import side effects populate the registry; ``all_queries()`` /
+``all_oracles()`` feed the driver contract in ``__spark_entry__.py``.
+"""
+
+from dynamodb_zero_etl_s3tables_spark.operators.registry import (
+    QUERY_REGISTRY,
+    all_oracles,
+    all_queries,
+    query,
+)
+
+# Import for registration side effects (order = SURVEY §2 order).
+from dynamodb_zero_etl_s3tables_spark.operators import relational  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import aggregates  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import windows  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import scalar_fns  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import control_plane  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import cdc_batch  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import stream_twins  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import llm_dedup  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import llm_similarity  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import llm_text  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import llm_multimodal  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import udfs  # noqa: E402,F401
+
+__all__ = ["QUERY_REGISTRY", "query", "all_queries", "all_oracles"]

@@ -1,0 +1,321 @@
+"""Aggregation operators (SURVEY.md §2 D22-D30).
+
+All grouped aggregates get partial (map-side) + final aggregation from
+Spark automatically; shuffle width is the group-key cardinality, not
+the input size. Float determinism via decimal-sum (registry.dsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dynamodb_zero_etl_s3tables_spark.operators.registry import (
+    DAVG,
+    DSUM,
+    davg,
+    dsum,
+    query,
+)
+from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+
+@query(
+    "d22_grouped_agg_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM('l_quantity')} AS sum_qty,
+           {DSUM('l_extendedprice')} AS sum_base_price,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {DAVG('l_quantity')} AS avg_qty,
+           {DAVG('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def d22_grouped_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D22: TPC-H Q1-shaped grouped aggregate — count/sum/avg over a
+    low-cardinality key; classic partial+final hash aggregation."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_discount").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "d23_global_agg",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {DSUM('o_totalprice')} AS total,
+           {DAVG('o_totalprice')} AS avg_price,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    """,
+)
+def d23_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D23: global (no-group) aggregate -> single row."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+        davg("o_totalprice").alias("avg_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "d24_count_distinct",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_distinct_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d24_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D24: multiple DISTINCT aggregates in one pass (Spark expands
+    to a multi-phase aggregate automatically)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.sum_distinct(F.col("l_quantity").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_distinct_qty"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query("d25_approx_count_distinct", oracle=None)
+def d25_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D25: HyperLogLog++ approximate distinct — sketch differs from
+    DuckDB's, so driver does a rows-only check (SURVEY §2 D25)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "d26_rollup",
+    oracle=f"""
+    SELECT COALESCE(r.r_name, '(all)') AS region,
+           COALESCE(n.n_name, '(all)') AS nation,
+           GROUPING(r.r_name) + GROUPING(n.n_name) AS lvl,
+           COUNT(*) AS n_customers,
+           {DSUM('c.c_acctbal')} AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def d26_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D26: ROLLUP hierarchy region->nation->grand-total with
+    GROUPING() markers (null dims labeled '(all)')."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") + F.grouping("n_name")).alias("lvl"),
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation"),
+            "lvl",
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+@query(
+    "d26b_cube",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           COUNT(*) AS n_orders,
+           {DSUM('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def d26b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D26: CUBE — all 4 grouping-set combinations."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "d27_conditional_agg",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {DSUM("CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice ELSE 0 END")} AS final_rev,
+           {DSUM("CASE WHEN o.o_orderstatus <> 'F' THEN o.o_totalprice ELSE 0 END")} AS open_rev,
+           COUNT(CASE WHEN o.o_orderpriority = 'URGENT' THEN 1 END) AS n_urgent
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def d27_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D27: FILTER-style conditional aggregation via sum(when(...))."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)
+            ).alias("final_rev"),
+            dsum(
+                F.when(F.col("o_orderstatus") != "F", F.col("o_totalprice")).otherwise(0.0)
+            ).alias("open_rev"),
+            F.count(F.when(F.col("o_orderpriority") == "URGENT", 1)).alias("n_urgent"),
+        )
+    )
+
+
+@query(
+    "d28_collect_list_set",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           COUNT(*) AS n_cust
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def d28_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D28: collect_set + array_sort for deterministic array output."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count("*").alias("n_cust"),
+    )
+
+
+# Deterministic two-pass statistical aggregates: the naive sum-of-squares
+# formula in exact decimal, identical in both engines (SURVEY §7 risk:
+# float stddev/corr are order-dependent, so built-ins won't hash-match).
+_STATS_ORACLE = f"""
+    WITH s AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             {DSUM('o_totalprice')} AS sx,
+             {DSUM('o_totalprice * o_totalprice', 4)} AS sxx
+      FROM orders
+      GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           n,
+           ROUND((sxx - sx * sx / n) / (n - 1), 4) AS var_price,
+           ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_price
+    FROM s
+"""
+
+
+@query("d29_stats_agg", oracle=_STATS_ORACLE)
+def d29_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D29: variance/stddev via exact decimal moments (deterministic
+    across partitionings, unlike streaming float variance)."""
+    o = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    s = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        dsum(price).alias("sx"),
+        dsum(price * price, 4).alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "o_orderstatus",
+        "n",
+        F.round(var, 4).alias("var_price"),
+        F.round(F.sqrt(var), 4).alias("stddev_price"),
+    )
+
+
+@query(
+    "d29b_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d29b_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D29: exact continuous percentile (Spark `percentile` == DuckDB
+    `quantile_cont`, both linear interpolation)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.9)), 6).alias("p90_qty"),
+    )
+
+
+@query(
+    "d30_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def d30_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D30: last-per-group via window — the exact in-batch-dedup shape
+    the CDC merge uses (SURVEY B6): latest change wins per key."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )

@@ -1,0 +1,242 @@
+"""Ingest/CDC data-plane operators, batch form (SURVEY.md §2 B1-B7).
+
+B3 decode: the PITR export the reference's grant produces
+(dynamodb:ExportTableToPointInTime, reference ts:135) is DynamoDB
+attribute-value JSON — ``{"PK":{"S":"..."},"value":{"N":"3"}}``. The
+query below *constructs* that wire form from events rows with
+identical string ops in both engines, then decodes it back to typed
+columns, so the decode logic is what the oracle checks.
+
+B5-B7 merge: deterministic changelog derived from orders; the Spark
+side runs the engine's real merge (table.merge.merge_changes), the
+oracle replays the same semantics in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+from dynamodb_zero_etl_s3tables_spark.table.merge import merge_changes
+
+
+@query(
+    "b03_attrvalue_decode",
+    oracle="""
+    WITH wire AS (
+      SELECT event_id,
+             '{"PK":{"S":"USER#' || user_id || '"},"SK":{"S":"EVT#' || event_id
+               || '"},"etype":{"S":"' || event_type
+               || '"},"value":{"N":"' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)
+               || '"},"flag":{"BOOL":' || CASE WHEN value >= 100 THEN 'true' ELSE 'false' END
+               || '},"missing":{"NULL":true}}' AS item_json
+      FROM events
+    )
+    SELECT event_id,
+           item_json,
+           json_extract_string(item_json, '$.PK.S') AS pk,
+           json_extract_string(item_json, '$.SK.S') AS sk,
+           CAST(REPLACE(json_extract_string(item_json, '$.PK.S'), 'USER#', '') AS BIGINT)
+             AS decoded_user,
+           json_extract_string(item_json, '$.etype.S') AS decoded_type,
+           CAST(CAST(json_extract_string(item_json, '$.value.N') AS DECIMAL(12,2)) AS DOUBLE)
+             AS decoded_value,
+           CAST(json_extract_string(item_json, '$.flag.BOOL') AS BOOLEAN) AS decoded_flag,
+           json_extract_string(item_json, '$.value.S') IS NULL AS n_not_s
+    FROM wire
+    """,
+)
+def b03_attrvalue_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: DynamoDB attribute-value encode->decode round trip, all
+    JVM-side string/JSON built-ins (the full file-based codec with
+    from_json schemas lives in sources/ddb_export.py)."""
+    e = load(spark, sf_dir, "events")
+    val_str = F.col("value").cast("decimal(12,2)").cast("string")
+    item_json = F.concat(
+        F.lit('{"PK":{"S":"USER#'),
+        F.col("user_id").cast("string"),
+        F.lit('"},"SK":{"S":"EVT#'),
+        F.col("event_id").cast("string"),
+        F.lit('"},"etype":{"S":"'),
+        F.col("event_type"),
+        F.lit('"},"value":{"N":"'),
+        val_str,
+        F.lit('"},"flag":{"BOOL":'),
+        F.when(F.col("value") >= 100, "true").otherwise("false"),
+        F.lit('},"missing":{"NULL":true}}'),
+    )
+    wire = e.select("event_id", item_json.alias("item_json"))
+    pk = F.get_json_object("item_json", "$.PK.S")
+    return wire.select(
+        "event_id",
+        "item_json",
+        pk.alias("pk"),
+        F.get_json_object("item_json", "$.SK.S").alias("sk"),
+        F.replace(pk, F.lit("USER#"), F.lit("")).cast("bigint").alias("decoded_user"),
+        F.get_json_object("item_json", "$.etype.S").alias("decoded_type"),
+        F.get_json_object("item_json", "$.value.N")
+        .cast("decimal(12,2)")
+        .cast("double")
+        .alias("decoded_value"),
+        F.get_json_object("item_json", "$.flag.BOOL").cast("boolean").alias("decoded_flag"),
+        F.get_json_object("item_json", "$.value.S").isNull().alias("n_not_s"),
+    )
+
+
+# --- deterministic base/changelog fixtures (FIXTURES.md §B.2) -------------
+#
+# base      : orders with o_orderkey % 10 <= 7       (the bootstrapped table)
+# changelog : MODIFY  %10 in (0,1)  -> price * 1.1   (seq 1)
+#             MODIFY  %10 = 0       -> price * 1.2   (seq 2, same key — B6)
+#             REMOVE  %10 = 2
+#             INSERT  %10 in (8,9)  -> brand-new keys
+# expected  : %10 in (0)      -> price*1.2   (latest in-batch change wins)
+#             %10 in (1)      -> price*1.1
+#             %10 = 2         -> gone
+#             %10 in (3..7)   -> untouched
+#             %10 in (8,9)    -> inserted
+
+_MERGE_CTE = """
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <= 7
+    ), changelog AS (
+      SELECT 'MODIFY' AS op, 1 AS seq, o_orderkey AS pk, o_orderstatus AS status,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 10 IN (0, 1)
+      UNION ALL
+      SELECT 'MODIFY' AS op, 2 AS seq, o_orderkey AS pk, o_orderstatus AS status,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.2 AS DECIMAL(3,1)), 2) AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT 'REMOVE' AS op, 1 AS seq, o_orderkey AS pk, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 = 2
+      UNION ALL
+      SELECT 'INSERT' AS op, 1 AS seq, o_orderkey AS pk, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 IN (8, 9)
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+        FROM changelog
+      ) WHERE rn = 1
+    )
+"""
+
+
+def _merge_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    base = o.filter(mod10 <= 7).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+    def chg(op: str, seq: int, cond, price_col):
+        return o.filter(cond).select(
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            price_col.alias("price"),
+        )
+
+    price = F.col("o_totalprice")
+
+    def dec_bump(factor: str):
+        # exact-decimal price bump -> identical doubles in both engines
+        return (
+            F.round(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit(factor).cast("decimal(3,1)"),
+                2,
+            ).cast("double")
+        )
+
+    changelog = (
+        chg("MODIFY", 1, mod10.isin(0, 1), dec_bump("1.1"))
+        .unionByName(chg("MODIFY", 2, mod10 == 0, dec_bump("1.2")))
+        .unionByName(chg("REMOVE", 1, mod10 == 2, price))
+        .unionByName(chg("INSERT", 1, mod10.isin(8, 9), price))
+    )
+    return base, changelog
+
+
+@query(
+    "b05_cdc_upsert_merge",
+    oracle=_MERGE_CTE
+    + """
+    SELECT pk, status, price FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.pk = b.pk)
+    UNION ALL
+    SELECT pk, status, price FROM latest WHERE op <> 'REMOVE'
+    """,
+)
+def b05_cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5+B6+B7: full CDC merge — keyed upsert, last-writer-wins
+    in-batch dedup, and delete propagation in one pass, via the
+    engine's real merge (table/merge.py)."""
+    base, changelog = _merge_frames(spark, sf_dir)
+    return merge_changes(base, changelog, keys=["pk"], order_cols=["seq"])
+
+
+@query(
+    "b06_inbatch_dedup",
+    oracle=_MERGE_CTE + "SELECT op, seq, pk, status, price FROM latest",
+)
+def b06_inbatch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 isolated: latest change per key within one batch."""
+    from dynamodb_zero_etl_s3tables_spark.table.merge import latest_per_key
+
+    _, changelog = _merge_frames(spark, sf_dir)
+    return latest_per_key(changelog, keys=["pk"], order_cols=["seq"]).select(
+        "op", "seq", "pk", "status", "price"
+    )
+
+
+@query(
+    "b07_delete_propagation",
+    oracle=_MERGE_CTE
+    + """
+    SELECT pk, status, price FROM base b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM latest l WHERE l.pk = b.pk AND l.op = 'REMOVE'
+    )
+    """,
+)
+def b07_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 isolated: REMOVE keys anti-joined out of the base table."""
+    from dynamodb_zero_etl_s3tables_spark.table.merge import latest_per_key
+
+    base, changelog = _merge_frames(spark, sf_dir)
+    removes = (
+        latest_per_key(changelog, keys=["pk"], order_cols=["seq"])
+        .filter(F.col("op") == "REMOVE")
+        .select("pk")
+    )
+    return base.join(removes, "pk", "left_anti")
+
+
+@query(
+    "b01_bootstrap_snapshot",
+    oracle="""
+    SELECT o_orderkey AS pk, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    """,
+)
+def b01_bootstrap_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: bootstrap full-snapshot load — the engine's analog of the
+    PITR export scan (reference ts:131-144); key column surfaced
+    first, as the keyed-table contract requires."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("pk"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+    )

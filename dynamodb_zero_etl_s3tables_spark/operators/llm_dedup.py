@@ -1,0 +1,296 @@
+"""Deduplication operators for training-data pipelines
+(SURVEY.md §2 E1-E2): exact hash dedup, MinHash-LSH near-dup,
+SimHash, and n-gram Jaccard.
+
+Portability note: MinHash traditionally uses k random permutations;
+here each "permutation" i is the salted cryptographic hash
+``md5(i || '|' || shingle)`` and the signature component is the MIN of
+those hex digests (lexicographic min on fixed-width hex == min on the
+128-bit integer). md5 is identical in Spark and DuckDB, so the whole
+pipeline — shingle, sign, band, bucket-join — is oracle-checkable.
+
+Scale posture: everything is explode -> groupBy -> self-join on
+band-bucket keys. The LSH band join only pairs documents sharing a
+band bucket (candidate pairs << n^2); no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+#: MinHash configuration: 8 signature components grouped into 4 bands
+#: of 2 rows. Word-shingle width 3.
+N_HASHES = 8
+BAND_ROWS = 2
+N_BANDS = N_HASHES // BAND_ROWS
+SHINGLE_W = 3
+
+
+@query(
+    "e01_exact_dedup",
+    oracle="""
+    SELECT content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+    GROUP BY content_hash
+    """,
+)
+def e01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: exact dedup — group documents by content hash; keeper =
+    lowest doc_id. One shuffle on the 128-bit hash: uniform keys, no
+    skew, scales linearly."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """word w-shingles via sequence+transform (JVM-side, no UDF):
+    shingle i = tokens[i : i+w] joined with spaces."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_W, F.lit(0)))
+    sh = F.when(
+        n >= SHINGLE_W,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_W)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return df.withColumn("shingle", F.explode(sh))
+
+
+@query(
+    "e02_minhash_signatures",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(t) >= {SHINGLE_W}
+                    THEN list_distinct(list_transform(
+                           range(1, len(t) - {SHINGLE_W} + 2),
+                           i -> array_to_string(t[i:i+{SHINGLE_W}-1], ' ')))
+                    ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+      )
+    )
+    SELECT doc_id,
+           {", ".join(f"MIN(md5('{i}|' || shingle)) AS sig_{i}" for i in range(N_HASHES))}
+    FROM shingles
+    GROUP BY doc_id
+    """,
+)
+def e02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 stage 1: MinHash signature per document — min of salted md5
+    over the shingle set, one column per hash function."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d).select("doc_id", "shingle").distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_BAND_KEYS_SQL = ", ".join(
+    "md5(" + " || '|' || ".join(f"sig_{b * BAND_ROWS + r}" for r in range(BAND_ROWS)) + f") AS band_{b}"
+    for b in range(N_BANDS)
+)
+
+_CAND_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(t) >= {SHINGLE_W}
+                    THEN list_distinct(list_transform(
+                           range(1, len(t) - {SHINGLE_W} + 2),
+                           i -> array_to_string(t[i:i+{SHINGLE_W}-1], ' ')))
+                    ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+      )
+    ), sigs AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || shingle)) AS sig_{i}" for i in range(N_HASHES))}
+      FROM shingles GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, {_BAND_KEYS_SQL} FROM sigs
+    ), long_bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, band_{b} AS bucket FROM bands" for b in range(N_BANDS))}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM long_bands a JOIN long_bands b
+      ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@query("e02b_minhash_lsh_pairs", oracle=_CAND_SQL)
+def e02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 stage 2: LSH banding — hash each band of the signature to a
+    bucket, self-join on (band, bucket), emit unordered candidate
+    pairs. At scale the join key is the bucket hash: uniformly
+    distributed, and only colliding docs ever meet."""
+    sigs = e02_minhash_signatures(spark, sf_dir)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select("doc_id", *band_cols)
+    long_bands = None
+    for b in range(N_BANDS):
+        part = bands.select(
+            "doc_id", F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("bucket")
+        )
+        long_bands = part if long_bands is None else long_bands.unionByName(part)
+    a = long_bands.alias("a")
+    b_ = long_bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "e02c_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(t) >= {SHINGLE_W}
+                    THEN list_distinct(list_transform(
+                           range(1, len(t) - {SHINGLE_W} + 2),
+                           i -> array_to_string(t[i:i+{SHINGLE_W}-1], ' ')))
+                    ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+      )
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+)
+def e02c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 companion: exact n-gram Jaccard on shingle-sharing pairs —
+    the verifier for MinHash candidates. Inverted-index join (explode
+    shingle -> join on shingle) so only overlapping docs pair up."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d).select("doc_id", "shingle").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "e02d_simhash",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+            FROM documents)
+      GROUP BY doc_id, token
+    ), bits AS (
+      SELECT doc_id, b.i AS bit_pos,
+             SUM(CASE WHEN (('0x' || substr(md5(token), 1, 8))::BIGINT >> b.i) & 1 = 1
+                      THEN tf ELSE -tf END) AS weight
+      FROM tokens
+      CROSS JOIN (SELECT UNNEST(range(0, 32)) AS i) b
+      GROUP BY doc_id, b.i
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN weight > 0 THEN CAST(POW(2, bit_pos) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash32
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def e02d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 companion: 32-bit SimHash fingerprint — per-token md5 bits
+    weighted by term frequency, sign-aggregated per bit position.
+    Near-dups differ in few bits (checked by hamming distance in
+    tests). All JVM-side; the bit expansion is a 32-way generator."""
+    d = load(spark, sf_dir, "documents")
+    tokens = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    # token -> 32-bit int from the first 8 hex chars of md5 (portable)
+    tok_hash = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    bits = (
+        tokens.withColumn("h", tok_hash)
+        .select(
+            "doc_id",
+            "tf",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit_pos"),
+        )
+        .withColumn(
+            "signed_tf",
+            F.expr("CASE WHEN shiftright(h, bit_pos) & 1 = 1 THEN tf ELSE -tf END"),
+        )
+        .groupBy("doc_id", "bit_pos")
+        .agg(F.sum("signed_tf").alias("weight"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("weight") > 0, F.pow(F.lit(2.0), F.col("bit_pos")).cast("bigint"))
+            .otherwise(F.lit(0))
+        ).alias("simhash32")
+    )

@@ -1,0 +1,144 @@
+"""Multimodal column handling (SURVEY.md §2 E6): opaque binary
+payloads + typed metadata structs, with Arrow-batched featurizers.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic fake behind ``decode_stub`` (clearly marked); the
+Spark-side plumbing — binary columns, metadata structs, mapInPandas
+batch shapes, partition-parallel featurization — is real and tested.
+At 100 TB the payload column stays in executors (never collected);
+featurizers stream Arrow batches through Python workers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an opaque-media table from documents: payload =
+    UTF-8 bytes of the text (stand-in for image/audio bytes), plus a
+    typed metadata struct — the schema shape of a real media lake."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/fake").alias("content_type"),
+            F.length(F.col("text")).alias("n_bytes"),
+            (F.col("doc_id") % 4).cast("int").alias("shard"),
+        ).alias("media_meta"),
+    )
+
+
+@query(
+    "e06_binary_plumbing",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           sha256(text) AS payload_sha256,
+           LENGTH(text) AS meta_n_bytes,
+           CAST(doc_id % 4 AS INTEGER) AS meta_shard
+    FROM documents
+    """,
+)
+def e06_binary_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: binary payload column + metadata struct fields — all
+    JVM-side (length/sha over BinaryType)."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.length(F.col("payload")).alias("payload_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+        F.col("media_meta.n_bytes").alias("meta_n_bytes"),
+        F.col("media_meta.shard").alias("meta_shard"),
+    )
+
+
+def decode_stub(payload: bytes) -> dict:
+    """STUB decoder — deterministic fake in place of a real image/
+    audio codec (libs not present in this container). Derives pseudo
+    width/height/duration from the payload bytes; a production build
+    swaps this for PIL/ffmpeg and keeps every shape the same."""
+    n = len(payload)
+    return {
+        "width": 16 + (n % 64),
+        "height": 16 + ((n // 64) % 64),
+        "n_frames": 1 + (n % 7),
+        "ok": True,
+    }
+
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("aspect", T.DoubleType()),
+    ]
+)
+
+
+def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batch in -> feature batch out."""
+    for pdf in batches:
+        feats = pdf["payload"].map(decode_stub)
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload_bytes": pdf["payload"].map(len).astype("int32"),
+                "width": feats.map(lambda f: f["width"]).astype("int32"),
+                "height": feats.map(lambda f: f["height"]).astype("int32"),
+                "n_frames": feats.map(lambda f: f["n_frames"]).astype("int32"),
+            }
+        )
+        out["aspect"] = (out["width"] / out["height"]).round(6)
+        yield out
+
+
+@query(
+    "e06b_media_featurize",
+    oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS payload_bytes,
+           CAST(16 + (n % 64) AS INTEGER) AS width,
+           CAST(16 + ((n // 64) % 64) AS INTEGER) AS height,
+           CAST(1 + (n % 7) AS INTEGER) AS n_frames,
+           ROUND(CAST(16 + (n % 64) AS DOUBLE) / (16 + ((n // 64) % 64)), 6) AS aspect
+    FROM m
+    """,
+)
+def e06b_media_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: Arrow-batched media featurization via mapInPandas — the
+    real distributed plumbing around the stubbed decode; the oracle
+    replays the stub's arithmetic in SQL."""
+    m = media_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(_featurize_batches, _FEAT_SCHEMA)
+
+
+@query("e06c_frame_sample", oracle=None)
+def e06c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: frame sampling — expand each media row into its (stubbed)
+    per-frame rows via posexplode of a generated frame index; the
+    shape of video-frame extraction at scale (rows-only check)."""
+    m = media_table(spark, sf_dir)
+    n = F.length(F.col("payload"))
+    n_frames = (F.lit(1) + (n % 7)).cast("int")
+    return (
+        m.select(
+            "doc_id",
+            n_frames.alias("n_frames"),
+            F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_f"),
+        )
+        .select("doc_id", "n_frames", "frame_idx")
+    )

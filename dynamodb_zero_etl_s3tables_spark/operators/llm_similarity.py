@@ -1,0 +1,238 @@
+"""Similarity search over embedding columns (SURVEY.md §2 E3-E4):
+brute-force cosine top-k, threshold similarity join, and an
+IVF-style bucketed variant for the 100 TB path.
+
+Determinism: dot products and squared norms accumulate in exact
+DECIMAL (each elementwise product is the same IEEE double in both
+engines; summing decimals is order-independent), so cosine values are
+bit-identical regardless of partitioning. Spark folds with
+``aggregate(zip_with(...))`` — all JVM lambda expressions, no UDFs.
+
+Scale posture: brute-force is one broadcast (the query vector) + a
+map-side score + TakeOrderedAndProject — embarrassingly parallel. The
+similarity join rides an equi-join on the label bucket, so only
+same-bucket pairs are scored. IVF probes `nprobe` coarse buckets,
+turning full scans into bucket scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+DIM = 64
+_DEC = "decimal(30,12)"
+
+
+def dot_dec(a: Column, b: Column) -> Column:
+    """Exact-decimal dot product of two float arrays, as DOUBLE."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC))
+    return F.aggregate(
+        prods, F.lit(0).cast(_DEC), lambda acc, v: (acc + v).cast(_DEC)
+    ).cast("double")
+
+
+def norm_dec(a: Column) -> Column:
+    """Exact-decimal L2 norm of a float array, as DOUBLE."""
+    return F.sqrt(dot_dec(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_dec(a, b) / (norm_dec(a) * norm_dec(b))
+
+
+# DuckDB twin of dot_dec: explode dims 1..64, exact-decimal sum.
+def _DOT(a: str, b: str) -> str:
+    return (
+        f"CAST((SELECT SUM(CAST({a}[i.i]::DOUBLE * {b}[i.i]::DOUBLE AS DECIMAL(30,12)))"
+        f" FROM (SELECT UNNEST(range(1, {DIM + 1})) AS i) i) AS DOUBLE)"
+    )
+
+
+@query(
+    "e03_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND({_DOT('e.embedding', 'q.qv')}
+                   / (SQRT({_DOT('e.embedding', 'e.embedding')})
+                      * SQRT({_DOT('q.qv', 'q.qv')})), 6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cos_sim,
+           rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 20
+    """,
+)
+def e03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: brute-force cosine top-20 neighbors of vec_id=0 — the
+    exact baseline every ANN variant is judged against. Broadcast the
+    query vector; score map-side; global top-k via ordered limit."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot_dec(F.col("embedding"), F.col("qv"))
+                / (norm_dec(F.col("embedding")) * norm_dec(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("vec_id", "label", "cos_sim", "rank")
+    )
+
+
+@query(
+    "e04_similarity_join",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             SQRT({_DOT('embedding', 'embedding')}) AS nrm
+      FROM embeddings WHERE label IN (0, 1)
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           ROUND({_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.5
+    """,
+)
+def e04_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: threshold similarity join (cos >= 0.5) within coarse
+    buckets (labels 0-1) — pairs meet only via the label equi-join,
+    never a full cross product; norms precomputed once per vector."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("label").isin(0, 1))
+    n = e.select(
+        "vec_id", "label", "embedding", norm_dec(F.col("embedding")).alias("nrm")
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    sim = dot_dec(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos_sim_raw", sim)
+        .filter(F.col("cos_sim_raw") >= 0.5)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(F.col("cos_sim_raw"), 6).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "e03b_ann_ivf",
+    oracle=f"""
+    WITH dims AS (SELECT UNNEST(range(1, {DIM + 1})) AS i),
+    centroids AS (
+      SELECT label, i.i AS dim,
+             CAST(SUM(CAST(embedding[i.i]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM embeddings, dims i
+      GROUP BY label, i.i
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cdist AS (
+      SELECT c.label,
+             CAST(SUM(CAST((c.c - q.qv[c.dim]::DOUBLE) * (c.c - q.qv[c.dim]::DOUBLE)
+                           AS DECIMAL(30,12))) AS DOUBLE) AS d2
+      FROM centroids c, q
+      GROUP BY c.label
+    ),
+    probes AS (
+      SELECT label FROM (
+        SELECT label, ROW_NUMBER() OVER (ORDER BY d2, label) AS rn FROM cdist
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT e.vec_id, e.label, e.embedding
+      FROM embeddings e JOIN probes p ON e.label = p.label
+      WHERE e.vec_id <> 0
+    ),
+    scored AS (
+      SELECT c.vec_id, c.label,
+             ROUND({_DOT('c.embedding', 'q.qv')}
+                   / (SQRT({_DOT('c.embedding', 'c.embedding')})
+                      * SQRT({_DOT('q.qv', 'q.qv')})), 6) AS cos_sim
+      FROM cand c, q
+    )
+    SELECT vec_id, label, cos_sim, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def e03b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path: IVF-style ANN — coarse centroids (here: the
+    label partitions, i.e. a pre-trained coarse quantizer), probe the
+    nprobe=2 centroids nearest the query, then exact-score only those
+    buckets. At 100 TB the candidate scan is ~nprobe/nlist of the
+    data; centroid stats come from one partial-aggregated pass."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    # centroid per label per dim: explode dims, exact-decimal mean
+    dims = (
+        e.select("label", F.posexplode(F.col("embedding")).alias("dim0", "x"))
+        .groupBy("label", "dim0")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    # squared distance query->centroid per label (exact-decimal sum)
+    qd = q.select(F.posexplode(F.col("qv")).alias("dim0", "qx"))
+    cdist = (
+        dims.join(F.broadcast(qd), "dim0")
+        .withColumn(
+            "t",
+            (
+                (F.col("c") - F.col("qx").cast("double"))
+                * (F.col("c") - F.col("qx").cast("double"))
+            ).cast(_DEC),
+        )
+        .groupBy("label")
+        .agg(F.sum("t").cast("double").alias("d2"))
+    )
+    probes = (
+        cdist.withColumn("rn", F.row_number().over(W.orderBy("d2", "label")))
+        .filter(F.col("rn") <= 2)
+        .select("label")
+    )
+    cand = e.join(F.broadcast(probes), "label").filter(F.col("vec_id") != 0)
+    scored = cand.join(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        F.round(
+            dot_dec(F.col("embedding"), F.col("qv"))
+            / (norm_dec(F.col("embedding")) * norm_dec(F.col("qv"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "label", "cos_sim", "rank")
+    )

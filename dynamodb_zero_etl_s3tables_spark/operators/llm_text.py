@@ -1,0 +1,259 @@
+"""Text-analysis operators for training-data pipelines
+(SURVEY.md §2 E5): tokenization + tf-idf, language-ID heuristic,
+quality scoring, token counting, and document fingerprinting.
+
+All JVM-side built-ins (split/explode/regexp/higher-order lambdas);
+per-document costs are O(len(text)), fully partition-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+# Tiny deterministic marker-word lists for the language-ID heuristic
+# (public-knowledge stopwords; scoring = count of marker hits).
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "a"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("de", "shi", "le", "zai"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+@query(
+    "e05_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+            FROM documents)
+      GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    WHERE df.df >= 5
+    """,
+)
+def e05_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: tf-idf — term frequency per doc joined with document
+    frequency (broadcast: vocab << corpus) and smoothed idf."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df")).filter(F.col("df") >= 5)
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+def _marker_score(toks, lang: str):
+    markers = _LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+_LANGID_SCORE_SQL = {
+    lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(m) for m in ms)})))"
+    for lang, ms in _LANG_MARKERS.items()
+}
+
+_LANGID_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang AS true_lang, string_split(LOWER(text), ' ') AS toks
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, true_lang,
+             {', '.join(f"{sql} AS s_{lang}" for lang, sql in _LANGID_SCORE_SQL.items())}
+      FROM t
+    )
+    SELECT doc_id, true_lang,
+           CASE GREATEST(s_en, s_es, s_de, s_fr, s_zh)
+                WHEN 0 THEN 'und'
+                WHEN s_en THEN 'en'
+                WHEN s_es THEN 'es'
+                WHEN s_de THEN 'de'
+                WHEN s_fr THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           s_en, s_es, s_de, s_fr, s_zh
+    FROM scores
+"""
+
+
+@query("e05b_langid", oracle=_LANGID_ORACLE)
+def e05b_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: language-ID heuristic — marker-word hit counts per
+    language, argmax with fixed precedence (en>es>de>fr>zh on ties,
+    'und' when nothing matches)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.split(F.lower("text"), " ").alias("toks"),
+    )
+    scores = t.select(
+        "doc_id",
+        "true_lang",
+        *[_marker_score(F.col("toks"), lang).alias(f"s_{lang}") for lang in _LANG_MARKERS],
+    )
+    best = F.greatest("s_en", "s_es", "s_de", "s_fr", "s_zh")
+    pred = (
+        F.when(best == 0, "und")
+        .when(best == F.col("s_en"), "en")
+        .when(best == F.col("s_es"), "es")
+        .when(best == F.col("s_de"), "de")
+        .when(best == F.col("s_fr"), "fr")
+        .otherwise("zh")
+    )
+    return scores.select(
+        "doc_id",
+        "true_lang",
+        pred.alias("pred_lang"),
+        "s_en",
+        "s_es",
+        "s_de",
+        "s_fr",
+        "s_zh",
+    )
+
+
+@query(
+    "e05c_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(LOWER(text), ' ') AS toks,
+             LENGTH(text) AS n_chars_m
+      FROM documents
+    )
+    SELECT doc_id,
+           n_chars_m,
+           len(toks) AS n_tokens,
+           ROUND(CAST(n_chars_m AS DOUBLE) / len(toks), 6) AS avg_token_len,
+           ROUND(CAST(len(list_filter(toks,
+                 t -> t IN ({', '.join(repr(s) for s in _STOPWORDS)}))) AS DOUBLE)
+                 / len(toks), 6) AS stopword_ratio,
+           ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / n_chars_m, 6) AS punct_ratio,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+             AS distinct_ratio,
+           (len(toks) BETWEEN 10 AND 1000) AND
+           (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3)
+             AS passes_filter
+    FROM t
+    """,
+)
+def e05c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: quality scoring — length, stopword ratio, punctuation
+    ratio, lexical diversity, and a Gopher-style keep/drop flag."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "text",
+        F.split(F.lower("text"), " ").alias("toks"),
+        F.length("text").alias("n_chars_m"),
+    )
+    n_toks = F.size("toks")
+    distinct_ratio = F.size(F.array_distinct("toks")).cast("double") / n_toks
+    return t.select(
+        "doc_id",
+        "n_chars_m",
+        n_toks.alias("n_tokens"),
+        F.round(F.col("n_chars_m").cast("double") / n_toks, 6).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter("toks", lambda t_: t_.isin(*_STOPWORDS))).cast("double")
+            / n_toks,
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+            / F.col("n_chars_m"),
+            6,
+        ).alias("punct_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        (n_toks.between(10, 1000) & (distinct_ratio > 0.3)).alias("passes_filter"),
+    )
+
+
+@query(
+    "e05d_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS byte_estimate
+    FROM documents
+    """,
+)
+def e05d_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: token counting — whitespace split, a BPE-ish regex
+    (letter-runs / digit-runs / punctuation), and the chars/4
+    rule-of-thumb estimate."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+        ).alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("byte_estimate"),
+    )
+
+
+@query(
+    "e05e_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS norm_fingerprint,
+           substr(md5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')), 1, 16)
+             AS short_fp
+    FROM documents
+    """,
+)
+def e05e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: document fingerprint — md5 over whitespace-normalized,
+    lowercased text (the canonical-form exact-dup key)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fingerprint"),
+        F.substring(F.md5(norm), 1, 16).alias("short_fp"),
+    )
+
+
+@query("e05f_rolling_hash", oracle=None)
+def e05f_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: polynomial rolling hash over tokens (base-31 mod 2^61-1)
+    via a higher-order fold — engine-native (no DuckDB twin; the
+    fold-order semantics are Spark-specific), rows-only check."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    mod = F.lit(999999999999989)  # large prime; keeps acc*31 in int64
+    rolled = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * 31 + F.abs(F.xxhash64(t)) % 1000003) % mod,
+    )
+    return d.select("doc_id", rolled.alias("rolling_hash"))

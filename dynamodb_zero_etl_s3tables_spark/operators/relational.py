@@ -1,0 +1,475 @@
+"""Scan / projection / filter / join operators (SURVEY.md §2 D1-D21).
+
+These realize the relational surface the reference commits to via
+"Query with Amazon Athena" (reference README.md:170-174) — full SQL
+over the replicated tables. Each builder is declarative DataFrame
+code; Catalyst supplies pushdown, pruning, and join selection.
+
+Scale notes (SURVEY.md E7) are on each operator: joins either
+broadcast a dimension-sized side or shuffle on a key whose
+cardinality grows with data size (no driver-side collect anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dynamodb_zero_etl_s3tables_spark.operators.registry import DSUM, dsum, query
+from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+
+# ---------------------------------------------------------------------------
+# D-scan + D-row: scans, projection, filters
+# ---------------------------------------------------------------------------
+
+@query(
+    "d01_parquet_scan",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    """,
+)
+def d01_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: Parquet scan with filter+projection pushed into the reader
+    (verified in tests via PushedFilters/ReadSchema in the plan)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+@query(
+    "d06_project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_quantity AS qty
+    FROM lineitem
+    WHERE l_returnflag = 'A'
+    """,
+)
+def d06_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: projection, rename, computed column (same IEEE expr both
+    engines -> bit-identical without rounding)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "A")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            F.col("l_quantity").alias("qty"),
+        )
+    )
+
+
+@query(
+    "d07_filter_boolean",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE (o_totalprice > 1000 AND o_orderstatus = 'F')
+       OR (o_totalprice < 50 AND NOT o_orderstatus = 'F')
+    """,
+)
+def d07_filter_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: comparison + AND/OR/NOT boolean filter composition."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_totalprice") > 1000) & (F.col("o_orderstatus") == "F"))
+        | ((F.col("o_totalprice") < 50) & (~(F.col("o_orderstatus") == "F")))
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+@query(
+    "d08_predicates",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_acctbal BETWEEN 0 AND 5000
+      AND c_name LIKE '%1%'
+    """,
+)
+def d08_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: IN / BETWEEN / LIKE predicates."""
+    c = load(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        & F.col("c_acctbal").between(0, 5000)
+        & F.col("c_name").like("%1%")
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "d09_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS maybe_status,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F') AS is_f_nullsafe,
+           (NULLIF(o_orderstatus, 'O') IS NULL) AS was_open
+    FROM orders
+    """,
+)
+def d09_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: isNull / coalesce / nullif / null-safe equality (<=>)."""
+    o = load(spark, sf_dir, "orders")
+    maybe = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        maybe.alias("maybe_status"),
+        F.coalesce(maybe, F.lit("OPEN")).alias("status_or_open"),
+        maybe.eqNullSafe(F.lit("F")).alias("is_f_nullsafe"),
+        maybe.isNull().alias("was_open"),
+    )
+
+
+@query(
+    "d10_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 2000 THEN 'high'
+                WHEN o_totalprice >= 500 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CASE o_orderstatus WHEN 'F' THEN 1 ELSE 0 END AS is_final
+    FROM orders
+    """,
+)
+def d10_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: CASE WHEN conditional expressions."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 2000, "high")
+        .when(F.col("o_totalprice") >= 500, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_final"),
+    )
+
+
+@query(
+    "d11_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def d11_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11: distinct projection (hash-aggregate under the hood)."""
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# D-join: every join shape
+# ---------------------------------------------------------------------------
+
+@query(
+    "d12_join_inner",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {DSUM('o.o_totalprice')} AS total_revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def d12_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: inner equi-join orders->customer; shuffles on custkey
+    (both sides grow with SF) then hash-aggregates on a low-card key."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "d13_join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_urgent
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority = 'URGENT'
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def d13_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13: left outer join preserving customers with zero matches
+    (COUNT of the nullable side counts only matches)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_urgent"))
+    )
+
+
+@query(
+    "d13b_join_full_outer",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
+    FROM nation n FULL OUTER JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def d13b_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13: full outer join; nations without suppliers surface nulls."""
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return n.join(s, s.s_nationkey == n.n_nationkey, "full").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "d14_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 3000)
+    """,
+)
+def d14_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14: left-semi join == EXISTS; never duplicates the left side."""
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 3000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "d15_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = 'URGENT')
+    """,
+)
+def d15_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15: left-anti join == NOT EXISTS — the core shape of the
+    reference Lambda's Sid filter (lambda/catalog-policy-handler.js:52)
+    and of CDC delete propagation (B7)."""
+    c = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "d16_join_broadcast_star",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           {DSUM('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def d16_join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16: explicit broadcast of dimension tables — at 100 TB the
+    fact side never shuffles for dim joins; only the orders->customer
+    equi-join shuffles (both scale with SF)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@query(
+    "d17_join_theta",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS region_key
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def d17_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17: theta (non-equi) join — unordered nation pairs within a
+    region. Equi part shuffles/broadcasts; `<` is a post-filter, so
+    this stays a hash join, not a nested-loop."""
+    a = load(spark, sf_dir, "nation").alias("a")
+    b = load(spark, sf_dir, "nation").alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("region_key"),
+    )
+
+
+@query(
+    "d18_cross_join",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def d18_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D18: cross join of two bounded inputs (5 regions x statuses)."""
+    r = load(spark, sf_dir, "region")
+    s = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).select("r_name", "o_orderstatus")
+
+
+@query(
+    "d19_range_join",
+    oracle=f"""
+    SELECT p.user_id, p.event_id AS purchase_id,
+           COUNT(e.event_id) AS n_follow,
+           {DSUM('e.value')} AS follow_value
+    FROM events p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts > p.ts
+     AND e.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.user_id, p.event_id
+    """,
+)
+def d19_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19: range/interval join — events within 1h after each purchase.
+
+    Scale posture: the range condition rides on a user_id equi-join, so
+    Spark executes a shuffled hash join on user_id (cardinality grows
+    with SF; ~67 events/user stays constant) with the interval as a
+    residual filter — never a nested loop over the full table.
+    """
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = p.join(
+        e,
+        (e.user_id == p.p_user)
+        & (e.ts > p.p_ts)
+        & (e.ts <= p.p_ts + F.expr("INTERVAL 1 HOUR")),
+    )
+    return (
+        joined.groupBy(F.col("p_user").alias("user_id"), "purchase_id")
+        .agg(F.count("event_id").alias("n_follow"), dsum("value").alias("follow_value"))
+    )
+
+
+@query(
+    "d20_asof_join",
+    oracle="""
+    WITH pc AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.ts AS click_ts, c.event_id AS click_id,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM events p
+      JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT purchase_id, user_id, purchase_ts, click_ts, click_id
+    FROM pc WHERE rn = 1
+    """,
+)
+def d20_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20: as-of join — latest click at-or-before each purchase, per
+    user (the CDC snapshot-at-t shape, SURVEY §2 D20). Implemented as
+    equi-join on user + inequality residual + row_number; per-user
+    match count is bounded, so state stays small at scale."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    w = W.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        p.join(c, (c.c_user == p.p_user) & (F.col("click_ts") <= F.col("purchase_ts")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            "purchase_ts",
+            "click_ts",
+            "click_id",
+        )
+    )
+
+
+@query(
+    "d21_star_join_flagship",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_lines,
+           {DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND c.c_mktsegment = 'BUILDING'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def d21_star_join_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D21 flagship: 5-way star join (lineitem->orders->customer->
+    nation->region), the engine's realization of the reference's
+    'query your replicated table' (README.md:173).
+
+    Plan shape at scale: shipdate filter pushed to the lineitem scan;
+    lineitem<->orders shuffle on orderkey (the only big-big shuffle);
+    customer joined via shuffle; nation/region broadcast.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )

@@ -1,0 +1,175 @@
+"""UDF surface (SURVEY.md §2 D49-D53): scalar Python UDF, vectorized
+pandas UDFs, grouped-agg / grouped-map (applyInPandas), mapInPandas.
+
+Pattern source: public PySpark pandas_udf idioms (SNIPPETS.md [1]-[3]).
+These exist to prove the slow-path machinery; everything hot in the
+engine stays on JVM built-ins. Grouped float math sorts its inputs
+first so results don't depend on row arrival order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+
+@query(
+    "d49_scalar_python_udf",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.07 AS DECIMAL(4,2)), 2)
+                AS DOUBLE) AS with_tax
+    FROM orders
+    """,
+)
+def d49_scalar_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D49: row-at-a-time Python UDF (baseline; discouraged in hot
+    paths). Decimal math inside the UDF keeps it oracle-exact."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    @F.udf(T.DoubleType())
+    def with_tax(price: float) -> float:
+        d = (Decimal(str(price)) * Decimal("1.07")).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+        return float(d)
+
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", with_tax("o_totalprice").alias("with_tax"))
+
+
+@query(
+    "d50_pandas_udf_scalar",
+    oracle="""
+    SELECT event_id,
+           ROUND(LN(value + 1.0), 6) AS log_value,
+           ROUND(value * 0.5, 6) AS half_value
+    FROM events
+    """,
+)
+def d50_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D50: vectorized (Arrow) scalar pandas UDF — numpy elementwise
+    ops match libm/SQL per-element to well beyond 6dp."""
+
+    @pandas_udf("double")
+    def log1p_vec(v: pd.Series) -> pd.Series:
+        return pd.Series(np.round(np.log(v.to_numpy() + 1.0), 6))
+
+    @pandas_udf("double")
+    def half_vec(v: pd.Series) -> pd.Series:
+        return pd.Series(np.round(v.to_numpy() * 0.5, 6))
+
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        log1p_vec("value").alias("log_value"),
+        half_vec("value").alias("half_value"),
+    )
+
+
+@query(
+    "d51_pandas_udf_grouped_agg",
+    oracle="""
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def d51_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D51: grouped-aggregate pandas UDF (Series -> scalar). Sums in
+    sorted order so the float result is partition-order independent,
+    then rounds to the decimal oracle's value."""
+
+    @pandas_udf("double")
+    def stable_sum(v: pd.Series) -> float:
+        return float(np.round(np.sort(v.to_numpy()).sum(), 4))
+
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(stable_sum("value").alias("total_value"))
+
+
+@query(
+    "d52_apply_in_pandas",
+    oracle="""
+    WITH stats AS (
+      SELECT label,
+             CAST(SUM(CAST(CAST(vec_id AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*) AS mu
+      FROM embeddings GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(CAST(e.vec_id AS DOUBLE) - s.mu, 4) AS centered_id
+    FROM embeddings e JOIN stats s ON e.label = s.label
+    """,
+)
+def d52_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D52: grouped-map applyInPandas — per-group centering (the
+    normalize-per-group demo of SNIPPETS [2]), centering on an exact
+    integer-sum mean so it hash-matches the SQL twin."""
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("centered_id", T.DoubleType()),
+        ]
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["vec_id"].to_numpy(dtype="int64")
+        mu = float(v.sum()) / len(v)  # integer sum -> exact
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "centered_id": np.round(v.astype("float64") - mu, 4),
+            }
+        )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return e.groupBy("label").applyInPandas(center, schema)
+
+
+@query(
+    "d53_map_in_pandas",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           LENGTH(text) AS n_chars_m
+    FROM documents
+    """,
+)
+def d53_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D53: mapInPandas — streaming Arrow batches through a Python
+    iterator (the E-row expander shape); per-row outputs only."""
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("n_chars_m", T.IntegerType()),
+        ]
+    )
+
+    def count_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["text"].str.split(" ").map(len).astype("int32"),
+                    "n_chars_m": pdf["text"].str.len().astype("int32"),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").mapInPandas(count_tokens, schema)

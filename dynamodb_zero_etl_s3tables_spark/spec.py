@@ -1,0 +1,91 @@
+"""Table / source specifications + synth-time validation.
+
+Mirrors the reference's control-plane preconditions (SURVEY.md A1/A2):
+the construct rejects a source table without an explicit physical name
+(reference src/dynamodb-zero-etl-s3tables.ts:57-61) and without
+point-in-time recovery (":63-66") *before* provisioning anything.
+The engine likewise validates specs before any Spark job runs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    """A keyed source table (the DynamoDB-table analog).
+
+    ``pitr_enabled`` is the full-snapshot capability flag: without it a
+    bootstrap export (reference ts:131-144, ExportTableToPointInTime)
+    is impossible, so the pipeline must refuse to start.
+    """
+
+    table_name: str | None
+    key_columns: tuple[str, ...]
+    pitr_enabled: bool = True
+
+    def validate(self) -> None:
+        # A1 analog (reference ts:57-61): explicit physical name required.
+        if not self.table_name or not str(self.table_name).strip():
+            raise ValueError(
+                "DynamoDB table must have an explicit tableName set. "
+                "Auto-generated table names are not supported."
+            )
+        # A2 analog (reference ts:63-66): PITR required for bootstrap.
+        if not self.pitr_enabled:
+            raise ValueError(
+                "DynamoDB table must have Point-in-Time Recovery (PITR) "
+                "enabled for zero-ETL integration."
+            )
+        if not self.key_columns:
+            raise ValueError("source table must declare at least one key column")
+
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def sanitize_identifier(name: str) -> str:
+    """Strip non-alphanumerics -- the reference's Sid-prefix sanitizer
+    (``replace(/[^a-zA-Z0-9]/g, '')``, reference ts:74)."""
+    return re.sub(r"[^a-zA-Z0-9]", "", name)
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """Target table spec: namespace/table hierarchy + layout knobs.
+
+    Maps the reference's S3 Tables bucket -> namespace -> table
+    hierarchy (reference ts:93,102) and the Iceberg maintenance knobs
+    (``unreferencedFileRemoval``, reference README.md:129-137).
+    """
+
+    namespace: str
+    name: str
+    key_columns: tuple[str, ...]
+    partition_columns: tuple[str, ...] = ()
+    # LWW ordering columns for CDC merge (B6): change timestamp + tiebreak.
+    order_columns: tuple[str, ...] = ("ts", "seq")
+    # maintenance knobs (reference README.md:134-135 defaults 10/30 days)
+    unreferenced_days: int = 10
+    noncurrent_days: int = 30
+    properties: dict = field(default_factory=dict)
+
+    def validate(self) -> None:
+        for part, label in ((self.namespace, "namespace"), (self.name, "table name")):
+            if not part or not _IDENT.match(part):
+                raise ValueError(
+                    f"invalid {label} {part!r}: must match [A-Za-z_][A-Za-z0-9_]*"
+                )
+        if not self.key_columns:
+            raise ValueError("table must declare at least one key column")
+        dup = set(self.key_columns) & set(self.partition_columns)
+        if dup:
+            raise ValueError(f"columns cannot be both key and partition: {sorted(dup)}")
+        if self.unreferenced_days < 1 or self.noncurrent_days < 1:
+            raise ValueError("maintenance retention days must be >= 1")
+
+    @property
+    def qualified_name(self) -> str:
+        return f"{self.namespace}.{self.name}"

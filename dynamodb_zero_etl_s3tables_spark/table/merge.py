@@ -1,0 +1,68 @@
+"""CDC merge semantics (SURVEY.md §2 B5-B7, A6): pure-DataFrame
+keyed upsert/delete with last-writer-wins.
+
+This is the engine's realization of the zero-ETL replication contract
+("data flows automatically ... inserts/updates/deletes replicate",
+reference README.md:12,93) and structurally the same anti-join + union
+the reference Lambda applies to policy statements
+(reference lambda/catalog-policy-handler.js:52-55).
+
+Scale posture: one shuffle on the key columns for the window dedup,
+one for the anti-join — both partition-parallel, no driver collect.
+With the target table bucketed/partitioned on the same keys the
+anti-join co-locates and AQE handles skewed keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+#: change-operation column + accepted values (DynamoDB stream semantics)
+OP_COL = "op"
+OP_INSERT, OP_MODIFY, OP_REMOVE = "INSERT", "MODIFY", "REMOVE"
+
+
+def latest_per_key(
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str] = ("ts", "seq"),
+) -> DataFrame:
+    """B6: in-batch dedup — keep only the last change per key.
+
+    A microbatch may carry several changes for one key; the merge must
+    apply only the final one (last-writer-wins with a deterministic
+    ``seq`` tiebreaker, SURVEY §7 risk register).
+    """
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str] = ("ts", "seq"),
+) -> DataFrame:
+    """B5+B7: apply a change-log to a snapshot; returns the new state.
+
+    * rows of ``base`` whose key appears in ``changes`` are dropped
+      (anti-join — covers both update-overwrite and delete),
+    * the latest non-REMOVE change per key supplies the new row image.
+
+    ``changes`` must carry ``op`` + ``order_cols`` + the base schema's
+    columns. Idempotent (A10): re-applying the same batch is a no-op.
+    """
+    keys = list(keys)
+    last = latest_per_key(changes, keys, order_cols)
+    upserts = last.filter(F.col(OP_COL) != OP_REMOVE).select(*base.columns)
+    touched = last.select(*keys)
+    survivors = base.join(touched, on=keys, how="left_anti")
+    return survivors.unionByName(upserts)
