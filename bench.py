@@ -1,0 +1,71 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully via the noop sink (no driver-side collect,
+mirroring a cluster write) on one shared session, local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dynamodb_zero_etl_s3tables_spark.session import get_spark
+from dynamodb_zero_etl_s3tables_spark.operators import QUERY_REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: the heavy representatives of each operator family
+HEADLINE = [
+    "d21_star_join_flagship",   # 5-way star join + agg
+    "d22_grouped_agg_q1",       # full-scan grouped aggregate
+    "d19_range_join",           # interval join on equi-key
+    "d20_asof_join",            # as-of join via window
+    "d31_window_ranking",       # partitioned window functions
+    "d35_topk_per_group",       # per-group top-k
+    "b05_cdc_upsert_merge",     # CDC merge (anti-join + union + window)
+    "h05_session_window",       # sessionization (gap islands)
+    "e01_exact_dedup",          # content-hash dedup
+    "e02b_minhash_lsh_pairs",   # MinHash LSH candidate pairs
+    "e03_cosine_topk",          # brute-force ANN top-k
+    "e05_tfidf",                # token pipeline + tf-idf
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+    # warm the JVM + file listing once (excluded from timings)
+    QUERY_REGISTRY["d01_parquet_scan"].build(spark, SF_DIR).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERY_REGISTRY[name].build(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,10 @@ OP_COL = "op"
 OP_INSERT, OP_MODIFY, OP_REMOVE = "INSERT", "MODIFY", "REMOVE"
 
 
+class SchemaEvolutionError(ValueError):
+    """Non-additive schema change in a merge or commit (B4)."""
+
+
 def latest_per_key(
     changes: DataFrame,
     keys: Sequence[str],
@@ -62,7 +66,33 @@ def merge_changes(
     """
     keys = list(keys)
     last = latest_per_key(changes, keys, order_cols)
-    upserts = last.filter(F.col(OP_COL) != OP_REMOVE).select(*base.columns)
+    # image columns = everything except the op tag and pure-bookkeeping
+    # order columns (an order column that's part of the base schema —
+    # e.g. a real `ts` attribute — stays in the image)
+    drop = {OP_COL} | {c for c in order_cols if c not in base.columns}
+    image_cols = [c for c in last.columns if c not in drop]
+    upserts = last.filter(F.col(OP_COL) != OP_REMOVE).select(*image_cols)
+    # B4 gate: overlapping columns must keep their exact type (a silent
+    # union coercion, e.g. double->string, would corrupt the table)
+    base_types = {f.name: f.dataType for f in base.schema.fields}
+    for f in upserts.schema.fields:
+        prev = base_types.get(f.name)
+        if prev is not None and prev != f.dataType:
+            raise SchemaEvolutionError(
+                f"type conflict for column {f.name!r}: "
+                f"{prev.simpleString()} -> {f.dataType.simpleString()}"
+            )
+    missing = [c for c in base.columns if c not in upserts.columns]
+    if missing:
+        raise SchemaEvolutionError(
+            f"columns missing from incoming data (drops are not additive): {missing}"
+        )
+    # B4: additive evolution — new image columns surface as NULL on
+    # pre-existing rows
+    widened = base
+    for f in upserts.schema.fields:
+        if f.name not in base.columns:
+            widened = widened.withColumn(f.name, F.lit(None).cast(f.dataType))
     touched = last.select(*keys)
-    survivors = base.join(touched, on=keys, how="left_anti")
+    survivors = widened.join(touched, on=keys, how="left_anti")
     return survivors.unionByName(upserts)

@@ -1,0 +1,81 @@
+"""Operator structure + plan-shape tests (SURVEY.md §5.2(2) golden
+schemas; §4.2 verify-don't-reimplement: pushdown/broadcast asserted
+from the physical plan)."""
+
+import pytest
+
+from dynamodb_zero_etl_s3tables_spark.operators import QUERY_REGISTRY
+from dynamodb_zero_etl_s3tables_spark.operators.relational import (
+    d01_parquet_scan,
+    d16_join_broadcast_star,
+    d21_star_join_flagship,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_registry_complete():
+    # every registered query has a builder; oracle coverage is wide
+    assert len(QUERY_REGISTRY) >= 80
+    with_oracle = [s for s in QUERY_REGISTRY.values() if s.oracle is not None]
+    assert len(with_oracle) >= 75
+
+
+def test_scan_pushdown(spark):
+    # D1 + §4.2: filter and projection must reach the parquet reader
+    df = d01_parquet_scan(spark, SF_DIR)
+    explained = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in explained
+    assert "ReadSchema" in explained
+    # projection pruned to 4 read columns (3 selected + filter col)
+    assert "l_extendedprice" not in explained.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_star_join_broadcasts_dims(spark):
+    # D16/D21: nation/region must broadcast, never shuffle the fact side for dims
+    for q in (d16_join_broadcast_star, d21_star_join_flagship):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_schema(spark):
+    df = d21_star_join_flagship(spark, SF_DIR)
+    assert [f.name for f in df.schema.fields] == [
+        "region", "nation", "n_lines", "revenue",
+    ]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["revenue"] == "double" and types["n_lines"] == "bigint"
+
+
+def test_merge_is_shuffle_bounded(spark):
+    # B5 plan shape: merge = window dedup + anti-join + union; no
+    # cartesian/nested-loop anywhere
+    plan = _plan(QUERY_REGISTRY["b05_cdc_upsert_merge"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_python_udfs_in_core_paths(spark):
+    # E7 posture: hot relational/LLM paths stay JVM-side
+    for name in (
+        "d21_star_join_flagship",
+        "e01_exact_dedup",
+        "e02b_minhash_lsh_pairs",
+        "e03_cosine_topk",
+        "e05_tfidf",
+    ):
+        plan = _plan(QUERY_REGISTRY[name].build(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_all_builders_resolve(spark):
+    # every registry entry analyzes (schema resolution) without execution
+    for name, spec in QUERY_REGISTRY.items():
+        df = spec.build(spark, SF_DIR)
+        assert df.schema is not None, name
+        assert len(df.columns) > 0, name

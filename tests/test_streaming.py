@@ -1,0 +1,183 @@
+"""Streaming CDC + window tests (SURVEY.md §2 H1-H8): every streaming
+path must equal its batch twin on the same data."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+from dynamodb_zero_etl_s3tables_spark.streaming.cdc import (
+    apply_changes_stream,
+    changelog_schema,
+    read_changelog_stream,
+)
+from dynamodb_zero_etl_s3tables_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+from dynamodb_zero_etl_s3tables_spark.table.merge import merge_changes
+
+SF_DIR = "/root/testdata/sf0.001"
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("pk", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+    ]
+)
+
+SPEC = TableSpec(
+    namespace="ns", name="stream_items", key_columns=("pk",), order_columns=("seq",)
+)
+
+
+def _write_batch(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+BATCH1 = [
+    {"op": "INSERT", "ts": "2024-01-01T00:00:00", "seq": i, "pk": i,
+     "status": "new", "price": float(i)}
+    for i in range(1, 6)
+]
+BATCH2 = [
+    {"op": "MODIFY", "ts": "2024-01-02T00:00:00", "seq": 10, "pk": 1,
+     "status": "upd", "price": 11.0},
+    {"op": "MODIFY", "ts": "2024-01-02T00:00:00", "seq": 11, "pk": 1,
+     "status": "upd2", "price": 12.0},
+    {"op": "REMOVE", "ts": "2024-01-02T00:00:00", "seq": 10, "pk": 2,
+     "status": None, "price": None},
+    {"op": "INSERT", "ts": "2024-01-02T00:00:00", "seq": 10, "pk": 7,
+     "status": "late", "price": 70.0},
+]
+
+
+def test_stream_merge_equals_batch_merge(spark, warehouse, tmp_path):
+    """H1+H7+H8: drain a 2-file changelog dir with availableNow ->
+    final table state == one batch merge over the concatenated log."""
+    log_dir = tmp_path / "changelog"
+    _write_batch(log_dir / "b1.json", BATCH1)
+    _write_batch(log_dir / "b2.json", BATCH2)
+
+    table = ManagedTable(spark, warehouse, SPEC)
+    stream = read_changelog_stream(
+        spark, str(log_dir), changelog_schema(IMAGE_SCHEMA), max_files_per_trigger=1
+    )
+    q = apply_changes_stream(table, stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {r.pk: (r.status, r.price) for r in table.read().collect()}
+
+    # batch twin: merge the whole log into an empty base in one go
+    full_log = spark.read.schema(changelog_schema(IMAGE_SCHEMA)).json(str(log_dir))
+    empty = spark.createDataFrame([], IMAGE_SCHEMA)
+    expected_df = merge_changes(empty, full_log, keys=["pk"], order_cols=["ts", "seq"])
+    expected = {r.pk: (r.status, r.price) for r in expected_df.collect()}
+
+    assert got == expected
+    assert got[1] == ("upd2", 12.0)  # in-batch LWW
+    assert 2 not in got              # delete propagated
+    assert got[7] == ("late", 70.0)  # second-file insert
+
+
+def test_stream_restart_is_idempotent(spark, warehouse, tmp_path):
+    """H8 checkpoint + A10 idempotent merge: re-starting the drained
+    stream adds nothing; feeding a new file picks up from offsets."""
+    log_dir = tmp_path / "changelog"
+    _write_batch(log_dir / "b1.json", BATCH1)
+    table = ManagedTable(spark, warehouse, SPEC)
+    schema = changelog_schema(IMAGE_SCHEMA)
+    ckpt = str(tmp_path / "ckpt")
+
+    q = apply_changes_stream(table, read_changelog_stream(spark, str(log_dir), schema), ckpt)
+    q.awaitTermination(120)
+    v1 = table.version
+
+    # restart with no new data: no new commits
+    q = apply_changes_stream(table, read_changelog_stream(spark, str(log_dir), schema), ckpt)
+    q.awaitTermination(120)
+    assert table.version == v1
+
+    # new file arrives: exactly the delta applies
+    _write_batch(log_dir / "b2.json", BATCH2)
+    q = apply_changes_stream(table, read_changelog_stream(spark, str(log_dir), schema), ckpt)
+    q.awaitTermination(120)
+    got = {r.pk for r in table.read().collect()}
+    assert got == {1, 3, 4, 5, 7}
+
+
+def _drain_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return df.sparkSession.table(name)
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    """H3: streaming tumbling agg over the events table (replayed as
+    a file stream) == the same builder applied in batch."""
+    events = load(spark, SF_DIR, "events").select("event_id", "ts", "user_id", "value")
+    stream_src = tmp_path / "events_stream"
+    events.write.parquet(str(stream_src))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(stream_src))
+    aggs = [F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("v")]
+    got = _drain_to_memory(
+        tumbling_agg(stream, "ts", "1 day", ["user_id"], aggs, watermark="1 hour"),
+        "tumb",
+    ).collect()
+    expected = tumbling_agg(events, "ts", "1 day", ["user_id"], aggs).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_session_stream_equals_batch(spark, tmp_path):
+    """H5: streaming session_window == batch session_window on the
+    same data (and the gap-islands twin is checked by the oracle)."""
+    events = load(spark, SF_DIR, "events").select("event_id", "ts", "user_id", "value")
+    stream_src = tmp_path / "events_stream"
+    events.write.parquet(str(stream_src))
+    stream = spark.readStream.schema(events.schema).parquet(str(stream_src))
+    aggs = [F.count("*").alias("n")]
+    got = _drain_to_memory(
+        session_agg(stream, "ts", "30 minutes", ["user_id"], aggs, watermark="1 hour"),
+        "sess",
+    ).collect()
+    expected = session_agg(events, "ts", "30 minutes", ["user_id"], aggs).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_stream_dedup(spark, tmp_path):
+    """H6: streaming dropDuplicates keeps one row per key."""
+    events = load(spark, SF_DIR, "events").select("event_id", "ts", "user_id", "event_type")
+    stream_src = tmp_path / "events_stream"
+    events.write.parquet(str(stream_src))
+    stream = spark.readStream.schema(events.schema).parquet(str(stream_src))
+    deduped = stream_dedup(stream, ["user_id", "event_type"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup")
+    n_keys = events.select("user_id", "event_type").distinct().count()
+    assert got.count() == n_keys
+    assert got.select("user_id", "event_type").distinct().count() == n_keys

@@ -1,0 +1,162 @@
+"""Table-layer golden tests (SURVEY.md §5.2(5)): CDC merge semantics,
+idempotent re-apply (A10), commit conflict (A8), time travel (B10),
+vacuum (B11), schema evolution (B4)."""
+
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+from dynamodb_zero_etl_s3tables_spark.table.manifest import (
+    CommitConflictError,
+    ManagedTable,
+    SchemaEvolutionError,
+)
+
+SPEC = TableSpec(namespace="ns", name="items", key_columns=("pk",), order_columns=("seq",))
+
+
+def base_df(spark):
+    return spark.createDataFrame(
+        [Row(pk=i, status="old", price=float(i * 10)) for i in range(1, 6)]
+    )
+
+
+def changelog_df(spark):
+    rows = [
+        # update pk=1 twice in one batch: seq 2 must win (B6)
+        Row(op="MODIFY", seq=1, pk=1, status="v1", price=11.0),
+        Row(op="MODIFY", seq=2, pk=1, status="v2", price=12.0),
+        # plain update
+        Row(op="MODIFY", seq=1, pk=2, status="upd", price=22.0),
+        # delete (B7)
+        Row(op="REMOVE", seq=1, pk=3, status="x", price=0.0),
+        # insert new key (B5)
+        Row(op="INSERT", seq=1, pk=9, status="new", price=99.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_bootstrap_and_read(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    assert not t.exists()
+    t.bootstrap(base_df(spark))
+    assert t.exists() and t.version == 1
+    assert t.read().count() == 5
+
+
+def test_merge_golden(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.apply_changes(changelog_df(spark))
+    state = {r.pk: (r.status, r.price) for r in t.read().collect()}
+    assert state == {
+        1: ("v2", 12.0),   # last in-batch change wins
+        2: ("upd", 22.0),
+        4: ("old", 40.0),  # untouched
+        5: ("old", 50.0),
+        9: ("new", 99.0),  # inserted
+    }  # pk=3 removed
+
+
+def test_merge_idempotent(spark, warehouse):
+    # A10: re-applying the same batch converges to the same state
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.apply_changes(changelog_df(spark))
+    first = sorted(map(tuple, t.read().collect()))
+    t.apply_changes(changelog_df(spark))
+    second = sorted(map(tuple, t.read().collect()))
+    assert first == second
+
+
+def test_commit_conflict(spark, warehouse):
+    # A8: optimistic concurrency — stale expected_version aborts
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    m = t._read_manifest()
+    t.apply_changes(changelog_df(spark))  # moves version to 2
+    with pytest.raises(CommitConflictError, match="concurrent commit"):
+        t._write_manifest(m, expected_version=1)
+
+
+def test_time_travel(spark, warehouse):
+    # B10: snapshot read of a prior version
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.apply_changes(changelog_df(spark))
+    assert t.read(version=1).count() == 5
+    assert t.read(version=2).count() == 5  # 5 -1 removed +1 inserted
+    assert {r.pk for r in t.read(version=1).collect()} == {1, 2, 3, 4, 5}
+    with pytest.raises(ValueError, match="not in retained history"):
+        t.read(version=99)
+
+
+def test_vacuum_retention(spark, warehouse):
+    # B11: unreferencedFileRemoval semantics (reference README.md:129-137)
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.apply_changes(changelog_df(spark))
+    # pretend 40 days pass: v1 becomes noncurrent beyond the 30-day knob
+    res = t.vacuum(unreferenced_days=10, noncurrent_days=30, now=time.time() + 40 * 86400)
+    assert res["snapshots_dropped"] == 1
+    assert res["dirs_deleted"] == 1
+    assert [s.version for s in t.history()] == [2]
+    assert t.read().count() == 5  # current snapshot untouched
+    with pytest.raises(ValueError, match="not in retained history"):
+        t.read(version=1)
+
+
+def test_schema_evolution_additive(spark, warehouse):
+    # B4: new column appears -> appended; old rows read as null
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    evolved = changelog_df(spark).withColumn("region", F.lit("emea"))
+    t.apply_changes(evolved)
+    out = t.read()
+    assert "region" in out.columns
+    vals = {r.pk: r.region for r in out.collect()}
+    assert vals[9] == "emea" and vals[4] is None
+
+
+def test_schema_evolution_type_conflict(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    bad = changelog_df(spark).withColumn("price", F.col("price").cast("string"))
+    with pytest.raises(SchemaEvolutionError, match="type conflict for column 'price'"):
+        t.apply_changes(bad)
+
+
+def test_schema_evolution_drop_rejected(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    with pytest.raises(SchemaEvolutionError, match="not additive"):
+        t.overwrite(base_df(spark).drop("status"))
+
+
+def test_catalog_registration_and_sql(spark, warehouse):
+    # C1/C2: catalog -> view -> spark.sql
+    cat = Catalog(spark, warehouse)
+    t = cat.create_table(SPEC)
+    t.bootstrap(base_df(spark))
+    view = cat.refresh_view("ns.items")
+    assert view == "ns_items"
+    out = cat.sql(f"SELECT COUNT(*) AS n FROM {view} WHERE price > 20").collect()
+    assert out[0].n == 3
+    assert cat.list_tables("ns") == ["items"]
+    with pytest.raises(KeyError):
+        cat.table("ns.nope")
+
+
+def test_extension_points(spark, warehouse):
+    # mirror of reference extension-point tests (test.ts:202-285):
+    # engine exposes spark session, table root, manifest history
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    assert t.spark is spark
+    assert t.root.exists()
+    assert t.history()[0].operation == "bootstrap"
+    assert t.spec.unreferenced_days == 10 and t.spec.noncurrent_days == 30
