@@ -14,6 +14,7 @@ from dynamodb_zero_etl_s3tables_spark.operators.registry import (
 
 # Import for registration side effects (order = SURVEY §2 order).
 from dynamodb_zero_etl_s3tables_spark.operators import relational  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import sources_sinks  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import aggregates  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import windows  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import scalar_fns  # noqa: E402,F401

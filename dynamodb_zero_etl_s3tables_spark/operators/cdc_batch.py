@@ -51,7 +51,8 @@ from dynamodb_zero_etl_s3tables_spark.table.merge import merge_changes
 def b03_attrvalue_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3: DynamoDB attribute-value encode->decode round trip, all
     JVM-side string/JSON built-ins (the full file-based codec with
-    from_json schemas lives in sources/ddb_export.py)."""
+    from_json schemas lives in functions/decode.py; the file-based
+    export round trip is d02_json_scan in sources_sinks.py)."""
     e = load(spark, sf_dir, "events")
     val_str = F.col("value").cast("decimal(12,2)").cast("string")
     item_json = F.concat(

@@ -1,0 +1,382 @@
+"""Source/sink + catalog-entry operators (SURVEY.md §2 D2-D5, C1-C2,
+B4, B10, D26 grouping sets).
+
+These rows exercise the engine's I/O boundary and the managed-table
+layer *inside* the oracle gate: each builder round-trips data through
+a real format (JSON export form, CSV, partitioned Parquet, the
+manifest-committed table) and the DuckDB oracle checks the final
+relational result against the original table — so a bug anywhere in
+the round trip (schema drift, partition-column type change, lost
+rows, wrong snapshot) hash-mismatches.
+
+Scratch space: round trips write under ``/tmp/spark_graft_io/<sf>``;
+writes are eager (actions at build time) so the returned lazy
+DataFrame reads stable files when the driver later collects it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dynamodb_zero_etl_s3tables_spark.operators.registry import DSUM, dsum, query
+from dynamodb_zero_etl_s3tables_spark.sources.testdata import load, register_views
+from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+
+def _scratch(sf_dir: str, leaf: str) -> str:
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    p = Path("/tmp/spark_graft_io") / tag / leaf
+    p.parent.mkdir(parents=True, exist_ok=True)
+    return str(p)
+
+
+# ---------------------------------------------------------------------------
+# D2: JSON scan — DynamoDB export wire form on disk
+# ---------------------------------------------------------------------------
+
+@query(
+    "d02_json_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value_decoded
+    FROM events
+    """,
+)
+def d02_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: newline-delimited JSON round trip in the DynamoDB export
+    item shape ``{"Item": {attr: {TYPE: value}}}`` (the PITR export
+    format the reference's grant produces, reference ts:135): encode
+    events -> write NDJSON -> ``spark.read.json`` with explicit
+    attribute-value schema -> decode typed columns.
+
+    Scale: both write and read are partition-parallel; the explicit
+    read schema avoids a second inference pass over 100 TB of JSON.
+    """
+    out = _scratch(sf_dir, "ddb_export_json")
+    e = load(spark, sf_dir, "events")
+    item = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(F.col("event_id").cast("string").alias("N")).alias("event_id"),
+                F.struct(F.col("user_id").cast("string").alias("N")).alias("user_id"),
+                F.struct(F.col("event_type").alias("S")).alias("event_type"),
+                F.struct(
+                    F.col("value").cast("decimal(12,2)").cast("string").alias("N")
+                ).alias("value"),
+            ).alias("Item")
+        )
+    )
+    e.select(item.alias("value")).write.mode("overwrite").text(out)
+
+    av = lambda: T.StructType([T.StructField("S", T.StringType()), T.StructField("N", T.StringType())])  # noqa: E731
+    schema = T.StructType(
+        [
+            T.StructField(
+                "Item",
+                T.StructType(
+                    [
+                        T.StructField("event_id", av()),
+                        T.StructField("user_id", av()),
+                        T.StructField("event_type", av()),
+                        T.StructField("value", av()),
+                    ]
+                ),
+            )
+        ]
+    )
+    raw = spark.read.schema(schema).json(out)
+    return raw.select(
+        F.col("Item.event_id.N").cast("bigint").alias("event_id"),
+        F.col("Item.user_id.N").cast("bigint").alias("user_id"),
+        F.col("Item.event_type.S").alias("event_type"),
+        F.col("Item.value.N").cast("decimal(12,2)").cast("double").alias("value_decoded"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3: CSV scan
+# ---------------------------------------------------------------------------
+
+@query(
+    "d03_csv_scan",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer WHERE c_acctbal >= 0
+    """,
+)
+def d03_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: CSV sink + header/inferSchema scan (debug-fixture path).
+    Filter applied after re-read so the CSV reader's type inference
+    (bigint keys, double balance) is what the oracle checks."""
+    out = _scratch(sf_dir, "customer_csv")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    c.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    return back.filter(F.col("c_acctbal") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# D4: partitioned Parquet sink
+# ---------------------------------------------------------------------------
+
+@query(
+    "d04_partitioned_sink",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows, {DSUM('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def d04_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/B12: hive-partitioned Parquet write, then an aggregate over
+    the partitioned layout. The group-by keys are the partition
+    columns, so at scale the scan prunes to matching directories and
+    the aggregate is map-side-partial over already-clustered data."""
+    out = _scratch(sf_dir, "lineitem_part")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    l.write.mode("overwrite").partitionBy("l_returnflag", "l_linestatus").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5: in-memory source
+# ---------------------------------------------------------------------------
+
+@query(
+    "d05_inmemory_source",
+    oracle=f"""
+    SELECT t.tier, COUNT(*) AS n_orders, {DSUM('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN (VALUES ('F', 'closed'), ('O', 'open'), ('P', 'pending'))
+         AS t(status, tier)
+      ON o.o_orderstatus = t.status
+    GROUP BY t.tier
+    """,
+)
+def d05_inmemory_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: ``spark.createDataFrame`` literal rows broadcast-joined to a
+    fact table — the idiomatic tiny-dimension pattern (a 3-row local
+    relation ships with the plan; zero shuffle on the fact side)."""
+    tiers = spark.createDataFrame(
+        [Row(status="F", tier="closed"), Row(status="O", tier="open"), Row(status="P", tier="pending")]
+    )
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(tiers), o.o_orderstatus == tiers.status)
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1: SQL string entry point
+# ---------------------------------------------------------------------------
+
+_C1_SQL = """
+    SELECT n.n_name AS nation, COUNT(*) AS n_suppliers,
+           {dsum} AS total_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query(
+    "c01_sql_entry",
+    oracle=_C1_SQL.format(dsum=DSUM("s.s_acctbal")),
+)
+def c01_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: the SQL front door — same ANSI SQL text runs on Spark and
+    the oracle (the engine's analog of the reference's Athena query,
+    reference README.md:173)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _C1_SQL.format(
+            dsum="CAST(SUM(CAST(s.s_acctbal AS DECIMAL(25,6))) AS DOUBLE)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 + B10: catalog-managed table, snapshot commit, time travel
+# ---------------------------------------------------------------------------
+
+@query(
+    "c02_catalog_roundtrip",
+    oracle="""
+    SELECT o_orderkey AS pk, o_orderstatus AS status,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE) AS price
+    FROM orders WHERE o_orderkey % 10 = 1
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 10 NOT IN (1, 2)
+    """,
+)
+def c02_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/B8/B9/B5: full managed-table lifecycle under the oracle —
+    create namespace+table in a warehouse, bootstrap a snapshot,
+    apply a CDC batch (update %10==1, delete %10==2), read current.
+
+    The oracle replays the post-merge state in SQL, so manifest
+    commit, copy-on-write merge, and snapshot read are all checked.
+    """
+    wh = _scratch(sf_dir, "warehouse_c02")
+    cat = Catalog(spark, wh)
+    spec = TableSpec(
+        namespace="analytics",
+        name="orders_replica",
+        key_columns=("pk",),
+        order_columns=("seq",),
+    )
+    t = cat.create_table(spec)
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.overwrite(base)
+    mod10 = F.col("o_orderkey") % 10
+    bumped = (
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.1").cast("decimal(3,1)"),
+            2,
+        ).cast("double")
+    )
+    changes = (
+        o.filter(mod10 == 1)
+        .select(
+            F.lit("MODIFY").alias("op"),
+            F.lit(1).alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            bumped.alias("price"),
+        )
+        .unionByName(
+            o.filter(mod10 == 2).select(
+                F.lit("REMOVE").alias("op"),
+                F.lit(1).alias("seq"),
+                F.col("o_orderkey").alias("pk"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    t.apply_changes(changes, order_cols=("seq",))
+    return t.read()
+
+
+@query(
+    "b10_time_travel",
+    oracle="""
+    SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+    FROM orders
+    """,
+)
+def b10_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: snapshot time travel — after bootstrap (v1) and a merge
+    (v2), ``read(version=1)`` returns the exact pre-merge state. The
+    oracle is the plain bootstrap query, so any leakage of v2 data
+    into the v1 read hash-mismatches."""
+    wh = _scratch(sf_dir, "warehouse_b10")
+    cat = Catalog(spark, wh)
+    spec = TableSpec(
+        namespace="analytics", name="tt_orders", key_columns=("pk",), order_columns=("seq",)
+    )
+    t = cat.create_table(spec)
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.overwrite(base)
+    deletes = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.lit("REMOVE").alias("op"),
+        F.lit(1).alias("seq"),
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.apply_changes(deletes, order_cols=("seq",))
+    assert t.version == 2
+    return t.read(version=1)
+
+
+# ---------------------------------------------------------------------------
+# B4: schema evolution via mergeSchema read
+# ---------------------------------------------------------------------------
+
+@query(
+    "b04_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def b04_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: two Parquet batches with different schemas (the second adds
+    ``o_orderpriority`` — a new attribute appearing in the stream,
+    reference ts:110-117 UpdateTable grant) read back as one evolved
+    table via ``mergeSchema``; pre-evolution rows surface NULL."""
+    out = _scratch(sf_dir, "orders_evolve")
+    o = load(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{out}/batch=2")
+    back = spark.read.option("mergeSchema", True).parquet(f"{out}/batch=1", f"{out}/batch=2")
+    return back.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# D26 (third form): GROUPING SETS via SQL
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           {grouping} AS grp_id,
+           COUNT(*) AS n_orders, {dsum} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+"""
+
+
+@query(
+    "d26c_grouping_sets",
+    oracle=_GSETS_SQL.format(
+        grouping="GROUPING(o_orderstatus, o_orderpriority)",
+        dsum=DSUM("o_totalprice"),
+    ),
+)
+def d26c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D26: explicit GROUPING SETS (beyond rollup/cube) through the
+    SQL entry point, with grouping_id disambiguating NULL-as-total
+    from NULL-as-value in both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _GSETS_SQL.format(
+            grouping="GROUPING_ID(o_orderstatus, o_orderpriority)",
+            dsum="CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)",
+        )
+    )
