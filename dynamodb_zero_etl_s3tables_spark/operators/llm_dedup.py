@@ -54,8 +54,16 @@ def e01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     """word w-shingles via sequence+transform (JVM-side, no UDF):
-    shingle i = tokens[i : i+w] joined with spaces."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    shingle i = tokens[i : i+w] joined with spaces.
+
+    The token array is materialized by a projection *before* the
+    generator expression references it (4 references): leaving
+    ``split(lower(text))`` inline re-evaluates it per reference inside
+    Generate, which is not whole-stage-codegen'd and gets no
+    common-subexpression elimination — measured 7x slower at sf0.1.
+    """
+    base = df.withColumn("__toks", F.split(F.lower(F.col(text_col)), " "))
+    toks = F.col("__toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_W, F.lit(0)))
     sh = F.when(
@@ -64,45 +72,91 @@ def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_W)))
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return df.withColumn("shingle", F.explode(sh))
+    return base.withColumn("shingle", F.explode(sh)).drop("__toks")
+
+
+def _mh64(expr_col) -> "F.Column":
+    """Portable 60-bit hash: first 15 hex chars of md5 as BIGINT.
+    Numeric (not hex-string) signatures keep the min-aggregate inside
+    HashAggregate — min(STRING) would force a SortAggregate that sorts
+    every shingle row. DuckDB twin: ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(expr_col), 1, 15), 16, 10).cast("bigint")
+
+
+def _MH64(expr_sql: str) -> str:
+    return f"(('0x' || substr(md5({expr_sql}), 1, 15))::BIGINT)"
+
+
+_SHINGLES_CTE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
+    ), shingles AS (
+      SELECT doc_id,
+             UNNEST(CASE WHEN len(t) >= {SHINGLE_W}
+                  THEN list_distinct(list_transform(
+                         range(1, len(t) - {SHINGLE_W} + 2),
+                         i -> array_to_string(t[i:i+{SHINGLE_W}-1], ' ')))
+                  ELSE [array_to_string(t, ' ')] END) AS shingle
+      FROM toks
+    )
+"""
+
+
+#: Mersenne-style modulus + per-permutation affine constants. Each
+#: "permutation" i is h_i(s) = (A_i * h(s) + B_i) mod M31 over the
+#: single 31-bit base hash h(s) — one md5 per shingle instead of
+#: N_HASHES of them, with exact int64 arithmetic in both engines
+#: (A_i * h < 2^62, no overflow under ANSI mode).
+M31 = 2_147_483_647
+_AFFINE = [(1_299_721 + 2 * i, 15_485_863 + 7 * i) for i in range(N_HASHES)]
+
+_SIG_COLS_SQL = ", ".join(
+    f"MIN(({a} * h + {b}) % {M31}) AS sig_{i}" for i, (a, b) in enumerate(_AFFINE)
+)
+_BASE_HASH_SQL = f"SELECT doc_id, ({_MH64('shingle')} % {M31}) AS h FROM shingles"
 
 
 @query(
     "e02_minhash_signatures",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
-    ), shingles AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               UNNEST(CASE WHEN len(t) >= {SHINGLE_W}
-                    THEN list_distinct(list_transform(
-                           range(1, len(t) - {SHINGLE_W} + 2),
-                           i -> array_to_string(t[i:i+{SHINGLE_W}-1], ' ')))
-                    ELSE [array_to_string(t, ' ')] END) AS shingle
-        FROM toks
-      )
-    )
-    SELECT doc_id,
-           {", ".join(f"MIN(md5('{i}|' || shingle)) AS sig_{i}" for i in range(N_HASHES))}
-    FROM shingles
+    oracle=_SHINGLES_CTE
+    + f""", hashed AS ({_BASE_HASH_SQL})
+    SELECT doc_id, {_SIG_COLS_SQL}
+    FROM hashed
     GROUP BY doc_id
     """,
 )
 def e02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 stage 1: MinHash signature per document — min of salted md5
-    over the shingle set, one column per hash function."""
+    """E2 stage 1: MinHash signature per document — min of N_HASHES
+    affine permutations of a single md5-prefix base hash per shingle,
+    one BIGINT column per permutation.
+
+    Two deliberate plan choices (measured at sf0.1):
+    * one md5 per shingle, permutations are integer affine maps
+      (~3x over salted-md5-per-permutation);
+    * no ``distinct`` before the aggregate — MIN is duplicate-
+      insensitive, and skipping it lets the partial (map-side)
+      aggregation collapse each doc's shingles to N mins *before*
+      the only shuffle: at 100 TB the shuffle carries one row per
+      doc, not one per shingle. BIGINT (not string) signatures keep
+      the aggregate in HashAggregate; min(STRING) would fall back to
+      SortAggregate and sort every shingle row.
+    """
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d).select("doc_id", "shingle").distinct()
+    sh = _shingles(d).select("doc_id", F.pmod(_mh64(F.col("shingle")), F.lit(M31)).alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(N_HASHES)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % M31).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_AFFINE)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 _BAND_KEYS_SQL = ", ".join(
-    "md5(" + " || '|' || ".join(f"sig_{b * BAND_ROWS + r}" for r in range(BAND_ROWS)) + f") AS band_{b}"
+    _MH64(
+        " || '|' || ".join(
+            f"CAST(sig_{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+    )
+    + f" AS band_{b}"
     for b in range(N_BANDS)
 )
 
@@ -110,19 +164,18 @@ _CAND_SQL = f"""
     WITH toks AS (
       SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
     ), shingles AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               UNNEST(CASE WHEN len(t) >= {SHINGLE_W}
-                    THEN list_distinct(list_transform(
-                           range(1, len(t) - {SHINGLE_W} + 2),
-                           i -> array_to_string(t[i:i+{SHINGLE_W}-1], ' ')))
-                    ELSE [array_to_string(t, ' ')] END) AS shingle
-        FROM toks
-      )
-    ), sigs AS (
       SELECT doc_id,
-             {", ".join(f"MIN(md5('{i}|' || shingle)) AS sig_{i}" for i in range(N_HASHES))}
-      FROM shingles GROUP BY doc_id
+             UNNEST(CASE WHEN len(t) >= {SHINGLE_W}
+                  THEN list_distinct(list_transform(
+                         range(1, len(t) - {SHINGLE_W} + 2),
+                         i -> array_to_string(t[i:i+{SHINGLE_W}-1], ' ')))
+                  ELSE [array_to_string(t, ' ')] END) AS shingle
+      FROM toks
+    ), hashed AS (
+      {_BASE_HASH_SQL}
+    ), sigs AS (
+      SELECT doc_id, {_SIG_COLS_SQL}
+      FROM hashed GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, {_BAND_KEYS_SQL} FROM sigs
     ), long_bands AS (
@@ -137,35 +190,45 @@ _CAND_SQL = f"""
 @query("e02b_minhash_lsh_pairs", oracle=_CAND_SQL)
 def e02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 stage 2: LSH banding — hash each band of the signature to a
-    bucket, self-join on (band, bucket), emit unordered candidate
-    pairs. At scale the join key is the bucket hash: uniformly
-    distributed, and only colliding docs ever meet."""
+    bucket, group docs per (band, bucket), expand in-bucket pairs.
+
+    Plan shape: ONE pass over the signature pipeline (no self-join, so
+    nothing is recomputed), one shuffle on the uniformly-distributed
+    bucket hash, then an array combination expansion per bucket. At
+    scale, bucket sizes stay small (only near-dups collide), so the
+    per-bucket quadratic expansion is bounded. A degenerate corpus
+    (everything identical) would need a bucket-size cap before the
+    expansion; exact-dup removal (e01) runs first in the pipeline
+    precisely to keep buckets small.
+    """
     sigs = e02_minhash_signatures(spark, sf_dir)
     band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+        _mh64(
+            F.concat_ws(
+                "|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            )
         ).alias(f"band_{b}")
         for b in range(N_BANDS)
     ]
-    bands = sigs.select("doc_id", *band_cols)
-    long_bands = None
-    for b in range(N_BANDS):
-        part = bands.select(
-            "doc_id", F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("bucket")
-        )
-        long_bands = part if long_bands is None else long_bands.unionByName(part)
-    a = long_bands.alias("a")
-    b_ = long_bands.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    long_bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "bucket"),
     )
+    buckets = (
+        long_bands.groupBy("band_id", "bucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 @query(

@@ -17,6 +17,7 @@ DataFrame reads stable files when the driver later collects it.
 from __future__ import annotations
 
 import hashlib
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -29,9 +30,15 @@ from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
 from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
 
-def _scratch(sf_dir: str, leaf: str) -> str:
+def _scratch(sf_dir: str, leaf: str, wipe: bool = False) -> str:
+    """Stable scratch dir per (sf_dir, leaf). ``wipe=True`` clears it
+    first — required for the managed-table ops, whose manifest history
+    would otherwise grow across runs (the builders must be idempotent,
+    reference A10)."""
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
     p = Path("/tmp/spark_graft_io") / tag / leaf
+    if wipe and p.exists():
+        shutil.rmtree(p)
     p.parent.mkdir(parents=True, exist_ok=True)
     return str(p)
 
@@ -234,7 +241,7 @@ def c02_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the post-merge state in SQL, so manifest
     commit, copy-on-write merge, and snapshot read are all checked.
     """
-    wh = _scratch(sf_dir, "warehouse_c02")
+    wh = _scratch(sf_dir, "warehouse_c02", wipe=True)
     cat = Catalog(spark, wh)
     spec = TableSpec(
         namespace="analytics",
@@ -292,7 +299,7 @@ def b10_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v2), ``read(version=1)`` returns the exact pre-merge state. The
     oracle is the plain bootstrap query, so any leakage of v2 data
     into the v1 read hash-mismatches."""
-    wh = _scratch(sf_dir, "warehouse_b10")
+    wh = _scratch(sf_dir, "warehouse_b10", wipe=True)
     cat = Catalog(spark, wh)
     spec = TableSpec(
         namespace="analytics", name="tt_orders", key_columns=("pk",), order_columns=("seq",)

@@ -69,7 +69,8 @@ def main() -> int:
         except Exception as e:
             n_fail += 1
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:300]}")
+            msg = str(e).splitlines() or [repr(e)]
+            print(f"FAIL  {name}: spark error: {msg[0][:300]}")
             continue
         if spec.oracle is None:
             n_rows_only += 1
