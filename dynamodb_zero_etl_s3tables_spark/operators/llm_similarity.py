@@ -91,11 +91,13 @@ def e03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+    # TakeOrderedAndProject (distributed top-k), THEN rank the 20
+    # survivors — a global row_number window would funnel every scored
+    # row into one partition before truncating.
+    topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(20)
     w = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("vec_id", "label", "cos_sim", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "label", "cos_sim", "rank"
     )
 
 
@@ -215,11 +217,9 @@ def e03b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.sum("t").cast("double").alias("d2"))
     )
-    probes = (
-        cdist.withColumn("rn", F.row_number().over(W.orderBy("d2", "label")))
-        .filter(F.col("rn") <= 2)
-        .select("label")
-    )
+    # nprobe nearest centroids via distributed top-k (nlist can be
+    # ~sqrt(N) at scale — don't window over it globally)
+    probes = cdist.orderBy("d2", "label").limit(2).select("label")
     cand = e.join(F.broadcast(probes), "label").filter(F.col("vec_id") != 0)
     scored = cand.join(F.broadcast(q)).select(
         "vec_id",
@@ -230,9 +230,8 @@ def e03b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_sim"),
     )
+    topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
     w = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("vec_id", "label", "cos_sim", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "label", "cos_sim", "rank"
     )

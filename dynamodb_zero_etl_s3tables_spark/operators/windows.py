@@ -181,21 +181,23 @@ def d35_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d36_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D36: multi-key global sort with explicit NULLS LAST semantics,
     verified via the row_number assignment (hash check is
-    order-insensitive, so ranks carry the ordering evidence)."""
+    order-insensitive, so ranks carry the ordering evidence).
+
+    Plan: TakeOrderedAndProject prunes to the top 50 distributedly;
+    the rank window then runs over 50 rows, not the whole table.
+    """
     o = load(spark, sf_dir, "orders")
     maybe = F.nullif(F.col("o_orderpriority"), F.lit("URGENT"))
+    order = [maybe.desc_nulls_last(), F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    top = o.select(
+        "o_orderkey", "o_totalprice", maybe.alias("maybe_priority")
+    ).orderBy(*order).limit(50)
     w = W.orderBy(
-        maybe.desc_nulls_last(), F.col("o_totalprice").desc(), F.col("o_orderkey")
+        F.col("maybe_priority").desc_nulls_last(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
     )
-    return (
-        o.select(
-            "o_orderkey",
-            "o_totalprice",
-            maybe.alias("maybe_priority"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") <= 50)
-    )
+    return top.withColumn("rn", F.row_number().over(w))
 
 
 @query(
