@@ -173,3 +173,41 @@ def d53_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", "text").mapInPandas(count_tokens, schema)
+
+
+@query(
+    "d53b_python_udtf",
+    oracle="""
+    SELECT doc_id,
+           CAST(s.i - 1 AS INTEGER) AS sent_idx,
+           TRIM(parts[s.i]) AS sentence,
+           LENGTH(TRIM(parts[s.i])) AS n_chars
+    FROM (SELECT doc_id, string_split(text, '.') AS parts FROM documents),
+         (SELECT UNNEST(range(1, 10001)) AS i) s
+    WHERE s.i <= len(parts) AND LENGTH(TRIM(parts[s.i])) > 0
+    """,
+)
+def d53b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D53 (table function): Spark 4 Python UDTF — one input row
+    expands to N output rows (document -> non-empty sentences). The
+    UDTF runs per-partition in Python workers; no state crosses rows,
+    so it parallelizes like any map-side operator."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, sent_idx: int, sentence: string, n_chars: int")
+    class SplitSentences:
+        def eval(self, doc_id: int, text: str):
+            idx = 0
+            for part in text.split("."):
+                s = part.strip()
+                if s:
+                    yield doc_id, idx, s, len(s)
+                idx += 1
+
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("split_sentences", SplitSentences)
+    return spark.sql(
+        "SELECT s.* FROM __udtf_docs d, "
+        "LATERAL split_sentences(d.doc_id, d.text) s"
+    )

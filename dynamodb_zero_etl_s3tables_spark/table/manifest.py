@@ -112,6 +112,8 @@ class ManagedTable:
         self.spec = spec
         self.root = Path(warehouse) / spec.namespace / spec.name
         self.manifest_path = self.root / "manifest.json"
+        #: B13: metrics of the most recent commit (None before any)
+        self.last_commit_metrics = None
 
     # -- manifest I/O -------------------------------------------------------
 
@@ -181,6 +183,12 @@ class ManagedTable:
     # -- writes -------------------------------------------------------------
 
     def _write_snapshot(self, df: DataFrame, operation: str) -> None:
+        from dynamodb_zero_etl_s3tables_spark.metrics import (
+            CommitMetrics,
+            observe_rows,
+        )
+
+        t0 = time.perf_counter()
         m = self._read_manifest()
         expected = m.version
         if m.current is not None:
@@ -194,12 +202,13 @@ class ManagedTable:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             df = df.select(*[f.name for f in evolved.fields])
         data_dir = self.root / "data" / f"v{expected + 1}-{uuid.uuid4().hex[:8]}"
+        # B13: row count observed by the write job itself — no second job
+        df, obs = observe_rows(df, name=operation)
         writer = df.write.mode("overwrite")
         if self.spec.partition_columns:
             writer = writer.partitionBy(*self.spec.partition_columns)
         writer.parquet(str(data_dir))
-        # row count from the files just written (no extra job over input)
-        n = self.spark.read.parquet(str(data_dir)).count()
+        n = int(obs.get["row_count"])
         m.snapshots.append(
             Snapshot(
                 version=expected + 1,
@@ -211,6 +220,11 @@ class ManagedTable:
             )
         )
         self._write_manifest(m, expected_version=expected)
+        self.last_commit_metrics = CommitMetrics(
+            operation=operation,
+            row_count=n,
+            elapsed_sec=time.perf_counter() - t0,
+        )
 
     def bootstrap(self, df: DataFrame) -> None:
         """B1: initial full-snapshot load (PITR-export analog)."""
