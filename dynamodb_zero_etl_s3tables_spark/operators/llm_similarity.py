@@ -235,3 +235,57 @@ def e03b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "vec_id", "label", "cos_sim", "rank"
     )
+
+
+@query(
+    "e02e_embedding_neardup",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             SQRT({_DOT('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.9
+    ), nb AS (
+      SELECT doc_b AS vec_id, MIN(doc_a) AS min_nb FROM pairs GROUP BY doc_b
+    )
+    SELECT e.vec_id, e.label,
+           COALESCE(nb.min_nb, e.vec_id) AS keeper_id,
+           (nb.min_nb IS NOT NULL) AS is_dup
+    FROM embeddings e LEFT JOIN nb ON e.vec_id = nb.vec_id
+    """,
+)
+def e02e_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 family: embedding-cosine near-dup — vectors with cos >= 0.9
+    inside a coarse bucket (label = pre-trained quantizer cell) are
+    duplicates; keeper = lowest vec_id among 1-hop smaller neighbors.
+
+    Scale posture: pairs form only via the label equi-join (never a
+    cross product); the keeper map is a groupBy on the smaller pair
+    side; final assignment is a left join back to the corpus. At
+    100 TB the label bucketing bounds candidate pairs exactly like
+    the MinHash bands bound e02b.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding", norm_dec(F.col("embedding")).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    sim = dot_dec(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(sim >= 0.9)
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+    )
+    nb = pairs.groupBy(F.col("doc_b").alias("nb_vec_id")).agg(F.min("doc_a").alias("min_nb"))
+    return (
+        e.join(nb, e.vec_id == nb.nb_vec_id, "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("min_nb"), F.col("vec_id")).alias("keeper_id"),
+            F.col("min_nb").isNotNull().alias("is_dup"),
+        )
+    )
