@@ -24,6 +24,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: headline set: the heavy representatives of each operator family
 HEADLINE = [
+    "d02_json_scan",            # DynamoDB-export NDJSON ingest + decode
+    "d04_partitioned_sink",     # hive-partitioned parquet write + agg
     "d21_star_join_flagship",   # 5-way star join + agg
     "d22_grouped_agg_q1",       # full-scan grouped aggregate
     "d19_range_join",           # interval join on equi-key
@@ -31,10 +33,13 @@ HEADLINE = [
     "d31_window_ranking",       # partitioned window functions
     "d35_topk_per_group",       # per-group top-k
     "b05_cdc_upsert_merge",     # CDC merge (anti-join + union + window)
+    "c02_catalog_roundtrip",    # managed-table bootstrap + merge + read
     "h05_session_window",       # sessionization (gap islands)
     "e01_exact_dedup",          # content-hash dedup
     "e02b_minhash_lsh_pairs",   # MinHash LSH candidate pairs
+    "e02f_minhash_estimate",    # candidate-pair similarity estimate
     "e03_cosine_topk",          # brute-force ANN top-k
+    "e04_similarity_join",      # threshold cosine pair join
     "e05_tfidf",                # token pipeline + tf-idf
 ]
 

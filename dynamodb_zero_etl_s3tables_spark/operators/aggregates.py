@@ -319,3 +319,34 @@ def d30_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+@query(
+    "e07_salted_agg",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events, {DSUM('value')} AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def e07_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: two-phase salted aggregation for skewed keys — phase 1
+    aggregates on (key, salt) spreading each hot key over 16
+    reducers, phase 2 combines the 16 partials per key.
+
+    ``event_type`` has single-digit cardinality, the worst case for a
+    direct groupBy at scale (every row of a hot key converges on one
+    reducer). The salt bounds any reducer's share of a hot key to
+    1/16 of its rows. Exact-decimal partials make the two-phase sum
+    bit-equal to the oracle's one-phase sum.
+    """
+    e = load(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )

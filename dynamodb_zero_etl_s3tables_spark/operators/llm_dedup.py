@@ -3,15 +3,18 @@
 SimHash, and n-gram Jaccard.
 
 Portability note: MinHash traditionally uses k random permutations;
-here each "permutation" i is the salted cryptographic hash
-``md5(i || '|' || shingle)`` and the signature component is the MIN of
-those hex digests (lexicographic min on fixed-width hex == min on the
-128-bit integer). md5 is identical in Spark and DuckDB, so the whole
-pipeline — shingle, sign, band, bucket-join — is oracle-checkable.
+here each "permutation" i is the affine map ``(A_i*h + B_i) mod M31``
+over a single 31-bit base hash ``h = md5-prefix(shingle)``, and the
+signature component is the MIN over the doc's shingles. md5 and int64
+arithmetic are identical in Spark and DuckDB, so the whole pipeline —
+shingle, sign, band, bucket, estimate — is oracle-checkable.
 
-Scale posture: everything is explode -> groupBy -> self-join on
-band-bucket keys. The LSH band join only pairs documents sharing a
-band bucket (candidate pairs << n^2); no driver-side state.
+Scale posture: everything is explode -> partial-aggregated groupBy ->
+bucket grouping. Candidate pairs form only inside LSH buckets
+(candidates << n^2); no self-join recomputation, no driver-side state.
+The full dedup pipeline: e01 exact -> e02 sign -> e02b candidates ->
+e02f estimate -> e02c exact-verify; e02d SimHash and e02e
+embedding-cosine (llm_similarity) are the alternative families.
 """
 
 from __future__ import annotations
@@ -356,4 +359,98 @@ def e02d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("weight") > 0, F.pow(F.lit(2.0), F.col("bit_pos")).cast("bigint"))
             .otherwise(F.lit(0))
         ).alias("simhash32")
+    )
+
+
+_SIG_ARRAY_SQL = "[" + ", ".join(f"sig_{i}" for i in range(N_HASHES)) + "]"
+
+_EST_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
+    ), shingles AS (
+      SELECT doc_id,
+             UNNEST(CASE WHEN len(t) >= {SHINGLE_W}
+                  THEN list_distinct(list_transform(
+                         range(1, len(t) - {SHINGLE_W} + 2),
+                         i -> array_to_string(t[i:i+{SHINGLE_W}-1], ' ')))
+                  ELSE [array_to_string(t, ' ')] END) AS shingle
+      FROM toks
+    ), hashed AS (
+      {_BASE_HASH_SQL}
+    ), sigs AS (
+      SELECT doc_id, {_SIG_COLS_SQL}
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, {_BAND_KEYS_SQL}, {_SIG_ARRAY_SQL} AS sig FROM sigs
+    ), long_bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, band_{b} AS bucket, sig FROM bands" for b in range(N_BANDS))}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM long_bands a JOIN long_bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_filter(range(1, {N_HASHES} + 1),
+                                      i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+                 / {N_HASHES}, 6) AS est_jaccard
+    FROM cand
+"""
+
+
+@query("e02f_minhash_estimate", oracle=_EST_SQL)
+def e02f_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 stage 3: estimated Jaccard for each LSH candidate pair —
+    the fraction of agreeing signature components (the MinHash
+    estimator). Completes the dedup pipeline: sign (e02) -> candidates
+    (e02b) -> estimate/threshold (here) -> exact verify (e02c).
+
+    Signatures travel WITH the band rows as a fixed 8-element array,
+    so the estimate join carries no extra shuffle of the corpus: the
+    only join is the same bucket self-pairing as e02b.
+    """
+    sigs = e02_minhash_signatures(spark, sf_dir)
+    band_cols = [
+        _mh64(
+            F.concat_ws(
+                "|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
+    long_bands = sigs.select(
+        "doc_id",
+        sig_arr.alias("sig"),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "bucket"),
+    )
+    buckets = (
+        long_bands.groupBy("band_id", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("sig")))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (m, i) -> "
+                "transform(slice(members, i + 2, size(members)), "
+                "n -> struct(m.doc_id AS doc_a, n.doc_id AS doc_b, "
+                "m.sig AS sig_a, n.sig AS sig_b))))"
+            )
+        ).alias("p")
+    ).select("p.*").distinct()
+    n_agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(n_agree.cast("double") / N_HASHES, 6).alias("est_jaccard"),
     )
