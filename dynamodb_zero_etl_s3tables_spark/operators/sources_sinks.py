@@ -387,3 +387,44 @@ def d26c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum="CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)",
         )
     )
+
+
+@query(
+    "c03_dataframe_api",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price,
+             o_orderpriority AS priority
+      FROM orders
+    )
+    SELECT status, priority, COUNT(*) AS n, {DSUM('price')} AS revenue
+    FROM t WHERE price > 500
+    GROUP BY status, priority
+    """,
+)
+def c03_dataframe_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: the DataFrame entry point over a managed table — bootstrap
+    via the catalog, then compose filter/groupBy/agg on ``.read()``
+    exactly as a user of the engine would (the programmatic twin of
+    the C1 SQL door, as the reference's jsii construct is itself a
+    programmatic API, reference src/index.ts:1)."""
+    wh = _scratch(sf_dir, "warehouse_c03", wipe=True)
+    cat = Catalog(spark, wh)
+    t = cat.create_table(
+        TableSpec(namespace="analytics", name="orders_api", key_columns=("pk",))
+    )
+    o = load(spark, sf_dir, "orders")
+    t.bootstrap(
+        o.select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    return (
+        t.read()
+        .filter(F.col("price") > 500)
+        .groupBy("status", "priority")
+        .agg(F.count("*").alias("n"), dsum("price").alias("revenue"))
+    )
