@@ -350,3 +350,52 @@ def e07_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "d54_pivot",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {DSUM("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS rev_f,
+           {DSUM("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS rev_o,
+           {DSUM("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS rev_p
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def d54_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order status -> columns of revenue per market segment.
+    Explicit value list keeps it one pass (no extra distinct-values
+    job) — required at scale, where the implicit form runs a full
+    scan just to discover the pivot columns."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+        .withColumnsRenamed({"F": "rev_f", "O": "rev_o", "P": "rev_p"})
+    )
+
+
+@query(
+    "d55_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer
+    """,
+)
+def d55_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide columns -> (metric, value) long form — the
+    normalization step feeding generic per-metric aggregation. Pure
+    projection+generate: no shuffle at all."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")

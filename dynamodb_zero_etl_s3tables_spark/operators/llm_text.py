@@ -257,3 +257,44 @@ def e05f_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: (acc * 31 + F.abs(F.xxhash64(t)) % 1000003) % mod,
     )
     return d.select("doc_id", rolled.alias("rolling_hash"))
+
+
+@query(
+    "e08_deterministic_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def e08_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/valid/test split via content-key hashing —
+    the scale-safe alternative to ``df.sample`` (whose output depends
+    on partitioning, so it is NOT stable across cluster layouts or
+    reruns). Hash buckets are a pure function of the key: any worker,
+    any run, any engine assigns the same row the same split."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
