@@ -170,3 +170,114 @@ def h06_stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts", "value")
     )
+
+
+@query(
+    "h07_stream_merge_sink",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <= 7
+    ), modified AS (
+      SELECT pk,
+             CASE WHEN pk % 10 IN (0, 1) THEN 'touched' ELSE status END AS status,
+             CASE WHEN pk % 10 IN (0, 1)
+                  THEN CAST(ROUND(CAST(price AS DECIMAL(18,2))
+                                  * CAST(1.5 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  ELSE price END AS price
+      FROM base WHERE pk % 10 <> 2
+    )
+    SELECT pk, status, price FROM modified
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 10 IN (8, 9)
+    """,
+)
+def h07_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7+H8 under the oracle: the REAL Structured Streaming CDC path
+    — a file-source changelog backlog drained with
+    ``trigger(availableNow=True)`` through ``foreachBatch`` into a
+    manifest-committed table, one merge transaction per microbatch
+    (``maxFilesPerTrigger=1`` forces multi-batch). The returned frame
+    is the table's final snapshot; the oracle replays the same change
+    semantics in SQL, so checkpointing, batch sequencing, and the
+    merge are all inside the hash-match.
+
+    The two batches touch disjoint keys (batch 1: updates+deletes,
+    batch 2: inserts), so the result is independent of file arrival
+    order — the determinism requirement for an oracle-checked stream.
+    """
+    import hashlib as _hl
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    from pyspark.sql import types as T
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.streaming.cdc import (
+        apply_changes_stream,
+        read_changelog_stream,
+    )
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    tag = _hl.sha256(sf_dir.encode()).hexdigest()[:10]
+    root = _P("/tmp/spark_graft_io") / tag / "h07_stream"
+    if root.exists():
+        _sh.rmtree(root)
+    (root / "changelog").mkdir(parents=True)
+
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    base = o.filter(mod10 <= 7).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bumped = (
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.5").cast("decimal(2,1)"),
+            2,
+        ).cast("double")
+    )
+
+    def chg(op, seq, cond, status_col, price_col):
+        return o.filter(cond).select(
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            status_col.alias("status"),
+            price_col.alias("price"),
+        )
+
+    batch1 = chg("MODIFY", 1, mod10.isin(0, 1), F.lit("touched"), bumped).unionByName(
+        chg("REMOVE", 1, mod10 == 2, F.col("o_orderstatus"), F.col("o_totalprice"))
+    )
+    batch2 = chg("INSERT", 1, mod10.isin(8, 9), F.col("o_orderstatus"), F.col("o_totalprice"))
+    batch1.coalesce(1).write.mode("overwrite").json(str(root / "changelog" / "b1"))
+    batch2.coalesce(1).write.mode("overwrite").json(str(root / "changelog" / "b2"))
+
+    cat = Catalog(spark, str(root / "warehouse"))
+    t = cat.create_table(
+        TableSpec(namespace="stream", name="orders_cdc", key_columns=("pk",), order_columns=("seq",))
+    )
+    t.bootstrap(base)
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("pk", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    changes = read_changelog_stream(
+        spark,
+        str(root / "changelog" / "*"),
+        schema,
+        fmt="json",
+        max_files_per_trigger=1,
+    )
+    q = apply_changes_stream(t, changes, checkpoint_dir=str(root / "ckpt"))
+    q.awaitTermination(300)
+    return t.read().select("pk", "status", "price")
