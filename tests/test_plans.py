@@ -89,3 +89,49 @@ def test_d19_range_join_is_hash_on_equi_key(spark):
 )
 def test_no_cartesian_anywhere(spark, name):
     assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_registry_wide_plan_sweep(spark):
+    """No operator may plan a CartesianProduct or SortAggregate, and
+    global windows / nested-loop joins are allowed only where the
+    input is provably bounded (single-row broadcasts, post-limit
+    ranking). New operators failing this need an explicit entry here
+    WITH a bounded-input justification."""
+    # BroadcastNestedLoopJoin with a 1-row build side (scalar
+    # broadcast) or a bounded cross join — correct plans:
+    bnl_ok = {
+        "d18_cross_join",      # 5 regions x order statuses, by design
+        "h02_watermark_twin",  # 1-row max-ts horizon broadcast
+        "e03_cosine_topk",     # 1-row query-vector broadcast
+        "e03b_ann_ivf",        # 1-row query-vector broadcast
+        "e05_tfidf",           # 1-row corpus-size broadcast
+    }
+    # Window with no partition spec over a bounded (post-limit) input:
+    global_window_ok = {
+        "d36_global_sort",     # rank over top-50 survivors
+        "e03_cosine_topk",     # rank over top-20 survivors
+        "e03b_ann_ivf",        # rank over top-10 survivors
+    }
+    # builders that run jobs/streams at build time; plan shape of
+    # their final read is covered by their oracle queries instead
+    skip = {"h07_stream_merge_sink"}
+
+    import re
+
+    problems = []
+    for name, spec in QUERY_REGISTRY.items():
+        if name in skip:
+            continue
+        plan = spec.build(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "SortAggregate" in plan:
+            problems.append(f"{name}: SortAggregate")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnl_ok:
+            problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        if (
+            re.search(r"Window \[[^\]]*\], \[[^\]]*\]($|\n)", plan)
+            and name not in global_window_ok
+        ):
+            problems.append(f"{name}: unpartitioned Window over unbounded input")
+    assert not problems, problems
