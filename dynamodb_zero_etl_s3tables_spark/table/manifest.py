@@ -54,9 +54,17 @@ class Snapshot:
     version: int
     data_dir: str
     committed_at: float
+    #: rows in the files THIS commit wrote (a pruned merge writes only
+    #: touched partitions, so this is not necessarily the table total)
     row_count: int
     schema_json: str
     operation: str
+    #: partitioned tables: [{"values": {col: str|None}, "dir": path}].
+    #: Entries may point into EARLIER snapshots' data dirs — a pruned
+    #: merge carries untouched partition dirs forward (copy-on-write
+    #: at partition granularity, the Iceberg CoW model). None for
+    #: unpartitioned tables.
+    partitions: list[dict[str, Any]] | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -173,16 +181,83 @@ class ManagedTable:
                     f"{sorted(by_v)} of {self.spec.qualified_name}"
                 )
             snap = by_v[version]
-        return self.spark.read.schema(
-            T.StructType.fromJson(json.loads(snap.schema_json))
-        ).parquet(snap.data_dir)
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        if snap.partitions is None:
+            return self.spark.read.schema(schema).parquet(snap.data_dir)
+        return self._read_partition_entries(snap.partitions, schema)
+
+    def _read_partition_entries(
+        self, entries: list[dict[str, Any]], schema: T.StructType
+    ) -> DataFrame:
+        """Assemble a snapshot from per-partition dirs: read each dir
+        with the file schema (missing evolved columns surface as NULL),
+        re-attach the partition-column values from the manifest entry.
+        One relation per live partition — bounded by partition count,
+        which is metadata-scale by design."""
+        from pyspark.sql import functions as F
+
+        pcols = list(self.spec.partition_columns)
+        by_name = {f.name: f for f in schema.fields}
+        file_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
+        parts: list[DataFrame] = []
+        for ent in entries:
+            df = self.spark.read.schema(file_schema).parquet(ent["dir"])
+            for pc in pcols:
+                raw = ent["values"][pc]
+                lit = (
+                    F.lit(None).cast(by_name[pc].dataType)
+                    if raw is None
+                    else F.lit(raw).cast(by_name[pc].dataType)
+                )
+                df = df.withColumn(pc, lit)
+            parts.append(df.select(*[f.name for f in schema.fields]))
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _enumerate_partition_dirs(self, data_dir: Path) -> list[dict[str, Any]]:
+        """Walk the hive layout ``col1=v/col2=v/…`` one level per
+        partition column; values are unescaped dir-name strings
+        (``__HIVE_DEFAULT_PARTITION__`` -> None)."""
+        from urllib.parse import unquote
+
+        pcols = list(self.spec.partition_columns)
+        entries: list[dict[str, Any]] = []
+
+        def walk(cur: Path, depth: int, values: dict[str, Any]) -> None:
+            if depth == len(pcols):
+                entries.append({"values": dict(values), "dir": str(cur)})
+                return
+            prefix = pcols[depth] + "="
+            for child in sorted(cur.iterdir()):
+                if child.is_dir() and child.name.startswith(prefix):
+                    raw = unquote(child.name[len(prefix):])
+                    values[pcols[depth]] = (
+                        None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                    )
+                    walk(child, depth + 1, values)
+
+        if data_dir.exists():
+            walk(data_dir, 0, {})
+        return entries
 
     def history(self) -> list[Snapshot]:
         return list(self._read_manifest().snapshots)
 
     # -- writes -------------------------------------------------------------
 
-    def _write_snapshot(self, df: DataFrame, operation: str) -> None:
+    def _write_snapshot(
+        self,
+        df: DataFrame,
+        operation: str,
+        carry_entries: list[dict[str, Any]] | None = None,
+    ) -> None:
+        """Write ``df``'s files as snapshot N+1. For partitioned
+        tables, ``carry_entries`` are untouched partition dirs from the
+        previous snapshot, referenced (not copied) by the new one."""
         from dynamodb_zero_etl_s3tables_spark.metrics import (
             CommitMetrics,
             observe_rows,
@@ -205,9 +280,14 @@ class ManagedTable:
         # B13: row count observed by the write job itself — no second job
         df, obs = observe_rows(df, name=operation)
         writer = df.write.mode("overwrite")
+        partitions: list[dict[str, Any]] | None = None
         if self.spec.partition_columns:
             writer = writer.partitionBy(*self.spec.partition_columns)
         writer.parquet(str(data_dir))
+        if self.spec.partition_columns:
+            partitions = self._enumerate_partition_dirs(data_dir) + list(
+                carry_entries or []
+            )
         n = int(obs.get["row_count"])
         m.snapshots.append(
             Snapshot(
@@ -217,6 +297,7 @@ class ManagedTable:
                 row_count=n,
                 schema_json=json.dumps(df.schema.jsonValue()),
                 operation=operation,
+                partitions=partitions,
             )
         )
         self._write_manifest(m, expected_version=expected)
@@ -237,15 +318,67 @@ class ManagedTable:
         self, changes: DataFrame, order_cols: tuple[str, ...] | None = None
     ) -> None:
         """B5-B7: merge a change-log batch into the table. Idempotent
-        (A10): re-applying the same batch converges to the same state."""
+        (A10): re-applying the same batch converges to the same state.
+
+        Partitioned tables take the PRUNED path: only partitions the
+        change batch touches are read, merged, and rewritten; untouched
+        partition dirs carry forward by reference. At 100 TB this is
+        the difference between rewriting the touched 1% and the whole
+        table. Constraint (documented engine contract): partition
+        values must be stable per key — a "partition move" must be
+        expressed as REMOVE(old partition) + INSERT(new partition),
+        which the DynamoDB stream model already does for key-derived
+        partitions.
+        """
+        order = order_cols or self.spec.order_columns
+        snap = self._read_manifest().current
+        if (
+            self.spec.partition_columns
+            and snap is not None
+            and snap.partitions is not None
+        ):
+            self._apply_changes_pruned(changes, order)
+            return
         base = self.read()
         merged = merge_changes(
             base,
             changes,
             keys=self.spec.key_columns,
-            order_cols=order_cols or self.spec.order_columns,
+            order_cols=order,
         )
         self._write_snapshot(merged, operation="merge")
+
+    def _apply_changes_pruned(
+        self, changes: DataFrame, order_cols: tuple[str, ...]
+    ) -> None:
+        snap = self._read_manifest().current
+        pcols = list(self.spec.partition_columns)
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        # touched partition values: metadata-scale (distinct partition
+        # tuples in the batch), the one deliberate driver-side collect
+        touched_rows = changes.select(*pcols).distinct().collect()
+        touched = {
+            tuple(None if r[pc] is None else str(r[pc]) for pc in pcols)
+            for r in touched_rows
+        }
+        touched_entries = [
+            e
+            for e in snap.partitions
+            if tuple(e["values"][pc] for pc in pcols) in touched
+        ]
+        carry = [
+            e
+            for e in snap.partitions
+            if tuple(e["values"][pc] for pc in pcols) not in touched
+        ]
+        base_touched = self._read_partition_entries(touched_entries, schema)
+        merged = merge_changes(
+            base_touched,
+            changes,
+            keys=self.spec.key_columns,
+            order_cols=order_cols,
+        )
+        self._write_snapshot(merged, operation="merge", carry_entries=carry)
 
     # -- maintenance --------------------------------------------------------
 
@@ -277,9 +410,20 @@ class ManagedTable:
         dropped = len(m.snapshots) - len(keep)
         m.snapshots = keep
         self._write_manifest(m, expected_version=expected)
-        referenced = {Path(s.data_dir).name for s in keep}
-        deleted = 0
+        # reference-count at the top-level snapshot-dir granularity: a
+        # pruned merge's snapshot references SUBDIRS of earlier
+        # snapshots' dirs, so a dir stays as long as any retained
+        # snapshot points anywhere inside it
         data_root = self.root / "data"
+        referenced: set[str] = set()
+        for s in keep:
+            referenced.add(Path(s.data_dir).name)
+            for ent in s.partitions or []:
+                try:
+                    referenced.add(Path(ent["dir"]).relative_to(data_root).parts[0])
+                except ValueError:
+                    pass  # entry outside data_root — never collected
+        deleted = 0
         unref_cutoff = now - unref * 86400
         if data_root.exists():
             for child in data_root.iterdir():
