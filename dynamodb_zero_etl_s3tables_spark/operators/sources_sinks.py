@@ -428,3 +428,134 @@ def c03_dataframe_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status", "priority")
         .agg(F.count("*").alias("n"), dsum("price").alias("revenue"))
     )
+
+
+@query(
+    "b05b_partitioned_merge",
+    oracle="""
+    SELECT o_orderkey AS pk, o_orderpriority AS prio,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(1.3 AS DECIMAL(2,1)), 2) AS DOUBLE) AS price
+    FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 1)
+      AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0)
+    """,
+)
+def b05b_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5/B12 pruned path under the oracle: bootstrap orders
+    partitioned by priority, merge a batch touching ONLY the '1-URGENT'
+    partition (bump even keys, delete odd keys); the other four
+    partition dirs carry forward by reference. The oracle replays the
+    final state, so partition assembly, pruned merge, and carried-dir
+    reads are all inside the hash-match."""
+    wh = _scratch(sf_dir, "warehouse_b05b", wipe=True)
+    cat = Catalog(spark, wh)
+    t = cat.create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_part",
+            key_columns=("pk",),
+            partition_columns=("prio",),
+            order_columns=("seq",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    t.bootstrap(
+        o.select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    bumped = (
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.3").cast("decimal(2,1)"),
+            2,
+        ).cast("double")
+    )
+    changes = (
+        urgent.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.lit("MODIFY").alias("op"),
+            F.lit(1).alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderpriority").alias("prio"),
+            bumped.alias("price"),
+        )
+        .unionByName(
+            urgent.filter(F.col("o_orderkey") % 2 == 1).select(
+                F.lit("REMOVE").alias("op"),
+                F.lit(1).alias("seq"),
+                F.col("o_orderkey").alias("pk"),
+                F.col("o_orderpriority").alias("prio"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    t.apply_changes(changes, order_cols=("seq",))
+    # invariant the oracle can't see: only URGENT was rewritten
+    snaps = t.history()
+    assert snaps[-1].operation == "merge" and len(snaps) == 2
+    carried = {
+        e["dir"] for e in snaps[-1].partitions
+    } & {e["dir"] for e in snaps[0].partitions}
+    assert len(carried) == 4, f"expected 4 carried partition dirs, got {len(carried)}"
+    return t.read()
+
+
+@query(
+    "d02b_corrupt_tolerant_scan",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 50 = 0 THEN 'not json at all'
+                  ELSE '{"pk": ' || CAST(event_id AS VARCHAR)
+                       || ', "etype": "' || event_type || '"}' END AS line
+      FROM events
+    )
+    SELECT COUNT(*) FILTER (WHERE line NOT LIKE '{%') AS n_corrupt,
+           COUNT(*) FILTER (WHERE line LIKE '{%') AS n_good,
+           COUNT(DISTINCT CASE WHEN line LIKE '{%'
+                 THEN json_extract_string(line, '$.etype') END) AS n_types
+    FROM raw
+    """,
+)
+def d02b_corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest robustness: PERMISSIVE JSON scan quarantines malformed
+    lines into ``_corrupt_record`` instead of failing the pipeline
+    (the dead-letter pattern — at 100 TB a single bad record must
+    never kill a bootstrap). 2% of lines are deliberately corrupt."""
+    out = _scratch(sf_dir, "corrupt_json")
+    e = load(spark, sf_dir, "events")
+    line = F.when(F.col("event_id") % 50 == 0, F.lit("not json at all")).otherwise(
+        F.concat(
+            F.lit('{"pk": '),
+            F.col("event_id").cast("string"),
+            F.lit(', "etype": "'),
+            F.col("event_type"),
+            F.lit('"}'),
+        )
+    )
+    e.select(line.alias("value")).write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return raw.agg(
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.count("pk").alias("n_good"),
+        F.countDistinct("etype").alias("n_types"),
+    )
