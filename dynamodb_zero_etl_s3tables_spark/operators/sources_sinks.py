@@ -559,3 +559,100 @@ def d02b_corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("pk").alias("n_good"),
         F.countDistinct("etype").alias("n_types"),
     )
+
+
+@query(
+    "b11b_compaction",
+    oracle="""
+    SELECT o_orderkey AS pk, o_orderpriority AS prio,
+           CAST(0.0 AS DOUBLE) AS price
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey % 10 NOT IN (0, 7)
+    """,
+)
+def b11b_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 maintenance, compaction half: a CDC table accretes one file
+    set per merge; ``compact()`` bin-packs them into a fresh snapshot
+    with identical rows. The oracle replays the post-merge state, so
+    the read-after-compact is inside the hash-match; the builder
+    additionally asserts the file count actually dropped."""
+    wh = _scratch(sf_dir, "warehouse_b11b", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_compact",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.bootstrap(o.repartition(32))  # deliberately fragmented
+    changes = (
+        o.filter(F.col("pk") % 10 == 0)
+        .select(
+            F.lit("MODIFY").alias("op"),
+            F.lit(1).alias("seq"),
+            F.col("pk"),
+            F.col("prio"),
+            F.lit(0.0).alias("price"),
+        )
+        .unionByName(
+            o.filter(F.col("pk") % 10 == 7).select(
+                F.lit("REMOVE").alias("op"),
+                F.lit(1).alias("seq"),
+                F.col("pk"),
+                F.col("prio"),
+                F.col("price"),
+            )
+        )
+    )
+    t.apply_changes(changes, order_cols=("seq",))
+    r = t.compact(target_file_bytes=1 << 30)
+    assert r["files_after"] < r["files_before"], r
+    assert t.history()[-1].operation == "compact"
+    return t.read()
+
+
+@query(
+    "b12b_stats_pruned_scan",
+    oracle="""
+    SELECT o_orderkey AS pk, o_totalprice AS price
+    FROM orders
+    WHERE o_orderkey >= (SELECT MAX(o_orderkey) * 9 // 10 FROM orders)
+    """,
+)
+def b12b_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12/§4.1 file skipping: the table declares a sort order on
+    ``pk`` (Iceberg sort-order analog), so writes range-cluster rows
+    and record tight per-file min/max footer stats in the manifest;
+    ``scan`` then plans at metadata scale and reads only files whose
+    stats may match. The builder asserts files were actually skipped —
+    at 100 TB this is the difference between touching every file and
+    touching the selective few."""
+    wh = _scratch(sf_dir, "warehouse_b12b", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_sorted",
+            key_columns=("pk",),
+            sort_columns=("pk",),
+            properties={"write.sorted-file-count": 16},
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.bootstrap(o)
+    # planning constant: one metadata-scale agg, same expression as the oracle
+    thr = o.agg((F.max("pk") * 9 / 10).cast("long").alias("t")).first().t
+    out = t.scan([("pk", ">=", int(thr))])
+    m = t.last_scan_metrics
+    assert m["files_read"] < m["files_total"], m
+    return out

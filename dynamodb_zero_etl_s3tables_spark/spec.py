@@ -67,6 +67,10 @@ class TableSpec:
     partition_columns: tuple[str, ...] = ()
     # LWW ordering columns for CDC merge (B6): change timestamp + tiebreak.
     order_columns: tuple[str, ...] = ("ts", "seq")
+    # Iceberg sort-order analog: writes range-cluster rows on these
+    # columns so per-file min/max stats are tight and `scan` can skip
+    # files. Empty = no clustering (stats recorded but rarely selective).
+    sort_columns: tuple[str, ...] = ()
     # maintenance knobs (reference README.md:134-135 defaults 10/30 days)
     unreferenced_days: int = 10
     noncurrent_days: int = 30

@@ -65,6 +65,12 @@ class Snapshot:
     #: at partition granularity, the Iceberg CoW model). None for
     #: unpartitioned tables.
     partitions: list[dict[str, Any]] | None = None
+    #: unpartitioned tables: per-data-file entries
+    #: [{"path", "bytes", "rows", "stats": {col: [min, max]}}] — the
+    #: Iceberg manifest-stats analog powering min/max file skipping
+    #: (the file-skipping behavior the Iceberg-native bucket provides,
+    #: reference ts:77-79). None when stats were not collected.
+    files: list[dict[str, Any]] | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -111,6 +117,107 @@ def _evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
     return T.StructType(list(old.fields) + added)
 
 
+def _stat_safe(v: Any) -> Any:
+    """JSON-safe, order-preserving form of a parquet column statistic.
+    Unsupported types (binary, decimal, nested) return None, which the
+    pruner treats as "no stats — must read"."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max prunes nothing useful
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()  # ISO order == chronological order
+    return None
+
+
+def _collect_file_stats(data_dir: str) -> list[dict[str, Any]]:
+    """Per-file row-group min/max from parquet footers — the stats an
+    Iceberg writer records into its manifest at write time. Locally
+    this is a driver-side footer sweep (metadata-scale: one footer per
+    file, no data pages read); on a cluster the same collection rides
+    the write tasks, which is exactly where Iceberg does it."""
+    import pyarrow.parquet as pq
+
+    entries: list[dict[str, Any]] = []
+    for p in sorted(Path(data_dir).rglob("*.parquet")):
+        f = pq.ParquetFile(p)
+        md = f.metadata
+        stats: dict[str, list[Any]] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                s = col.statistics
+                if s is None or not s.has_min_max:
+                    continue
+                name = col.path_in_schema
+                if "." in name:
+                    continue  # nested — no file-level pruning
+                lo, hi = _stat_safe(s.min), _stat_safe(s.max)
+                if lo is None or hi is None:
+                    continue
+                if name in stats:
+                    stats[name] = [min(stats[name][0], lo), max(stats[name][1], hi)]
+                else:
+                    stats[name] = [lo, hi]
+        entries.append(
+            {
+                "path": str(p),
+                "bytes": p.stat().st_size,
+                "rows": md.num_rows,
+                "stats": stats,
+            }
+        )
+    return entries
+
+
+def _coerce_partition_value(raw: str | None, dtype: T.DataType) -> Any:
+    """Partition values live in the manifest as dir-name strings; cast
+    back to the schema type so pruning compares like with like.
+    Uncastable/unsupported -> None (= no pruning on that column)."""
+    if raw is None:
+        return None
+    try:
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(raw)
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return float(raw)
+        if isinstance(dtype, (T.StringType, T.DateType, T.TimestampType)):
+            return raw  # ISO dir-name order == value order
+    except ValueError:
+        return None
+    return None
+
+
+#: predicate ops supported by manifest-level pruning
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _file_may_match(stats: dict[str, list[Any]], col: str, op: str, val: Any) -> bool:
+    """Conservative min/max test: False only when the file provably
+    contains no matching row; missing stats always pass."""
+    rng = stats.get(col)
+    if rng is None:
+        return True
+    lo, hi = rng
+    try:
+        if op == "=":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+    except TypeError:
+        return True  # incomparable types — never prune on a guess
+    return True
+
+
 class ManagedTable:
     """A keyed, manifest-committed Parquet table."""
 
@@ -122,6 +229,8 @@ class ManagedTable:
         self.manifest_path = self.root / "manifest.json"
         #: B13: metrics of the most recent commit (None before any)
         self.last_commit_metrics = None
+        #: pruning ratio of the most recent ``scan`` (None before any)
+        self.last_scan_metrics: dict[str, Any] | None = None
 
     # -- manifest I/O -------------------------------------------------------
 
@@ -247,6 +356,141 @@ class ManagedTable:
     def history(self) -> list[Snapshot]:
         return list(self._read_manifest().snapshots)
 
+    def scan(self, filters: list[tuple[str, str, Any]] | None = None) -> DataFrame:
+        """Manifest-pruned read — the scan path Iceberg gives Athena in
+        the reference pipeline (partition pruning + min/max file
+        skipping off table metadata, reference ts:77-79) realized over
+        this engine's own manifest.
+
+        ``filters`` is a conjunctive list of ``(column, op, value)``
+        with op in ``= < <= > >=``. Pruning happens at metadata scale
+        on the driver (exactly where Iceberg planning happens); the
+        full predicate is then ALSO applied to the surviving rows, so
+        results are exact regardless of how conservative pruning was.
+        Partitioned tables prune whole partition dirs by manifest
+        values; unpartitioned tables skip files by footer min/max
+        recorded at write time. ``last_scan_metrics`` reports the
+        pruning ratio. At 100 TB this is the difference between
+        listing+reading every file and touching only the 1% a
+        selective predicate needs.
+        """
+        from pyspark.sql import functions as F
+
+        filters = list(filters or [])
+        for col, op, _ in filters:
+            if op not in _PRUNE_OPS:
+                raise ValueError(f"unsupported scan op {op!r} (use one of {_PRUNE_OPS})")
+        m = self._read_manifest()
+        snap = m.current
+        if snap is None:
+            raise FileNotFoundError(f"table {self.spec.qualified_name} has no snapshots")
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        by_name = {f.name: f for f in schema.fields}
+
+        def residual(df: DataFrame) -> DataFrame:
+            for col, op, val in filters:
+                c = F.col(col)
+                cond = {
+                    "=": c == val, "<": c < val, "<=": c <= val,
+                    ">": c > val, ">=": c >= val,
+                }[op]
+                df = df.filter(cond)
+            return df
+
+        if snap.partitions is not None:
+            pcols = set(self.spec.partition_columns)
+
+            def part_matches(e: dict[str, Any]) -> bool:
+                # partition value is an exact point: stats range [v, v]
+                stats = {}
+                for pc in pcols:
+                    v = _coerce_partition_value(e["values"][pc], by_name[pc].dataType)
+                    if v is not None:
+                        stats[pc] = [v, v]
+                return all(
+                    _file_may_match(stats, col, op, val)
+                    for col, op, val in filters
+                    if col in pcols
+                )
+
+            keep = [e for e in snap.partitions if part_matches(e)]
+            self.last_scan_metrics = {
+                "partitions_total": len(snap.partitions),
+                "partitions_read": len(keep),
+                "files_total": None,
+                "files_read": None,
+            }
+            return residual(self._read_partition_entries(keep, schema))
+
+        entries = snap.files or []
+        if not entries:  # legacy snapshot without stats — full read
+            self.last_scan_metrics = {"files_total": None, "files_read": None}
+            return residual(self.read())
+        keep_files = [
+            e["path"]
+            for e in entries
+            if all(
+                _file_may_match(e["stats"], col, op, _stat_safe(val) if not isinstance(val, (int, float, str)) else val)
+                for col, op, val in filters
+            )
+        ]
+        self.last_scan_metrics = {
+            "files_total": len(entries),
+            "files_read": len(keep_files),
+        }
+        if not keep_files:
+            return self.spark.createDataFrame([], schema)
+        return residual(self.spark.read.schema(schema).parquet(*keep_files))
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, int]:
+        """Bin-pack small data files into ~``target_file_bytes`` files
+        — the compaction half of Iceberg table maintenance the
+        reference's managed pipeline performs alongside
+        ``unreferencedFileRemoval`` (reference README.md:129-137).
+
+        A CDC table accretes one file set per merge; at 100 TB the
+        small-file tax (task-per-file scheduling, footer overhead,
+        shuffle fan-in) dominates scan cost, so compaction is what
+        keeps a continuously-merged table scannable. Commits a new
+        snapshot (operation="compact") with identical rows; history
+        and time travel keep working; vacuum reclaims the old files.
+        Partitioned tables keep their partition layout, packing within
+        each partition (`repartition` by partition key → one writer
+        task per partition holds all its rows).
+        """
+        m = self._read_manifest()
+        snap = m.current
+        if snap is None:
+            raise FileNotFoundError(f"table {self.spec.qualified_name} has no snapshots")
+        dirs = (
+            [e["dir"] for e in snap.partitions]
+            if snap.partitions is not None
+            else [snap.data_dir]
+        )
+        paths = [p for d in dirs for p in Path(d).rglob("*.parquet")]
+        files_before = len(paths)
+        total_bytes = sum(p.stat().st_size for p in paths)
+        df = self.read()
+        if self.spec.partition_columns:
+            # one writer task per partition value -> one packed file each
+            df = df.repartition(*self.spec.partition_columns)
+        else:
+            n_target = max(1, -(-total_bytes // target_file_bytes))
+            df = df.repartition(n_target)
+        self._write_snapshot(df, operation="compact")
+        new = self._read_manifest().current
+        new_dirs = (
+            [e["dir"] for e in new.partitions]
+            if new.partitions is not None
+            else [new.data_dir]
+        )
+        files_after = len([p for d in new_dirs for p in Path(d).rglob("*.parquet")])
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "bytes": total_bytes,
+        }
+
     # -- writes -------------------------------------------------------------
 
     def _write_snapshot(
@@ -277,6 +521,21 @@ class ManagedTable:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             df = df.select(*[f.name for f in evolved.fields])
         data_dir = self.root / "data" / f"v{expected + 1}-{uuid.uuid4().hex[:8]}"
+        if self.spec.sort_columns:
+            # Iceberg sort-order analog: range-cluster so footer min/max
+            # stats are tight and `scan` skips non-matching files
+            sort = list(self.spec.sort_columns)
+            if self.spec.partition_columns:
+                df = df.repartition(*self.spec.partition_columns).sortWithinPartitions(*sort)
+            else:
+                # file count: explicit knob (Iceberg write.target-file-size
+                # analog) or the shuffle default, AQE-coalesced to size
+                n_files = int(self.spec.properties.get("write.sorted-file-count", 0))
+                df = (
+                    df.repartitionByRange(n_files, *sort)
+                    if n_files
+                    else df.repartitionByRange(*sort)
+                ).sortWithinPartitions(*sort)
         # B13: row count observed by the write job itself — no second job
         df, obs = observe_rows(df, name=operation)
         writer = df.write.mode("overwrite")
@@ -284,10 +543,13 @@ class ManagedTable:
         if self.spec.partition_columns:
             writer = writer.partitionBy(*self.spec.partition_columns)
         writer.parquet(str(data_dir))
+        files: list[dict[str, Any]] | None = None
         if self.spec.partition_columns:
             partitions = self._enumerate_partition_dirs(data_dir) + list(
                 carry_entries or []
             )
+        else:
+            files = _collect_file_stats(str(data_dir))
         n = int(obs.get["row_count"])
         m.snapshots.append(
             Snapshot(
@@ -298,6 +560,7 @@ class ManagedTable:
                 schema_json=json.dumps(df.schema.jsonValue()),
                 operation=operation,
                 partitions=partitions,
+                files=files,
             )
         )
         self._write_manifest(m, expected_version=expected)

@@ -160,3 +160,71 @@ def test_extension_points(spark, warehouse):
     assert t.root.exists()
     assert t.history()[0].operation == "bootstrap"
     assert t.spec.unreferenced_days == 10 and t.spec.noncurrent_days == 30
+
+
+# -- compaction + manifest-pruned scan (Iceberg maintenance/skipping) --------
+
+
+def _range_df(spark, n=20000):
+    return spark.range(0, n).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 2).cast("double").alias("x"),
+    )
+
+
+def test_compact_unpartitioned_preserves_rows(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(_range_df(spark).repartition(16))
+    before = sorted(map(tuple, t.read().select("pk", "g", "x").collect()))
+    r = t.compact(target_file_bytes=1 << 30)
+    assert r["files_before"] == 16 and r["files_after"] == 1
+    assert t.history()[-1].operation == "compact"
+    after = sorted(map(tuple, t.read().select("pk", "g", "x").collect()))
+    assert before == after
+    # time travel still reaches the pre-compaction snapshot
+    assert t.read(version=1).count() == 20000
+
+
+def test_compact_partitioned_packs_per_partition(spark, warehouse):
+    spec = TableSpec(
+        namespace="ns", name="part", key_columns=("pk",), partition_columns=("g",)
+    )
+    t = ManagedTable(spark, warehouse, spec)
+    t.bootstrap(_range_df(spark).repartition(16))  # 16 files x 7 partitions
+    r = t.compact()
+    assert r["files_after"] == 7  # one packed file per partition value
+    assert t.read().count() == 20000
+
+
+def test_scan_file_skipping_with_sort_order(spark, warehouse):
+    spec = TableSpec(
+        namespace="ns", name="sorted", key_columns=("pk",), sort_columns=("pk",),
+        properties={"write.sorted-file-count": 8},
+    )
+    t = ManagedTable(spark, warehouse, spec)
+    t.bootstrap(_range_df(spark))
+    out = t.scan([("pk", ">=", 19500)])
+    assert out.count() == 500
+    m = t.last_scan_metrics
+    assert m["files_read"] < m["files_total"], m
+    # exactness: residual filter applies even where stats can't prune
+    assert t.scan([("g", "=", 3)]).count() == 20000 // 7 + (1 if 20000 % 7 > 3 else 0)
+
+
+def test_scan_partition_pruning(spark, warehouse):
+    spec = TableSpec(
+        namespace="ns", name="pscan", key_columns=("pk",), partition_columns=("g",)
+    )
+    t = ManagedTable(spark, warehouse, spec)
+    t.bootstrap(_range_df(spark))
+    out = t.scan([("g", "=", 2), ("pk", "<", 100)])
+    assert t.last_scan_metrics["partitions_read"] == 1
+    assert out.count() == len([i for i in range(100) if i % 7 == 2])
+
+
+def test_scan_rejects_unknown_op(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    with pytest.raises(ValueError, match="unsupported scan op"):
+        t.scan([("pk", "!=", 1)])
