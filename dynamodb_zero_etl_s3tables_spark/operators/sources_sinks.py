@@ -656,3 +656,64 @@ def b12b_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = t.last_scan_metrics
     assert m["files_read"] < m["files_total"], m
     return out
+
+
+@query(
+    "b10b_incremental_read",
+    oracle="""
+    SELECT 'MODIFY' AS op, o_orderkey AS pk, o_orderpriority AS prio,
+           CAST(0.0 AS DOUBLE) AS price
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 'REMOVE', o_orderkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 7
+    UNION ALL
+    SELECT 'INSERT', -1, 'SYNTHETIC', 1.0
+    """,
+)
+def b10b_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 incremental scan (Iceberg changelog analog): after one CDC
+    merge, ``read_changes(v1, v2)`` emits exactly the keyed diff in
+    change-log shape — MODIFY with the new image, REMOVE with the old
+    image, INSERT for new keys; unchanged rows are absent. The oracle
+    reconstructs the expected diff from the base table, so op
+    classification and both image sides are inside the hash-match."""
+    wh = _scratch(sf_dir, "warehouse_b10b", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_diff",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.bootstrap(o)
+    changes = (
+        o.filter(F.col("pk") % 10 == 0)
+        .select(
+            F.lit("MODIFY").alias("op"),
+            F.lit(1).alias("seq"),
+            F.col("pk"),
+            F.col("prio"),
+            F.lit(0.0).alias("price"),
+        )
+        .unionByName(
+            o.filter(F.col("pk") % 10 == 7).select(
+                F.lit("REMOVE").alias("op"), F.lit(1).alias("seq"),
+                F.col("pk"), F.col("prio"), F.col("price"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("INSERT", 1, -1, "SYNTHETIC", 1.0)],
+                "op string, seq int, pk bigint, prio string, price double",
+            )
+        )
+    )
+    t.apply_changes(changes, order_cols=("seq",))
+    return t.read_changes(from_version=1, to_version=2)

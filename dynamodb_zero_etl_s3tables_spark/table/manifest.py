@@ -356,6 +356,58 @@ class ManagedTable:
     def history(self) -> list[Snapshot]:
         return list(self._read_manifest().snapshots)
 
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental read (Iceberg incremental-scan analog): the
+        keyed diff between two retained snapshots, emitted in the same
+        change-log shape ``apply_changes`` consumes —
+        ``op ∈ {INSERT, MODIFY, REMOVE}`` + row image (REMOVE carries
+        the old image). Lets a downstream consumer tail the table
+        version-by-version instead of re-scanning it — at 100 TB the
+        difference between moving the 0.1% that changed and the whole
+        table. One shuffle: a full outer join on the key columns;
+        unchanged rows are dropped by a null-safe image comparison.
+        """
+        from pyspark.sql import functions as F
+
+        m = self._read_manifest()
+        to_version = m.version if to_version is None else to_version
+        old = self.read(version=from_version)
+        new = self.read(version=to_version)
+        keys = list(self.spec.key_columns)
+        # schema evolution between versions: align old to new additively
+        for f in new.schema.fields:
+            if f.name not in old.columns:
+                old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+        cols = [f.name for f in new.schema.fields]
+        val_cols = [c for c in cols if c not in keys]
+        o = old.select(*cols).alias("o")
+        n = new.select(*cols).alias("n")
+        j = o.join(n, on=[F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys], how="full_outer")
+        in_old = F.col(f"o.{keys[0]}").isNotNull()
+        in_new = F.col(f"n.{keys[0]}").isNotNull()
+        same = (
+            F.struct(*[F.col(f"o.{c}") for c in val_cols]).eqNullSafe(
+                F.struct(*[F.col(f"n.{c}") for c in val_cols])
+            )
+            if val_cols
+            else F.lit(True)
+        )
+        op = (
+            F.when(~in_old, F.lit("INSERT"))
+            .when(~in_new, F.lit("REMOVE"))
+            .when(~same, F.lit("MODIFY"))
+        )
+        side = F.when(in_new, F.struct(*[F.col(f"n.{c}") for c in cols])).otherwise(
+            F.struct(*[F.col(f"o.{c}") for c in cols])
+        )
+        return (
+            j.select(op.alias("op"), side.alias("__img"))
+            .filter(F.col("op").isNotNull())
+            .select("op", *[F.col(f"__img.{c}").alias(c) for c in cols])
+        )
+
     def scan(self, filters: list[tuple[str, str, Any]] | None = None) -> DataFrame:
         """Manifest-pruned read — the scan path Iceberg gives Athena in
         the reference pipeline (partition pruning + min/max file

@@ -228,3 +228,34 @@ def test_scan_rejects_unknown_op(spark, warehouse):
     t.bootstrap(base_df(spark))
     with pytest.raises(ValueError, match="unsupported scan op"):
         t.scan([("pk", "!=", 1)])
+
+
+def test_read_changes_diff_and_roundtrip(spark, warehouse):
+    # incremental read: diff(v1, v2) in change-log shape; applying the
+    # diff back onto v1 must reproduce v2 exactly
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.apply_changes(changelog_df(spark))
+    diff = t.read_changes(1, 2)
+    got = {(r.op, r.pk): (r.status, r.price) for r in diff.collect()}
+    assert got == {
+        ("MODIFY", 1): ("v2", 12.0),
+        ("MODIFY", 2): ("upd", 22.0),
+        ("REMOVE", 3): ("old", 30.0),  # old image on delete
+        ("INSERT", 9): ("new", 99.0),
+    }
+    t2 = ManagedTable(
+        spark, warehouse, TableSpec(namespace="ns", name="replica", key_columns=("pk",), order_columns=("seq",))
+    )
+    t2.bootstrap(t.read(version=1))
+    t2.apply_changes(diff.withColumn("seq", F.lit(1)), order_cols=("seq",))
+    assert sorted(map(tuple, t2.read().collect())) == sorted(
+        map(tuple, t.read(version=2).collect())
+    )
+
+
+def test_read_changes_unchanged_rows_dropped(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.overwrite(base_df(spark))  # identical state
+    assert t.read_changes(1, 2).count() == 0
