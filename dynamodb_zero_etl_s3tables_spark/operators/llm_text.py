@@ -298,3 +298,159 @@ def e08_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "e09_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard, n_tok,
+           CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id FROM c
+    """,
+)
+def e09_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to
+    fixed-token-budget packs (512 here) by cumulative token count in a
+    stable order. Packing is inherently sequential, so it runs WITHIN
+    hash shards — each shard's window is partition-parallel, no global
+    single-partition window. At 100 TB: shard count scales with the
+    cluster; a global ORDER BY would funnel everything through one
+    task. (Shard key is doc_id%8 so the DuckDB oracle can replay it;
+    production uses xxhash64 of a stable doc key.)"""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id")
+    return t.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512),
+    )
+
+
+@query(
+    "e10_quality_filter_chain",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS symbol_ratio,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_frac
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, n_words,
+           CAST(ROUND(mean_word_len, 4) AS DOUBLE) AS mean_word_len,
+           CAST(ROUND(symbol_ratio, 4) AS DOUBLE) AS symbol_ratio,
+           CAST(ROUND(stopword_frac, 4) AS DOUBLE) AS stopword_frac,
+           (n_words BETWEEN 10 AND 100000)
+             AND mean_word_len BETWEEN 2 AND 12
+             AND symbol_ratio < 0.2 AS keep
+    FROM m
+    """,
+)
+def e10_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality gate: word count bounds, mean
+    word length, symbol-to-char ratio, stopword fraction -> keep flag.
+    Every measure is a JVM-side built-in over one scan (no UDF, no
+    shuffle); the filter chain is a single projection, so at 100 TB it
+    runs at I/O speed and composes with e01/e02 dedup downstream."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_wl = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
+    sym = (
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    stop = F.size(
+        F.filter(
+            F.split(F.lower("text"), " "),
+            lambda t: t.isin(*_STOPWORDS),
+        )
+    ).cast("double") / n_words
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        stop.alias("stopword_frac"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("symbol_ratio", 4).alias("symbol_ratio"),
+        F.round("stopword_frac", 4).alias("stopword_frac"),
+        (
+            F.col("n_words").between(10, 100000)
+            & F.col("mean_word_len").between(2, 12)
+            & (F.col("symbol_ratio") < 0.2)
+        ).alias("keep"),
+    )
+
+
+@query(
+    "e11_pii_redaction",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or +1555' || CAST(1000000 + doc_id AS VARCHAR)
+               || ' re: ' || substr(text, 1, 40) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+'))
+             + len(regexp_extract_all(raw, '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS n_hits
+    FROM aug
+    """,
+)
+def e11_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: regex redaction of emails
+    and phone-shaped spans, plus a per-doc hit count for audit
+    metrics. Pure regexp_replace/regexp_count projections — no UDF,
+    partition-parallel, composes into the quality chain (e10). The
+    builder plants synthetic PII derived from doc_id so the oracle can
+    replay the exact redactions."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1555"),
+        (F.col("doc_id") + 1000000).cast("string"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+    email = r"[a-z0-9._]+@[a-z0-9.]+\.[a-z]+"
+    phone = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+    aug = d.select("doc_id", raw.alias("raw"))
+    return aug.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("raw", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+        (
+            F.regexp_count("raw", F.lit(email))
+            + F.regexp_count("raw", F.lit(phone))
+        ).alias("n_hits"),
+    )
