@@ -717,3 +717,67 @@ def b10b_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.apply_changes(changes, order_cols=("seq",))
     return t.read_changes(from_version=1, to_version=2)
+
+
+@query(
+    "b12c_zorder_scan",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_orderkey) AS kmn, MAX(o_orderkey) AS kmx,
+             MIN(o_custkey)  AS cmn, MAX(o_custkey)  AS cmx
+      FROM orders
+    )
+    SELECT o_orderkey AS pk, o_custkey AS ck, o_totalprice AS price
+    FROM orders, b
+    WHERE o_orderkey >= kmn + (kmx - kmn) * 2 // 10
+      AND o_orderkey <  kmn + (kmx - kmn) * 5 // 10
+      AND o_custkey  >= cmn + (cmx - cmn) * 3 // 10
+      AND o_custkey  <  cmn + (cmx - cmn) * 6 // 10
+    """,
+)
+def b12c_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout under the oracle: orders clustered on the Morton
+    interleave of (orderkey, custkey), then a two-dimensional box scan
+    pruned by per-file min/max stats — tight in BOTH dims because of
+    the layout, which a single sort column cannot give (proved
+    head-to-head in test_zorder.py). The oracle replays the box query
+    on the raw table, so layout + pruning + residual filters are all
+    inside the hash-match."""
+    from dynamodb_zero_etl_s3tables_spark.functions.zorder import zorder_key
+
+    wh = _scratch(sf_dir, "warehouse_b12c", wipe=True)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("price"),
+    )
+    # planning constants: one metadata-scale agg (Iceberg stats analog)
+    b = o.agg(
+        F.min("pk").alias("kmn"), F.max("pk").alias("kmx"),
+        F.min("ck").alias("cmn"), F.max("ck").alias("cmx"),
+    ).first()
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_z",
+            key_columns=("pk",),
+            sort_columns=("zval",),
+            properties={"write.sorted-file-count": 16},
+        )
+    )
+    t.bootstrap(
+        o.withColumn(
+            "zval",
+            zorder_key([(F.col("pk"), b.kmn, b.kmx), (F.col("ck"), b.cmn, b.cmx)]),
+        )
+    )
+    box = [
+        ("pk", ">=", b.kmn + (b.kmx - b.kmn) * 2 // 10),
+        ("pk", "<", b.kmn + (b.kmx - b.kmn) * 5 // 10),
+        ("ck", ">=", b.cmn + (b.cmx - b.cmn) * 3 // 10),
+        ("ck", "<", b.cmn + (b.cmx - b.cmn) * 6 // 10),
+    ]
+    out = t.scan(box)
+    m = t.last_scan_metrics
+    assert m["files_read"] < m["files_total"], m
+    return out.select("pk", "ck", "price")

@@ -1,0 +1,74 @@
+"""Z-order layout tests: Morton-code correctness and the multi-dim
+pruning win it exists for (SURVEY §4.1 file-skipping; E7 posture)."""
+
+from pyspark.sql import functions as F
+
+from dynamodb_zero_etl_s3tables_spark.functions.zorder import (
+    interleave_bits,
+    scale_to_bits,
+    zorder_key,
+)
+from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+
+
+def test_interleave_known_values(spark):
+    # x=0b11, y=0b01 -> bits land x:pos0,2  y:pos1,3 -> 0b0111 = 7
+    df = spark.createDataFrame([(3, 1)], "x long, y long")
+    out = df.select(interleave_bits(F.col("x"), F.col("y"), bits=2).alias("z"))
+    assert out.first().z == 7
+    # order matters: swapping dims swaps bit positions
+    out2 = df.select(interleave_bits(F.col("y"), F.col("x"), bits=2).alias("z"))
+    assert out2.first().z == 11  # y:pos0,2 (1,0) x:pos1,3 (1,1) -> 0b1011
+
+
+def test_interleave_is_injective_on_grid(spark):
+    n = 32
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    z = grid.select(interleave_bits(F.col("x"), F.col("y"), bits=5).alias("z"))
+    assert z.distinct().count() == n * n
+
+
+def test_scale_to_bits_clamps(spark):
+    df = spark.createDataFrame([(-5.0,), (0.0,), (50.0,), (100.0,), (200.0,)], "v double")
+    out = [r.s for r in df.select(scale_to_bits(F.col("v"), 0, 100, bits=8).alias("s")).collect()]
+    assert out[0] == 0 and out[1] == 0 and out[3] == 255 and out[4] == 255
+    assert 0 < out[2] < 255
+
+
+def test_zorder_layout_prunes_both_dims(spark, warehouse):
+    # independent uniform x,y; box query over both dims
+    n = 1 << 8
+    df = spark.range(n * n).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    box = [("x", ">=", 10), ("x", "<", 40), ("y", ">=", 10), ("y", "<", 40)]
+
+    tx = ManagedTable(
+        spark, warehouse,
+        TableSpec(namespace="ns", name="xsort", key_columns=("pk",),
+                  sort_columns=("x",), properties={"write.sorted-file-count": 16}),
+    )
+    tx.bootstrap(df)
+    assert tx.scan(box).count() == 30 * 30
+    x_read = tx.last_scan_metrics["files_read"]
+
+    zdf = df.withColumn(
+        "zval", zorder_key([(F.col("x"), 0, n - 1), (F.col("y"), 0, n - 1)], bits=8)
+    )
+    tz = ManagedTable(
+        spark, warehouse,
+        TableSpec(namespace="ns", name="zsort", key_columns=("pk",),
+                  sort_columns=("zval",), properties={"write.sorted-file-count": 16}),
+    )
+    tz.bootstrap(zdf)
+    assert tz.scan(box).count() == 30 * 30  # exactness unaffected by layout
+    z_read = tz.last_scan_metrics["files_read"]
+
+    # x-sorted layout prunes on x only (~4/16 files); the y constraint
+    # prunes nothing there. z-order tightens BOTH dims per file.
+    assert z_read < x_read, (z_read, x_read)
