@@ -781,3 +781,71 @@ def b12c_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = t.last_scan_metrics
     assert m["files_read"] < m["files_total"], m
     return out.select("pk", "ck", "price")
+
+
+@query(
+    "b05c_merge_on_read",
+    oracle="""
+    SELECT o_orderkey AS pk, o_orderpriority AS prio,
+           CASE WHEN o_orderkey % 10 = 0 THEN 0.0
+                WHEN o_orderkey % 10 = 3 THEN 1.0
+                ELSE o_totalprice END AS price
+    FROM orders WHERE o_orderkey % 10 <> 7
+    UNION ALL
+    SELECT -1, 'SYNTHETIC', 2.0
+    """,
+)
+def b05c_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 via the merge-on-read strategy: two stacked CDC batches are
+    committed as pure delta files (tombstones + images, no table
+    rewrite); the read resolves the layer chain (base ⟕̸ deletes ∪
+    inserts per layer). The oracle replays the final state, so chain
+    resolution itself is inside the hash-match. The builder asserts no
+    data rewrite happened (every merge snapshot is a delta)."""
+    wh = _scratch(sf_dir, "warehouse_b05c", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_mor",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.bootstrap(o)
+
+    def batch(mod_rem, price):
+        mod, rem = mod_rem
+        return (
+            o.filter(F.col("pk") % 10 == mod)
+            .select(
+                F.lit("MODIFY").alias("op"), F.lit(1).alias("seq"),
+                F.col("pk"), F.col("prio"), F.lit(price).alias("price"),
+            )
+            .unionByName(
+                o.filter(F.col("pk") % 10 == rem).select(
+                    F.lit("REMOVE").alias("op"), F.lit(1).alias("seq"),
+                    F.col("pk"), F.col("prio"), F.col("price"),
+                )
+                if rem is not None
+                else spark.createDataFrame(
+                    [], "op string, seq int, pk bigint, prio string, price double"
+                )
+            )
+        )
+
+    t.apply_changes(batch((0, 7), 0.0), strategy="merge-on-read")
+    b2 = batch((3, None), 1.0).unionByName(
+        spark.createDataFrame(
+            [("INSERT", 1, -1, "SYNTHETIC", 2.0)],
+            "op string, seq int, pk bigint, prio string, price double",
+        )
+    )
+    t.apply_changes(b2, strategy="merge-on-read")
+    assert [s.operation for s in t.history()] == ["bootstrap", "merge-mor", "merge-mor"]
+    assert all(s.delta is not None for s in t.history()[1:])
+    return t.read()

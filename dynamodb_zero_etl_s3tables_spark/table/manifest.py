@@ -71,6 +71,11 @@ class Snapshot:
     #: (the file-skipping behavior the Iceberg-native bucket provides,
     #: reference ts:77-79). None when stats were not collected.
     files: list[dict[str, Any]] | None = None
+    #: merge-on-read snapshots: version this delta layers on top of
+    base_version: int | None = None
+    #: merge-on-read snapshots: {"deletes": dir, "inserts": dir} —
+    #: keys to suppress and rows to add relative to ``base_version``
+    delta: dict[str, str] | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -280,17 +285,49 @@ class ManagedTable:
         m = self._read_manifest()
         if not m.snapshots:
             raise FileNotFoundError(f"table {self.spec.qualified_name} has no snapshots")
+        by_v = {s.version: s for s in m.snapshots}
         if version is None:
             snap = m.current
         else:
-            by_v = {s.version: s for s in m.snapshots}
             if version not in by_v:
                 raise ValueError(
                     f"version {version} not in retained history "
                     f"{sorted(by_v)} of {self.spec.qualified_name}"
                 )
             snap = by_v[version]
+        return self._materialize(snap, by_v)
+
+    def _materialize(self, snap: Snapshot, by_v: dict[int, Snapshot]) -> DataFrame:
+        """Resolve a snapshot to rows. Merge-on-read snapshots layer
+        delta files (delete keys + insert rows) over a base version:
+        state = base ⟕̸ deletes ∪ inserts, applied per layer down the
+        chain. Each layer costs one anti-join at read time — the MoR
+        tradeoff; ``compact()`` materializes the chain back to a flat
+        copy-on-write snapshot."""
+        from pyspark.sql import functions as F
+
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        if snap.delta is not None:
+            if snap.base_version not in by_v:
+                raise ValueError(
+                    f"merge-on-read base v{snap.base_version} of "
+                    f"v{snap.version} is not retained (vacuumed too aggressively?)"
+                )
+            base = self._materialize(by_v[snap.base_version], by_v)
+            # additive evolution: widen the base to this layer's schema
+            for f in schema.fields:
+                if f.name not in base.columns:
+                    base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
+            cols = [f.name for f in schema.fields]
+            keys = list(self.spec.key_columns)
+            key_schema = T.StructType([f for f in schema.fields if f.name in keys])
+            deletes = self.spark.read.schema(key_schema).parquet(snap.delta["deletes"])
+            inserts = self.spark.read.schema(schema).parquet(snap.delta["inserts"])
+            return (
+                base.select(*cols)
+                .join(deletes, on=keys, how="left_anti")
+                .unionByName(inserts)
+            )
         if snap.partitions is None:
             return self.spark.read.schema(schema).parquet(snap.data_dir)
         return self._read_partition_entries(snap.partitions, schema)
@@ -514,11 +551,16 @@ class ManagedTable:
         snap = m.current
         if snap is None:
             raise FileNotFoundError(f"table {self.spec.qualified_name} has no snapshots")
-        dirs = (
-            [e["dir"] for e in snap.partitions]
-            if snap.partitions is not None
-            else [snap.data_dir]
-        )
+        by_v = {s.version: s for s in m.snapshots}
+        dirs: list[str] = []
+        cur: Snapshot | None = snap
+        while cur is not None:  # MoR chains contribute every layer's files
+            dirs.extend(
+                [e["dir"] for e in cur.partitions]
+                if cur.partitions is not None
+                else [cur.data_dir]
+            )
+            cur = by_v.get(cur.base_version) if cur.base_version is not None else None
         paths = [p for d in dirs for p in Path(d).rglob("*.parquet")]
         files_before = len(paths)
         total_bytes = sum(p.stat().st_size for p in paths)
@@ -630,7 +672,10 @@ class ManagedTable:
         self._write_snapshot(df, operation="overwrite")
 
     def apply_changes(
-        self, changes: DataFrame, order_cols: tuple[str, ...] | None = None
+        self,
+        changes: DataFrame,
+        order_cols: tuple[str, ...] | None = None,
+        strategy: str = "copy-on-write",
     ) -> None:
         """B5-B7: merge a change-log batch into the table. Idempotent
         (A10): re-applying the same batch converges to the same state.
@@ -644,8 +689,19 @@ class ManagedTable:
         expressed as REMOVE(old partition) + INSERT(new partition),
         which the DynamoDB stream model already does for key-derived
         partitions.
+
+        ``strategy="merge-on-read"`` writes ONLY delta files (tombstone
+        keys + upsert images) and defers the anti-join to read time —
+        O(batch) write cost instead of O(touched data), which is what
+        keeps minute-level CDC cadence affordable on a 100 TB table;
+        ``compact()`` later materializes the accumulated chain.
         """
+        if strategy not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown merge strategy {strategy!r}")
         order = order_cols or self.spec.order_columns
+        if strategy == "merge-on-read":
+            self._apply_changes_mor(changes, order)
+            return
         snap = self._read_manifest().current
         if (
             self.spec.partition_columns
@@ -662,6 +718,75 @@ class ManagedTable:
             order_cols=order,
         )
         self._write_snapshot(merged, operation="merge")
+
+    def _apply_changes_mor(
+        self, changes: DataFrame, order_cols: tuple[str, ...]
+    ) -> None:
+        """Merge-on-read commit: write the batch's tombstone keys and
+        upsert images as delta files referencing the current version.
+        No table data is read or rewritten — the write cost is the
+        batch size alone. Same LWW/in-batch-dedup/evolution semantics
+        as the copy-on-write path (shared helpers), proven equivalent
+        in tests."""
+        from pyspark.sql import functions as F
+
+        from dynamodb_zero_etl_s3tables_spark.metrics import (
+            CommitMetrics,
+            observe_rows,
+        )
+        from dynamodb_zero_etl_s3tables_spark.table.merge import (
+            OP_COL,
+            OP_REMOVE,
+            latest_per_key,
+        )
+
+        t0 = time.perf_counter()
+        m = self._read_manifest()
+        snap = m.current
+        if snap is None:
+            raise FileNotFoundError(
+                f"merge-on-read needs a bootstrapped table: "
+                f"{self.spec.qualified_name} has no snapshots"
+            )
+        expected = m.version
+        cur_schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        keys = list(self.spec.key_columns)
+        last = latest_per_key(changes, keys, order_cols)
+        drop = {OP_COL} | {
+            c for c in order_cols if c not in {f.name for f in cur_schema.fields}
+        }
+        image_cols = [c for c in last.columns if c not in drop]
+        inserts = last.filter(F.col(OP_COL) != OP_REMOVE).select(*image_cols)
+        evolved = _evolve_schema(cur_schema, inserts.schema)  # B4 gate
+        inserts = inserts.select(*[f.name for f in evolved.fields])
+        delta_root = self.root / "data" / f"v{expected + 1}-{uuid.uuid4().hex[:8]}"
+        inserts, obs = observe_rows(inserts, name="merge-mor")
+        inserts.write.mode("overwrite").parquet(str(delta_root / "inserts"))
+        last.select(*keys).write.mode("overwrite").parquet(str(delta_root / "deletes"))
+        n = int(obs.get["row_count"])
+        m.snapshots.append(
+            Snapshot(
+                version=expected + 1,
+                data_dir=str(delta_root),
+                committed_at=time.time(),
+                row_count=n,
+                schema_json=json.dumps(
+                    T.StructType(list(evolved.fields)).jsonValue()
+                ),
+                operation="merge-mor",
+                base_version=expected,
+                delta={
+                    "deletes": str(delta_root / "deletes"),
+                    "inserts": str(delta_root / "inserts"),
+                },
+            )
+        )
+        self._write_manifest(m, expected_version=expected)
+        self.last_commit_metrics = CommitMetrics(
+            operation="merge-mor",
+            row_count=n,
+            elapsed_sec=time.perf_counter() - t0,
+        )
 
     def _apply_changes_pruned(
         self, changes: DataFrame, order_cols: tuple[str, ...]
@@ -722,6 +847,18 @@ class ManagedTable:
             for s in m.snapshots
             if s is m.current or s.committed_at >= cutoff
         ]
+        # merge-on-read ancestor closure: a retained delta snapshot is
+        # unreadable without its base chain, so bases are pinned
+        # regardless of age (versions ascend, so one backward pass
+        # over descending versions closes the chain)
+        by_v = {s.version: s for s in m.snapshots}
+        keep_v = {s.version for s in keep}
+        for s in sorted(keep, key=lambda s: -s.version):
+            cur = s
+            while cur.base_version is not None and cur.base_version not in keep_v:
+                cur = by_v[cur.base_version]
+                keep_v.add(cur.version)
+        keep = [s for s in m.snapshots if s.version in keep_v]
         dropped = len(m.snapshots) - len(keep)
         m.snapshots = keep
         self._write_manifest(m, expected_version=expected)

@@ -259,3 +259,75 @@ def test_read_changes_unchanged_rows_dropped(spark, warehouse):
     t.bootstrap(base_df(spark))
     t.overwrite(base_df(spark))  # identical state
     assert t.read_changes(1, 2).count() == 0
+
+
+# -- merge-on-read ------------------------------------------------------------
+
+
+def test_mor_equals_cow(spark, warehouse):
+    # same golden changelog through both strategies -> identical state
+    cow = ManagedTable(spark, warehouse, SPEC)
+    cow.bootstrap(base_df(spark))
+    cow.apply_changes(changelog_df(spark))
+    mor = ManagedTable(
+        spark, warehouse,
+        TableSpec(namespace="ns", name="mor", key_columns=("pk",), order_columns=("seq",)),
+    )
+    mor.bootstrap(base_df(spark))
+    mor.apply_changes(changelog_df(spark), strategy="merge-on-read")
+    assert mor.history()[-1].operation == "merge-mor"
+    assert sorted(map(tuple, mor.read().collect())) == sorted(
+        map(tuple, cow.read().collect())
+    )
+
+
+def test_mor_stacked_layers_and_compact(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.apply_changes(changelog_df(spark), strategy="merge-on-read")
+    batch2 = spark.createDataFrame(
+        [
+            Row(op="MODIFY", seq=1, pk=9, status="again", price=100.0),
+            Row(op="REMOVE", seq=1, pk=4, status="x", price=0.0),
+        ]
+    )
+    t.apply_changes(batch2, strategy="merge-on-read")
+    state = {r.pk: (r.status, r.price) for r in t.read().collect()}
+    assert state == {
+        1: ("v2", 12.0), 2: ("upd", 22.0), 5: ("old", 50.0), 9: ("again", 100.0),
+    }
+    # compaction materializes the chain into a flat snapshot
+    r = t.compact(target_file_bytes=1 << 30)
+    assert t.history()[-1].operation == "compact"
+    assert t.history()[-1].delta is None
+    after = {r2.pk: (r2.status, r2.price) for r2 in t.read().collect()}
+    assert after == state
+    assert r["files_after"] <= r["files_before"]
+
+
+def test_mor_vacuum_pins_base_chain(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.apply_changes(changelog_df(spark), strategy="merge-on-read")
+    # v1 is old enough to drop by age, but v2 (current, MoR) needs it
+    res = t.vacuum(unreferenced_days=1, noncurrent_days=1, now=time.time() + 10 * 86400)
+    assert res["snapshots_dropped"] == 0  # ancestor closure pinned v1
+    assert t.read().count() == 5
+    # after compaction the chain is cut and v1+v2 can go
+    t.compact(target_file_bytes=1 << 30)
+    res2 = t.vacuum(unreferenced_days=1, noncurrent_days=1, now=time.time() + 10 * 86400)
+    assert res2["snapshots_dropped"] == 2
+    assert t.read().count() == 5
+
+
+def test_mor_requires_bootstrap(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    with pytest.raises(FileNotFoundError, match="merge-on-read needs a bootstrapped"):
+        t.apply_changes(changelog_df(spark), strategy="merge-on-read")
+
+
+def test_unknown_strategy_rejected(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    with pytest.raises(ValueError, match="unknown merge strategy"):
+        t.apply_changes(changelog_df(spark), strategy="sideways")
