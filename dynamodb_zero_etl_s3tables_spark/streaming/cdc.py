@@ -54,11 +54,20 @@ def apply_changes_stream(
     changes: DataFrame,
     checkpoint_dir: str,
     available_now: bool = True,
+    strategy: str = "copy-on-write",
 ) -> StreamingQuery:
     """H7+H8: stateful upsert sink — every microbatch runs the B5-B7
     merge transaction against the manifest table. Exactly-once comes
     from the checkpoint (source offsets) + idempotent merge (A10):
-    replaying a batch after failure converges to the same state."""
+    replaying a batch after failure converges to the same state.
+
+    ``strategy="merge-on-read"`` makes each microbatch an O(batch)
+    delta commit instead of a table rewrite — the right default for
+    high-cadence streams on large tables; schedule ``table.compact()``
+    periodically to fold the accumulated layers (note: replaying a
+    MoR microbatch after a checkpoint-gap failure stacks a duplicate
+    layer; the layered LWW semantics still converge to the same state,
+    preserving A10)."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -70,7 +79,7 @@ def apply_changes_stream(
             ]
             empty = table.spark.createDataFrame([], T.StructType(image_cols))
             table.bootstrap(empty)
-        table.apply_changes(batch_df)
+        table.apply_changes(batch_df, strategy=strategy)
 
     writer = (
         changes.writeStream.foreachBatch(merge_batch)

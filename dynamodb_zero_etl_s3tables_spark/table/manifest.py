@@ -326,6 +326,7 @@ class ManagedTable:
             return (
                 base.select(*cols)
                 .join(deletes, on=keys, how="left_anti")
+                .select(*cols)  # USING-join fronts key cols; restore schema order
                 .unionByName(inserts)
             )
         if snap.partitions is None:

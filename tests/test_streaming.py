@@ -181,3 +181,39 @@ def test_stream_dedup(spark, tmp_path):
     n_keys = events.select("user_id", "event_type").distinct().count()
     assert got.count() == n_keys
     assert got.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_stream_mor_equals_cow_stream(spark, warehouse, tmp_path):
+    """H7 with merge-on-read microbatches: delta-layer commits through
+    the streaming sink converge to the same state as copy-on-write."""
+    log_dir = tmp_path / "changelog_mor"
+    _write_batch(log_dir / "b1.json", BATCH1)
+    _write_batch(log_dir / "b2.json", BATCH2)
+    schema = changelog_schema(IMAGE_SCHEMA)
+
+    mor = ManagedTable(
+        spark, warehouse,
+        TableSpec(namespace="ns", name="stream_mor", key_columns=("pk",),
+                  order_columns=("seq",)),
+    )
+    q = apply_changes_stream(
+        mor,
+        read_changelog_stream(spark, str(log_dir), schema, max_files_per_trigger=1),
+        str(tmp_path / "ckpt_mor"),
+        strategy="merge-on-read",
+    )
+    q.awaitTermination(120)
+    # every merge microbatch committed as a delta layer, no rewrite
+    ops = [s.operation for s in mor.history()]
+    assert ops[0] == "bootstrap" and set(ops[1:]) == {"merge-mor"}
+
+    cow = ManagedTable(spark, warehouse, SPEC)
+    q2 = apply_changes_stream(
+        cow,
+        read_changelog_stream(spark, str(log_dir), schema, max_files_per_trigger=1),
+        str(tmp_path / "ckpt_cow"),
+    )
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, mor.read().collect())) == sorted(
+        map(tuple, cow.read().collect())
+    )
