@@ -15,8 +15,9 @@ This package re-expresses both layers of the reference Spark-first:
 Everything is DataFrame / Spark SQL; Catalyst + AQE plan execution.
 """
 
+from dynamodb_zero_etl_s3tables_spark.engine import ZeroEtlEngine
 from dynamodb_zero_etl_s3tables_spark.session import get_spark, tune
 from dynamodb_zero_etl_s3tables_spark.spec import TableSpec, SourceSpec
 
-__all__ = ["get_spark", "tune", "TableSpec", "SourceSpec"]
+__all__ = ["ZeroEtlEngine", "get_spark", "tune", "TableSpec", "SourceSpec"]
 __version__ = "0.1.0"

@@ -1,0 +1,132 @@
+"""Single-object engine facade — the Spark analog of the reference's
+one construct class (``new DynamoDbZeroEtlToS3Tables(scope, id,
+props)``, reference src/dynamodb-zero-etl-s3tables.ts:44-54).
+
+The reference packs the entire zero-ETL pipeline behind a single
+constructor: validate preconditions at synth time (ts:57-66),
+provision bucket/namespace/table (ts:77-98), wire continuous
+replication (ts:211-215), and expose the provisioned pieces as public
+properties for extension (``table``, ``tableBucket``, ``role`` —
+tested at reference test/…test.ts:202-241). ``ZeroEtlEngine`` mirrors
+that UX end to end:
+
+* construct   -> validate ``SourceSpec`` (A1/A2) + ``TableSpec``,
+                 create namespace + register the managed table (B8)
+* bootstrap   -> PITR-export ingest with attribute-value decode
+                 (B1+B3) or a ready DataFrame
+* replicate   -> batch ``apply_changes`` (B5-B7, copy-on-write or
+                 merge-on-read) and the streaming twin (H7)
+* query       -> ``sql()`` over the auto-refreshed view (C1/C2) and
+                 ``read()`` for the DataFrame API (C3)
+* maintain    -> ``compact()`` / ``vacuum()`` passthroughs (B11)
+* extend      -> ``spark`` / ``catalog`` / ``table`` are public,
+                 like the reference's exposed construct properties
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dynamodb_zero_etl_s3tables_spark.functions.decode import decode_export
+from dynamodb_zero_etl_s3tables_spark.spec import SourceSpec, TableSpec
+from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+
+
+class ZeroEtlEngine:
+    """One pipeline instance: a keyed source continuously replicated
+    into a managed, SQL-queryable table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        source: SourceSpec,
+        table: TableSpec,
+    ):
+        # A1/A2: reject bad specs before any job runs — the synth-time
+        # precondition checks of the reference constructor (ts:57-66)
+        source.validate()
+        table.validate()
+        self.spark = spark
+        self.source = source
+        self.spec = table
+        self.catalog = Catalog(spark, warehouse)
+        self.table: ManagedTable = self.catalog.create_table(table)
+
+    # -- bootstrap (B1+B3) --------------------------------------------------
+
+    def bootstrap_from_export(
+        self, export_dir: str, fields: dict[str, str], depth: int = 3
+    ) -> "ZeroEtlEngine":
+        """Ingest a PITR-export directory (NDJSON ``{"Item": {...}}``,
+        the format the reference's ExportTableToPointInTime grant
+        produces, ts:131-144), decode attribute values to typed
+        columns, and commit the initial snapshot."""
+        self.table.bootstrap(decode_export(self.spark, export_dir, fields, depth))
+        return self
+
+    def bootstrap(self, df: DataFrame) -> "ZeroEtlEngine":
+        self.table.bootstrap(df)
+        return self
+
+    # -- continuous replication (B2/B5-B7, H7) ------------------------------
+
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        order_cols: tuple[str, ...] | None = None,
+        strategy: str = "copy-on-write",
+    ) -> "ZeroEtlEngine":
+        self.table.apply_changes(changes, order_cols=order_cols, strategy=strategy)
+        return self
+
+    def start_change_stream(
+        self,
+        changelog_dir: str,
+        checkpoint_dir: str,
+        image_schema,
+        strategy: str = "copy-on-write",
+        available_now: bool = True,
+    ):
+        """Streaming twin: drain/tail a change-log directory into the
+        table via the foreachBatch merge sink."""
+        from dynamodb_zero_etl_s3tables_spark.streaming.cdc import (
+            apply_changes_stream,
+            changelog_schema,
+            read_changelog_stream,
+        )
+
+        stream = read_changelog_stream(
+            self.spark, changelog_dir, changelog_schema(image_schema)
+        )
+        return apply_changes_stream(
+            self.table,
+            stream,
+            checkpoint_dir,
+            available_now=available_now,
+            strategy=strategy,
+        )
+
+    # -- query surface (C1-C3) ----------------------------------------------
+
+    def sql(self, query: str, version: int | None = None) -> DataFrame:
+        """C1: SQL over the replicated table; the view is refreshed to
+        the requested (default: current) snapshot first. The view name
+        is ``<namespace>_<table>`` — the engine's rendering of the
+        reference's three-part ``"s3tablescatalog/bucket"."ns"."t"``
+        (reference README.md:173)."""
+        self.catalog.refresh_view(self.spec.qualified_name, version=version)
+        return self.catalog.sql(query)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """C3: DataFrame API entry."""
+        return self.table.read(version=version)
+
+    # -- maintenance (B11) --------------------------------------------------
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, int]:
+        return self.table.compact(target_file_bytes)
+
+    def vacuum(self, **kwargs) -> dict[str, int]:
+        return self.table.vacuum(**kwargs)

@@ -454,3 +454,41 @@ def e11_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.regexp_count("raw", F.lit(phone))
         ).alias("n_hits"),
     )
+
+
+@query(
+    "e08b_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM h
+    WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 70 END
+    """,
+)
+def e08b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus rebalancing:
+    downsample the dominant language (en -> 30%) while keeping 70% of
+    the rest — per-stratum rates via the same content-key hash buckets
+    as e08, so the sample is a pure function of the key: stable across
+    reruns, partitionings, and engines (unlike ``df.sampleBy``, whose
+    output depends on partition layout). One scan, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 30).otherwise(70)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )

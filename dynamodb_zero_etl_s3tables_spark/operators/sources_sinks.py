@@ -849,3 +849,81 @@ def b05c_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert [s.operation for s in t.history()] == ["bootstrap", "merge-mor", "merge-mor"]
     assert all(s.delta is not None for s in t.history()[1:])
     return t.read()
+
+
+@query(
+    "c04_engine_facade",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS pk, o_orderpriority AS prio,
+             CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 10 <> 7
+    )
+    SELECT prio, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM t GROUP BY prio
+    """,
+)
+def c04_engine_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C3 through the single-object facade (the reference's
+    one-construct UX, reference ts:44-54): encode orders into the
+    PITR-export NDJSON shape, ``bootstrap_from_export`` (decode B3 +
+    snapshot B1), one CDC merge, then ``sql()`` over the
+    auto-refreshed view. The whole user story — export to SQL answer
+    — sits inside one hash-match."""
+    from dynamodb_zero_etl_s3tables_spark.engine import ZeroEtlEngine
+    from dynamodb_zero_etl_s3tables_spark.spec import SourceSpec
+
+    wh = _scratch(sf_dir, "warehouse_c04", wipe=True)
+    export = _scratch(sf_dir, "export_c04")
+    o = load(spark, sf_dir, "orders")
+    item = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(F.col("o_orderkey").cast("string").alias("N")).alias("pk"),
+                F.struct(F.col("o_orderpriority").alias("S")).alias("prio"),
+                F.struct(
+                    F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("N")
+                ).alias("price"),
+            ).alias("Item")
+        )
+    )
+    o.select(item.alias("value")).write.mode("overwrite").text(export)
+
+    eng = ZeroEtlEngine(
+        spark,
+        wh,
+        SourceSpec(table_name="orders_src", key_columns=("pk",)),
+        TableSpec(
+            namespace="analytics",
+            name="orders_facade",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        ),
+    )
+    eng.bootstrap_from_export(
+        export, {"pk": "number", "prio": "string", "price": "number"}
+    )
+    base = eng.read()
+    dec = "decimal(38,18)"
+    changes = (
+        base.filter(F.col("pk") % 10 == 0)
+        .select(
+            F.lit("MODIFY").alias("op"), F.lit(1).alias("seq"),
+            "pk", "prio", F.lit(0).cast(dec).alias("price"),
+        )
+        .unionByName(
+            base.filter(F.col("pk") % 10 == 7).select(
+                F.lit("REMOVE").alias("op"), F.lit(1).alias("seq"),
+                "pk", "prio", "price",
+            )
+        )
+    )
+    eng.apply_changes(changes)
+    return eng.sql(
+        """
+        SELECT prio, COUNT(*) AS n,
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM analytics_orders_facade GROUP BY prio
+        """
+    )
