@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import base64
 import json
+from decimal import Decimal
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -142,6 +143,10 @@ def encode_value(v: Any) -> dict[str, Any]:
         return {"BOOL": v}
     if isinstance(v, (int, float)):
         return {"N": repr(v) if isinstance(v, float) else str(v)}
+    if isinstance(v, Decimal):
+        # DynamoDB N is arbitrary-precision decimal-as-string; Decimal
+        # is its exact Python form (floats round-trip via repr above)
+        return {"N": format(v, "f")}
     if isinstance(v, str):
         return {"S": v}
     if isinstance(v, bytes):

@@ -294,3 +294,61 @@ def e02e_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("min_nb").isNotNull().alias("is_dup"),
         )
     )
+
+
+@query(
+    "e03c_cosine_topk_vectorized",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND({_DOT('e.embedding', 'q.qv')}
+                   / (SQRT({_DOT('e.embedding', 'e.embedding')})
+                      * SQRT({_DOT('q.qv', 'q.qv')})), 6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cos_sim,
+           rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 20
+    """,
+)
+def e03c_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 via the Arrow/BLAS path (D53): ``mapInPandas`` streams Arrow
+    batches into numpy, where one matrix-vector product scores a whole
+    batch — the 100 TB-scale idiom when per-row lambda folds become
+    the bottleneck (BLAS does in one fused loop what the fold does in
+    DIM interpreted steps). Same answer as the fold-based e03 (same
+    oracle); the query vector is a one-row driver-side constant
+    captured in the closure, i.e. a broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = np.asarray(
+        e.filter(F.col("vec_id") == 0).first().embedding, dtype=np.float64
+    )
+    qn = float(np.sqrt(qv @ qv))
+
+    def score(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sims = (m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "cos_sim": np.round(sims, 6),
+                }
+            )
+
+    scored = e.filter(F.col("vec_id") != 0).mapInPandas(
+        score, "vec_id long, label int, cos_sim double"
+    )
+    topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(20)
+    w = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "label", "cos_sim", "rank"
+    )

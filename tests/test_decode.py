@@ -103,3 +103,64 @@ def test_unknown_kind_rejected(spark):
     df = spark.createDataFrame([("{}",)], ["item_json"])
     with pytest.raises(ValueError, match="unknown decode kind"):
         decode_item_column(df, "item_json", {"x": "uuid"})
+
+
+# -- property-based round trip (hypothesis) ----------------------------------
+# SURVEY §5.2(6): the codec's self-inverse law — encode(row) decoded
+# with the right kinds reproduces the row — for ARBITRARY values, not
+# just the golden fixture.
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F),
+    min_size=0, max_size=24,
+)
+_row = st.fixed_dictionaries(
+    {
+        "pk": st.integers(min_value=0, max_value=2**40),
+        "name": _text,
+        "price": st.decimals(
+            min_value=Decimal("-1e12"), max_value=Decimal("1e12"),
+            allow_nan=False, allow_infinity=False, places=6,
+        ),
+        "active": st.booleans(),
+        "tags": st.sets(_text, max_size=4),
+    }
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=st.lists(_row, min_size=1, max_size=8))
+def test_roundtrip_property(spark, rows):
+    import json as _json
+
+    ndjson = "\n".join(
+        _json.dumps({"Item": _json.loads(encode_item_json(r))}) for r in rows
+    )
+    df = spark.createDataFrame([(line,) for line in ndjson.splitlines()], "value string")
+    from pyspark.sql import functions as F2
+
+    with_item = df.select(
+        F2.get_json_object(F2.col("value"), "$.Item").alias("__raw_item")
+    )
+    out = decode_item_column(
+        with_item, "__raw_item",
+        {"pk": "number", "name": "string", "price": "number",
+         "active": "boolean", "tags": "string_set"},
+    )
+    got = sorted(
+        (
+            int(r.pk), r.name, Decimal(r.price).normalize(),
+            r.active, tuple(sorted(r.tags or [])),
+        )
+        for r in out.collect()
+    )
+    want = sorted(
+        (
+            r["pk"], r["name"], Decimal(r["price"]).normalize(),
+            r["active"], tuple(sorted(set(r["tags"]))),
+        )
+        for r in rows
+    )
+    assert got == want

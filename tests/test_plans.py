@@ -111,6 +111,7 @@ def test_registry_wide_plan_sweep(spark):
         "d36_global_sort",     # rank over top-50 survivors
         "e03_cosine_topk",     # rank over top-20 survivors
         "e03b_ann_ivf",        # rank over top-10 survivors
+        "e03c_cosine_topk_vectorized",  # rank over top-20 survivors
     }
     # builders that run jobs/streams at build time; plan shape of
     # their final read is covered by their oracle queries instead
