@@ -17,6 +17,7 @@ from dynamodb_zero_etl_s3tables_spark.operators import relational  # noqa: E402,
 from dynamodb_zero_etl_s3tables_spark.operators import sources_sinks  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import aggregates  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import windows  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import analytics  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import scalar_fns  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import control_plane  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import cdc_batch  # noqa: E402,F401

@@ -1,0 +1,125 @@
+"""Event-sequence analytics over the ``events`` stream table: funnel
+progression and cohort retention — the query shapes a replicated
+event table exists to answer (the reference's "query with Athena"
+surface, reference README.md:170-174, over CDC-replicated app events).
+
+Scale posture: both operators do ALL per-user sequencing inside ONE
+hash partitioning on ``user_id`` — stacked window functions over the
+same partition key reuse a single Exchange (no self-joins, no second
+shuffle for the dependent steps). The final rollups aggregate tiny
+outputs (stage counts / cohort-week cells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+
+@query(
+    "d57_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ), s2 AS (
+      SELECT user_id, ts, event_type, t_view,
+             MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM s1
+    ), s3 AS (
+      SELECT user_id, t_view, t_click,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2
+    ), per_user AS (
+      SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+             MAX(t_purchase) AS t_purchase
+      FROM s3 GROUP BY user_id
+    )
+    SELECT COUNT(t_view) AS n_view,
+           COUNT(t_click) AS n_view_click,
+           COUNT(t_purchase) AS n_view_click_purchase
+    FROM per_user
+    """,
+)
+def d57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: each stage's
+    timestamp is the user's first qualifying event STRICTLY AFTER the
+    previous stage. Three stacked windows over one ``user_id``
+    partitioning (dependent stages reuse the same Exchange — check
+    the plan: one shuffle, three Window nodes), then a global
+    three-counter rollup."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = e.select("user_id", "ts", "event_type", t_view.alias("t_view"))
+    t_click = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+    ).over(w)
+    s2 = s1.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s3 = s2.withColumn("t_purchase", t_purchase)
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
+    )
+
+
+@query(
+    "d58_cohort_retention",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts,
+             date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS cohort_week
+      FROM events
+    ), cell AS (
+      SELECT DISTINCT user_id, cohort_week,
+             date_diff('day', cohort_week, date_trunc('week', ts)) // 7 AS week_offset
+      FROM u
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM cell
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def d58_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    in each later week they return. First-activity via a window min on
+    the ``user_id`` partitioning; (user, cohort, offset) distinct then
+    a cells rollup — output is cohorts x offsets, metadata-sized
+    regardless of input scale."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    u = e.select(
+        "user_id",
+        "ts",
+        F.date_trunc("week", F.min("ts").over(w)).alias("cohort_week"),
+    )
+    cell = u.select(
+        "user_id",
+        "cohort_week",
+        F.floor(
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+        ).alias("week_offset"),
+    ).distinct()
+    return cell.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )

@@ -130,9 +130,17 @@ def test_registry_wide_plan_sweep(spark):
             problems.append(f"{name}: SortAggregate")
         if "BroadcastNestedLoopJoin" in plan and name not in bnl_ok:
             problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
-        if (
-            re.search(r"Window \[[^\]]*\], \[[^\]]*\]($|\n)", plan)
-            and name not in global_window_ok
-        ):
+        # A Window node prints `Window [exprs], [partSpec], [orderSpec]`,
+        # omitting empty specs. Two bracket groups whose SECOND contains
+        # sort directions is order-only => no partition spec (the
+        # single-partition funnel); two groups without ASC/DESC is a
+        # partition spec with no ordering — fine.
+        unpartitioned = any(
+            len(groups := re.findall(r"\[[^\]]*\]", line)) == 2
+            and re.search(r"\b(ASC|DESC)\b", groups[1])
+            for line in plan.splitlines()
+            if re.search(r"(^|[-: ])Window \[", line)
+        )
+        if unpartitioned and name not in global_window_ok:
             problems.append(f"{name}: unpartitioned Window over unbounded input")
     assert not problems, problems
