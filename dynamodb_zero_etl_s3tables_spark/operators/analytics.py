@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.operators.registry import DSUM, dsum, query
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
 
 
@@ -122,4 +122,85 @@ def d58_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     return cell.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_users")
+    )
+
+
+@query(
+    "d59_tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def d59_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (public spec): unshipped-order revenue by
+    priority. Plan shape that matters at 100 TB: both date filters
+    push to the parquet scans BEFORE the joins, the customer side
+    arrives pre-filtered to one segment, and the top-10 rides
+    TakeOrderedAndProject — no global sort materializes."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "d60_tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+      AND o_orderdate <  TIMESTAMP '2000-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def d60_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (public spec): customers who returned the most
+    revenue in a quarter. Nation broadcasts (25 rows at any scale);
+    the quarter filter prunes orders at the scan; returned-lineitem
+    filter prunes the probe side; top-20 is TakeOrderedAndProject."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
     )

@@ -281,3 +281,28 @@ def h07_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = apply_changes_stream(t, changes, checkpoint_dir=str(root / "ckpt"))
     q.awaitTermination(300)
     return t.read().select("pk", "status", "price")
+
+
+@query(
+    "h09_stream_static_join",
+    oracle=f"""
+    SELECT n.n_name, e.event_type, COUNT(*) AS n_events,
+           {DSUM('e.value')} AS total_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name, e.event_type
+    """,
+)
+def h09_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H: stream-static enrichment twin — each change record joins a
+    small static dimension (broadcast; in streaming form the same
+    ``df.join(static)`` inside the microbatch, exercised in
+    tests/test_streaming.py). At scale the dimension broadcasts once
+    per executor, so enrichment adds zero shuffles to the stream."""
+    e = load(spark, sf_dir, "events")
+    n = load(spark, sf_dir, "nation")
+    return (
+        e.withColumn("nk", F.col("user_id") % 25)
+        .join(F.broadcast(n), F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name", "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+    )

@@ -532,6 +532,42 @@ class ManagedTable:
             return self.spark.createDataFrame([], schema)
         return residual(self.spark.read.schema(schema).parquet(*keep_files))
 
+    def maybe_compact(
+        self,
+        max_delta_layers: int = 5,
+        max_files: int = 64,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict[str, int] | None:
+        """Compaction policy for continuous pipelines: compact when the
+        merge-on-read chain exceeds ``max_delta_layers`` (read-time
+        anti-joins stack per layer) or the current snapshot's file
+        count exceeds ``max_files`` (small-file tax). Call after each
+        merge — the check is metadata-only; returns ``compact()``'s
+        metrics when triggered, else None. This is the automated
+        maintenance loop the reference's managed service runs for its
+        Iceberg tables (reference README.md:125-137)."""
+        m = self._read_manifest()
+        snap = m.current
+        if snap is None:
+            return None
+        by_v = {s.version: s for s in m.snapshots}
+        layers = 0
+        cur = snap
+        while cur.base_version is not None:
+            layers += 1
+            cur = by_v[cur.base_version]
+        if layers >= max_delta_layers:
+            return self.compact(target_file_bytes)
+        if snap.files is not None and len(snap.files) > max_files:
+            return self.compact(target_file_bytes)
+        if snap.partitions is not None:
+            n = sum(
+                1 for e in snap.partitions for _ in Path(e["dir"]).rglob("*.parquet")
+            )
+            if n > max_files:
+                return self.compact(target_file_bytes)
+        return None
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, int]:
         """Bin-pack small data files into ~``target_file_bytes`` files
         — the compaction half of Iceberg table maintenance the

@@ -217,3 +217,34 @@ def test_stream_mor_equals_cow_stream(spark, warehouse, tmp_path):
     assert sorted(map(tuple, mor.read().collect())) == sorted(
         map(tuple, cow.read().collect())
     )
+
+
+def test_stream_static_join_equals_batch(spark, tmp_path):
+    """H: stream-static enrichment — the h09 twin's semantics through
+    a real readStream: each microbatch broadcast-joins the static
+    nation dimension; the drained result equals the batch join."""
+    events = load(spark, SF_DIR, "events").select("event_id", "user_id", "event_type", "value")
+    src = tmp_path / "events_src"
+    events.write.parquet(str(src))
+    nation = load(spark, SF_DIR, "nation")
+
+    def enrich(df):
+        return (
+            df.withColumn("nk", F.col("user_id") % 25)
+            .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+            .select("event_id", "n_name", "event_type", "value")
+        )
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        enrich(stream)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("enriched").collect()))
+    want = sorted(map(tuple, enrich(events).collect()))
+    assert got == want

@@ -331,3 +331,28 @@ def test_unknown_strategy_rejected(spark, warehouse):
     t.bootstrap(base_df(spark))
     with pytest.raises(ValueError, match="unknown merge strategy"):
         t.apply_changes(changelog_df(spark), strategy="sideways")
+
+
+def test_maybe_compact_policy(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    # below both thresholds: no-op
+    assert t.maybe_compact(max_delta_layers=3, max_files=64) is None
+    # stack three MoR layers -> chain trigger fires
+    for i in range(3):
+        t.apply_changes(
+            spark.createDataFrame(
+                [Row(op="MODIFY", seq=i, pk=1, status=f"v{i}", price=float(i))]
+            ),
+            strategy="merge-on-read",
+        )
+    res = t.maybe_compact(max_delta_layers=3, max_files=64)
+    assert res is not None and t.history()[-1].operation == "compact"
+    # file-count trigger on a fragmented flat table
+    t2 = ManagedTable(
+        spark, warehouse,
+        TableSpec(namespace="ns", name="frag", key_columns=("pk",), order_columns=("seq",)),
+    )
+    t2.bootstrap(_range_df(spark).repartition(16))
+    assert t2.maybe_compact(max_files=8) is not None
+    assert t2.maybe_compact(max_files=8) is None  # now compact
