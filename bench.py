@@ -28,6 +28,9 @@ HEADLINE = [
     "d04_partitioned_sink",     # hive-partitioned parquet write + agg
     "d21_star_join_flagship",   # 5-way star join + agg
     "d22_grouped_agg_q1",       # full-scan grouped aggregate
+    "d59_tpch_q3_shipping_priority",  # filtered 3-way join + top-k
+    "d60_tpch_q10_returned_items",    # quarter-filtered 4-way join + top-k
+    "d57_funnel",               # stacked windows, one user_id shuffle
     "d19_range_join",           # interval join on equi-key
     "d20_asof_join",            # as-of join via window
     "d31_window_ranking",       # partitioned window functions

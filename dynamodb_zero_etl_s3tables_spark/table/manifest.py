@@ -348,7 +348,9 @@ class ManagedTable:
         file_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
         parts: list[DataFrame] = []
         for ent in entries:
-            df = self.spark.read.schema(file_schema).parquet(ent["dir"])
+            # a pruned scan narrows the entry to specific files
+            src = ent.get("read_files") or [ent["dir"]]
+            df = self.spark.read.schema(file_schema).parquet(*src)
             for pc in pcols:
                 raw = ent["values"][pc]
                 lit = (
@@ -504,13 +506,35 @@ class ManagedTable:
                 )
 
             keep = [e for e in snap.partitions if part_matches(e)]
+            # second stage: min/max file skipping INSIDE the surviving
+            # partitions (non-partition-column filters)
+            files_total = files_read = 0
+            narrowed = []
+            for e in keep:
+                ents = e.get("files")
+                if not ents:
+                    narrowed.append(e)  # legacy entry: read whole dir
+                    continue
+                files_total += len(ents)
+                kept_files = [
+                    f["path"]
+                    for f in ents
+                    if all(
+                        _file_may_match(f["stats"], col, op, val)
+                        for col, op, val in filters
+                        if col not in pcols
+                    )
+                ]
+                files_read += len(kept_files)
+                if kept_files:
+                    narrowed.append({**e, "read_files": kept_files})
             self.last_scan_metrics = {
                 "partitions_total": len(snap.partitions),
                 "partitions_read": len(keep),
-                "files_total": None,
-                "files_read": None,
+                "files_total": files_total or None,
+                "files_read": files_read if files_total else None,
             }
-            return residual(self._read_partition_entries(keep, schema))
+            return residual(self._read_partition_entries(narrowed, schema))
 
         entries = snap.files or []
         if not entries:  # legacy snapshot without stats — full read
@@ -676,9 +700,13 @@ class ManagedTable:
         writer.parquet(str(data_dir))
         files: list[dict[str, Any]] | None = None
         if self.spec.partition_columns:
-            partitions = self._enumerate_partition_dirs(data_dir) + list(
-                carry_entries or []
-            )
+            fresh = self._enumerate_partition_dirs(data_dir)
+            for ent in fresh:
+                # per-partition file stats: lets scan() skip files
+                # INSIDE surviving partitions; carried entries keep
+                # the stats they were written with
+                ent["files"] = _collect_file_stats(ent["dir"])
+            partitions = fresh + list(carry_entries or [])
         else:
             files = _collect_file_stats(str(data_dir))
         n = int(obs.get["row_count"])

@@ -356,3 +356,29 @@ def test_maybe_compact_policy(spark, warehouse):
     t2.bootstrap(_range_df(spark).repartition(16))
     assert t2.maybe_compact(max_files=8) is not None
     assert t2.maybe_compact(max_files=8) is None  # now compact
+
+
+def test_scan_file_skipping_inside_partitions(spark, warehouse):
+    # two-stage pruning: partition dirs by value, then min/max file
+    # skipping within the surviving partition
+    spec = TableSpec(
+        namespace="ns", name="pskip", key_columns=("pk",), partition_columns=("g",)
+    )
+    t = ManagedTable(spark, warehouse, spec)
+    # range-cluster on pk BEFORE the partitionBy write: each task holds
+    # a contiguous pk slice, so every partition dir gets multiple files
+    # with tight pk ranges
+    t.bootstrap(_range_df(spark).repartitionByRange(8, "pk"))
+    out = t.scan([("g", "=", 3), ("pk", ">=", 19000)])
+    m = t.last_scan_metrics
+    assert m["partitions_read"] == 1
+    assert m["files_read"] < m["files_total"], m
+    assert out.count() == len([i for i in range(19000, 20000) if i % 7 == 3])
+    # carried entries keep their stats through a pruned merge
+    ch = spark.createDataFrame(
+        [Row(op="MODIFY", seq=1, pk=0, g=0, x=0.0)]
+    )
+    t.apply_changes(ch, order_cols=("seq",))
+    out2 = t.scan([("g", "=", 3), ("pk", ">=", 19000)])
+    assert t.last_scan_metrics["files_read"] < t.last_scan_metrics["files_total"]
+    assert out2.count() == out.count()
