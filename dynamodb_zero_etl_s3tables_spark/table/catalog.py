@@ -49,9 +49,16 @@ class Catalog:
     def table(self, qualified_name: str) -> ManagedTable:
         if qualified_name in self._tables:
             return self._tables[qualified_name]
-        raise KeyError(
-            f"unknown table {qualified_name!r}; known: {sorted(self._tables)}"
-        )
+        # durable-catalog fallback: reopen from the persisted manifest
+        # (a fresh session sees every table the warehouse holds)
+        try:
+            t = ManagedTable.open(self.spark, self.warehouse, qualified_name)
+        except FileNotFoundError:
+            raise KeyError(
+                f"unknown table {qualified_name!r}; known: {sorted(self._tables)}"
+            ) from None
+        self._tables[qualified_name] = t
+        return t
 
     def list_tables(self, namespace: str) -> list[str]:
         ns_dir = Path(self.warehouse) / namespace

@@ -237,6 +237,34 @@ class ManagedTable:
         #: pruning ratio of the most recent ``scan`` (None before any)
         self.last_scan_metrics: dict[str, Any] | None = None
 
+    @classmethod
+    def open(
+        cls, spark: SparkSession, warehouse: str, qualified_name: str
+    ) -> "ManagedTable":
+        """Reopen an existing table from its manifest alone — no spec
+        required. A fresh session (or another engine instance) can
+        pick up any table the warehouse holds; the spec was persisted
+        at commit time. Raises FileNotFoundError for unknown tables."""
+        ns, _, name = qualified_name.partition(".")
+        path = Path(warehouse) / ns / name / "manifest.json"
+        if not path.exists():
+            raise FileNotFoundError(
+                f"no manifest for table {qualified_name!r} under {warehouse}"
+            )
+        raw = json.loads(path.read_text())
+        spec_dict = raw.get("spec")
+        if spec_dict is None:  # pre-spec manifest: minimal reconstruction
+            spec_dict = {
+                "namespace": raw["spec_namespace"],
+                "name": raw["spec_name"],
+                "key_columns": raw["key_columns"],
+                "partition_columns": raw["partition_columns"],
+            }
+        for k in ("key_columns", "partition_columns", "order_columns", "sort_columns"):
+            if k in spec_dict and spec_dict[k] is not None:
+                spec_dict[k] = tuple(spec_dict[k])
+        return cls(spark, warehouse, TableSpec(**spec_dict))
+
     # -- manifest I/O -------------------------------------------------------
 
     def _read_manifest(self) -> Manifest:
@@ -249,6 +277,7 @@ class ManagedTable:
                 partition_columns=list(self.spec.partition_columns),
             )
         raw = json.loads(self.manifest_path.read_text())
+        raw.pop("spec", None)  # consumed by ManagedTable.open
         snaps = [Snapshot.from_dict(s) for s in raw.pop("snapshots")]
         return Manifest(snapshots=snaps, **raw)
 
@@ -260,11 +289,17 @@ class ManagedTable:
             raise CommitConflictError(
                 f"concurrent commit: manifest at v{current}, expected v{expected_version}"
             )
+        from dataclasses import asdict
+
         payload = {
             "spec_namespace": m.spec_namespace,
             "spec_name": m.spec_name,
             "key_columns": m.key_columns,
             "partition_columns": m.partition_columns,
+            # full spec: lets a fresh session reopen the table without
+            # re-supplying it (ManagedTable.open) — the durable-catalog
+            # behavior the reference gets from Glue (ts:110-117)
+            "spec": asdict(self.spec),
             "snapshots": [s.to_dict() for s in m.snapshots],
         }
         tmp = self.manifest_path.with_suffix(f".tmp-{uuid.uuid4().hex}")

@@ -382,3 +382,25 @@ def test_scan_file_skipping_inside_partitions(spark, warehouse):
     out2 = t.scan([("g", "=", 3), ("pk", ">=", 19000)])
     assert t.last_scan_metrics["files_read"] < t.last_scan_metrics["files_total"]
     assert out2.count() == out.count()
+
+
+def test_reopen_table_from_manifest(spark, warehouse):
+    # durable catalog: a FRESH Catalog (new session analog) reopens a
+    # table from its persisted spec and can keep merging into it
+    spec = TableSpec(
+        namespace="ns", name="durable", key_columns=("pk",),
+        order_columns=("seq",), sort_columns=("pk",),
+        properties={"write.sorted-file-count": 4},
+    )
+    t = ManagedTable(spark, warehouse, spec)
+    t.bootstrap(base_df(spark))
+
+    t2 = ManagedTable.open(spark, warehouse, "ns.durable")
+    assert t2.spec == spec  # full spec round-trips, knobs included
+    t2.apply_changes(changelog_df(spark))
+    assert t2.read().count() == 5
+
+    cat = Catalog(spark, warehouse)  # fresh catalog, nothing registered
+    assert cat.table("ns.durable").version == 2
+    with pytest.raises(KeyError, match="unknown table"):
+        cat.table("ns.nope")
