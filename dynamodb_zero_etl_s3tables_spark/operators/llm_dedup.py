@@ -163,7 +163,9 @@ _BAND_KEYS_SQL = ", ".join(
     for b in range(N_BANDS)
 )
 
-_CAND_SQL = f"""
+#: shared CTE chain ending in long_bands(doc_id, band_id, bucket) —
+#: reused by the candidate-pair and cluster-rep oracles
+_LONG_BANDS_WITH = f"""
     WITH toks AS (
       SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
     ), shingles AS (
@@ -184,10 +186,16 @@ _CAND_SQL = f"""
     ), long_bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, band_{b} AS bucket FROM bands" for b in range(N_BANDS))}
     )
+"""
+
+_CAND_SQL = (
+    _LONG_BANDS_WITH
+    + """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM long_bands a JOIN long_bands b
       ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
+)
 
 
 @query("e02b_minhash_lsh_pairs", oracle=_CAND_SQL)
@@ -453,4 +461,55 @@ def e02f_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         "doc_b",
         F.round(n_agree.cast("double") / N_HASHES, 6).alias("est_jaccard"),
+    )
+
+
+@query(
+    "e02g_lsh_cluster_reps",
+    oracle=_LONG_BANDS_WITH
+    + """
+    , bucket_min AS (
+      SELECT band_id, bucket, MIN(doc_id) AS bmin
+      FROM long_bands GROUP BY band_id, bucket
+    )
+    SELECT lb.doc_id,
+           MIN(bm.bmin) AS cluster_rep,
+           MIN(bm.bmin) <> lb.doc_id AS is_duplicate
+    FROM long_bands lb
+    JOIN bucket_min bm ON lb.band_id = bm.band_id AND lb.bucket = bm.bucket
+    GROUP BY lb.doc_id
+    """,
+)
+def e02g_lsh_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 stage 3: cluster representatives — each document's rep is
+    the smallest doc_id sharing any LSH band bucket with it; docs
+    whose rep is not themselves are the droppable near-duplicates.
+    This is the per-bucket collapse production dedup runs after
+    candidate generation (full transitive closure would iterate this
+    min-propagation to fixpoint; one pass already collapses every
+    bucket). Two shuffles — bucket-min aggregate, then per-doc min —
+    both on uniformly-hashed keys, no pair expansion at all."""
+    sigs = e02_minhash_signatures(spark, sf_dir)
+    band_cols = [
+        _mh64(
+            F.concat_ws(
+                "|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    long_bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "bucket"),
+    )
+    bucket_min = long_bands.groupBy("band_id", "bucket").agg(
+        F.min("doc_id").alias("bmin")
+    )
+    return (
+        long_bands.join(bucket_min, ["band_id", "bucket"])
+        .groupBy("doc_id")
+        .agg(
+            F.min("bmin").alias("cluster_rep"),
+            (F.min("bmin") != F.col("doc_id")).alias("is_duplicate"),
+        )
     )

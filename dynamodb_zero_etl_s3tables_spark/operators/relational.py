@@ -473,3 +473,27 @@ def d21_star_join_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+_D61_SQL = """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = o.o_orderkey
+                        AND l2.l_returnflag = 'R')
+"""
+
+
+@query("d61_correlated_subqueries", oracle=_D61_SQL)
+def d61_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — the same ANSI text runs on both
+    engines (SURVEY §4.2 subquery decorrelation: Catalyst rewrites the
+    correlated subqueries into a left-semi and a left-anti hash join
+    on l_orderkey; no per-row re-execution). Integer predicates keep
+    the semantics float-free and order-independent."""
+    from dynamodb_zero_etl_s3tables_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_D61_SQL)
