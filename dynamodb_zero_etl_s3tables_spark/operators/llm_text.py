@@ -492,3 +492,108 @@ def e08b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", bucket.alias("bucket"))
         .filter(F.col("bucket") < rate)
     )
+
+
+@query(
+    "e10b_repetition_score",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             len(t) - 2 AS n_grams,
+             len(list_distinct(list_transform(
+                   range(1, len(t) - 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS n_distinct
+      FROM (SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    )
+    SELECT doc_id, n_grams, n_distinct,
+           CAST(ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS DOUBLE)
+             AS dup_trigram_frac
+    FROM g
+    """,
+)
+def e10b_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style duplicate-n-gram
+    fraction): 1 - distinct/total trigrams. Degenerate generated text
+    repeats itself; this is the standard cheap detector. Pure
+    higher-order array functions in one projection — no explode, no
+    shuffle at all (the plan is scan -> project)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    base = d.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
+    idx = F.sequence(F.lit(0), F.size("t") - 3)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("t", i + 1, 3)))
+    return base.select(
+        "doc_id",
+        (F.size("t") - 2).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / (F.size("t") - 2),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+
+
+@query(
+    "e13_contamination",
+    oracle="""
+    WITH bench AS (
+      SELECT DISTINCT UNNEST(list_transform(
+               range(1, len(t) - 2),
+               i -> md5(array_to_string(t[i:i+3], ' ')))) AS g
+      FROM (SELECT string_split(LOWER(text), ' ') AS t FROM documents
+            WHERE source = 'src0')
+      WHERE len(t) >= 4
+    ), train AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, len(t) - 2),
+               i -> md5(array_to_string(t[i:i+3], ' '))))) AS g
+      FROM (SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
+            WHERE source <> 'src0')
+      WHERE len(t) >= 4
+    ), counts AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(b.g) AS n_hit
+      FROM train t LEFT JOIN bench b ON t.g = b.g
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           CAST(ROUND(CAST(n_hit AS DOUBLE) / n_grams, 6) AS DOUBLE) AS contamination
+    FROM counts
+    WHERE n_hit > 0
+    """,
+)
+def e13_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each training
+    document's distinct 4-gram window hashes that also occur in the
+    held-out set (source='src0' plays the benchmark). The benchmark
+    gram set is DISTINCT and dimension-sized, so it broadcasts; the
+    training side streams through a map-side hash join — at 100 TB
+    the corpus is never shuffled, only scanned. This is the standard
+    n-gram-overlap decontamination pass LLM pipelines run before
+    training."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    base = d.select("doc_id", "source", t.alias("t")).filter(F.size("t") >= 4)
+    idx = F.sequence(F.lit(0), F.size("t") - 4)
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, 4))))
+    )
+    bench = (
+        base.filter(F.col("source") == "src0")
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    train = base.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    counts = (
+        train.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.count("hit").alias("n_hit"))
+    )
+    return counts.filter(F.col("n_hit") > 0).select(
+        "doc_id", "n_grams", "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6).alias("contamination"),
+    )
