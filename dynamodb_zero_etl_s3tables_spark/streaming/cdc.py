@@ -55,6 +55,8 @@ def apply_changes_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     strategy: str = "copy-on-write",
+    auto_compact: bool = False,
+    max_delta_layers: int = 5,
 ) -> StreamingQuery:
     """H7+H8: stateful upsert sink — every microbatch runs the B5-B7
     merge transaction against the manifest table. Exactly-once comes
@@ -63,11 +65,12 @@ def apply_changes_stream(
 
     ``strategy="merge-on-read"`` makes each microbatch an O(batch)
     delta commit instead of a table rewrite — the right default for
-    high-cadence streams on large tables; schedule ``table.compact()``
-    periodically to fold the accumulated layers (note: replaying a
-    MoR microbatch after a checkpoint-gap failure stacks a duplicate
-    layer; the layered LWW semantics still converge to the same state,
-    preserving A10)."""
+    high-cadence streams on large tables; ``auto_compact=True`` folds
+    the accumulated layers whenever the chain passes
+    ``max_delta_layers`` (metadata-only check per batch, B11). Note:
+    replaying a MoR microbatch after a checkpoint-gap failure stacks a
+    duplicate layer; the layered LWW semantics still converge to the
+    same state, preserving A10."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -80,6 +83,8 @@ def apply_changes_stream(
             empty = table.spark.createDataFrame([], T.StructType(image_cols))
             table.bootstrap(empty)
         table.apply_changes(batch_df, strategy=strategy)
+        if auto_compact:
+            table.maybe_compact(max_delta_layers=max_delta_layers)
 
     writer = (
         changes.writeStream.foreachBatch(merge_batch)

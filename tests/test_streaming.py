@@ -248,3 +248,44 @@ def test_stream_static_join_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.table("enriched").collect()))
     want = sorted(map(tuple, enrich(events).collect()))
     assert got == want
+
+
+def test_stream_mor_auto_compact(spark, warehouse, tmp_path):
+    """H7+B11: a MoR stream with auto_compact folds its delta chain
+    once it passes the layer threshold; state is unaffected."""
+    log_dir = tmp_path / "log_ac"
+    for i, rows in enumerate((BATCH1, BATCH2, BATCH1, BATCH2)):
+        _write_batch(log_dir / f"b{i}.json", rows)
+    t = ManagedTable(
+        spark, warehouse,
+        TableSpec(namespace="ns", name="ac", key_columns=("pk",), order_columns=("seq",)),
+    )
+    q = apply_changes_stream(
+        t,
+        read_changelog_stream(
+            spark, str(log_dir), changelog_schema(IMAGE_SCHEMA), max_files_per_trigger=1
+        ),
+        str(tmp_path / "ckpt_ac"),
+        strategy="merge-on-read",
+        auto_compact=True,
+        max_delta_layers=2,
+    )
+    q.awaitTermination(120)
+    ops = [s.operation for s in t.history()]
+    assert "compact" in ops, ops
+    # compaction must not change state: equal to a CoW stream of the
+    # same log (sequential microbatch semantics on both sides)
+    ref = ManagedTable(
+        spark, warehouse,
+        TableSpec(namespace="ns", name="ac_ref", key_columns=("pk",), order_columns=("seq",)),
+    )
+    q2 = apply_changes_stream(
+        ref,
+        read_changelog_stream(
+            spark, str(log_dir), changelog_schema(IMAGE_SCHEMA), max_files_per_trigger=1
+        ),
+        str(tmp_path / "ckpt_ac_ref"),
+    )
+    q2.awaitTermination(120)
+    got = {r.pk: (r.status, r.price) for r in t.read().collect()}
+    assert got == {r.pk: (r.status, r.price) for r in ref.read().collect()}
