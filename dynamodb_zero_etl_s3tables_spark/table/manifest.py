@@ -920,6 +920,68 @@ class ManagedTable:
         )
         self._write_snapshot(merged, operation="merge", carry_entries=carry)
 
+    def rollback_to(self, version: int) -> None:
+        """Roll the table back by committing a NEW snapshot that
+        points at ``version``'s (immutable) data — history is
+        preserved, the bad snapshots stay inspectable, and vacuum
+        reclaims them later. O(metadata): no data moves. The Iceberg
+        rollback semantic over this engine's manifest."""
+        m = self._read_manifest()
+        by_v = {s.version: s for s in m.snapshots}
+        if version not in by_v:
+            raise ValueError(
+                f"version {version} not in retained history "
+                f"{sorted(by_v)} of {self.spec.qualified_name}"
+            )
+        src = by_v[version]
+        expected = m.version
+        m.snapshots.append(
+            Snapshot(
+                version=expected + 1,
+                data_dir=src.data_dir,
+                committed_at=time.time(),
+                row_count=src.row_count,
+                schema_json=src.schema_json,
+                operation="rollback",
+                partitions=src.partitions,
+                files=src.files,
+                base_version=src.base_version,
+                delta=src.delta,
+            )
+        )
+        self._write_manifest(m, expected_version=expected)
+
+    def verify_integrity(self) -> dict[str, Any]:
+        """Metadata audit: every data path each retained snapshot
+        references must exist, and merge-on-read base chains must be
+        complete. Returns counters; raises nothing — an ops tool."""
+        m = self._read_manifest()
+        by_v = {s.version: s for s in m.snapshots}
+        missing_paths: list[str] = []
+        broken_chains: list[int] = []
+        for s in m.snapshots:
+            refs: list[str] = []
+            if s.delta is not None:
+                refs += list(s.delta.values())
+                cur = s
+                while cur.base_version is not None:
+                    nxt = by_v.get(cur.base_version)
+                    if nxt is None:
+                        broken_chains.append(s.version)
+                        break
+                    cur = nxt
+            elif s.partitions is not None:
+                refs += [e["dir"] for e in s.partitions]
+            else:
+                refs.append(s.data_dir)
+            missing_paths += [r for r in refs if not Path(r).exists()]
+        return {
+            "snapshots": len(m.snapshots),
+            "missing_paths": missing_paths,
+            "broken_chains": broken_chains,
+            "ok": not missing_paths and not broken_chains,
+        }
+
     # -- maintenance --------------------------------------------------------
 
     def vacuum(

@@ -404,3 +404,24 @@ def test_reopen_table_from_manifest(spark, warehouse):
     assert cat.table("ns.durable").version == 2
     with pytest.raises(KeyError, match="unknown table"):
         cat.table("ns.nope")
+
+
+def test_rollback_and_integrity(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.apply_changes(changelog_df(spark))
+    assert t.read().count() == 5 and 9 in {r.pk for r in t.read().collect()}
+    t.rollback_to(1)  # undo the merge, as a new commit
+    assert t.version == 3
+    assert t.history()[-1].operation == "rollback"
+    assert {r.pk for r in t.read().collect()} == {1, 2, 3, 4, 5}
+    # the rolled-back-over snapshot is still inspectable
+    assert 9 in {r.pk for r in t.read(version=2).collect()}
+    assert t.verify_integrity()["ok"]
+    with pytest.raises(ValueError, match="not in retained history"):
+        t.rollback_to(99)
+    # integrity flags a manually broken data path
+    import shutil
+    shutil.rmtree(t.history()[1].data_dir)
+    rep = t.verify_integrity()
+    assert not rep["ok"] and len(rep["missing_paths"]) == 1
