@@ -927,3 +927,28 @@ def c04_engine_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM analytics_orders_facade GROUP BY prio
         """
     )
+
+
+@query(
+    "d03b_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def d03b_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-scan breadth: ORC sink + scan (Spark-native columnar format
+    besides parquet; same predicate-pushdown machinery). The oracle
+    replays the aggregate from the original table, so the ORC write
+    and read sit inside the hash-match."""
+    out = _scratch(sf_dir, "orders_orc")
+    o = load(spark, sf_dir, "orders")
+    o.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("revenue"),
+    )
