@@ -597,3 +597,49 @@ def e13_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_grams", "n_hit",
         F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6).alias("contamination"),
     )
+
+
+@query(
+    "e14_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ), total AS (SELECT COUNT(*) AS n_total FROM tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(ROUND(CAST(SUM(CAST(-LN(CAST(f.n AS DOUBLE) / total.n_total)
+                                     AS DECIMAL(30,12))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS avg_surprisal
+    FROM tok t JOIN freq f ON t.token = f.token CROSS JOIN total
+    GROUP BY t.doc_id, total.n_total
+    """,
+)
+def e14_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM novelty score: average unigram surprisal
+    (-ln p(token) under the corpus's own unigram distribution) per
+    document — low = boilerplate, high = rare-token text; both tails
+    are quality signals. The vocabulary (token -> count) broadcasts
+    (vocab << corpus); token rows never shuffle for the lookup, only
+    for the per-doc aggregate. AVG is over in-doc token order — made
+    order-independent by summing exact decimals before dividing."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    surprisal = -F.log(F.col("n").cast("double") / F.col("n_total"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "n_total")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(surprisal.cast("decimal(30,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("avg_surprisal"),
+        )
+        .select("doc_id", "n_tokens", "avg_surprisal")
+    )

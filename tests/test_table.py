@@ -425,3 +425,53 @@ def test_rollback_and_integrity(spark, warehouse):
     shutil.rmtree(t.history()[1].data_dir)
     rep = t.verify_integrity()
     assert not rep["ok"] and len(rep["missing_paths"]) == 1
+
+
+# -- property-based merge semantics (hypothesis) ------------------------------
+# The CDC merge law, for ARBITRARY changelogs: merging equals replaying
+# the log into a dict ordered by (ts, seq), REMOVE deleting the key.
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from dynamodb_zero_etl_s3tables_spark.table.merge import merge_changes  # noqa: E402
+
+_change = st.fixed_dictionaries(
+    {
+        "op": st.sampled_from(["INSERT", "MODIFY", "REMOVE"]),
+        "ts": st.integers(min_value=0, max_value=5),
+        "seq": st.integers(min_value=0, max_value=5),
+        "pk": st.integers(min_value=1, max_value=8),
+        "status": st.sampled_from(["a", "b", "c"]),
+        "price": st.integers(min_value=0, max_value=99).map(float),
+    }
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(changes=st.lists(_change, min_size=1, max_size=12))
+def test_merge_matches_bruteforce_replay(spark, changes):
+    # de-dup exact (pk, ts, seq) collisions: LWW needs a total order
+    # per key, which real changelogs guarantee via a unique seq
+    seen, log = set(), []
+    for c in changes:
+        k = (c["pk"], c["ts"], c["seq"])
+        if k not in seen:
+            seen.add(k)
+            log.append(c)
+
+    base_rows = [Row(pk=i, status="base", price=float(i)) for i in range(1, 5)]
+    expected = {r.pk: (r.status, r.price) for r in base_rows}
+    for c in sorted(log, key=lambda c: (c["ts"], c["seq"])):
+        if c["op"] == "REMOVE":
+            expected.pop(c["pk"], None)
+        else:
+            expected[c["pk"]] = (c["status"], c["price"])
+
+    base = spark.createDataFrame(base_rows)
+    log_df = spark.createDataFrame(
+        [Row(op=c["op"], ts=c["ts"], seq=c["seq"], pk=c["pk"],
+             status=c["status"], price=c["price"]) for c in log]
+    )
+    merged = merge_changes(base, log_df, keys=["pk"], order_cols=["ts", "seq"])
+    got = {r.pk: (r.status, r.price) for r in merged.collect()}
+    assert got == expected
