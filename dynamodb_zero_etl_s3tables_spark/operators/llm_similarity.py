@@ -352,3 +352,90 @@ def e03c_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "vec_id", "label", "cos_sim", "rank"
     )
+
+
+# Random-hyperplane LSH: N_PLANES deterministic ±1 hyperplanes derived
+# from md5 (pure function of (plane, dim) — no RNG, so both engines
+# materialize identical planes and the whole pipeline hash-matches).
+import hashlib as _hashlib
+
+N_PLANES = 8
+_PLANES = [
+    [
+        1 if int(_hashlib.md5(f"p{j}i{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
+        for i in range(DIM)
+    ]
+    for j in range(N_PLANES)
+]
+
+
+def _plane_sql(j: int) -> str:
+    lits = ", ".join(str(v) for v in _PLANES[j])
+    return (
+        f"list_reduce(list_transform(range(1, {DIM + 1}),"
+        f" i -> embedding[i]::DOUBLE * ([{lits}][i])::DOUBLE), (a, x) -> a + x) > 0"
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_plane_sql(j)} THEN {1 << j} ELSE 0 END)" for j in range(N_PLANES)
+)
+
+
+@query(
+    "e03d_ann_hyperplane_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding, ({_BUCKET_SQL}) AS bucket
+      FROM embeddings
+    )
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket,
+           ROUND({_DOT('x.embedding', 'y.embedding')}
+                 / (SQRT({_DOT('x.embedding', 'x.embedding')})
+                    * SQRT({_DOT('y.embedding', 'y.embedding')})), 6) AS cos_sim
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE {_DOT('x.embedding', 'y.embedding')}
+          / (SQRT({_DOT('x.embedding', 'x.embedding')})
+             * SQRT({_DOT('y.embedding', 'y.embedding')})) >= 0.35
+    """,
+)
+def e03d_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path #2: random-hyperplane LSH. Each vector's bucket
+    is the packed sign pattern of N_PLANES fixed hyperplane
+    projections (cosine-similar vectors land in the same bucket with
+    probability (1 - θ/π)^N). Exact cosine then scores ONLY same-
+    bucket pairs — the quadratic blowup is confined to buckets, which
+    shrink geometrically with N_PLANES. Complements e03b's IVF
+    (data-dependent centroids) with a data-independent scheme that
+    needs no training pass — the right choice when the corpus drifts
+    faster than centroids can be refreshed."""
+    e = load(spark, sf_dir, "embeddings")
+    bucket = None
+    for j in range(N_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in _PLANES[j]])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    b = e.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    x, y = b.alias("x"), b.alias("y")
+    cos = dot_fold(F.col("x.embedding"), F.col("y.embedding")) / (
+        norm_fold(F.col("x.embedding")) * norm_fold(F.col("y.embedding"))
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(cos >= 0.35)
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("x.bucket").alias("bucket"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
