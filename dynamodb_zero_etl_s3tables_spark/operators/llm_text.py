@@ -643,3 +643,51 @@ def e14_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "avg_surprisal")
     )
+
+
+@query(
+    "e15_mixture_rebalance",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), tgt AS (SELECT MIN(n) AS min_n FROM cnt),
+    h AS (
+      SELECT d.doc_id, d.source, c.n, t.min_n,
+             ('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10000 AS bucket
+      FROM documents d JOIN cnt c ON d.source = c.source CROSS JOIN tgt t
+    )
+    SELECT doc_id, source, bucket
+    FROM h
+    WHERE bucket * n < 10000 * min_n
+    """,
+)
+def e15_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: equalize the per-source contribution by
+    downsampling every source to the smallest one's size (expected),
+    with deterministic content-key hash buckets and EXACT integer
+    rate comparison (bucket*n < 10000*min_n — no float rate, so both
+    engines keep identical rows). Source counts are a metadata-sized
+    aggregate that broadcasts; the corpus itself is filtered in one
+    scan. The same shape handles arbitrary target mixtures: replace
+    min_n with the target weight per source."""
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count("*").alias("n"))
+    tgt = cnt.agg(F.min("n").alias("min_n"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    return (
+        d.join(F.broadcast(cnt), "source")
+        .join(F.broadcast(tgt))
+        .select("doc_id", "source", bucket.alias("bucket"), "n", "min_n")
+        .filter(F.col("bucket") * F.col("n") < 10000 * F.col("min_n"))
+        .select("doc_id", "source", "bucket")
+    )

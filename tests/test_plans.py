@@ -106,6 +106,7 @@ def test_registry_wide_plan_sweep(spark):
         "e03b_ann_ivf",        # 1-row query-vector broadcast
         "e05_tfidf",           # 1-row corpus-size broadcast
         "e14_unigram_surprisal",  # 1-row corpus-token-total broadcast
+        "e15_mixture_rebalance",  # 1-row min-source-count broadcast
     }
     # Window with no partition spec over a bounded (post-limit) input:
     global_window_ok = {
