@@ -513,3 +513,56 @@ def e02g_lsh_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("bmin") != F.col("doc_id")).alias("is_duplicate"),
         )
     )
+
+
+@query(
+    "e16_dedup_pipeline",
+    oracle=_LONG_BANDS_WITH
+    + """
+    , bucket_min AS (
+      SELECT band_id, bucket, MIN(doc_id) AS bmin
+      FROM long_bands GROUP BY band_id, bucket
+    ), reps AS (
+      SELECT lb.doc_id, MIN(bm.bmin) AS cluster_rep
+      FROM long_bands lb
+      JOIN bucket_min bm ON lb.band_id = bm.band_id AND lb.bucket = bm.bucket
+      GROUP BY lb.doc_id
+    ), exact AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    )
+    SELECT e.doc_id, e.n_words
+    FROM exact e JOIN reps r ON e.doc_id = r.doc_id
+    WHERE e.doc_id = e.exact_keeper
+      AND r.cluster_rep = e.doc_id
+      AND e.n_words BETWEEN 10 AND 100000
+    """,
+)
+def e16_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone corpus curation: the surviving documents after the
+    full dedup pipeline — exact-dup keeper (md5 group minimum) AND
+    near-dup cluster representative (LSH bucket collapse, e02g) AND
+    the length gate. One query composes three pipeline stages; at
+    100 TB each stage is the same partition-parallel shape it has
+    standalone, and the conjunction is two joins on doc_id — the
+    natural key both sides are already aggregated by."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    exact = d.select(
+        "doc_id",
+        F.min("doc_id").over(W.partitionBy(F.md5("text"))).alias("exact_keeper"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    reps = e02g_lsh_cluster_reps(spark, sf_dir).select("doc_id", "cluster_rep")
+    return (
+        exact.join(reps, "doc_id")
+        .filter(
+            (F.col("doc_id") == F.col("exact_keeper"))
+            & (F.col("cluster_rep") == F.col("doc_id"))
+            & F.col("n_words").between(10, 100000)
+        )
+        .select("doc_id", "n_words")
+    )
