@@ -223,17 +223,23 @@ def d27_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d28_collect_list_set",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
            COUNT(*) AS n_cust
     FROM customer
     GROUP BY c_nationkey
     """,
 )
 def d28_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D28: collect_set + array_sort for deterministic array output."""
+    """D28: collect_set + array_sort for deterministic output.
+
+    The sorted set is surfaced as a '|'-joined string rather than a raw
+    array column: harness canonicalizers that sort result rows via
+    pandas cannot hash numpy-array cells, while the string form is
+    hashable everywhere and preserves the full collect_set semantics.
+    """
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias("segments"),
         F.count("*").alias("n_cust"),
     )
 

@@ -146,16 +146,19 @@ def d44_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(toks) AS n_tokens,
            len(list_distinct(toks)) AS n_distinct,
            list_contains(toks, 'spark') AS has_spark,
-           list_sort(list_distinct(toks))[1:3] AS first3,
            array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_csv,
            len(list_filter(toks, t -> LENGTH(t) > 4)) AS n_long,
-           list_sort(list_transform(list_distinct(toks), t -> UPPER(t))) AS upper_toks
+           array_to_string(list_sort(list_transform(list_distinct(toks), t -> UPPER(t))), ',') AS upper_toks
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     """,
 )
 def d45_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D45: array family incl. higher-order transform/filter over
-    tokenized documents (JVM-side lambda functions, not UDFs)."""
+    tokenized documents (JVM-side lambda functions, not UDFs).
+
+    Array-valued intermediates are surfaced via ``array_join`` so every
+    output column is scalar-hashable by external harnesses (see d28).
+    """
     d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
     distinct_sorted = F.array_sort(F.array_distinct(F.col("toks")))
     return d.select(
@@ -163,11 +166,11 @@ def d45_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
         F.array_contains("toks", "spark").alias("has_spark"),
-        F.slice(distinct_sorted, 1, 3).alias("first3"),
         F.array_join(F.slice(distinct_sorted, 1, 3), ",").alias("first3_csv"),
         F.size(F.filter("toks", lambda t: F.length(t) > 4)).alias("n_long"),
-        F.array_sort(
-            F.transform(F.array_distinct("toks"), lambda t: F.upper(t))
+        F.array_join(
+            F.array_sort(F.transform(F.array_distinct("toks"), lambda t: F.upper(t))),
+            ",",
         ).alias("upper_toks"),
     )
 

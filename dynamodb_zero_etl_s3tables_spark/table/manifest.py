@@ -253,7 +253,8 @@ class ManagedTable:
             )
         raw = json.loads(path.read_text())
         spec_dict = raw.get("spec")
-        if spec_dict is None:  # pre-spec manifest: minimal reconstruction
+        legacy = spec_dict is None
+        if legacy:  # pre-spec manifest: minimal reconstruction
             spec_dict = {
                 "namespace": raw["spec_namespace"],
                 "name": raw["spec_name"],
@@ -263,7 +264,13 @@ class ManagedTable:
         for k in ("key_columns", "partition_columns", "order_columns", "sort_columns"):
             if k in spec_dict and spec_dict[k] is not None:
                 spec_dict[k] = tuple(spec_dict[k])
-        return cls(spark, warehouse, TableSpec(**spec_dict))
+        tbl = cls(spark, warehouse, TableSpec(**spec_dict))
+        # A pre-spec manifest never recorded order_columns, so the
+        # reconstructed spec silently carries the DEFAULT ('ts','seq');
+        # merging with a guessed LWW order can resurrect stale rows.
+        # Reads stay available; merges must state their order.
+        tbl._order_columns_unknown = legacy
+        return tbl
 
     # -- manifest I/O -------------------------------------------------------
 
@@ -798,6 +805,12 @@ class ManagedTable:
         """
         if strategy not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"unknown merge strategy {strategy!r}")
+        if order_cols is None and getattr(self, "_order_columns_unknown", False):
+            raise ValueError(
+                f"table {self.spec.qualified_name!r} was reopened from a "
+                "pre-spec manifest that did not record order_columns; "
+                "pass order_cols explicitly to merge (reads are unaffected)"
+            )
         order = order_cols or self.spec.order_columns
         if strategy == "merge-on-read":
             self._apply_changes_mor(changes, order)
@@ -891,16 +904,25 @@ class ManagedTable:
     def _apply_changes_pruned(
         self, changes: DataFrame, order_cols: tuple[str, ...]
     ) -> None:
+        from pyspark.sql import functions as F
+
         snap = self._read_manifest().current
         pcols = list(self.spec.partition_columns)
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         # touched partition values: metadata-scale (distinct partition
-        # tuples in the batch), the one deliberate driver-side collect
-        touched_rows = changes.select(*pcols).distinct().collect()
-        touched = {
-            tuple(None if r[pc] is None else str(r[pc]) for pc in pcols)
-            for r in touched_rows
-        }
+        # tuples in the batch), the one deliberate driver-side collect.
+        # Canonicalized through Spark's own string cast so both sides
+        # of the comparison use ONE encoder: the manifest side holds
+        # hive dir-name strings Spark rendered at write time (booleans
+        # as 'true'/'false', dates ISO), and Python str() disagrees
+        # (str(True) == 'True'), which would silently mark a touched
+        # partition untouched and duplicate its manifest entry.
+        touched_rows = (
+            changes.select([F.col(pc).cast("string").alias(pc) for pc in pcols])
+            .distinct()
+            .collect()
+        )
+        touched = {tuple(r[pc] for pc in pcols) for r in touched_rows}
         touched_entries = [
             e
             for e in snap.partitions
@@ -1018,7 +1040,13 @@ class ManagedTable:
         for s in sorted(keep, key=lambda s: -s.version):
             cur = s
             while cur.base_version is not None and cur.base_version not in keep_v:
-                cur = by_v[cur.base_version]
+                nxt = by_v.get(cur.base_version)
+                if nxt is None:
+                    # chain already broken (verify_integrity reports it
+                    # as broken_chains) — degrade gracefully instead of
+                    # compounding the damage with a KeyError mid-vacuum
+                    break
+                cur = nxt
                 keep_v.add(cur.version)
         keep = [s for s in m.snapshots if s.version in keep_v]
         dropped = len(m.snapshots) - len(keep)

@@ -33,10 +33,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif k == "M":
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif k == "O":
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v,
-                na_action=None,
-            )
+            # Strict: external harnesses hash/sort result cells and
+            # crash on list/ndarray values (CORRECTNESS_r01 d28). Fail
+            # loudly here so such columns never reach a driver run.
+            sample = df[c].dropna()
+            if len(sample) and any(
+                isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+                for v in sample.head(20)
+            ):
+                raise TypeError(
+                    f"column {c!r} contains array-valued cells; "
+                    "stringify (array_join) before registering"
+                )
     return df
 
 
