@@ -241,3 +241,102 @@ def b01_bootstrap_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "o_orderdate",
     )
+
+
+@query(
+    "b01b_pitr_export_bootstrap",
+    oracle="""
+    SELECT 'ORDER#' || o_orderkey AS pk,
+           CAST(o_custkey AS BIGINT) AS custkey,
+           o_orderstatus AS status,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice,
+           CAST(o_orderdate AS VARCHAR) AS orderdate,
+           o_totalprice >= 100000 AS flag,
+           array_to_string(list_sort(list_distinct([o_orderpriority, o_orderstatus])), '|')
+             AS prio_set,
+           CAST(NULL AS VARCHAR) AS missing
+    FROM orders
+    """,
+)
+def b01b_pitr_export_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1, end to end on the REAL export layout: encode orders into a
+    PITR-shaped directory (``AWSDynamoDB/<id>/data/*.json.gz`` +
+    manifest-summary/manifest-files — the artifact the reference's
+    ExportTableToPointInTime grant, ts:135, produces), then
+    ``ManagedTable.bootstrap_export`` runs the manifest-driven scan,
+    the B3 attribute-value decode, the count-integrity check, and one
+    snapshot commit. The oracle recomputes the decode from orders, so
+    any drift anywhere in encode -> shard -> manifest -> scan ->
+    decode -> commit -> read hash-mismatches."""
+    import hashlib
+    import shutil
+    from pathlib import Path
+
+    from dynamodb_zero_etl_s3tables_spark.sources.pitr_export import (
+        av_bool,
+        av_n,
+        av_null,
+        av_s,
+        av_ss,
+        items_to_wire,
+        write_export_fixture,
+    )
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    scratch = Path("/tmp/spark_graft_io") / tag / "pitr_export"
+    if scratch.exists():
+        shutil.rmtree(scratch)  # idempotent builder (A10)
+    export_root = scratch / "export"
+    warehouse = scratch / "warehouse"
+
+    o = load(spark, sf_dir, "orders")
+    wire = o.select(
+        items_to_wire(
+            {
+                "pk": av_s(F.concat(F.lit("ORDER#"), F.col("o_orderkey"))),
+                "custkey": av_n(F.col("o_custkey")),
+                "status": av_s(F.col("o_orderstatus")),
+                "totalprice": av_n(F.col("o_totalprice").cast("decimal(12,2)")),
+                "orderdate": av_s(F.col("o_orderdate")),
+                "flag": av_bool(F.col("o_totalprice") >= 100000),
+                "prio_set": av_ss(
+                    F.array_sort(
+                        F.array(F.col("o_orderpriority"), F.col("o_orderstatus"))
+                    )
+                ),
+                "missing": av_null(),
+            }
+        )
+    )
+    write_export_fixture(wire, str(export_root), export_id="01700000000000-fixture")
+
+    t = ManagedTable(
+        spark,
+        str(warehouse),
+        TableSpec(namespace="ingest", name="orders_pitr", key_columns=("pk",)),
+    )
+    t.bootstrap_export(
+        str(export_root),
+        fields={
+            "pk": "string",
+            "custkey": "number",
+            "status": "string",
+            "totalprice": "number",
+            "orderdate": "string",
+            "flag": "boolean",
+            "prio_set": "string_set",
+            "missing": "string",
+        },
+    )
+    return t.read().select(
+        "pk",
+        F.col("custkey").cast("bigint").alias("custkey"),
+        "status",
+        F.col("totalprice").cast("double").alias("totalprice"),
+        F.col("orderdate").alias("orderdate"),  # ISO string both sides
+        "flag",
+        F.array_join("prio_set", "|").alias("prio_set"),
+        "missing",
+    )

@@ -775,6 +775,32 @@ class ManagedTable:
         """B1: initial full-snapshot load (PITR-export analog)."""
         self._write_snapshot(df, operation="bootstrap")
 
+    def bootstrap_export(
+        self,
+        export_root: str,
+        fields: dict[str, str],
+        export_id: str | None = None,
+        depth: int = 3,
+        validate_counts: bool = True,
+    ) -> None:
+        """B1, for real: bootstrap from a DynamoDB PITR export
+        directory (``AWSDynamoDB/<id>/data/*.json.gz`` + manifests —
+        what the reference's ``dynamodb:ExportTableToPointInTime``
+        grant, src/dynamodb-zero-etl-s3tables.ts:135, produces).
+        Manifest-driven scan + B3 attribute-value decode, then one
+        snapshot commit. ``fields`` maps attribute -> decode kind."""
+        from dynamodb_zero_etl_s3tables_spark.sources.pitr_export import read_export
+
+        decoded = read_export(
+            self.spark,
+            export_root,
+            fields,
+            export_id=export_id,
+            depth=depth,
+            validate_counts=validate_counts,
+        )
+        self._write_snapshot(decoded, operation="bootstrap-export")
+
     def overwrite(self, df: DataFrame) -> None:
         self._write_snapshot(df, operation="overwrite")
 
