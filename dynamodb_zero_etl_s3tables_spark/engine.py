@@ -25,12 +25,29 @@ that UX end to end:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 
 from dynamodb_zero_etl_s3tables_spark.functions.decode import decode_export
 from dynamodb_zero_etl_s3tables_spark.spec import SourceSpec, TableSpec
 from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+
+
+@dataclass
+class UnreferencedFileRemoval:
+    """Mutable maintenance config — the engine analog of the
+    reference's post-construction ``tableBucket.unreferencedFileRemoval
+    = {status, unreferencedDays, noncurrentDays}`` extension point
+    (reference test/dynamodb-zero-etl-s3tables.test.ts:243-268).
+    ``ZeroEtlEngine.vacuum()`` reads it on every no-argument call, so
+    a mutation after construction governs all later maintenance, the
+    same way the CDK construct re-renders the resource at synth."""
+
+    status: str = "Enabled"
+    unreferenced_days: int = 10
+    noncurrent_days: int = 30
 
 
 class ZeroEtlEngine:
@@ -53,6 +70,25 @@ class ZeroEtlEngine:
         self.spec = table
         self.catalog = Catalog(spark, warehouse)
         self.table: ManagedTable = self.catalog.create_table(table)
+        #: extension points, mutable after construction like the
+        #: reference's ``tableBucket.unreferencedFileRemoval`` and
+        #: ``integration.tags`` (test.ts:243-285): maintenance knobs
+        #: govern later ``vacuum()`` calls; tags propagate into the
+        #: persisted manifest spec at the next commit.
+        self.maintenance = UnreferencedFileRemoval(
+            unreferenced_days=table.unreferenced_days,
+            noncurrent_days=table.noncurrent_days,
+        )
+        self.tags: dict[str, str] = {}
+
+    def _propagate_tags(self) -> None:
+        """Render ``self.tags`` into the spec's property bag as
+        ``tag:<key>`` entries. The spec is persisted inside the
+        manifest on every commit, so tags set between operations ride
+        the next snapshot — the engine's analog of tags materializing
+        in the synthesized resource template (test.ts:269-285)."""
+        for k, v in self.tags.items():
+            self.spec.properties[f"tag:{k}"] = str(v)
 
     # -- bootstrap (B1+B3) --------------------------------------------------
 
@@ -63,10 +99,12 @@ class ZeroEtlEngine:
         the format the reference's ExportTableToPointInTime grant
         produces, ts:131-144), decode attribute values to typed
         columns, and commit the initial snapshot."""
+        self._propagate_tags()
         self.table.bootstrap(decode_export(self.spark, export_dir, fields, depth))
         return self
 
     def bootstrap(self, df: DataFrame) -> "ZeroEtlEngine":
+        self._propagate_tags()
         self.table.bootstrap(df)
         return self
 
@@ -78,6 +116,7 @@ class ZeroEtlEngine:
         order_cols: tuple[str, ...] | None = None,
         strategy: str = "copy-on-write",
     ) -> "ZeroEtlEngine":
+        self._propagate_tags()
         self.table.apply_changes(changes, order_cols=order_cols, strategy=strategy)
         return self
 
@@ -126,7 +165,21 @@ class ZeroEtlEngine:
     # -- maintenance (B11) --------------------------------------------------
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, int]:
+        self._propagate_tags()
         return self.table.compact(target_file_bytes)
 
     def vacuum(self, **kwargs) -> dict[str, int]:
-        return self.table.vacuum(**kwargs)
+        """B11 passthrough governed by ``self.maintenance``: explicit
+        kwargs win; otherwise the mutable maintenance config supplies
+        the retention windows, and ``status != 'Enabled'`` makes the
+        call a no-op (the reference's UnreferencedFileRemoval.Status
+        toggle, test.ts:249-253)."""
+        self._propagate_tags()
+        if not kwargs and self.maintenance.status != "Enabled":
+            return {"snapshots_dropped": 0, "dirs_deleted": 0}
+        defaults = {
+            "unreferenced_days": self.maintenance.unreferenced_days,
+            "noncurrent_days": self.maintenance.noncurrent_days,
+        }
+        defaults.update(kwargs)
+        return self.table.vacuum(**defaults)

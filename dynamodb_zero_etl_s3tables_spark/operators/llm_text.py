@@ -243,18 +243,40 @@ def e05e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("e05f_rolling_hash", oracle=None)
+@query(
+    "e05f_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(
+               CAST(0 AS BIGINT),
+               list_transform(
+                 string_split(LOWER(text), ' '),
+                 t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000003)),
+             (acc, h) -> (acc * 31 + h) % 999999999999989
+           ) AS rolling_hash
+    FROM documents
+    """,
+)
 def e05f_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5: polynomial rolling hash over tokens (base-31 mod 2^61-1)
-    via a higher-order fold — engine-native (no DuckDB twin; the
-    fold-order semantics are Spark-specific), rows-only check."""
+    """E5: polynomial rolling hash over tokens (base 31 mod a large
+    prime) via a higher-order fold. The per-token hash is the portable
+    md5-prefix bigint (same trick as MinHash), so the WHOLE fold is
+    exact int64 arithmetic in both engines and fully oracle-checkable
+    (DuckDB seeds its fold by prepending the 0 accumulator, since
+    list_reduce has no init argument). acc stays < 1e15, so
+    acc*31 + h < 2^62 — no int64 overflow under ANSI mode."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-    mod = F.lit(999999999999989)  # large prime; keeps acc*31 in int64
+    mod = F.lit(999999999999989)
+    tok_h = F.transform(
+        F.split(F.lower("text"), " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+        % 1000003,
+    )
     rolled = F.aggregate(
-        toks,
+        tok_h,
         F.lit(0).cast("bigint"),
-        lambda acc, t: (acc * 31 + F.abs(F.xxhash64(t)) % 1000003) % mod,
+        lambda acc, h: (acc * 31 + h) % mod,
     )
     return d.select("doc_id", rolled.alias("rolling_hash"))
 

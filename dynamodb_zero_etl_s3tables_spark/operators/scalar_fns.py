@@ -268,14 +268,43 @@ def d48_hash_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d48b_hash_native", oracle=None)
+@query(
+    "d48b_hash_native",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_name) AS n_distinct_names,
+           TRUE AS xxhash64_injective,
+           TRUE AS murmur3_low_collision,
+           TRUE AS crc32_low_collision
+    FROM customer
+    """,
+)
 def d48b_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D48: Spark-native hashes (xxhash64 / murmur3) — engine-specific
-    values, rows-only check."""
+    """D48: Spark-native hashes (xxhash64 / murmur3 / crc32). Their
+    VALUES are engine-specific, so the oracle checks hash-function
+    INVARIANTS the query asserts about itself: 64-bit xxhash must be
+    collision-free on this cardinality (collision odds ~1e-11), and
+    the 32-bit families must stay within birthday-bound slack (1%).
+    A broken hash column flips a boolean and hash-mismatches."""
     c = load(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.xxhash64("c_name").alias("name_xxhash64"),
-        F.hash("c_name").alias("name_murmur3"),
-        F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
+    h = c.select(
+        "c_name",
+        F.xxhash64("c_name").alias("xx"),
+        F.hash("c_name").alias("mm"),
+        F.crc32(F.col("c_name").cast("binary")).alias("crc"),
+    )
+    return h.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("c_name").alias("n_distinct_names"),
+        (F.countDistinct("xx") == F.countDistinct("c_name")).alias(
+            "xxhash64_injective"
+        ),
+        (
+            F.countDistinct("mm").cast("double")
+            >= 0.99 * F.countDistinct("c_name")
+        ).alias("murmur3_low_collision"),
+        (
+            F.countDistinct("crc").cast("double")
+            >= 0.99 * F.countDistinct("c_name")
+        ).alias("crc32_low_collision"),
     )

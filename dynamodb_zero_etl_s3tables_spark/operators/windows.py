@@ -192,7 +192,9 @@ def d36_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = o.select(
         "o_orderkey", "o_totalprice", maybe.alias("maybe_priority")
     ).orderBy(*order).limit(50)
-    w = W.orderBy(
+    # constant partition: input is the 50-row post-limit result — same
+    # plan, but avoids the "No Partition Defined" warning wall
+    w = W.partitionBy(F.lit(1)).orderBy(
         F.col("maybe_priority").desc_nulls_last(),
         F.col("o_totalprice").desc(),
         F.col("o_orderkey"),

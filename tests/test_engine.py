@@ -109,3 +109,44 @@ def test_extension_points_exposed(spark, warehouse):
     eng.bootstrap(spark.createDataFrame([Row(pk=1, v="a")]))
     assert eng.compact()["files_after"] >= 1
     assert eng.vacuum() == {"snapshots_dropped": 0, "dirs_deleted": 0}
+
+
+def test_unreferenced_file_removal_config(spark, warehouse):
+    # mirrors reference test.ts:243-268: mutate maintenance config
+    # after construction; later maintenance honors it
+    eng = ZeroEtlEngine(
+        spark, warehouse, SRC,
+        TableSpec(namespace="ns", name="maint", key_columns=("pk",)),
+    )
+    assert (eng.maintenance.unreferenced_days, eng.maintenance.noncurrent_days) == (
+        10, 30,  # reference README defaults
+    )
+    eng.bootstrap(spark.createDataFrame([Row(pk=1, v="a")]))
+    eng.apply_changes(
+        spark.createDataFrame([Row(op="MODIFY", ts="t", seq=1, pk=1, v="b")])
+    )
+    eng.maintenance.status = "Disabled"
+    assert eng.vacuum() == {"snapshots_dropped": 0, "dirs_deleted": 0}
+    assert len(eng.table.history()) == 2  # disabled: nothing dropped
+    eng.maintenance.status = "Enabled"
+    eng.maintenance.noncurrent_days = 0  # retain only current
+    stats = eng.vacuum()
+    assert stats["snapshots_dropped"] == 1
+    assert len(eng.table.history()) == 1
+    assert eng.read().count() == 1  # current snapshot intact
+
+
+def test_tags_propagate_to_manifest(spark, warehouse):
+    # mirrors reference test.ts:269-285: tags set post-construction
+    # materialize in the persisted resource (here: the manifest spec,
+    # visible to a fresh session reopening the table)
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+
+    eng = ZeroEtlEngine(
+        spark, warehouse, SRC,
+        TableSpec(namespace="ns", name="tagged", key_columns=("pk",)),
+    )
+    eng.tags["Environment"] = "production"
+    eng.bootstrap(spark.createDataFrame([Row(pk=1, v="a")]))
+    reopened = ManagedTable.open(spark, warehouse, "ns.tagged")
+    assert reopened.spec.properties.get("tag:Environment") == "production"

@@ -1,0 +1,68 @@
+"""Degenerate-corpus guards (SURVEY §2 E2 scale posture): the LSH
+bucket-size cap and the shingle document-frequency cap must bound the
+quadratic pair expansion when a corpus slice is pathologically
+self-similar — the exact failure mode a 100 TB crawl corpus hits on
+boilerplate."""
+
+import pandas as pd
+import pytest
+
+from dynamodb_zero_etl_s3tables_spark.operators import llm_dedup
+
+
+CLONE = "the quick brown fox jumps over the lazy dog again and again " * 3
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory):
+    """documents table: 20 identical clones + 10 distinct docs."""
+    rows = [
+        {"doc_id": i, "text": CLONE, "lang": "en", "source": "src0",
+         "n_chars": len(CLONE)}
+        for i in range(20)
+    ] + [
+        {"doc_id": 100 + i,
+         "text": f"completely unrelated document number {i} with unique "
+                 f"words alpha{i} beta{i} gamma{i} delta{i} epsilon{i}",
+         "lang": "en", "source": "src1", "n_chars": 80}
+        for i in range(10)
+    ]
+    d = tmp_path_factory.mktemp("degen")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark, degenerate_dir, monkeypatch):
+    # default cap (1000): the 20-clone bucket expands -> >= 190 pairs
+    pairs = llm_dedup.e02b_minhash_lsh_pairs(spark, degenerate_dir)
+    assert pairs.count() >= 20 * 19 // 2
+    # cap below the clone-bucket size: the degenerate bucket is dropped
+    # BEFORE expansion, so no clone pair survives
+    monkeypatch.setattr(llm_dedup, "LSH_BUCKET_CAP", 10)
+    capped = llm_dedup.e02b_minhash_lsh_pairs(spark, degenerate_dir)
+    clone_pairs = capped.filter("doc_a < 20 AND doc_b < 20").count()
+    assert clone_pairs == 0
+
+
+def test_lsh_estimate_respects_cap(spark, degenerate_dir, monkeypatch):
+    monkeypatch.setattr(llm_dedup, "LSH_BUCKET_CAP", 10)
+    est = llm_dedup.e02f_minhash_estimate(spark, degenerate_dir)
+    assert est.filter("doc_a < 20 AND doc_b < 20").count() == 0
+
+
+def test_shingle_df_cap_kills_hot_key(spark, degenerate_dir, monkeypatch):
+    # clone shingles have df=20: below the default cap -> pairs exist
+    assert (
+        llm_dedup.e02c_ngram_jaccard(spark, degenerate_dir)
+        .filter("doc_a < 20 AND doc_b < 20")
+        .count()
+        >= 20 * 19 // 2
+    )
+    # df cap below 20 drops every clone shingle before the self-join
+    monkeypatch.setattr(llm_dedup, "SHINGLE_DF_CAP", 5)
+    hot = (
+        llm_dedup.e02c_ngram_jaccard(spark, degenerate_dir)
+        .filter("doc_a < 20 AND doc_b < 20")
+        .count()
+    )
+    assert hot == 0
