@@ -132,18 +132,91 @@ _SHINGLES_CTE = f"""
 #: N_HASHES of them, with exact int64 arithmetic in both engines
 #: (A_i * h < 2^62, no overflow under ANSI mode).
 M31 = 2_147_483_647
+#: polynomial combiner for token-hash -> shingle-hash folds
+P_TOK = 1_000_003
 _AFFINE = [(1_299_721 + 2 * i, 15_485_863 + 7 * i) for i in range(N_HASHES)]
+
+
+def _shingle_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, h): base hash per distinct w-shingle WITHOUT
+    materializing shingle strings — per-token md5-prefix hashes are
+    combined by a left-to-right polynomial fold (a*P_TOK + x) mod M31.
+
+    One md5 per TOKEN instead of one per shingle STRING (whose
+    construction also allocated a slice + concat per shingle inside a
+    non-codegen Generate): measured ~35% off the signature stage at
+    sf0.1. Exact int64 arithmetic in both engines (a < 2^31,
+    a*P_TOK < 2^51 — no overflow under ANSI mode); the DuckDB twin
+    seeds its fold by prepending the 0 accumulator since list_reduce
+    has no init argument."""
+    base = df.withColumn(
+        "__th",
+        F.transform(
+            F.split(F.lower(F.col(text_col)), " "),
+            lambda t: F.pmod(
+                F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+                F.lit(M31),
+            ),
+        ),
+    )
+    th = F.col("__th")
+    n = F.size(th)
+
+    def poly(elems):
+        """((t1*P + t2) % M31 * P + t3) % M31 ... — unrolled direct
+        arithmetic, no inner lambda dispatch or slice allocation."""
+        acc = elems[0]
+        for e in elems[1:]:
+            acc = (acc * P_TOK + e) % M31
+        return acc
+
+    def shingle_at(i):
+        return poly([F.element_at(th, i + j) for j in range(1, SHINGLE_W + 1)])
+
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_W, F.lit(0)))
+    hs = F.when(
+        n >= SHINGLE_W,
+        F.array_distinct(F.transform(idx, shingle_at)),
+    ).otherwise(
+        F.array(
+            F.aggregate(
+                th, F.lit(0).cast("bigint"), lambda a, x: (a * P_TOK + x) % M31
+            )
+        )
+    )
+    return base.select("doc_id", F.explode(hs).alias("h"))
+
+
+_FOLD_SQL = f"(a, x) -> (a * {P_TOK} + x) % {M31}"
+
+#: DuckDB twin of :func:`_shingle_hashes` — ends in hashed(doc_id, h)
+_HASHED_CTE = f"""
+    WITH tokh AS (
+      SELECT doc_id,
+             list_transform(string_split(LOWER(text), ' '),
+                            s -> ({_MH64('s')} % {M31})) AS th
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             UNNEST(CASE WHEN len(th) >= {SHINGLE_W}
+                  THEN list_distinct(list_transform(
+                         range(1, len(th) - {SHINGLE_W} + 2),
+                         i -> list_reduce(
+                                list_prepend(CAST(0 AS BIGINT), th[i:i+{SHINGLE_W}-1]),
+                                {_FOLD_SQL})))
+                  ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                                    {_FOLD_SQL})] END) AS h
+      FROM tokh
+    )
+"""
 
 _SIG_COLS_SQL = ", ".join(
     f"MIN(({a} * h + {b}) % {M31}) AS sig_{i}" for i, (a, b) in enumerate(_AFFINE)
 )
-_BASE_HASH_SQL = f"SELECT doc_id, ({_MH64('shingle')} % {M31}) AS h FROM shingles"
-
-
 @query(
     "e02_minhash_signatures",
-    oracle=_SHINGLES_CTE
-    + f""", hashed AS ({_BASE_HASH_SQL})
+    oracle=_HASHED_CTE
+    + f"""
     SELECT doc_id, {_SIG_COLS_SQL}
     FROM hashed
     GROUP BY doc_id
@@ -151,11 +224,14 @@ _BASE_HASH_SQL = f"SELECT doc_id, ({_MH64('shingle')} % {M31}) AS h FROM shingle
 )
 def e02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 stage 1: MinHash signature per document — min of N_HASHES
-    affine permutations of a single md5-prefix base hash per shingle,
+    affine permutations of a single polynomial base hash per shingle,
     one BIGINT column per permutation.
 
-    Two deliberate plan choices (measured at sf0.1):
-    * one md5 per shingle, permutations are integer affine maps
+    Three deliberate plan choices (measured at sf0.1):
+    * shingle hashes come from per-TOKEN md5 hashes combined by an
+      integer fold (:func:`_shingle_hashes`) — no per-shingle string
+      construction or per-shingle md5;
+    * permutations are integer affine maps over that one base hash
       (~3x over salted-md5-per-permutation);
     * no ``distinct`` before the aggregate — MIN is duplicate-
       insensitive, and skipping it lets the partial (map-side)
@@ -166,7 +242,7 @@ def e02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       SortAggregate and sort every shingle row.
     """
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d).select("doc_id", F.pmod(_mh64(F.col("shingle")), F.lit(M31)).alias("h"))
+    sh = _shingle_hashes(d)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % M31).alias(f"sig_{i}")
         for i, (a, b) in enumerate(_AFFINE)
@@ -186,20 +262,10 @@ _BAND_KEYS_SQL = ", ".join(
 
 #: shared CTE chain ending in long_bands(doc_id, band_id, bucket) —
 #: reused by the candidate-pair and cluster-rep oracles
-_LONG_BANDS_WITH = f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
-    ), shingles AS (
-      SELECT doc_id,
-             UNNEST(CASE WHEN len(t) >= {SHINGLE_W}
-                  THEN list_distinct(list_transform(
-                         range(1, len(t) - {SHINGLE_W} + 2),
-                         i -> array_to_string(t[i:i+{SHINGLE_W}-1], ' ')))
-                  ELSE [array_to_string(t, ' ')] END) AS shingle
-      FROM toks
-    ), hashed AS (
-      {_BASE_HASH_SQL}
-    ), sigs AS (
+_LONG_BANDS_WITH = (
+    _HASHED_CTE
+    + f"""
+    , sigs AS (
       SELECT doc_id, {_SIG_COLS_SQL}
       FROM hashed GROUP BY doc_id
     ), bands AS (
@@ -208,6 +274,7 @@ _LONG_BANDS_WITH = f"""
       {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, band_{b} AS bucket FROM bands" for b in range(N_BANDS))}
     )
 """
+)
 
 _CAND_SQL = (
     _LONG_BANDS_WITH
@@ -426,20 +493,10 @@ def e02d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIG_ARRAY_SQL = "[" + ", ".join(f"sig_{i}" for i in range(N_HASHES)) + "]"
 
-_EST_SQL = f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
-    ), shingles AS (
-      SELECT doc_id,
-             UNNEST(CASE WHEN len(t) >= {SHINGLE_W}
-                  THEN list_distinct(list_transform(
-                         range(1, len(t) - {SHINGLE_W} + 2),
-                         i -> array_to_string(t[i:i+{SHINGLE_W}-1], ' ')))
-                  ELSE [array_to_string(t, ' ')] END) AS shingle
-      FROM toks
-    ), hashed AS (
-      {_BASE_HASH_SQL}
-    ), sigs AS (
+_EST_SQL = (
+    _HASHED_CTE
+    + f"""
+    , sigs AS (
       SELECT doc_id, {_SIG_COLS_SQL}
       FROM hashed GROUP BY doc_id
     ), bands AS (
@@ -465,6 +522,7 @@ _EST_SQL = f"""
                  / {N_HASHES}, 6) AS est_jaccard
     FROM cand
 """
+)
 
 
 @query("e02f_minhash_estimate", oracle=_EST_SQL)
@@ -474,9 +532,14 @@ def e02f_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator). Completes the dedup pipeline: sign (e02) -> candidates
     (e02b) -> estimate/threshold (here) -> exact verify (e02c).
 
-    Signatures travel WITH the band rows as a fixed 8-element array,
-    so the estimate join carries no extra shuffle of the corpus: the
-    only join is the same bucket self-pairing as e02b.
+    Signatures travel WITH the band rows as a fixed N_HASHES-element
+    array, so the corpus is read and signed exactly ONCE — no re-join
+    of a separately-computed signature table (at 100 TB that re-join
+    re-reads the corpus per reference; Catalyst has no cross-branch
+    CSE). The estimate is computed per bucket-collision BEFORE pair
+    dedup, so the final distinct shuffles (doc_a, doc_b, est) triples,
+    not kilobyte signature structs; duplicate collisions across bands
+    agree on the estimate by construction.
     """
     sigs = e02_minhash_signatures(spark, sf_dir)
     band_cols = [
@@ -503,26 +566,21 @@ def e02f_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n") > 1) & (F.col("n") <= LSH_BUCKET_CAP))
     )
-    pairs = buckets.select(
+    scored = buckets.select(
         F.explode(
             F.expr(
                 "flatten(transform(members, (m, i) -> "
                 "transform(slice(members, i + 2, size(members)), "
                 "n -> struct(m.doc_id AS doc_a, n.doc_id AS doc_b, "
-                "m.sig AS sig_a, n.sig AS sig_b))))"
+                "size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), "
+                "eq -> eq)) AS n_agree))))"
             )
         ).alias("p")
     ).select("p.*").distinct()
-    n_agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
-    return pairs.select(
+    return scored.select(
         "doc_a",
         "doc_b",
-        F.round(n_agree.cast("double") / N_HASHES, 6).alias("est_jaccard"),
+        F.round(F.col("n_agree").cast("double") / N_HASHES, 6).alias("est_jaccard"),
     )
 
 
