@@ -422,3 +422,91 @@ def d55_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("acctbal"),
         F.col("c_nationkey").cast("double").alias("nationkey"),
     ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+@query(
+    "d62_hll_mergeable_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_tolerance
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d62_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D62: MERGEABLE distinct-count sketches (Apache DataSketches
+    HLL, built into Spark 4) — the 100 TB distinct pattern that
+    ``COUNT(DISTINCT)`` cannot give: sub-aggregate sketches are built
+    per (returnflag, linestatus) cell, then ``hll_union_agg`` ROLLS
+    THEM UP to per-returnflag estimates without touching raw rows
+    again. At scale the level-1 sketches are what a daily job
+    persists; any coarser rollup (weekly, global) is a cheap union of
+    kilobyte sketches instead of a re-scan. The sketch estimate can't
+    be oracle-compared bit-for-bit (DuckDB's HLL differs), so the
+    query asserts the HLL contract itself — lgK=12 gives rsd ~1.6%,
+    checked at 5x slack — and emits a boolean the oracle pins TRUE."""
+    l = load(spark, sf_dir, "lineitem")
+    lv1 = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = lv1.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts")
+    )
+    exact = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    j = merged.join(exact, "l_returnflag")
+    tol = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= 0.08 * F.col("exact_parts")
+    )
+    return j.select("l_returnflag", "exact_parts", tol.alias("within_tolerance"))
+
+
+@query(
+    "d63_kll_quantile_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           TRUE AS q50_within, TRUE AS q95_within
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d63_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D63: KLL quantile sketches (DataSketches) — streaming/mergeable
+    quantiles for 100 TB columns where exact ``percentile`` would sort
+    the world. The estimate is validated by its own contract: the
+    NORMALIZED RANK of the estimated quantile must sit within the
+    sketch's rank-error bound (k=200 -> ~1.65% one-sided; checked at
+    ~3x slack, 5%). Rank is checked by a self-join counting rows below
+    the estimate — exactly how a deployment audits a sketch before
+    trusting it — and the oracle pins the booleans TRUE."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("q")
+    )
+    sk = l.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("q").alias("sk"), F.count("*").alias("n_rows")
+    )
+    est = sk.select(
+        "l_returnflag",
+        "n_rows",
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)).alias("q95"),
+    )
+    ranks = (
+        l.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            (F.sum((F.col("q") <= F.col("q50")).cast("long")) / F.first("n_rows")).alias("r50"),
+            (F.sum((F.col("q") <= F.col("q95")).cast("long")) / F.first("n_rows")).alias("r95"),
+            F.first("n_rows").alias("n_rows"),
+        )
+    )
+    return ranks.select(
+        "l_returnflag",
+        "n_rows",
+        (F.abs(F.col("r50") - 0.5) <= 0.05).alias("q50_within"),
+        (F.abs(F.col("r95") - 0.95) <= 0.05).alias("q95_within"),
+    )

@@ -636,6 +636,82 @@ def e02g_lsh_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e02h_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, u.dst
+      FROM reach r
+      JOIN (
+        SELECT doc_a AS src, doc_b AS dst FROM ({_CAND_SQL}) c1
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM ({_CAND_SQL}) c2
+      ) u ON r.b = u.src
+    )
+    SELECT a AS doc_id,
+           MIN(b) AS component_rep,
+           MIN(b) <> a AS is_duplicate
+    FROM reach
+    GROUP BY a
+    """,
+)
+def e02h_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 stage 3b: TRUE connected components over the LSH candidate
+    graph — the fixpoint e02g's one-pass bucket collapse approximates.
+    A chain A~B~C where A,C never share a bucket still lands in one
+    component here.
+
+    Iterative min-label propagation (the simple variant of the
+    large-star/small-star algorithm): each round, every doc takes the
+    min of its own label and its neighbors' labels — one join on the
+    uniformly-hashed doc_id plus one groupBy-min per round, never a
+    pair-pair expansion. Rounds needed = graph diameter (near-dup
+    clusters are bucket-overlap cliques, so 2-4 in practice; capped
+    at 12 with a convergence check). Each round ends in an EAGER
+    ``localCheckpoint`` — without it the plan doubles per iteration
+    and the final DAG would replan the whole history (on a cluster,
+    use a checkpoint dir for fault tolerance instead). The driver-side
+    loop is control flow only; all data stays distributed. Oracle:
+    DuckDB recursive-CTE reachability (fixture-scale transitive
+    closure) aggregated to the same min-reachable-id labels."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = e02b_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)  # candidate gen runs once
+    labels = d.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(12):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "comp")
+        )
+        new_labels = (
+            labels.unionAll(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("component_rep"),
+        (F.col("comp") != F.col("doc_id")).alias("is_duplicate"),
+    )
+
+
+@query(
     "e16_dedup_pipeline",
     oracle=_LONG_BANDS_WITH
     + """
