@@ -204,3 +204,96 @@ def d60_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "d64_tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+      AND o_orderdate <  TIMESTAMP '2001-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def d64_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (public spec): revenue from orders where the
+    supplier and customer share a nation, by nation within one region.
+    The interesting join structure: lineitem joins BOTH supplier and
+    (via orders) customer, and the two paths must agree on nationkey —
+    a join-graph cycle the optimizer resolves as an extra equi-filter,
+    not an extra shuffle. Nation/region/supplier broadcast; the year
+    filter prunes orders at the scan; one final tiny rollup."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "d65_tpch_q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {DSUM('l_quantity')} AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def d65_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (public spec): customers with very large
+    orders. The shape that matters: the HAVING pre-aggregate runs
+    FIRST over lineitem (map-side partial sums collapse each order
+    before its shuffle), and the surviving big-order keys drive a
+    semi-join that prunes the second lineitem pass — never a full
+    3-way join of unfiltered tables. Top-100 rides
+    TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

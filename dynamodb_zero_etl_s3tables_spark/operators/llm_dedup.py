@@ -638,16 +638,18 @@ def e02g_lsh_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e02h_dedup_components",
     oracle=f"""
-    WITH RECURSIVE reach(a, b) AS (
+    WITH RECURSIVE cand AS ({_CAND_SQL}),
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    reach(a, b) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT r.a, u.dst
       FROM reach r
-      JOIN (
-        SELECT doc_a AS src, doc_b AS dst FROM ({_CAND_SQL}) c1
-        UNION ALL
-        SELECT doc_b AS src, doc_a AS dst FROM ({_CAND_SQL}) c2
-      ) u ON r.b = u.src
+      JOIN und u ON r.b = u.src
     )
     SELECT a AS doc_id,
            MIN(b) AS component_rep,

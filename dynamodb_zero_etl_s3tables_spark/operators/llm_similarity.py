@@ -661,3 +661,46 @@ def e02e_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("min_nb"), F.col("vec_id")).alias("keeper_id"),
         F.col("min_nb").isNotNull().alias("is_dup"),
     )
+
+
+@query(
+    "e17_label_centroids",
+    oracle=f"""
+    SELECT label, i - 1 AS dim,
+           ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid_val,
+           COUNT(*) AS n_vecs
+    FROM embeddings
+    CROSS JOIN (SELECT UNNEST(range(1, {DIM} + 1)) AS i) dims
+    GROUP BY label, i
+    """,
+)
+def e17_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: per-label embedding centroids (dimension-wise mean) —
+    the building block for IVF coarse quantizer training (e03b),
+    embedding-drift monitoring, and class-prototype diagnostics.
+
+    Scale shape: posexplode inflates rows DIM-fold, but the partial
+    (map-side) aggregation collapses them to labels x DIM cells
+    BEFORE the only shuffle — at 100 TB the exchange carries a few
+    thousand cells, not N x DIM rows. Output is long-form
+    (label, dim, value): array-typed result cells would be unhashable
+    for external harnesses, and long form re-assembles into vectors
+    with one ``array_sort(collect_list(...))`` when needed. The mean
+    goes through a decimal sum (order-independent) so both engines
+    agree bit-for-bit."""
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(25,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("centroid_val"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
