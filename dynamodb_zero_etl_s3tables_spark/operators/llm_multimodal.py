@@ -155,3 +155,35 @@ def e06c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_frames", "frame_idx")
     )
+
+
+@query(
+    "e06d_media_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS content_sha256,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id,
+           MIN(octet_length(encode(text))) AS payload_bytes
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def e06d_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: content-hash dedup over the BINARY payload — e01's exact
+    dedup applied to media: identical bytes (re-uploaded images,
+    mirrored files) collapse to one keeper regardless of filename or
+    metadata. sha256 computes executor-side over BinaryType (the
+    payload never leaves the JVM, never hits Python); one shuffle on
+    the uniform 256-bit key. At 100 TB this is the first pass of any
+    media-lake ingest, upstream of perceptual/near-dup hashing."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.select("doc_id", F.sha2(F.col("payload"), 256).alias("content_sha256"),
+                 F.length("payload").alias("nb"))
+        .groupBy("content_sha256")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.min("nb").alias("payload_bytes"),
+        )
+    )

@@ -713,3 +713,36 @@ def e15_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") * F.col("n") < 10000 * F.col("min_n"))
         .select("doc_id", "source", "bucket")
     )
+
+
+@query(
+    "e12_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(LOWER(text), ' ')) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT lang,
+             CAST(FLOOR(LOG2(GREATEST(n_tokens, 1))) AS INTEGER) AS log2_bucket
+      FROM t
+    )
+    SELECT lang, log2_bucket, COUNT(*) AS n_docs
+    FROM b
+    GROUP BY lang, log2_bucket
+    """,
+)
+def e12_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12: token-length histogram per language on log2 buckets — the
+    first diagnostic run on any new corpus slice (truncation cliffs,
+    boilerplate spikes, and tokenizer pathologies all show up here
+    before any model does). Map-side bucket computation + partial agg:
+    the shuffle carries langs x ~20 bucket cells, nothing scales with
+    corpus size."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower("text"), " "))
+    bucket = F.floor(F.log2(F.greatest(n_tokens, F.lit(1)))).cast("int")
+    return (
+        d.select("lang", bucket.alias("log2_bucket"))
+        .groupBy("lang", "log2_bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -306,3 +306,52 @@ def h09_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
     )
+
+
+def corpus_gate(d: DataFrame) -> DataFrame:
+    """Shared quality gate (batch AND streaming forms take the same
+    DataFrame): token-count band + distinct-token ratio, the e05c
+    filter predicates in streaming-safe (stateless projection) form;
+    then per-language admitted counts/token totals."""
+    toks = F.split(F.lower("text"), " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    return (
+        d.select("doc_id", "lang", n_tokens.alias("n_tokens"),
+                 distinct_ratio.alias("dr"))
+        .filter((F.col("n_tokens").between(10, 1000)) & (F.col("dr") > 0.3))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_admitted"),
+            F.sum("n_tokens").alias("tokens_admitted"),
+        )
+    )
+
+
+@query(
+    "h10_corpus_ingest_gate",
+    oracle="""
+    WITH t AS (
+      SELECT lang, len(string_split(LOWER(text), ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(LOWER(text), ' '))) AS DOUBLE)
+               / len(string_split(LOWER(text), ' ')) AS dr
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_admitted,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_admitted
+    FROM t
+    WHERE n_tokens BETWEEN 10 AND 1000 AND dr > 0.3
+    GROUP BY lang
+    """,
+)
+def h10_corpus_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10: streaming corpus-ingest quality gate twin — the shape of a
+    training-data intake pipeline: documents arrive as files, each is
+    gated on cheap stateless quality predicates, admitted counts roll
+    up per language. The gate is a pure projection+filter (no state),
+    so the streaming form is the SAME builder over readStream
+    (tests/test_streaming.py::test_corpus_gate_stream_equals_batch);
+    only the final counts aggregate carries state, keyed by the tiny
+    language cardinality."""
+    d = load(spark, sf_dir, "documents")
+    return corpus_gate(d)

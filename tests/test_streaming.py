@@ -289,3 +289,18 @@ def test_stream_mor_auto_compact(spark, warehouse, tmp_path):
     q2.awaitTermination(120)
     got = {r.pk: (r.status, r.price) for r in t.read().collect()}
     assert got == {r.pk: (r.status, r.price) for r in ref.read().collect()}
+
+
+def test_corpus_gate_stream_equals_batch(spark, tmp_path):
+    """H10: the corpus-ingest quality gate produces identical admitted
+    counts whether documents arrive as a batch table or replayed as a
+    file stream (stateless gate + tiny keyed aggregation)."""
+    from dynamodb_zero_etl_s3tables_spark.operators.stream_twins import corpus_gate
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    stream_src = tmp_path / "docs_stream"
+    docs.write.parquet(str(stream_src))
+    stream = spark.readStream.schema(docs.schema).parquet(str(stream_src))
+    got = _drain_to_memory(corpus_gate(stream), "gate").collect()
+    expected = corpus_gate(docs).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
