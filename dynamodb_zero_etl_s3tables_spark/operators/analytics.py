@@ -297,3 +297,62 @@ def d65_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "d66_timeseries_gapfill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+             {DSUM('value')} AS day_value
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span
+    )
+    SELECT s.user_id, s.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def d66_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: densify each user's daily activity onto a
+    continuous date spine (generated per user from their own span, so
+    no global calendar join) and carry the last observed daily value
+    forward across silent days (LOCF via ``last(..., ignorenulls)``).
+
+    Scale shape: the spine is a map-side ``sequence``+``explode`` of
+    per-user (min, max) — rows generated where they will be consumed,
+    no cross join against a calendar table; the fill window rides the
+    same user_id partitioning as the daily rollup. Spine size is
+    users x days, independent of event volume."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n_events"), dsum("value").alias("day_value"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
