@@ -746,3 +746,101 @@ def e12_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "log2_bucket")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+#: e18 query terms (mid-frequency in the synthetic vocabulary) + the
+#: standard Robertson/Sparck-Jones BM25 constants.
+_BM25_TERMS = ("vector", "merge", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "e18_bm25_retrieval",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, len(string_split(LOWER(text), ' ')) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM base
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+            FROM documents)
+      WHERE token IN ({', '.join(repr(t) for t in _BM25_TERMS)})
+      GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), parts AS (
+      SELECT tf.doc_id,
+             LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * b.dl / s.avgdl))
+               AS part
+      FROM tf
+      JOIN df ON tf.token = df.token
+      JOIN base b ON b.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(part AS DECIMAL(25,12))) AS DOUBLE), 6) AS bm25
+    FROM parts
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def e18_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18: BM25 top-k retrieval (Robertson et al., public literature)
+    for a fixed term set — the lexical-retrieval primitive a curation
+    pipeline uses to pull benchmark-adjacent or topic-matched slices
+    out of a crawl corpus (the sparse complement of e03's dense ANN).
+
+    Scale shape: the token stream is filtered to the query terms
+    BEFORE any aggregation (the corpus-size token explosion never
+    reaches a shuffle); df and the corpus stats are one-row/tiny
+    broadcasts; per-doc scores sum <= |terms| parts through a decimal
+    accumulator (order-independent); top-20 is TakeOrderedAndProject.
+    Same LN+ROUND-6 determinism discipline as e05_tfidf."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.size(F.split(F.lower("text"), " ")).alias("dl"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(25,6)")).cast("double") / F.count("*")
+        ).alias("avgdl"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    part = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        )
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    parts = (
+        tf.join(F.broadcast(df), "token")
+        .join(base, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", part.alias("part"))
+    )
+    return (
+        parts.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("part").cast("decimal(25,12)")).cast("double"), 6
+            ).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -105,6 +105,7 @@ def test_registry_wide_plan_sweep(spark):
         "e03_cosine_topk",     # 1-row query-vector broadcast
         "e03b_ann_ivf",        # 1-row query-vector broadcast
         "e05_tfidf",           # 1-row corpus-size broadcast
+        "e18_bm25_retrieval",  # 1-row corpus-stats broadcast
         "e14_unigram_surprisal",  # 1-row corpus-token-total broadcast
         "e15_mixture_rebalance",  # 1-row min-source-count broadcast
         "e03e_lsh_recall",     # exact side of the recall harness IS a
