@@ -844,3 +844,65 @@ def e18_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "e19_corpus_report",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang,
+             len(string_split(LOWER(text), ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(LOWER(text), ' '))) AS DOUBLE)
+               / len(string_split(LOWER(text), ' ')) AS dr,
+             COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS is_exact_dup
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           ROUND(CAST(SUM(CASE WHEN n_tokens BETWEEN 10 AND 1000 AND dr > 0.3
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS quality_pass_rate,
+           ROUND(CAST(SUM(CASE WHEN is_exact_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS exact_dup_rate
+    FROM t
+    GROUP BY source
+    """,
+)
+def e19_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19: per-source dataset report card — the one-page summary a
+    curation team publishes with a corpus drop: volume (docs/tokens),
+    language spread, quality-gate pass rate (e05c predicates), and
+    exact-duplicate rate (e01 semantics), all in one pass.
+
+    Scale shape: two shuffles total — one on the uniform content hash
+    for the dup flag (window count, no pair expansion), one for the
+    per-source rollup whose output is sources x 1 rows. Everything
+    else is map-side projection."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n_tokens = F.size(toks)
+    dr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    from pyspark.sql.window import Window as _W
+
+    flagged = d.select(
+        "source",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        dr.alias("dr"),
+        (F.count("*").over(_W.partitionBy(F.md5("text"))) > 1).alias("is_exact_dup"),
+    )
+    passes = (F.col("n_tokens").between(10, 1000)) & (F.col("dr") > 0.3)
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.sum(passes.cast("long")).cast("double") / F.count("*"), 6
+        ).alias("quality_pass_rate"),
+        F.round(
+            F.sum(F.col("is_exact_dup").cast("long")).cast("double") / F.count("*"),
+            6,
+        ).alias("exact_dup_rate"),
+    )
