@@ -66,3 +66,34 @@ def test_shingle_df_cap_kills_hot_key(spark, degenerate_dir, monkeypatch):
         .count()
     )
     assert hot == 0
+
+
+def test_minhash_env_knobs_regenerate_both_sides():
+    """The MinHash/LSH parameters are env-overridable, and an override
+    must regenerate BOTH the Spark constants and the DuckDB oracle SQL
+    consistently (they derive from the same module constants at
+    import). Checked in a subprocess so the env is set before import."""
+    import subprocess
+    import sys
+
+    code = (
+        "from dynamodb_zero_etl_s3tables_spark.operators import llm_dedup as L\n"
+        "assert L.N_HASHES == 16 and L.BAND_ROWS == 2 and L.N_BANDS == 8\n"
+        "assert L.LSH_BUCKET_CAP == 77\n"
+        "# oracle SQL regenerated from the same constants:\n"
+        "assert 'sig_15' in L._EST_SQL and 'sig_16' not in L._EST_SQL\n"
+        "assert '<= 77' in L._CAND_SQL\n"
+        "print('ok')\n"
+    )
+    env = {
+        "SPARK_GRAFT_MINHASH_HASHES": "16",
+        "SPARK_GRAFT_MINHASH_BAND_ROWS": "2",
+        "SPARK_GRAFT_LSH_BUCKET_CAP": "77",
+        "PATH": "/usr/bin:/bin",
+        "PYTHONPATH": "/root/repo",
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "ok"
