@@ -45,6 +45,43 @@ def d31_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d31b_relative_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS richest_in_nation,
+           NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS runner_up
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def d31b_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D31 companion: relative-position family — percent_rank,
+    cume_dist, first_value, nth_value. The ratios are exact rationals
+    of row positions (deterministic under the total ordering), rounded
+    to 6 for the cross-engine hash. nth_value needs the full-partition
+    frame: the default frame stops at CURRENT ROW, which would leave
+    the first row's runner_up NULL in one engine and not the other."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest_in_nation"),
+        F.nth_value("c_custkey", 2).over(wfull).alias("runner_up"),
+    )
+
+
+@query(
     "d32_lag_lead",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
