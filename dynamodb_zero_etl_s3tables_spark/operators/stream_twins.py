@@ -128,12 +128,13 @@ def h05_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w_order)
     # microsecond-exact gap comparison (second-truncated casts would
-    # disagree with the oracle on sub-second boundaries)
+    # disagree with the oracle on sub-second boundaries); timestamp_diff
+    # accepts both TIMESTAMP and TIMESTAMP_NTZ inputs, unlike unix_micros
     flagged = e.withColumn(
         "new_session",
         F.when(
             prev_ts.isNull()
-            | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > 1_800_000_000),
+            | (F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts")) > 1_800_000_000),
             1,
         ).otherwise(0),
     )

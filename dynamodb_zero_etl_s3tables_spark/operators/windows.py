@@ -163,7 +163,12 @@ def d34_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D34: RANGE frame — trailing 1-hour sliding sum per user over
     epoch seconds (timestamp cast to long truncates to seconds in
     Spark; FLOOR(epoch(ts)) matches in the oracle)."""
-    e = load(spark, sf_dir, "events").withColumn("ts_sec", F.col("ts").cast("long"))
+    e = load(spark, sf_dir, "events").withColumn(
+        # ts is TIMESTAMP_NTZ (plain parquet timestamp[us]); NTZ has no
+        # direct long cast, so hop through TIMESTAMP (session tz is UTC)
+        "ts_sec",
+        F.col("ts").cast("timestamp").cast("long"),
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts_sec")

@@ -13,6 +13,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; parquet plain timestamp[us] loads
+    as TIMESTAMP_NTZ, so normalize the event-time column in place
+    (session tz is UTC — the instant is unchanged)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str,
@@ -23,6 +32,7 @@ def tumbling_agg(
 ) -> DataFrame:
     """H3 (+H2): tumbling event-time window aggregate."""
     if watermark and df.isStreaming:
+        df = _event_time(df, ts_col)
         df = df.withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, width).alias("w"), *group_cols)
@@ -43,6 +53,7 @@ def sliding_agg(
 ) -> DataFrame:
     """H4: sliding event-time window aggregate."""
     if watermark and df.isStreaming:
+        df = _event_time(df, ts_col)
         df = df.withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, width, slide).alias("w"))
@@ -65,6 +76,7 @@ def session_agg(
     manages merge-on-overlap state; the batch twin is the gap-islands
     window query (operators/stream_twins.h05_session_window)."""
     if watermark and df.isStreaming:
+        df = _event_time(df, ts_col)
         df = df.withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.session_window(ts_col, gap).alias("w"), *group_cols)
@@ -84,6 +96,7 @@ def stream_dedup(
     """H6: streaming dropDuplicates; with a watermark the key state is
     garbage-collected past the horizon (bounded state at scale)."""
     if watermark and ts_col and df.isStreaming:
+        df = _event_time(df, ts_col)
         df = df.withWatermark(ts_col, watermark)
         return df.dropDuplicatesWithinWatermark(list(key_cols))
     return df.dropDuplicates(list(key_cols))
