@@ -25,6 +25,7 @@ from dynamodb_zero_etl_s3tables_spark.operators import llm_text  # noqa: E402,F4
 from dynamodb_zero_etl_s3tables_spark.operators import stream_twins  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import analytics  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import tpch_extra  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import llm_cluster  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import windows  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import scalar_fns  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import udfs  # noqa: E402,F401

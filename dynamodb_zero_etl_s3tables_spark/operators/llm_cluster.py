@@ -1,0 +1,225 @@
+"""Corpus clustering + sub-document dedup (LLM-pipeline E-family
+extensions): deterministic Lloyd/k-means refinement over the
+embeddings table, and fixed-width token-chunk dedup over documents —
+the CCNet-style "remove duplicated spans across documents" pass that
+document-level dedup (e01/e02*) can't see.
+
+Scale posture:
+- k-means: centroids are k rows — they BROADCAST; assignment is a
+  map-side fold over each vector (no shuffle), and the re-estimation
+  step is one partial-aggregated shuffle of k x DIM cells, not of
+  vectors. Iterations compose the same two steps, so the cost is
+  #iters scans — the canonical distributed k-means layout.
+- chunk dedup: chunks shuffle once on their md5 (uniform key, bounded
+  skew); ownership is an aggregate + equi-join on that hash, never a
+  string self-join.
+
+Determinism (FIXTURES.md §C discipline): distances fold left-to-right
+as IEEE doubles (order is a row property — bit-identical in any
+partitioning); re-estimated centroid means go through exact DECIMAL
+sums and are ROUNDed before reuse, so iteration 2 sees bit-identical
+centroids in both engines; assignment ties break on (dist, cid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dynamodb_zero_etl_s3tables_spark.operators.llm_similarity import DIM
+from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+K_CLUSTERS = 8
+CHUNK_W = 16
+
+
+def _sq_dist(vec, cvec) -> F.Column:
+    """Squared L2 distance between a float vector and a double
+    centroid: left-to-right IEEE fold over index order (same
+    discipline as llm_similarity.dot_fold)."""
+    diffs = F.zip_with(
+        vec, cvec, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroids, score
+    map-side, keep the (dist, cid)-minimal row per vector."""
+    j = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", _sq_dist(F.col("embedding"), F.col("cvec"))
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cvec")
+    )
+
+
+def _reestimate(assigned: DataFrame) -> DataFrame:
+    """New centroids: per-(cluster, dim) decimal-exact mean, ROUNDed
+    to 6 so both engines reuse bit-identical doubles, re-assembled
+    into index-ordered arrays."""
+    cells = (
+        assigned.select("cid", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(25,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("cv")
+        )
+    )
+    return cells.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+            lambda s: s.getField("cv"),
+        ).alias("cvec")
+    )
+
+
+# DuckDB twins of the three steps, composed as CTEs in the oracle.
+_SQL_DIST = (
+    f"list_reduce(list_transform(range(1, {DIM} + 1), "
+    "i -> (embedding[i]::DOUBLE - cvec[i]) * (embedding[i]::DOUBLE - cvec[i])), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@query(
+    "e21_kmeans_refine",
+    oracle=f"""
+    WITH init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform(embedding, x -> x::DOUBLE) AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {K_CLUSTERS})
+    ),
+    d1 AS (
+      SELECT vec_id, embedding, cid, {_SQL_DIST} AS dist
+      FROM embeddings CROSS JOIN init
+    ),
+    a1 AS (
+      SELECT vec_id, embedding, cid
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn FROM d1)
+      WHERE rn = 1
+    ),
+    cells AS (
+      SELECT cid, i AS dim,
+             ROUND(CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(25,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS cv
+      FROM a1 CROSS JOIN (SELECT UNNEST(range(1, {DIM} + 1)) AS i) dims
+      GROUP BY cid, i
+    ),
+    cent2 AS (
+      SELECT cid, list(cv ORDER BY dim) AS cvec FROM cells GROUP BY cid
+    ),
+    d2 AS (
+      SELECT e.vec_id, e.embedding, c.cid, {_SQL_DIST} AS dist
+      FROM embeddings e CROSS JOIN cent2 c
+    )
+    SELECT vec_id, cid AS cluster, ROUND(dist, 6) AS dist
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn FROM d2)
+    WHERE rn = 1
+    """,
+)
+def e21_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: two deterministic Lloyd iterations of k-means over
+    the embedding corpus (k=8, seeded with the 8 smallest vec_ids) —
+    the semantic-clustering pass behind corpus curation (topic
+    balancing, semantic dedup sharding) and the trainer for e03b's IVF
+    coarse quantizer. Assignment broadcasts centroids and folds
+    map-side; re-estimation shuffles k x DIM cells; iteration count is
+    fixed so the whole plan is static — at 100 TB each iteration is
+    one scan + one tiny shuffle, and more iterations are the same
+    plan repeated, not new shapes."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = (
+        e.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select(
+            (F.row_number().over(W.partitionBy(F.lit(1)).orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+    a1 = _assign(e, init).drop("dist")
+    cent2 = _reestimate(a1)
+    a2 = _assign(e, cent2)
+    return a2.select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+@query(
+    "e20_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT DISTINCT doc_id, md5(chunk) AS chunk_h FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 range(0, CAST(CEIL(len(t) / {CHUNK_W}.0) AS INT)),
+                 i -> array_to_string(t[(i * {CHUNK_W} + 1):(i * {CHUNK_W} + {CHUNK_W})], ' ')
+               )) AS chunk
+        FROM toks
+      )
+    ),
+    own AS (SELECT chunk_h, MIN(doc_id) AS owner FROM chunks GROUP BY chunk_h)
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN o.owner = c.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_owned,
+           ROUND(CAST(SUM(CASE WHEN o.owner = c.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS owned_ratio
+    FROM chunks c JOIN own o ON c.chunk_h = o.chunk_h
+    GROUP BY c.doc_id
+    """,
+)
+def e20_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: fixed-width token-chunk dedup — split each document
+    into {CHUNK_W}-token chunks, attribute each distinct chunk to its
+    lowest-doc_id owner, and report per-document chunk ownership (the
+    sub-document pass that catches boilerplate/quotation overlap
+    document-level dedup misses; public CCNet/C4 pipelines dedup at
+    exactly this granularity). Chunks travel as md5 hashes, so the
+    ownership shuffle carries 32-byte keys with uniform distribution
+    regardless of chunk text skew."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_W))).cast("int")
+    chunked = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * CHUNK_W + 1, CHUNK_W)
+                ),
+            )
+        ).alias("chunk"),
+    )
+    chunks = chunked.select("doc_id", F.md5("chunk").alias("chunk_h")).distinct()
+    own = chunks.groupBy("chunk_h").agg(F.min("doc_id").alias("owner"))
+    owned = F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        chunks.join(own, "chunk_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(owned).alias("n_owned"),
+            F.round(F.sum(owned).cast("double") / F.count("*"), 6).alias(
+                "owned_ratio"
+            ),
+        )
+    )
