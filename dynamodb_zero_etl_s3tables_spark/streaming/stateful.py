@@ -21,6 +21,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 #: output schema of the running-total operator
 RUNNING_TOTAL_SCHEMA = T.StructType(
@@ -66,4 +70,70 @@ def running_totals(events: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas variant: the StatefulProcessor
+# API replaces the bare (key, batches, state) callback with a handle
+# exposing typed Value/List/Map state cells and event/processing-time
+# timers — the successor API for custom stateful operators.
+# Runtime note: this API serializes state-store traffic with
+# google.protobuf; environments without protobuf can still import
+# this module (the class definition is inert), but executing the
+# stream needs the dependency (the test skips when it's absent).
+# ---------------------------------------------------------------------------
+
+#: output schema of the running-extremes processor
+RUNNING_EXTREMES_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+_EXTREMES_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("vmax", T.DoubleType()),
+    ]
+)
+
+
+class RunningExtremesProcessor(StatefulProcessor):
+    """Per-key running (count, max(value)) in a ValueState cell;
+    emits the post-update extremes for each key seen in the batch."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("extremes", _EXTREMES_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            n, vmax = self._state.get()
+        else:
+            n, vmax = 0, float("-inf")
+        for pdf in rows:
+            n += len(pdf)
+            vmax = max(vmax, float(pdf["value"].max()))
+        self._state.update((n, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_extremes(events: DataFrame) -> DataFrame:
+    """Per-user running (count, max(value)) across microbatches via
+    the Spark 4 transformWithStateInPandas API. Same state-store
+    partitioning/checkpointing guarantees as running_totals; the
+    typed-state handle is the forward-compatible surface (ListState /
+    MapState / timers hang off the same handle)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningExtremesProcessor(),
+        outputStructType=RUNNING_EXTREMES_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -4,11 +4,13 @@ groupBy over the same files, and state carries across microbatches."""
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dynamodb_zero_etl_s3tables_spark.streaming.stateful import (
     RUNNING_TOTAL_SCHEMA,
+    running_extremes,
     running_totals,
 )
 
@@ -88,3 +90,52 @@ def test_output_schema_matches_contract():
         "n_events",
         "total_value",
     ]
+
+
+def test_transform_with_state_extremes_across_batches(spark, tmp_path):
+    """Spark-4 StatefulProcessor twin of the running-totals law:
+    state carries across microbatches and the drained result equals a
+    batch groupBy count/max over the same files.
+
+    transformWithStateInPandas talks to the state store over a
+    protobuf channel, so it needs google.protobuf at runtime — skip
+    (don't fail) where the dependency is absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    src = tmp_path / "events_tws"
+    _write(src / "b1.json", BATCH1)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+    updates: dict[int, tuple] = {}
+
+    def capture(batch_df, batch_id):
+        for row in batch_df.collect():
+            updates[row["user_id"]] = (row["n_events"], row["max_value"])
+
+    def drain():
+        q = (
+            running_extremes(stream)
+            .writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert updates[1] == (2, 10.0)
+    assert updates[2] == (1, 7.0)
+
+    _write(src / "b2.json", BATCH2)
+    drain()
+    assert updates[1] == (3, 10.0)  # state carried: max unchanged
+    assert updates[3] == (1, 2.0)
+
+    batch = (
+        spark.read.schema(EVENT_SCHEMA)
+        .json(str(src))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("value").alias("m"))
+    )
+    expected = {r["user_id"]: (r["n"], r["m"]) for r in batch.collect()}
+    assert updates == expected
