@@ -26,6 +26,7 @@ from dynamodb_zero_etl_s3tables_spark.operators import stream_twins  # noqa: E40
 from dynamodb_zero_etl_s3tables_spark.operators import analytics  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import tpch_extra  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import llm_cluster  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import llm_lm  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import windows  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import scalar_fns  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import udfs  # noqa: E402,F401
