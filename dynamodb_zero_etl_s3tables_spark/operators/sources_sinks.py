@@ -952,3 +952,88 @@ def d03b_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "c05_replication_journey",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <= 7
+    )
+    SELECT pk, status,
+           CASE WHEN pk % 10 = 0
+                THEN CAST(ROUND(CAST(price AS DECIMAL(18,2))
+                                * CAST(1.2 AS DECIMAL(3,1)), 2) AS DOUBLE)
+                WHEN pk % 10 = 1
+                THEN CAST(ROUND(CAST(price AS DECIMAL(18,2))
+                                * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE)
+                ELSE price END AS price
+    FROM base WHERE pk % 10 <> 2
+    UNION ALL
+    SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 10 IN (8, 9)
+    """,
+)
+def c05_replication_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C3/B1-B11 capstone: the reference user's whole journey as
+    one oracle-checked unit — bootstrap a keyed table, apply TWO
+    sequential CDC batches (updates, a delete, late inserts, a
+    second-round re-update), run maintenance (compaction + vacuum),
+    and read the final state back. The oracle replays the composed
+    effect in plain SQL, so LWW ordering across batches, delete
+    propagation, compaction's rewrite, and vacuum's history pruning
+    are all inside the hash-match; the history assertions below pin
+    the engine-side invariants the oracle can't see.
+    (Reference contract: "data flows automatically" README.md:12 +
+    maintenance README.md:129-137.)"""
+    wh = _scratch(sf_dir, "warehouse_c05", wipe=True)
+    cat = Catalog(spark, wh)
+    t = cat.create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_repl",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+
+    def rows(op: str, seq: int, cond, price):
+        return o.filter(cond).select(
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            price.alias("price"),
+        )
+
+    def bump(factor: str):
+        return F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit(factor).cast("decimal(3,1)"),
+            2,
+        ).cast("double")
+
+    t.bootstrap(
+        o.filter(mod10 <= 7).select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    batch1 = rows("MODIFY", 1, mod10.isin(0, 1), bump("1.1")).unionByName(
+        rows("REMOVE", 1, mod10 == 2, F.col("o_totalprice"))
+    )
+    batch2 = rows("MODIFY", 2, mod10 == 0, bump("1.2")).unionByName(
+        rows("INSERT", 2, mod10.isin(8, 9), F.col("o_totalprice"))
+    )
+    t.apply_changes(batch1, order_cols=("seq",))
+    t.apply_changes(batch2, order_cols=("seq",))
+    t.compact()
+    ops = [s.operation for s in t.history()]
+    assert ops[-1] == "compact" and ops.count("merge") == 2, ops
+    t.vacuum(unreferenced_days=0, noncurrent_days=0)
+    assert len(t.history()) == 1, "vacuum must prune history to the current snapshot"
+    return t.read().select("pk", "status", "price")

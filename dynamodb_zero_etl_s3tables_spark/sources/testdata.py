@@ -31,10 +31,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one testdata table (lazy; pushdown-friendly).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads only
-    as LONG nanoseconds (``nanosAsLong``, set in session.RUNTIME_CONF);
-    it's converted here to a microsecond TIMESTAMP — matching DuckDB's
-    own micro-truncating scan of the same file.
+    Timestamp handling covers both testdata generations:
+    - TIMESTAMP(NANOS) parquet (round-1 data) reads only as LONG
+      nanoseconds (``nanosAsLong``, set in session.RUNTIME_CONF) and
+      is converted here to a microsecond TIMESTAMP — matching
+      DuckDB's own micro-truncating scan of the same file.
+    - plain timestamp[us] parquet (current data) reads natively as
+      TIMESTAMP_NTZ and passes through untouched; operators are
+      NTZ-safe (timestamp_diff for gaps, cast-through-TIMESTAMP for
+      epoch math, cast before watermarks).
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
