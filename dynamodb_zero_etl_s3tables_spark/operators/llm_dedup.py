@@ -24,7 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.operators.registry import fan_out, query
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
 
 #: MinHash/LSH parameters, env-overridable so a deployment can match
@@ -149,6 +149,9 @@ def _shingle_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
     a*P_TOK < 2^51 — no overflow under ANSI mode); the DuckDB twin
     seeds its fold by prepending the 0 accumulator since list_reduce
     has no init argument."""
+    # CPU-heavy narrow stage (one md5 per token + N_HASHES mins per
+    # shingle): spread a narrow scan across the cluster first.
+    df = fan_out(df)
     base = df.withColumn(
         "__th",
         F.transform(

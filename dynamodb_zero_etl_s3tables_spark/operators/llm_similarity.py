@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.operators.registry import fan_out, query
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
 
 DIM = 64
@@ -423,7 +423,9 @@ def e03d_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     than IVF centroids (e03b) can be refreshed. On a corpus with no
     true near-dups this correctly returns (near-)zero rows — e03e is
     the recall harness that quantifies the trade-off."""
-    e = load(spark, sf_dir, "embeddings")
+    # hyperplane codes cost N_TABLES x N_PLANES x DIM mults per row --
+    # spread the narrow embeddings scan before the projection
+    e = fan_out(load(spark, sf_dir, "embeddings"))
     codes = codes_long(e, _E03D_PLANES, ["label"])
     x, y = codes.alias("x"), codes.alias("y")
     cand = (
@@ -486,7 +488,9 @@ def e03e_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact side is the brute-force pair join — run it at fixture
     scale only (that is the point of a validation harness: sample,
     measure, then trust the sketch at full scale)."""
-    e = load(spark, sf_dir, "embeddings")
+    # hyperplane codes cost N_TABLES x N_PLANES x DIM mults per row --
+    # spread the narrow embeddings scan before the projection
+    e = fan_out(load(spark, sf_dir, "embeddings"))
     codes = codes_long(e, _E03D_PLANES, ["label"])
     x, y = codes.alias("x"), codes.alias("y")
     cand = (

@@ -53,6 +53,21 @@ def all_oracles() -> dict[str, str]:
 # Determinism helpers (Spark side). Each has a matching SQL macro below.
 # ---------------------------------------------------------------------------
 
+def fan_out(df):
+    """Repartition a narrow scan up to the cluster's parallelism
+    before a CPU-heavy per-row projection (signature hashing,
+    hyperplane codes): a small corpus arrives as fewer parquet splits
+    than cores — sf0.1 is ONE file, one task — while the projection
+    cost is per-row, not per-byte. At real scale the scan already has
+    more splits than cores and this is a no-op (no shuffle added).
+    Results are unaffected: every downstream aggregate is
+    order-independent by the determinism contract above."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    return df
+
+
 def dsum(col, scale: int = 6) -> Column:
     """Order-independent SUM of a double column: exact decimal sum,
     surfaced as DOUBLE. Matches `DSUM(x)` in oracle SQL."""

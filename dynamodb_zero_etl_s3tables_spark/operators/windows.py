@@ -48,8 +48,8 @@ def d31_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d31b_relative_rank",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
            FIRST_VALUE(c_custkey) OVER w AS richest_in_nation,
            NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey
              ORDER BY c_acctbal DESC, c_custkey
@@ -61,9 +61,12 @@ def d31_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d31b_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D31 companion: relative-position family — percent_rank,
-    cume_dist, first_value, nth_value. The ratios are exact rationals
-    of row positions (deterministic under the total ordering), rounded
-    to 6 for the cross-engine hash. nth_value needs the full-partition
+    cume_dist, first_value, nth_value. The ratios are IEEE divisions
+    of exact row positions under a total ordering, so the raw doubles
+    are bit-identical in both engines and hash directly. Do NOT round
+    them: ROUND diverges at half-boundaries (Spark rounds the
+    shortest decimal rendering half-up, DuckDB rounds the true binary
+    value — observed at sf0.1). nth_value needs the full-partition
     frame: the default frame stops at CURRENT ROW, which would leave
     the first row's runner_up NULL in one engine and not the other."""
     c = load(spark, sf_dir, "customer")
@@ -74,8 +77,8 @@ def d31b_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.first("c_custkey").over(w).alias("richest_in_nation"),
         F.nth_value("c_custkey", 2).over(wfull).alias("runner_up"),
     )
