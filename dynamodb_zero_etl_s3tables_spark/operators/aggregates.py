@@ -510,3 +510,70 @@ def d63_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("r50") - 0.5) <= 0.05).alias("q50_within"),
         (F.abs(F.col("r95") - 0.95) <= 0.05).alias("q95_within"),
     )
+
+
+@query(
+    "d29c_median_mode",
+    oracle="""
+    WITH cents AS (
+      SELECT c_mktsegment, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ),
+    freq AS (
+      SELECT c_mktsegment, bal, COUNT(*) AS n FROM cents GROUP BY c_mktsegment, bal
+    ),
+    modes AS (
+      SELECT c_mktsegment, bal AS mode_bal FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY n DESC, bal) AS rn
+        FROM freq
+      ) WHERE rn = 1
+    )
+    SELECT c.c_mktsegment,
+           MEDIAN(bal) / 100.0 AS median_bal,
+           QUANTILE_CONT(bal, 0.25) / 100.0 AS p25_bal,
+           QUANTILE_CONT(bal, 0.75) / 100.0 AS p75_bal,
+           m.mode_bal / 100.0 AS mode_bal,
+           COUNT(*) AS n_rows
+    FROM cents c JOIN modes m USING (c_mktsegment)
+    GROUP BY c.c_mktsegment, m.mode_bal
+    """,
+)
+def d29c_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D29 companion: exact median / quartiles / deterministic mode.
+    Determinism: interpolated percentiles over DOUBLE diverge between
+    engines at representation boundaries, so values quantize to cents
+    (exact BIGINTs) first — interpolation then happens on integers,
+    where the .5 midpoints are exact in IEEE doubles and the /100
+    rescale performs the identical operation on both sides. Spark's
+    mode() breaks frequency ties arbitrarily, so the mode is computed
+    explicitly (count + row_number with a (freq DESC, value) order) —
+    one extra shuffle of (segment, value) count cells, nothing
+    row-scale. percentile() is an exact sort-based aggregate within
+    each segment: fine at segment cardinality, the documented trade
+    vs the mergeable KLL sketch (d63) at unbounded cardinality."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    freq = c.groupBy("c_mktsegment", "bal").agg(F.count("*").alias("n"))
+    wm = W.partitionBy("c_mktsegment").orderBy(F.col("n").desc(), "bal")
+    modes = (
+        freq.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("bal").alias("mode_bal"))
+    )
+    stats = c.groupBy("c_mktsegment").agg(
+        (F.median("bal") / 100.0).alias("median_bal"),
+        (F.percentile("bal", F.lit(0.25)) / 100.0).alias("p25_bal"),
+        (F.percentile("bal", F.lit(0.75)) / 100.0).alias("p75_bal"),
+        F.count("*").alias("n_rows"),
+    )
+    return stats.join(F.broadcast(modes), "c_mktsegment").select(
+        "c_mktsegment",
+        "median_bal",
+        "p25_bal",
+        "p75_bal",
+        (F.col("mode_bal") / 100.0).alias("mode_bal"),
+        "n_rows",
+    )

@@ -351,3 +351,50 @@ def d41_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     b = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
     return a.exceptAll(b)
+
+
+@query(
+    "d73_rolling_distinct_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT event_type, date_trunc('day', ts) AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT event_type, day FROM daily)
+    SELECT d.event_type, d.day,
+           (SELECT COUNT(DISTINCT u.user_id) FROM daily u
+            WHERE u.event_type = d.event_type
+              AND u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day) AS users_7d
+    FROM days d
+    """,
+)
+def d73_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D31/D34 companion: rolling 7-day DISTINCT user count per event
+    type — the windowed COUNT(DISTINCT) Spark's window functions
+    refuse directly; expressed as collect_set over a RANGE frame on
+    day numbers, then one row kept per (type, day). The
+    (type, day, user) input is pre-deduplicated, so window state per
+    row is bounded by active users in the frame, not by event volume;
+    everything rides ONE hash partitioning on event_type. The oracle
+    cross-checks with a correlated COUNT(DISTINCT) subquery."""
+    e = load(spark, sf_dir, "events")
+    daily = e.select(
+        "event_type",
+        # date_trunc (not to_date): both engines then carry the day as
+        # a timestamp, which the comparison harness hashes identically
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    ).distinct()
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(day_num)
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.withColumn(
+            "users_7d", F.size(F.collect_set("user_id").over(w)).cast("bigint")
+        )
+        .select("event_type", "day", "users_7d")
+        .distinct()
+    )
