@@ -356,3 +356,42 @@ def h10_corpus_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     language cardinality."""
     d = load(spark, sf_dir, "documents")
     return corpus_gate(d)
+
+
+@query(
+    "h11_interval_join_twin",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS p_ts, c.ts AS c_ts
+    FROM events p, events c
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.user_id = p.user_id
+      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def h11_interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H11: stream-stream interval join twin — every click by the same
+    user within the hour before each purchase (multi-touch
+    attribution; d20 is the single-touch as-of variant). The batch
+    form here IS the streaming builder
+    (streaming/joins.purchase_click_attribution) minus watermarks;
+    tests/test_streaming.py drains both sides through readStream and
+    asserts equality. In the streaming form the two-sided time bound
+    is what lets the watermark GC the per-user buffered state — the
+    canonical bounded-state two-stream join."""
+    from dynamodb_zero_etl_s3tables_spark.streaming.joins import (
+        purchase_click_attribution,
+    )
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    return purchase_click_attribution(purchases, clicks)

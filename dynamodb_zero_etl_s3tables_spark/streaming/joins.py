@@ -1,0 +1,59 @@
+"""Stream-stream interval join (Structured Streaming's two-stream
+join with event-time bounds). The one H-family join shape the
+stream-static path (h09) doesn't cover: BOTH sides are unbounded, so
+Spark buffers each side in keyed state and the time-range condition
+is what lets the watermark expire that state — without the bound the
+state grows forever.
+
+The builder takes batch or streaming frames (same code path, the
+repo's twin-law discipline): watermarks apply only in the streaming
+form, and the join condition — key equality plus a bounded time
+range — is identical in both, so draining a file-backed stream must
+equal the batch join (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; normalize a TIMESTAMP_NTZ
+    event-time column (session tz is UTC — the instant is
+    unchanged)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
+def purchase_click_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Attribute each purchase to every click by the same user within
+    the preceding ``lookback`` window.
+
+    Inputs: purchases (purchase_id, user_id, p_ts), clicks
+    (click_id, user_id, c_ts) — batch or streaming. In the streaming
+    form both sides carry watermarks and the two-sided time bound
+    (c_ts in [p_ts - lookback, p_ts]) lets Spark GC buffered rows
+    older than watermark + lookback; state is bounded by the join
+    window, not stream length. The key equality keeps it a hash
+    join — one shuffle per side on user_id."""
+    p, c = purchases, clicks
+    if p.isStreaming:
+        p = _event_time(p, "p_ts").withWatermark("p_ts", watermark)
+    if c.isStreaming:
+        c = _event_time(c, "c_ts").withWatermark("c_ts", watermark)
+    c = c.withColumnRenamed("user_id", "c_user")
+    cond = (
+        (p["user_id"] == c["c_user"])
+        & (c["c_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {lookback}"))
+        & (c["c_ts"] <= p["p_ts"])
+    )
+    return p.join(c, cond).select(
+        "purchase_id", "click_id", "user_id", "p_ts", "c_ts"
+    )

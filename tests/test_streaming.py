@@ -304,3 +304,45 @@ def test_corpus_gate_stream_equals_batch(spark, tmp_path):
     got = _drain_to_memory(corpus_gate(stream), "gate").collect()
     expected = corpus_gate(docs).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """H11: stream-stream interval join — purchases and clicks each
+    arrive as their own file-backed stream; the watermarked interval
+    join's drained output equals the batch join on the same data."""
+    from dynamodb_zero_etl_s3tables_spark.streaming.joins import (
+        purchase_click_attribution,
+    )
+
+    e = load(spark, SF_DIR, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    p_src, c_src = tmp_path / "purchases", tmp_path / "clicks"
+    purchases.write.parquet(str(p_src))
+    clicks.write.parquet(str(c_src))
+
+    p_stream = spark.readStream.schema(purchases.schema).parquet(str(p_src))
+    c_stream = spark.readStream.schema(clicks.schema).parquet(str(c_src))
+    q = (
+        purchase_click_attribution(p_stream, c_stream)
+        .writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.table("attributed").collect()))
+    want = sorted(
+        map(tuple, purchase_click_attribution(purchases, clicks).collect())
+    )
+    assert got == want and len(got) > 0
