@@ -456,7 +456,8 @@ def e03d_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e03e_lsh_recall",
     oracle=f"""
-    WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
+    WITH base AS (SELECT vec_id, label, embedding FROM embeddings
+                  WHERE vec_id % 4 = 0),
     codes AS ({_codes_long_sql(_E03D_PLANES, 'base')}),
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -485,12 +486,16 @@ def e03e_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold before trusting the ANN path. At cos 0.35 the S-curve
     predicts near-zero recall for 16-bit codes (the harness proves
     it); at the cos>=0.9 near-dup point the same codes give ~99.5%.
-    The exact side is the brute-force pair join — run it at fixture
-    scale only (that is the point of a validation harness: sample,
-    measure, then trust the sketch at full scale)."""
+    The exact side is the brute-force pair join, so the harness runs
+    on a deterministic 1-in-4 sample (vec_id % 4 = 0): recall is a
+    population rate — a sample estimates it — and the full-corpus
+    exact join is exactly the quadratic cost the ANN path exists to
+    avoid; sampling keeps the harness viable at any SF."""
     # hyperplane codes cost N_TABLES x N_PLANES x DIM mults per row --
     # spread the narrow embeddings scan before the projection
-    e = fan_out(load(spark, sf_dir, "embeddings"))
+    e = fan_out(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    )
     codes = codes_long(e, _E03D_PLANES, ["label"])
     x, y = codes.alias("x"), codes.alias("y")
     cand = (
