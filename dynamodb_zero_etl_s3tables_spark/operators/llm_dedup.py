@@ -767,3 +767,62 @@ def e16_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_words")
     )
+
+
+_E24_ORACLE = (
+    _LONG_BANDS_WITH
+    + f"""
+    , sized AS (
+      SELECT band_id, bucket, COUNT(*) AS n
+      FROM long_bands GROUP BY band_id, bucket
+    )
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM long_bands a
+      JOIN long_bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      JOIN sized s
+        ON s.band_id = a.band_id AND s.bucket = a.bucket
+      WHERE s.n <= {LSH_BUCKET_CAP}
+    )
+    SELECT c.doc_a, c.doc_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                 / GREATEST(len(da.text), len(db.text)) AS edit_sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+"""
+)
+
+
+@query("e24_editdist_verify", oracle=_E24_ORACLE)
+def e24_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 stage 4 (alternative verifier): exact edit-distance scoring
+    of the LSH candidate pairs — the character-level complement of
+    e02c's token-level Jaccard verify (catches near-dups that differ
+    by in-token edits, which token shingles miss). levenshtein is
+    engine-native in BOTH Spark and DuckDB, and the normalized
+    similarity is an IEEE division of exact ints (no rounding — same
+    bit pattern both sides). Scale: O(len^2) per pair but only over
+    LSH candidates (<< n^2); the two doc_id joins shuffle pair rows,
+    never the corpus."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = e02b_minhash_lsh_pairs(spark, sf_dir)
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    lev = F.levenshtein(F.col("ta"), F.col("tb"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("edit_dist"),
+            (
+                F.lit(1.0)
+                - lev.cast("double")
+                / F.greatest(F.length("ta"), F.length("tb"))
+            ).alias("edit_sim"),
+        )
+    )
