@@ -90,10 +90,11 @@ _SQL_DIST = (
 )
 
 
-@query(
-    "e21_kmeans_refine",
-    oracle=f"""
-    WITH init AS (
+# Shared CTE chain: two Lloyd iterations ending in a2 = the final
+# (vec_id, embedding, cid, dist) assignment. e21 projects it; e25
+# builds the SemDeDup pair search on top of it.
+_KMEANS_CTES = f"""
+    init AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
              list_transform(embedding, x -> x::DOUBLE) AS cvec
       FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {K_CLUSTERS})
@@ -121,11 +122,21 @@ _SQL_DIST = (
     d2 AS (
       SELECT e.vec_id, e.embedding, c.cid, {_SQL_DIST} AS dist
       FROM embeddings e CROSS JOIN cent2 c
+    ),
+    a2 AS (
+      SELECT vec_id, embedding, cid, dist
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn FROM d2)
+      WHERE rn = 1
     )
-    SELECT vec_id, cid AS cluster, ROUND(dist, 6) AS dist
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                       ORDER BY dist, cid) AS rn FROM d2)
-    WHERE rn = 1
+"""
+
+
+@query(
+    "e21_kmeans_refine",
+    oracle=f"""
+    WITH {_KMEANS_CTES}
+    SELECT vec_id, cid AS cluster, ROUND(dist, 6) AS dist FROM a2
     """,
 )
 def e21_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,6 +149,17 @@ def e21_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed so the whole plan is static — at 100 TB each iteration is
     one scan + one tiny shuffle, and more iterations are the same
     plan repeated, not new shapes."""
+    a2 = _two_lloyd_rounds(spark, sf_dir)
+    return a2.select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def _two_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by e21/e25: the final (vec_id, embedding, cid, dist)
+    assignment after two deterministic Lloyd rounds."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     init = (
         e.orderBy("vec_id")
@@ -151,12 +173,7 @@ def e21_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a1 = _assign(e, init).drop("dist")
     cent2 = _reestimate(a1)
-    a2 = _assign(e, cent2)
-    return a2.select(
-        "vec_id",
-        F.col("cid").alias("cluster"),
-        F.round("dist", 6).alias("dist"),
-    )
+    return _assign(e, cent2)
 
 
 @query(
@@ -221,5 +238,81 @@ def e20_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(owned).cast("double") / F.count("*"), 6).alias(
                 "owned_ratio"
             ),
+        )
+    )
+
+
+# DuckDB cosine between two a2 rows (qualified column refs)
+def _COS(a: str, b: str) -> str:
+    dot = (
+        f"list_reduce(list_transform(range(1, {DIM} + 1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (acc, x) -> acc + x)"
+    )
+    nrm = (
+        "SQRT(list_reduce(list_transform(range(1, %d + 1), "
+        "i -> %s[i]::DOUBLE * %s[i]::DOUBLE), (acc, x) -> acc + x))"
+    )
+    return f"{dot} / (({nrm % (DIM, a, a)}) * ({nrm % (DIM, b, b)}))"
+
+
+SEMDEDUP_THRESHOLD = 0.35
+
+
+@query(
+    "e25_semdedup",
+    oracle=f"""
+    WITH {_KMEANS_CTES}
+    SELECT a.vec_id AS keeper, b.vec_id AS dropped, a.cid AS cluster,
+           ROUND({_COS('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM a2 a JOIN a2 b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_COS('a.embedding', 'b.embedding')} >= {SEMDEDUP_THRESHOLD}
+    """,
+)
+def e25_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: SemDeDup-style semantic dedup (public technique:
+    k-means-cluster the embedding space, then search for high-cosine
+    pairs ONLY within each cluster — the cluster bound is what makes
+    semantic dedup tractable at corpus scale, since the quadratic
+    pair search shrinks from O(N^2) to O(sum cluster_size^2) with
+    clusters ~N/k). Composes the e21 assignment (broadcast-centroid
+    Lloyd rounds) with an in-cluster equi-join pair search; the
+    lowest vec_id in each qualifying pair is the keeper. The 0.35
+    threshold is tuned to the synthetic corpus (random embeddings
+    have no 0.9-cosine twins); a real deployment raises it — the
+    plan shape is threshold-independent."""
+    a2 = _two_lloyd_rounds(spark, sf_dir)
+    a = a2.select(
+        F.col("vec_id").alias("keeper"),
+        F.col("cid").alias("cluster"),
+        F.col("embedding").alias("ea"),
+    )
+    b = a2.select(
+        F.col("vec_id").alias("dropped"),
+        F.col("cid").alias("cluster"),
+        F.col("embedding").alias("eb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def nrm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    cos = dot / (nrm(F.col("ea")) * nrm(F.col("eb")))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("keeper") < F.col("dropped"))
+        .filter(cos >= SEMDEDUP_THRESHOLD)
+        .select(
+            "keeper", "dropped", "cluster", F.round(cos, 6).alias("cos_sim")
         )
     )

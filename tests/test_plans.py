@@ -114,6 +114,7 @@ def test_registry_wide_plan_sweep(spark):
         "d72_tpch_q22_idle_customers",  # 1-row avg-acctbal scalar broadcast
         "e21_kmeans_refine",   # k=8 centroid broadcast per Lloyd step
         "e22_vocab_coverage",  # 1-row corpus-token-total broadcast
+        "e25_semdedup",        # same k=8 centroid broadcasts (composes e21)
     }
     # Window with no partition spec over a bounded (post-limit) input:
     global_window_ok = {
@@ -123,6 +124,7 @@ def test_registry_wide_plan_sweep(spark):
         "e03c_cosine_topk_vectorized",  # rank over top-20 survivors
         "e21_kmeans_refine",   # centroid-id stamping over the LIMIT-8 seed
         "e22_vocab_coverage",  # rank/cumulative over the top-100 survivors
+        "e25_semdedup",        # same LIMIT-8 seed stamping (composes e21)
     }
     # builders that run jobs/streams at build time; plan shape of
     # their final read is covered by their oracle queries instead
