@@ -572,6 +572,9 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str, label_pred, threshold: floa
     the corpus."""
     e = load(spark, sf_dir, "embeddings")
     base = e.filter(label_pred) if label_pred is not None else e
+    # hyperplane codes + exact rescoring are per-row CPU — spread a
+    # narrow scan across the cluster first (no-op at real scale)
+    base = fan_out(base)
     codes = codes_long(base, _NEARDUP_PLANES_TBL, ["label"])
     x, y = codes.alias("x"), codes.alias("y")
     cpairs = (
