@@ -44,6 +44,13 @@ HEADLINE = [
     "e03_cosine_topk",          # brute-force ANN top-k
     "e04_similarity_join",      # threshold cosine pair join
     "e05_tfidf",                # token pipeline + tf-idf
+    # r3 additions (VERDICT r2 #4): heavy ops previously untracked.
+    # Appended, not inserted — keeps the original 20 comparable r2->r3.
+    "e02h_dedup_components",    # iterative connected components
+    "e18_bm25_retrieval",       # BM25 scoring + top-k
+    "e20_chunk_dedup",          # sub-document chunk dedup
+    "e21_kmeans_refine",        # one distributed Lloyd iteration
+    "e25_semdedup",             # cluster-bounded semantic dedup
 ]
 
 

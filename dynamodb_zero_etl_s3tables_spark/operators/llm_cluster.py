@@ -197,8 +197,8 @@ def _two_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_chunks,
            CAST(SUM(CASE WHEN o.owner = c.doc_id THEN 1 ELSE 0 END) AS BIGINT)
              AS n_owned,
-           ROUND(CAST(SUM(CASE WHEN o.owner = c.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS owned_ratio
+           CAST(SUM(CASE WHEN o.owner = c.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS owned_ratio
     FROM chunks c JOIN own o ON c.chunk_h = o.chunk_h
     GROUP BY c.doc_id
     """,
@@ -235,7 +235,9 @@ def e20_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_chunks"),
             F.sum(owned).alias("n_owned"),
-            F.round(F.sum(owned).cast("double") / F.count("*"), 6).alias(
+            # IEEE division of exact ints — bit-identical across
+            # engines, so no ROUND (FIXTURES.md rule)
+            (F.sum(owned).cast("double") / F.count("*")).alias(
                 "owned_ratio"
             ),
         )

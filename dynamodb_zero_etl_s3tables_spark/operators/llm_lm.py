@@ -39,9 +39,9 @@ BIGRAM_TOP_K = 200
     top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {VOCAB_TOP_K})
     SELECT token, n,
            CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
-           ROUND(CAST(SUM(n) OVER (ORDER BY n DESC, token
-                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-                 / t, 6) AS cum_share
+           CAST(SUM(n) OVER (ORDER BY n DESC, token
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / t AS cum_share
     FROM top, tot
     """,
 )
@@ -61,19 +61,23 @@ def e22_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = counts.agg(F.sum("n").alias("t"))
     top = counts.orderBy(F.col("n").desc(), "token").limit(VOCAB_TOP_K)
-    w = W.orderBy(F.col("n").desc(), "token")
+    # Single-partition rank over the K-row post-limit result is the
+    # intended plan (warning silenced at the logger in session.tune;
+    # test_plans.py gates partition-less windows to bounded inputs).
+    # cum_share is IEEE division of exact ints — bit-identical across
+    # engines, so no ROUND (FIXTURES.md rule).
+    w = W.partitionBy(F.lit(1)).orderBy(F.col("n").desc(), "token")
     return (
         top.crossJoin(F.broadcast(total))
         .select(
             "token",
             "n",
             F.row_number().over(w).cast("bigint").alias("rank"),
-            F.round(
+            (
                 F.sum("n")
                 .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
                 .cast("double")
-                / F.col("t"),
-                6,
+                / F.col("t")
             ).alias("cum_share"),
         )
     )
@@ -93,7 +97,7 @@ def e22_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bigrams GROUP BY w1, w2),
     c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1)
     SELECT c12.w1, c12.w2, n12, n1,
-           ROUND(CAST(n12 AS DOUBLE) / n1, 6) AS p_w2_given_w1
+           CAST(n12 AS DOUBLE) / n1 AS p_w2_given_w1
     FROM c12 JOIN c1 ON c12.w1 = c1.w1
     ORDER BY n12 DESC, c12.w1, c12.w2
     LIMIT {BIGRAM_TOP_K}
@@ -136,7 +140,9 @@ def e23_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "n12",
             "n1",
-            F.round(F.col("n12").cast("double") / F.col("n1"), 6).alias(
+            # IEEE division of exact ints — bit-identical across
+            # engines, so no ROUND (FIXTURES.md rule)
+            (F.col("n12").cast("double") / F.col("n1")).alias(
                 "p_w2_given_w1"
             ),
         )

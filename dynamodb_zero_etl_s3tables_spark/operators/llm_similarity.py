@@ -100,8 +100,9 @@ def e03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivors — a global row_number window would funnel every scored
     # row into one partition before truncating.
     topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(20)
-    # constant partition: input is the <=20-row post-limit survivors —
-    # same plan, but avoids the "No Partition Defined" warning wall
+    # Single-partition rank over the post-limit survivors is the
+    # intended plan (warning silenced at the logger in session.tune;
+    # test_plans.py gates partition-less windows to bounded inputs).
     w = W.partitionBy(F.lit(1)).orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "vec_id", "label", "cos_sim", "rank"
@@ -202,8 +203,9 @@ def e03b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     )
     topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
-    # constant partition: input is the <=20-row post-limit survivors —
-    # same plan, but avoids the "No Partition Defined" warning wall
+    # Single-partition rank over the post-limit survivors is the
+    # intended plan (warning silenced at the logger in session.tune;
+    # test_plans.py gates partition-less windows to bounded inputs).
     w = W.partitionBy(F.lit(1)).orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "vec_id", "label", "cos_sim", "rank"
@@ -278,8 +280,9 @@ def e03c_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         score, "vec_id long, label int, cos_sim double"
     )
     topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(20)
-    # constant partition: input is the <=20-row post-limit survivors —
-    # same plan, but avoids the "No Partition Defined" warning wall
+    # Single-partition rank over the post-limit survivors is the
+    # intended plan (warning silenced at the logger in session.tune;
+    # test_plans.py gates partition-less windows to bounded inputs).
     w = W.partitionBy(F.lit(1)).orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "vec_id", "label", "cos_sim", "rank"
@@ -320,6 +323,14 @@ N_TABLES = int(_os.environ.get("SPARK_GRAFT_LSH_TABLES", "8"))
 #: retain recall — see the S-curve math above.
 NEARDUP_PLANES = int(_os.environ.get("SPARK_GRAFT_NEARDUP_PLANES", "4"))
 NEARDUP_TABLES = int(_os.environ.get("SPARK_GRAFT_NEARDUP_TABLES", "4"))
+
+#: e03e's exact side is a deliberate brute-force pair join (that is
+#: what a recall harness measures against). It is fixture-scale ONLY:
+#: above this many sampled rows the harness refuses to run rather
+#: than silently launch an O(N^2) job on a production corpus.
+RECALL_HARNESS_MAX_ROWS = int(
+    _os.environ.get("SPARK_GRAFT_RECALL_MAX_ROWS", "100000")
+)
 
 
 def make_planes(tag: str, n_planes: int, n_tables: int) -> list[list[list[int]]]:
@@ -496,6 +507,18 @@ def e03e_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fan_out(
         load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
     )
+    # Hard misuse guard: the exact side below is quadratic by design.
+    # limit(cap+1) makes the probe cheap (scan stops at cap+1 rows)
+    # while still distinguishing "within bound" from "over bound".
+    cap = RECALL_HARNESS_MAX_ROWS
+    if e.limit(cap + 1).count() > cap:
+        raise RuntimeError(
+            f"e03e_lsh_recall: sampled exact side exceeds "
+            f"{cap} rows; this harness is fixture-scale validation, "
+            f"not a production operator. Raise "
+            f"SPARK_GRAFT_RECALL_MAX_ROWS only for a deliberate, "
+            f"budgeted run."
+        )
     codes = codes_long(e, _E03D_PLANES, ["label"])
     x, y = codes.alias("x"), codes.alias("y")
     cand = (

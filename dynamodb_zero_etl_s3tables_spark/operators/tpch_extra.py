@@ -120,12 +120,11 @@ def d68_tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "d69_tpch_q14_promo_revenue",
     oracle=f"""
-    SELECT CAST(ROUND(
-             100.00 * {DSUM("CASE WHEN p_type = 'PROMO' "
-                            "THEN l_extendedprice * (1 - l_discount) "
-                            "ELSE 0 END")}
-                    / {DSUM('l_extendedprice * (1 - l_discount)')}, 6)
-           AS DOUBLE) AS promo_revenue_pct
+    SELECT 100.00 * {DSUM("CASE WHEN p_type = 'PROMO' "
+                          "THEN l_extendedprice * (1 - l_discount) "
+                          "ELSE 0 END")}
+                  / {DSUM('l_extendedprice * (1 - l_discount)')}
+           AS promo_revenue_pct
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1998-03-01'
@@ -137,8 +136,11 @@ def d69_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     month (testdata p_type is a plain category, so the predicate is
     equality on 'PROMO' rather than LIKE 'PROMO%'). Part broadcasts
     (it's the dimension side); both sums ride one partial-aggregated
-    scan; the division happens on the final 1-row result, rounded so
-    the last-ulp division difference can't flip the hash."""
+    scan; the division happens on the final 1-row result. Both
+    operands are decimal-exact sums cast to DOUBLE, so the IEEE
+    division is bit-identical across engines — no ROUND (FIXTURES.md
+    rule: never round a value both engines already compute
+    bit-identically)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
@@ -149,8 +151,7 @@ def d69_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(F.lit(100.0) * dsum(promo) / dsum(rev), 6)
-            .cast("double")
+            (F.lit(100.0) * dsum(promo) / dsum(rev))
             .alias("promo_revenue_pct")
         )
     )

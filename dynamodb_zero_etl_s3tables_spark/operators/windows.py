@@ -237,8 +237,11 @@ def d36_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = o.select(
         "o_orderkey", "o_totalprice", maybe.alias("maybe_priority")
     ).orderBy(*order).limit(50)
-    # constant partition: input is the 50-row post-limit result — same
-    # plan, but avoids the "No Partition Defined" warning wall
+    # Single-partition rank over the 50-row post-limit result is the
+    # intended plan (Spark 4's EliminateWindowPartitions folds the
+    # constant spec away; the benign WindowExec warning is silenced at
+    # the logger in session.tune, and test_plans.py gates partition-less
+    # windows to bounded inputs).
     w = W.partitionBy(F.lit(1)).orderBy(
         F.col("maybe_priority").desc_nulls_last(),
         F.col("o_totalprice").desc(),

@@ -31,6 +31,31 @@ RUNTIME_CONF = {
 }
 
 
+def _quiet_window_exec(spark: SparkSession) -> None:
+    """Silence WindowExec's "No Partition Defined" warning.
+
+    The engine's only partition-less windows are post-limit rank
+    assignments over <=K rows (d36, d37-adjacent, e22, top-k rescoring
+    sites) — single-partition is the *intended* plan there, and
+    ``W.partitionBy(F.lit(1))`` cannot express that quietly: Spark 4's
+    ``EliminateWindowPartitions`` optimizer rule folds a foldable
+    partition spec away, so the executed plan is partition-less and
+    WindowExec warns anyway. The warning wall buries real warnings in
+    bench/sweep logs (round-2 VERDICT #3), so it is turned off at the
+    logger instead; ``tests/test_plans.py`` mechanically gates every
+    partition-less Window in the registry to bounded (post-limit)
+    inputs, which is the property the warning exists to police.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # non-log4j2 deployments -- best effort
+        pass
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session."""
     for k, v in RUNTIME_CONF.items():
@@ -38,6 +63,7 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # immutable conf on some builds -- best effort
             pass
+    _quiet_window_exec(spark)
     return spark
 
 

@@ -25,6 +25,20 @@ def test_registry_complete():
     assert len(with_oracle) >= 75
 
 
+def test_grade_priority_prefix():
+    # Round-3 rotation: the driver grades a 50-query prefix of the
+    # registry; the prefix must be exactly the never-driver-graded set
+    # (rounds 1-2 covered the other 100). Pins _GRADE_PRIORITY against
+    # accidental registration-order changes.
+    from dynamodb_zero_etl_s3tables_spark.operators import _GRADE_PRIORITY
+
+    names = list(QUERY_REGISTRY)
+    assert names[: len(_GRADE_PRIORITY)] == _GRADE_PRIORITY
+    assert len(_GRADE_PRIORITY) == 62
+    # no duplicates, every priority name registered
+    assert len(set(_GRADE_PRIORITY)) == len(_GRADE_PRIORITY)
+
+
 def test_scan_pushdown(spark):
     # D1 + §4.2: filter and projection must reach the parquet reader
     df = d01_parquet_scan(spark, SF_DIR)
@@ -71,6 +85,16 @@ def test_no_python_udfs_in_core_paths(spark):
         plan = _plan(QUERY_REGISTRY[name].build(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_e03e_full_corpus_guard(spark, monkeypatch):
+    # VERDICT r2 #2: the recall harness's exact side is quadratic by
+    # design; above the documented row bound it must refuse to run.
+    from dynamodb_zero_etl_s3tables_spark.operators import llm_similarity
+
+    monkeypatch.setattr(llm_similarity, "RECALL_HARNESS_MAX_ROWS", 3)
+    with pytest.raises(RuntimeError, match="fixture-scale"):
+        llm_similarity.e03e_lsh_recall(spark, SF_DIR)
 
 
 def test_all_builders_resolve(spark):
