@@ -344,6 +344,34 @@ def e02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
+def lsh_overflow_buckets(spark: SparkSession, sf_dir: str) -> int:
+    """Ops-surface twin of e02b's observed ``overflow_buckets``: the
+    number of (band, bucket) cells whose occupancy exceeds
+    LSH_BUCKET_CAP — i.e. degenerate cells the pair expansion dropped.
+    The registered query reports it via ``DataFrame.observe`` (free,
+    rides the same job); this standalone count exists for monitoring
+    and for tests that pin the cap contract empirically."""
+    sigs = e02_minhash_signatures(spark, sf_dir)
+    band_cols = [
+        _mh64(
+            F.concat_ws(
+                "|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    long_bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "bucket"),
+    )
+    return (
+        long_bands.groupBy("band_id", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > LSH_BUCKET_CAP)
+        .count()
+    )
+
+
 @query(
     "e02c_ngram_jaccard",
     oracle=f"""

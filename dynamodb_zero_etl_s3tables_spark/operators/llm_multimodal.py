@@ -1,16 +1,23 @@
 """Multimodal column handling (SURVEY.md §2 E6): opaque binary
 payloads + typed metadata structs, with Arrow-batched featurizers.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic fake behind ``decode_stub`` (clearly marked); the
-Spark-side plumbing — binary columns, metadata structs, mapInPandas
-batch shapes, partition-parallel featurization — is real and tested.
-At 100 TB the payload column stays in executors (never collected);
-featurizers stream Arrow batches through Python workers.
+Decode is an optional-dependency dispatch (``decode_payload``): when
+Pillow is importable AND the payload bytes decode as a real image,
+real width/height/n_frames come out; otherwise the deterministic
+``decode_stub`` fake answers (this container has no codec libs, and
+the synthesized payloads are UTF-8 text, so the stub path is what the
+registered queries exercise — their oracles replay its arithmetic).
+The Spark-side plumbing — binary columns, metadata structs,
+mapInPandas batch shapes, partition-parallel featurization — is real
+and tested either way. At 100 TB the payload column stays in
+executors (never collected); featurizers stream Arrow batches through
+Python workers.
 """
 
 from __future__ import annotations
 
+import importlib.util
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -20,6 +27,9 @@ from pyspark.sql import types as T
 
 from dynamodb_zero_etl_s3tables_spark.operators.registry import query
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+#: evaluated once per process (Python worker or driver)
+HAS_PIL = importlib.util.find_spec("PIL") is not None
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,15 +75,45 @@ def e06_binary_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_stub(payload: bytes) -> dict:
     """STUB decoder — deterministic fake in place of a real image/
     audio codec (libs not present in this container). Derives pseudo
-    width/height/duration from the payload bytes; a production build
-    swaps this for PIL/ffmpeg and keeps every shape the same."""
+    width/height/duration from the payload bytes; ``decode_payload``
+    upgrades to Pillow automatically where it exists and keeps every
+    shape the same."""
     n = len(payload)
     return {
         "width": 16 + (n % 64),
         "height": 16 + ((n // 64) % 64),
         "n_frames": 1 + (n % 7),
         "ok": True,
+        "codec": "stub",
     }
+
+
+def decode_payload(payload: bytes) -> dict:
+    """Optional-dependency decode dispatch (VERDICT r2 #7): real codec
+    when Pillow is importable and the bytes are a decodable image;
+    the deterministic stub otherwise. Same dict shape on both paths
+    (``codec`` says which answered), so the mapInPandas featurizer and
+    every downstream schema are identical wherever this runs. The
+    registered e06* queries stay on the stub path by construction —
+    their synthesized payloads are UTF-8 text, which no image codec
+    accepts — which is what keeps their replayed-arithmetic oracles
+    valid with or without Pillow installed."""
+    if HAS_PIL:
+        try:
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as im:
+                w, h = im.size
+                return {
+                    "width": int(w),
+                    "height": int(h),
+                    "n_frames": int(getattr(im, "n_frames", 1)),
+                    "ok": True,
+                    "codec": "pil",
+                }
+        except Exception:
+            pass  # undecodable bytes -> deterministic stub
+    return decode_stub(payload)
 
 
 _FEAT_SCHEMA = T.StructType(
@@ -91,7 +131,7 @@ _FEAT_SCHEMA = T.StructType(
 def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: Arrow batch in -> feature batch out."""
     for pdf in batches:
-        feats = pdf["payload"].map(decode_stub)
+        feats = pdf["payload"].map(decode_payload)
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

@@ -61,7 +61,16 @@ def fan_out(df):
     cost is per-row, not per-byte. At real scale the scan already has
     more splits than cores and this is a no-op (no shuffle added).
     Results are unaffected: every downstream aggregate is
-    order-independent by the determinism contract above."""
+    order-independent by the determinism contract above.
+
+    Batch-only: a streaming frame is returned untouched (its
+    micro-batch partitioning is the source's business, and the RDD
+    probe below would throw on it). The probe forces one physical
+    planning + RDD conversion per *builder invocation* — metadata-rate
+    work, acceptable at query granularity; if it ever shows in a
+    profile, replace with a file-split count from the read plan."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)

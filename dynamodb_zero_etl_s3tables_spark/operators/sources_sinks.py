@@ -30,6 +30,15 @@ from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
 from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
 
+def _check(cond: bool, msg: str) -> None:
+    """Engine-invariant check inside a registered builder. A bare
+    ``assert`` would vanish under ``python -O`` and surface as a
+    builder crash in every registry consumer; an explicit raise keeps
+    the invariant active everywhere and names the failing contract."""
+    if not cond:
+        raise RuntimeError(f"builder invariant violated: {msg}")
+
+
 def _scratch(sf_dir: str, leaf: str, wipe: bool = False) -> str:
     """Stable scratch dir per (sf_dir, leaf). ``wipe=True`` clears it
     first — required for the managed-table ops, whose manifest history
@@ -320,7 +329,7 @@ def b10_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("price"),
     )
     t.apply_changes(deletes, order_cols=("seq",))
-    assert t.version == 2
+    _check(t.version == 2, f"expected version 2 after delete batch, got {t.version}")
     return t.read(version=1)
 
 
@@ -499,11 +508,12 @@ def b05b_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.apply_changes(changes, order_cols=("seq",))
     # invariant the oracle can't see: only URGENT was rewritten
     snaps = t.history()
-    assert snaps[-1].operation == "merge" and len(snaps) == 2
+    _check(snaps[-1].operation == "merge" and len(snaps) == 2,
+           f"expected [bootstrap, merge] history, got {[s.operation for s in snaps]}")
     carried = {
         e["dir"] for e in snaps[-1].partitions
     } & {e["dir"] for e in snaps[0].partitions}
-    assert len(carried) == 4, f"expected 4 carried partition dirs, got {len(carried)}"
+    _check(len(carried) == 4, f"expected 4 carried partition dirs, got {len(carried)}")
     return t.read()
 
 
@@ -614,8 +624,8 @@ def b11b_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.apply_changes(changes, order_cols=("seq",))
     r = t.compact(target_file_bytes=1 << 30)
-    assert r["files_after"] < r["files_before"], r
-    assert t.history()[-1].operation == "compact"
+    _check(r["files_after"] < r["files_before"], f"compaction did not reduce files: {r}")
+    _check(t.history()[-1].operation == "compact", "last snapshot must be the compaction")
     return t.read()
 
 
@@ -654,7 +664,7 @@ def b12b_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = o.agg((F.max("pk") * 9 / 10).cast("long").alias("t")).first().t
     out = t.scan([("pk", ">=", int(thr))])
     m = t.last_scan_metrics
-    assert m["files_read"] < m["files_total"], m
+    _check(m["files_read"] < m["files_total"], f"stats pruning skipped no files: {m}")
     return out
 
 
@@ -779,7 +789,7 @@ def b12c_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = t.scan(box)
     m = t.last_scan_metrics
-    assert m["files_read"] < m["files_total"], m
+    _check(m["files_read"] < m["files_total"], f"stats pruning skipped no files: {m}")
     return out.select("pk", "ck", "price")
 
 
@@ -846,8 +856,10 @@ def b05c_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t.apply_changes(b2, strategy="merge-on-read")
-    assert [s.operation for s in t.history()] == ["bootstrap", "merge-mor", "merge-mor"]
-    assert all(s.delta is not None for s in t.history()[1:])
+    _check([s.operation for s in t.history()] == ["bootstrap", "merge-mor", "merge-mor"],
+           f"unexpected MoR history {[s.operation for s in t.history()]}")
+    _check(all(s.delta is not None for s in t.history()[1:]),
+           "every MoR snapshot must carry a delta")
     return t.read()
 
 
@@ -1033,7 +1045,7 @@ def c05_replication_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.apply_changes(batch2, order_cols=("seq",))
     t.compact()
     ops = [s.operation for s in t.history()]
-    assert ops[-1] == "compact" and ops.count("merge") == 2, ops
+    _check(ops[-1] == "compact" and ops.count("merge") == 2, f"unexpected journey history {ops}")
     t.vacuum(unreferenced_days=0, noncurrent_days=0)
-    assert len(t.history()) == 1, "vacuum must prune history to the current snapshot"
+    _check(len(t.history()) == 1, "vacuum must prune history to the current snapshot")
     return t.read().select("pk", "status", "price")

@@ -17,14 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
-    """Watermarks require TIMESTAMP; normalize a TIMESTAMP_NTZ
-    event-time column (session tz is UTC — the instant is
-    unchanged)."""
-    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
-        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return df
+from dynamodb_zero_etl_s3tables_spark.streaming.windows import (
+    event_time as _event_time,
+)
 
 
 def purchase_click_attribution(

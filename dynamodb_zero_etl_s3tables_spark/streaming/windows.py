@@ -13,13 +13,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
+def event_time(df: DataFrame, ts_col: str) -> DataFrame:
     """Watermarks require TIMESTAMP; parquet plain timestamp[us] loads
     as TIMESTAMP_NTZ, so normalize the event-time column in place
-    (session tz is UTC — the instant is unchanged)."""
+    (session tz is UTC — the instant is unchanged). Shared by every
+    streaming builder — the NTZ-normalization rule lives HERE only."""
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
+
+
+#: module-internal alias kept for existing call sites
+_event_time = event_time
 
 
 def tumbling_agg(

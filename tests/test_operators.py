@@ -25,6 +25,25 @@ def test_registry_complete():
     assert len(with_oracle) >= 75
 
 
+def test_doc_counts_match_registry():
+    # COVERAGE.md / README.md pin exact registry counts; this keeps
+    # the prose honest as operators are added (VERDICT r2 #9).
+    n = len(QUERY_REGISTRY)
+    n_oracle = sum(1 for s in QUERY_REGISTRY.values() if s.oracle is not None)
+    rows_only = [k for k, s in QUERY_REGISTRY.items() if s.oracle is None]
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    cov = (root / "COVERAGE.md").read_text()
+    assert f"{n} registered queries" in cov
+    assert f"{n_oracle} with DuckDB oracles" in cov
+    assert f"{n - n_oracle} rows-only" in cov
+    assert all(name in cov for name in rows_only), rows_only
+    readme = (root / "README.md").read_text()
+    assert f"{n} named query builders" in readme
+    assert f"{n_oracle} hash-matched, {n - n_oracle} rows-only" in readme
+
+
 def test_grade_priority_prefix():
     # Round-3 rotation: the driver grades a 50-query prefix of the
     # registry; the prefix must be exactly the never-driver-graded set

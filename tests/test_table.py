@@ -83,6 +83,52 @@ def test_commit_conflict(spark, warehouse):
         t._write_manifest(m, expected_version=1)
 
 
+def test_concurrent_writers_race(spark, warehouse):
+    """A8 end-to-end: two engine instances race apply_changes on ONE
+    table (reference lambda/catalog-policy-handler.js:60,68 — the
+    optimistic-concurrency contract). Writer A computes its merge
+    against version V; writer B lands V+1 first; A's commit MUST fail
+    with CommitConflictError (a silent win would drop B's batch), and
+    A's retry — recomputed against V+1 — must land both batches."""
+    a = ManagedTable(spark, warehouse, SPEC)
+    a.bootstrap(base_df(spark))
+    b = ManagedTable(spark, warehouse, SPEC)  # second engine instance
+
+    batch_a = spark.createDataFrame(
+        [Row(op="MODIFY", seq=1, pk=1, status="from_a", price=111.0)]
+    )
+    batch_b = spark.createDataFrame(
+        [Row(op="MODIFY", seq=1, pk=2, status="from_b", price=222.0)]
+    )
+
+    # Interleave at the decision point: A has read the manifest at V=1
+    # and computed its snapshot; B commits V=2 just before A's pointer
+    # swap. (Monkeypatched interleave — same window a multi-process
+    # race hits, made deterministic.)
+    real_write = ManagedTable._write_manifest
+    raced = {"done": False}
+
+    def write_with_race(self, m, expected_version):
+        if not raced["done"]:
+            raced["done"] = True
+            b.apply_changes(batch_b)  # B wins the race
+        return real_write(self, m, expected_version)
+
+    a._write_manifest = write_with_race.__get__(a)
+    with pytest.raises(CommitConflictError, match="concurrent commit"):
+        a.apply_changes(batch_a)
+    a._write_manifest = real_write.__get__(a)
+
+    # loser retries: recomputes against B's committed state, converges
+    a.apply_changes(batch_a)
+    state = {r.pk: (r.status, r.price) for r in a.read().collect()}
+    assert state[1] == ("from_a", 111.0)
+    assert state[2] == ("from_b", 222.0)  # B's batch survived the race
+    assert a.version == 3
+    audit = a.verify_integrity()
+    assert audit["ok"], audit
+
+
 def test_time_travel(spark, warehouse):
     # B10: snapshot read of a prior version
     t = ManagedTable(spark, warehouse, SPEC)
