@@ -80,6 +80,10 @@ _GRADE_PRIORITY = [
     "a03_identifier_derivation", "a04_sanitize_identifier",
     "a06_policy_merge", "a07_policy_delete",
     "c05_replication_journey",
+    # ---- new in r3 (never graded; queue behind the r4 window) ----
+    "e26_minhash_containment", "e27_dsir_importance",
+    "e28_embedding_covariance", "d74_bloom_semi_join",
+    "d75_salted_skew_join",
 ]
 
 

@@ -376,6 +376,70 @@ def e07_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d75_salted_skew_join",
+    oracle=f"""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                  ELSE l_orderkey % 100 END AS k,
+             l_extendedprice
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT DISTINCT p_partkey % 100 AS k,
+             CAST(p_partkey % 100 AS INT) % 5 AS tier
+      FROM part
+    )
+    SELECT d.tier, COUNT(*) AS n_rows, {DSUM('f.l_extendedprice')} AS revenue
+    FROM fact f JOIN dim d ON f.k = d.k
+    GROUP BY d.tier
+    """,
+)
+def d75_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 companion to e07: SALTED SHUFFLE JOIN for a skewed fact key.
+    The derived fact key sends ~80% of lineitem to k=0 — the shape
+    that stalls a shuffle join on one reducer at 100 TB. Fix: fact
+    rows get a deterministic salt in [0, 16); the dim side replicates
+    16x (dim rows are small — replication is the cheap side); the
+    join key becomes (k, salt), spreading the hot key over 16 tasks.
+    A ``merge`` hint forces the shuffle-join plan on purpose — with a
+    broadcastable dim Spark would broadcast and salting would be
+    moot; this operator demonstrates the too-big-to-broadcast case.
+    (AQE's skewJoin handles moderate skew automatically at runtime;
+    explicit salting is the deterministic, planner-independent form
+    for known-pathological keys.) Result is EXACTLY the unsalted
+    join (the oracle): salt is derived, dim replication is keyed,
+    the aggregate ignores both."""
+    SALT = 16
+    li = load(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("k"),
+        "l_extendedprice",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT)).alias(
+            "salt"
+        ),
+    )
+    dim = (
+        load(spark, sf_dir, "part")
+        .select((F.col("p_partkey") % 100).alias("k"))
+        .distinct()
+        .withColumn("tier", F.col("k").cast("int") % 5)
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
+        .withColumn("salt", F.col("salt").cast("bigint"))
+    )
+    return (
+        fact.hint("merge")
+        .join(dim, ["k", "salt"])
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+@query(
     "d54_pivot",
     oracle=f"""
     SELECT c_mktsegment,

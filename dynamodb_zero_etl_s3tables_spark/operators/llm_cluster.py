@@ -318,3 +318,120 @@ def e25_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keeper", "dropped", "cluster", F.round(cos, 6).alias("cos_sim")
         )
     )
+
+
+@query(
+    "e28_embedding_covariance",
+    oracle=f"""
+    WITH ij AS (
+      SELECT i.i AS dim_i, j.j AS dim_j
+      FROM (SELECT UNNEST(range(0, {DIM})) AS i) i,
+           (SELECT UNNEST(range(0, {DIM})) AS j) j
+      WHERE j.j >= i.i
+    ),
+    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    means AS (
+      SELECT i.i AS d,
+             ROUND(CAST(SUM(CAST(embedding[i.i + 1]::DOUBLE AS DECIMAL(25,9))) AS DOUBLE)
+                   / (SELECT n FROM n), 6) + 0.0 AS m
+      FROM embeddings, (SELECT UNNEST(range(0, {DIM})) AS i) i
+      GROUP BY i.i
+    ),
+    gram AS (
+      SELECT ij.dim_i, ij.dim_j,
+             ROUND(CAST(SUM(CAST(embedding[ij.dim_i + 1]::DOUBLE
+                                 * embedding[ij.dim_j + 1]::DOUBLE
+                                 AS DECIMAL(25,9))) AS DOUBLE)
+                   / (SELECT n FROM n), 6) + 0.0 AS gram_mean
+      FROM embeddings, ij
+      GROUP BY ij.dim_i, ij.dim_j
+    )
+    SELECT g.dim_i, g.dim_j, g.gram_mean,
+           g.gram_mean - mi.m * mj.m + 0.0 AS cov
+    FROM gram g
+    JOIN means mi ON mi.d = g.dim_i
+    JOIN means mj ON mj.d = g.dim_j
+    """,
+)
+def e28_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance statistics over the embedding column —
+    the aggregation pass behind PCA / ZCA whitening and low-rank
+    analysis of an embedding corpus (the driver-side eigen step runs
+    on this {DIM}x{DIM} result, which is tiny; computing THIS matrix
+    is the only part that touches all N rows).
+
+    Plan: each row expands map-side to its {DIM}*({DIM}+1)/2 upper-
+    triangle products via nested transforms (no join, no second scan
+    of the corpus); one partial-aggregated shuffle of the fixed cell
+    space collapses everything to {DIM}x{DIM} rows. At 100 TB the
+    shuffle payload is (#partitions x cells), independent of N.
+    Determinism: e17's centroid discipline — DECIMAL(25,9) sums +
+    ROUND(...,6) on gram and means. The coarse scale matters: a
+    double -> DECIMAL(30,12) cast of float32-widened values can land
+    a term's 12th digit differently in the two engines (observed at
+    sf0.01, dim 37), so deep decimal scales are NOT cross-engine
+    exact; quantizing the OUTPUT at 6dp absorbs that (FIXTURES.md).
+    cov = gram - mi*mj then composes the identical rounded doubles
+    with IEEE mult/sub — bit-identical without further rounding."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    # upper-triangle (i, j, x_i * x_j) cells, one Generate per row
+    cells = e.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(DIM - 1)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(DIM - 1)),
+                        lambda j: F.struct(
+                            i.alias("dim_i"),
+                            j.alias("dim_j"),
+                            (
+                                F.element_at(emb, i + 1).cast("double")
+                                * F.element_at(emb, j + 1).cast("double")
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    ).select("c.dim_i", "c.dim_j", "c.p")
+    n = e.count()  # one metadata-cheap count, reused as a literal
+    gram = cells.groupBy("dim_i", "dim_j").agg(
+        (
+            F.round(
+                F.sum(F.col("p").cast("decimal(25,9)")).cast("double") / F.lit(n), 6
+            )
+            + F.lit(0.0)  # -0.0 -> 0.0: ROUND's zero sign differs across engines
+        ).alias("gram_mean")
+    )
+    dmeans = (
+        e.select(F.posexplode(emb).alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("x").cast("double").cast("decimal(25,9)")).cast(
+                        "double"
+                    )
+                    / F.lit(n),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("m")
+        )
+    )
+    mi = dmeans.select(F.col("d").alias("dim_i"), F.col("m").alias("mi"))
+    mj = dmeans.select(F.col("d").alias("dim_j"), F.col("m").alias("mj"))
+    return (
+        gram.join(F.broadcast(mi), "dim_i")
+        .join(F.broadcast(mj), "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            "gram_mean",
+            (F.col("gram_mean") - F.col("mi") * F.col("mj") + F.lit(0.0)).alias(
+                "cov"
+            ),
+        )
+    )

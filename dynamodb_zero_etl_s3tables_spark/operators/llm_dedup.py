@@ -854,3 +854,82 @@ def e24_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edit_sim"),
         )
     )
+
+
+@query(
+    "e26_minhash_containment",
+    oracle=_LONG_BANDS_WITH
+    + f"""
+    , sized AS (
+      SELECT band_id, bucket, COUNT(*) AS n
+      FROM long_bands GROUP BY band_id, bucket
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM long_bands a
+      JOIN long_bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      JOIN sized s
+        ON s.band_id = a.band_id AND s.bucket = a.bucket
+      WHERE s.n <= {LSH_BUCKET_CAP}
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN hashed ha ON ha.doc_id = c.doc_a
+      JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ca.n_sh AS n_a, cb.n_sh AS n_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / ca.n_sh AS containment_a,
+           CAST(i.n_inter AS DOUBLE) / cb.n_sh AS containment_b
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.doc_a
+    JOIN counts cb ON cb.doc_id = i.doc_b
+    """,
+)
+def e26_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 stage 4 (containment verifier): exact shingle CONTAINMENT
+    for each LSH candidate pair — |A∩B|/|A| and |A∩B|/|B|. Jaccard
+    (e02c/e02f) is symmetric and misses the asymmetric case a crawl
+    corpus is full of: a short document quoted wholesale inside a
+    long one (containment_a ≈ 1 while Jaccard is small). Public
+    dedup pipelines (e.g. the suffix-array and CCNet lines of work)
+    treat containment as the signal for quote/boilerplate removal.
+
+    Plan: candidates come from the capped LSH buckets (never
+    all-pairs); shingle-hash sets ride :func:`_shingle_hashes` (one
+    scan, integer folds); the intersection is two equi-joins on
+    (doc_id) then (doc_id, h) — (pair × shingle) rows, bounded by
+    candidate count × doc shingle count, partition-parallel
+    throughout. Containment values are IEEE divisions of exact ints
+    (no ROUND — FIXTURES.md rule). Pairs whose band collision carries
+    zero shared shingles drop out in BOTH engines (inner join)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = _shingle_hashes(d)  # (doc_id, h), distinct per doc
+    cand = e02b_minhash_lsh_pairs(spark, sf_dir)
+    counts = hashed.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ha = hashed.select(F.col("doc_id").alias("doc_a"), "h")
+    hb = hashed.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(ha, "doc_a")
+        .join(hb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (F.col("n_inter").cast("double") / F.col("n_a")).alias("containment_a"),
+            (F.col("n_inter").cast("double") / F.col("n_b")).alias("containment_b"),
+        )
+    )

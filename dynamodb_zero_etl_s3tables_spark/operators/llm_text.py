@@ -906,3 +906,107 @@ def e19_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exact_dup_rate"),
     )
+
+
+#: DSIR hashed-feature bucket count (public technique: Xie et al.
+#: 2023, "Data Selection for Language Models via Importance
+#: Resampling" — hashed n-gram features + importance weights between
+#: a target and a raw distribution). 4096 buckets keeps the weight
+#: table broadcast-sized at any corpus scale.
+DSIR_BUCKETS = 4096
+
+
+@query(
+    "e27_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(UNNEST(string_split(LOWER(text), ' '))), 1, 15))::BIGINT
+               % {DSIR_BUCKETS} AS b
+      FROM documents
+    ),
+    raw_c AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY b),
+    tgt_c AS (SELECT b, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY b),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM tok) AS r_total,
+             (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS t_total
+    ),
+    w AS (
+      SELECT r.b,
+             LN((COALESCE(t.ct, 0) + 1.0) / (tot.t_total + {DSIR_BUCKETS}))
+               - LN((r.cr + 1.0) / (tot.r_total + {DSIR_BUCKETS})) AS w
+      FROM raw_c r LEFT JOIN tgt_c t ON r.b = t.b CROSS JOIN tot
+    )
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(ROUND(CAST(SUM(CAST(w.w AS DECIMAL(30,12))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS dsir_logweight
+    FROM tok JOIN w ON tok.b = w.b
+    GROUP BY tok.doc_id
+    """,
+)
+def e27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight per document: average hashed-
+    unigram log-likelihood ratio between a target distribution (here
+    the English slice — "train an English model") and the raw corpus,
+    with add-one smoothing over {DSIR_BUCKETS} hash buckets. Documents
+    whose token distribution looks like the target get high weights;
+    importance RESAMPLING then samples by weight (e08's deterministic
+    splitter composes on top). Public technique: Xie et al. 2023.
+
+    Scale: tokens hash into a FIXED {DSIR_BUCKETS}-bucket space, so
+    both count tables and the weight table are bounded and broadcast;
+    token rows join map-side and shuffle once for the per-doc
+    aggregate. Per-token log-weights are summed as exact DECIMAL(30,12)
+    (e14's discipline: order-independent, and the 1e-12 quantization
+    absorbs any last-ulp libm difference between engines) then
+    averaged and ROUNDed — this is a genuinely approximate value, so
+    ROUND is correct here (FIXTURES.md)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(DSIR_BUCKETS),
+        ).alias("b"),
+    )
+    raw_c = tok.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt_c = tok.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    tot = tok.agg(
+        F.count("*").alias("r_total"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("t_total"),
+    )
+    w = (
+        raw_c.join(tgt_c, "b", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("t_total") + F.lit(DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("r_total") + F.lit(DSIR_BUCKETS))
+                )
+            ).alias("w"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("w").cast("decimal(30,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dsir_logweight"),
+        )
+    )

@@ -497,3 +497,119 @@ def d61_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_D61_SQL)
+
+
+# ---------------------------------------------------------------------------
+# D74: bloom-filter semi-join (manual runtime-filter construction)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+#: bloom sizing knobs (env-tunable per deployment): m bits / k probes.
+#: Defaults target ~1e-3 false positives at ~5k build keys; at larger
+#: build sides scale SPARK_GRAFT_BLOOM_BITS linearly (fp only costs
+#: extra candidate rows — the exact join removes them either way).
+BLOOM_BITS = int(_os.environ.get("SPARK_GRAFT_BLOOM_BITS", str(1 << 16)))
+BLOOM_K = int(_os.environ.get("SPARK_GRAFT_BLOOM_K", "4"))
+
+
+def bloom_bitmap(keys: DataFrame, col: str) -> list:
+    """Build a bloom bitmap (list of BLOOM_BITS/64 int64 words) from a
+    key column: k=BLOOM_K probe positions per key via seeded xxhash64,
+    OR-combined per 64-bit word by one partial-aggregated shuffle of
+    <= BLOOM_BITS/64 rows. The driver collect is the bitmap itself —
+    bounded by construction (8 KiB at the default), NOT by data size;
+    this mirrors what Spark's own runtime bloom-filter rule
+    materializes at the driver."""
+    n_words = BLOOM_BITS // 64
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(BLOOM_BITS))
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    by_word = {r["word"]: r["bits"] for r in words.collect()}
+    return [by_word.get(w, 0) for w in range(n_words)]
+
+
+def bloom_prefilter(df: DataFrame, col_name: str, bitmap: list) -> DataFrame:
+    """Probe-side bloom pre-filter: keep rows whose key hits all k
+    seeded positions in the literal bitmap. Pure JVM expressions —
+    evaluate inside the scan's filter stage, no join, no Python.
+    False positives pass (removed by the exact join downstream);
+    false negatives are impossible (same seeds as the build)."""
+    arr = F.array(*[F.lit(int(x)).cast("bigint") for x in bitmap])
+    out = df.withColumn("__bloom", arr)
+    for i in range(BLOOM_K):
+        out = (
+            out.withColumn(
+                "__p",
+                F.pmod(F.xxhash64(F.col(col_name), F.lit(i)), F.lit(BLOOM_BITS)),
+            )
+            .filter(
+                F.expr(
+                    "(element_at(__bloom, CAST(__p / 64 AS INT) + 1)"
+                    " & shiftleft(CAST(1 AS BIGINT), CAST(pmod(__p, 64) AS INT)))"
+                    " != 0"
+                )
+            )
+        )
+    return out.drop("__bloom", "__p")
+
+
+@query(
+    "d74_bloom_semi_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {DSUM('o_totalprice')} AS revenue
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+)
+def d74_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-family extension: semi-join with a hand-built bloom runtime
+    filter — the 100 TB pattern for "fact ⋉ selectively-filtered dim"
+    when the dim side is too large to broadcast: probe a bloom of the
+    dim keys INSIDE the fact scan's filter (map-side, no shuffle, no
+    Python), so only probable matches reach the exact semi-join that
+    removes the false positives. The final result is therefore
+    EXACTLY the plain semi-join (the oracle) — the bloom changes row
+    flow, never semantics. Spark's own runtime row-group filtering
+    (spark.sql.optimizer.runtime.bloomFilter) applies the same idea
+    automatically where statistics justify it; this operator is the
+    explicit, tunable form (BLOOM_BITS / BLOOM_K env knobs).
+
+    Scale: bitmap build is one partial-aggregated shuffle of <= m/64
+    words; the bitmap (8 KiB default) ships as a literal with the
+    probe predicate; candidates alone shuffle for the verify join."""
+    c = load(spark, sf_dir, "customer")
+    keys = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bitmap = bloom_bitmap(keys, "c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    cand = bloom_prefilter(o, "o_custkey", bitmap)
+    exact = cand.join(
+        keys, cand.o_custkey == keys.c_custkey, "left_semi"
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

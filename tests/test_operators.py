@@ -53,7 +53,10 @@ def test_grade_priority_prefix():
 
     names = list(QUERY_REGISTRY)
     assert names[: len(_GRADE_PRIORITY)] == _GRADE_PRIORITY
-    assert len(_GRADE_PRIORITY) == 62
+    # 62 never-driver-graded after r2 + the ops added in r3
+    assert len(_GRADE_PRIORITY) == 67
+    # the driver's 50-row window must stay all-never-graded
+    assert "e20_chunk_dedup" in _GRADE_PRIORITY[:50]
     # no duplicates, every priority name registered
     assert len(set(_GRADE_PRIORITY)) == len(_GRADE_PRIORITY)
 
@@ -104,6 +107,38 @@ def test_no_python_udfs_in_core_paths(spark):
         plan = _plan(QUERY_REGISTRY[name].build(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_d74_bloom_prefilter_contract(spark):
+    # no false negatives (every true match passes the bloom) and the
+    # filter actually prunes (candidates < fact rows at this fp rate)
+    from pyspark.sql import functions as F
+
+    from dynamodb_zero_etl_s3tables_spark.operators.relational import (
+        bloom_bitmap,
+        bloom_prefilter,
+    )
+    from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+    keys = (
+        load(spark, SF_DIR, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bitmap = bloom_bitmap(keys, "c_custkey")
+    o = load(spark, SF_DIR, "orders").select("o_custkey")
+    n_total = o.count()
+    cand = bloom_prefilter(o, "o_custkey", bitmap)
+    n_cand = cand.count()
+    n_true = o.join(keys, o.o_custkey == keys.c_custkey, "left_semi").count()
+    assert n_true <= n_cand < n_total
+    # every true match survives the prefilter (no false negatives)
+    missed = (
+        o.join(keys, o.o_custkey == keys.c_custkey, "left_semi")
+        .exceptAll(cand)
+        .count()
+    )
+    assert missed == 0
 
 
 def test_e03e_full_corpus_guard(spark, monkeypatch):

@@ -107,6 +107,7 @@ def test_registry_wide_plan_sweep(spark):
         "e05_tfidf",           # 1-row corpus-size broadcast
         "e18_bm25_retrieval",  # 1-row corpus-stats broadcast
         "e14_unigram_surprisal",  # 1-row corpus-token-total broadcast
+        "e27_dsir_importance",    # 1-row target/raw-total broadcast
         "e15_mixture_rebalance",  # 1-row min-source-count broadcast
         "e03e_lsh_recall",     # exact side of the recall harness IS a
         #                        deliberate brute-force pair join —
