@@ -283,23 +283,14 @@ def e25_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is tuned to the synthetic corpus (random embeddings
     have no 0.9-cosine twins); a real deployment raises it — the
     plan shape is threshold-independent."""
-    a2 = _two_lloyd_rounds(spark, sf_dir)
-    a = a2.select(
-        F.col("vec_id").alias("keeper"),
-        F.col("cid").alias("cluster"),
-        F.col("embedding").alias("ea"),
-    )
-    b = a2.select(
-        F.col("vec_id").alias("dropped"),
-        F.col("cid").alias("cluster"),
-        F.col("embedding").alias("eb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
+    # Two plan-only optimizations (results bit-identical, r3 perf):
+    # (1) the self-join below would recompute the whole Lloyd
+    #     pipeline once per branch — checkpoint the assignment so the
+    #     pair search reads materialized rows (on a cluster: a
+    #     checkpoint dir; e02h uses the same pattern for iteration);
+    # (2) per-vector norms are a row property — compute them ONCE per
+    #     row before the join instead of 2x per candidate pair,
+    #     leaving only the dot product as per-pair work.
     def nrm(c):
         return F.sqrt(
             F.aggregate(
@@ -309,7 +300,29 @@ def e25_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    cos = dot / (nrm(F.col("ea")) * nrm(F.col("eb")))
+    a2 = (
+        _two_lloyd_rounds(spark, sf_dir)
+        .withColumn("nrm", nrm(F.col("embedding")))
+        .localCheckpoint(eager=True)
+    )
+    a = a2.select(
+        F.col("vec_id").alias("keeper"),
+        F.col("cid").alias("cluster"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = a2.select(
+        F.col("vec_id").alias("dropped"),
+        F.col("cid").alias("cluster"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "cluster")
         .filter(F.col("keeper") < F.col("dropped"))
