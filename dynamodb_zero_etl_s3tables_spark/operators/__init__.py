@@ -83,7 +83,8 @@ _GRADE_PRIORITY = [
     # ---- new in r3 (never graded; queue behind the r4 window) ----
     "e26_minhash_containment", "e27_dsir_importance",
     "e28_embedding_covariance", "d74_bloom_semi_join",
-    "d75_salted_skew_join",
+    "d75_salted_skew_join", "e29_incremental_lsh",
+    "h12_interval_left_join_twin",
 ]
 
 

@@ -933,3 +933,76 @@ def e26_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_inter").cast("double") / F.col("n_b")).alias("containment_b"),
         )
     )
+
+
+#: e29: documents with doc_id % INCR_MOD == 0 play the "newly arrived
+#: CDC batch"; the rest are the standing corpus with stored signatures.
+INCR_MOD = 10
+
+
+@query(
+    "e29_incremental_lsh",
+    oracle=_CAND_SQL
+    + f"""
+      AND (a.doc_id % {INCR_MOD} = 0 OR b.doc_id % {INCR_MOD} = 0)
+    """,
+)
+def e29_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup candidates for a CDC batch — the LSH probe
+    a continuously-replicated corpus runs per ingest batch instead of
+    re-deduplicating from scratch: ONLY the newly-arrived documents
+    (here: doc_id % {INCR_MOD} == 0, standing in for a changelog
+    batch) are shingled and signed; their band rows probe the standing
+    band index on (band, bucket) equality, yielding exactly the e02b
+    candidate pairs that involve at least one new document. This is
+    the operator that makes dedup compatible with the engine's CDC
+    cadence (B5/B10b): per-batch cost is O(batch x bucket occupancy),
+    never O(corpus).
+
+    Plan: one signature pass over the full table builds the band long
+    form (in production the standing side is ALREADY stored — the
+    manifest table from a prior run; the builder recomputes it here so
+    the query is self-contained on the driver's parquet); the bucket
+    cap applies to TOTAL occupancy (delta + standing), matching batch
+    semantics, so incremental output == batch output restricted to
+    pairs touching the delta. Probe is an equi-join: delta band rows
+    vs in-cap buckets."""
+    sigs = e02_minhash_signatures(spark, sf_dir)
+    band_cols = [
+        _mh64(
+            F.concat_ws(
+                "|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    long_bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "bucket"),
+    )
+    # bucket occupancy over the WHOLE corpus (cap semantics == e02b);
+    # the standing band index would carry these counts pre-aggregated
+    sized = long_bands.groupBy("band_id", "bucket").agg(
+        F.count("*").alias("n"),
+        F.array_sort(F.collect_set("doc_id")).alias("ids"),
+    )
+    delta = long_bands.filter(F.col("doc_id") % INCR_MOD == 0).select(
+        F.col("doc_id").alias("new_doc"), "band_id", "bucket"
+    )
+    pairs = (
+        delta.join(
+            sized.filter((F.col("n") > 1) & (F.col("n") <= LSH_BUCKET_CAP)),
+            ["band_id", "bucket"],
+        )
+        .select(
+            "new_doc",
+            F.explode("ids").alias("other"),
+        )
+        .filter(F.col("new_doc") != F.col("other"))
+        .select(
+            F.least("new_doc", "other").alias("doc_a"),
+            F.greatest("new_doc", "other").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs

@@ -395,3 +395,43 @@ def h11_interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("c_ts"),
     )
     return purchase_click_attribution(purchases, clicks)
+
+
+@query(
+    "h12_interval_left_join_twin",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS p_ts, c.ts AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def h12_interval_left_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12: stream-stream LEFT OUTER interval join twin — h11 plus the
+    purchases with NO qualifying click (null click columns), i.e. the
+    unattributed conversions an inner join silently drops. In the
+    streaming form Spark holds the purchase in state until its
+    watermark passes the end of the lookback window, THEN emits the
+    null-padded row — the outer-join-with-watermark-closure semantics
+    unique to two-stream joins (stream-static h09 can emit nulls
+    immediately). Same builder as h11 (streaming/joins.py,
+    how='left_outer'); tests drain the streaming form and assert
+    equality with this batch twin."""
+    from dynamodb_zero_etl_s3tables_spark.streaming.joins import (
+        purchase_click_attribution,
+    )
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    return purchase_click_attribution(purchases, clicks, how="left_outer")

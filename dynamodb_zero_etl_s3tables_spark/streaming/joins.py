@@ -27,6 +27,7 @@ def purchase_click_attribution(
     clicks: DataFrame,
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Attribute each purchase to every click by the same user within
     the preceding ``lookback`` window.
@@ -37,7 +38,14 @@ def purchase_click_attribution(
     (c_ts in [p_ts - lookback, p_ts]) lets Spark GC buffered rows
     older than watermark + lookback; state is bounded by the join
     window, not stream length. The key equality keeps it a hash
-    join — one shuffle per side on user_id."""
+    join — one shuffle per side on user_id.
+
+    ``how="left_outer"`` keeps purchases with NO qualifying click
+    (null click columns) — the conversion-without-attribution row an
+    inner join silently drops. In the streaming form, Spark emits the
+    null-padded row only once the purchase-side watermark passes the
+    end of its lookback window (the point where a matching click can
+    no longer arrive); the batch twin is the plain left join."""
     p, c = purchases, clicks
     if p.isStreaming:
         p = _event_time(p, "p_ts").withWatermark("p_ts", watermark)
@@ -49,6 +57,6 @@ def purchase_click_attribution(
         & (c["c_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {lookback}"))
         & (c["c_ts"] <= p["p_ts"])
     )
-    return p.join(c, cond).select(
+    return p.join(c, cond, how).select(
         "purchase_id", "click_id", "user_id", "p_ts", "c_ts"
     )

@@ -346,3 +346,85 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         map(tuple, purchase_click_attribution(purchases, clicks).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path):
+    """H12: LEFT OUTER stream-stream interval join — null-padded rows
+    for unattributed purchases emit only once the joint watermark
+    passes the purchase's lookback window, so the drain needs
+    watermark-advancing sentinel files after the real data (one file
+    per micro-batch via maxFilesPerTrigger); sentinels use user_id=-1
+    and are excluded from the comparison."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from dynamodb_zero_etl_s3tables_spark.streaming.joins import (
+        purchase_click_attribution,
+    )
+
+    e = load(spark, SF_DIR, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    p_src, c_src = str(tmp_path / "p"), str(tmp_path / "c")
+    purchases.coalesce(1).write.parquet(p_src)
+    clicks.coalesce(1).write.parquet(c_src)
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    # two sentinel waves: wave 1 advances the watermark past every
+    # real window end; wave 2 forces the batch in which eviction runs
+    for hours in (10, 20):
+        flush = max_ts + dt.timedelta(hours=hours)
+        spark.createDataFrame(
+            [Row(purchase_id=-hours, user_id=-1, p_ts=flush)],
+            schema=purchases.schema,
+        ).coalesce(1).write.mode("append").parquet(p_src)
+        spark.createDataFrame(
+            [Row(click_id=-hours, user_id=-1, c_ts=flush)],
+            schema=clicks.schema,
+        ).coalesce(1).write.mode("append").parquet(c_src)
+
+    p_stream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p_src)
+    )
+    c_stream = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_src)
+    )
+    q = (
+        purchase_click_attribution(p_stream, c_stream, how="left_outer")
+        .writeStream.format("memory")
+        .queryName("attributed_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.table("attributed_outer").filter("user_id >= 0").collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            purchase_click_attribution(
+                purchases, clicks, how="left_outer"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # the outer rows are the point: some purchases must be unattributed
+    assert any(t[1] is None for t in got)
