@@ -84,7 +84,7 @@ _GRADE_PRIORITY = [
     "e26_minhash_containment", "e27_dsir_importance",
     "e28_embedding_covariance", "d74_bloom_semi_join",
     "d75_salted_skew_join", "e29_incremental_lsh",
-    "h12_interval_left_join_twin",
+    "h12_interval_left_join_twin", "e30_embedding_quantize",
 ]
 
 

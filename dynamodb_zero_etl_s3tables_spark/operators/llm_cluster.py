@@ -448,3 +448,84 @@ def e28_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "e30_embedding_quantize",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT vec_id,
+             127.0 / GREATEST(
+               list_reduce(list_transform(embedding, x -> ABS(x::DOUBLE)),
+                           (a, b) -> GREATEST(a, b)), 1e-30) AS scale,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(x::DOUBLE * scale + 0.5) AS BIGINT))
+               AS qv,
+             embedding
+      FROM scaled
+    )
+    SELECT vec_id,
+           scale,
+           CAST(list_reduce(list_transform(range(1, {DIM} + 1),
+                  i -> ABS(embedding[i]::DOUBLE - qv[i] / scale)),
+                  (a, b) -> GREATEST(a, b)) AS DOUBLE) AS max_abs_err,
+           CAST(list_reduce(qv, (a, b) -> GREATEST(a, b)) AS BIGINT) AS q_max,
+           CAST(list_reduce(qv, (a, b) -> LEAST(a, b)) AS BIGINT) AS q_min
+    FROM q
+    """,
+)
+def e30_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: symmetric int8 quantization of the embedding column —
+    per-vector max-abs scaling to [-127, 127] plus the reconstruction
+    error audit. This is the storage/transport form ANN indexes use at
+    100 TB (4x smaller than float32, SIMD-friendly dot products); the
+    operator emits the quantization metadata (scale, q range) and the
+    max absolute reconstruction error per vector so a deployment can
+    gate on error before swapping the quantized column in.
+
+    Determinism: scale and the quantized values derive from identical
+    IEEE doubles in both engines; rounding is FLOOR(x*scale + 0.5) —
+    floor of identical doubles, no engine-specific ROUND-half
+    behavior anywhere (FIXTURES.md). Per-vector folds are index-order
+    array ops (row properties), so no shuffle-order sensitivity; the
+    whole operator is a map-side projection."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    max_abs = F.aggregate(
+        F.transform(emb, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda a, b: F.greatest(a, b),
+    )
+    scaled = e.select(
+        "vec_id",
+        (F.lit(127.0) / F.greatest(max_abs, F.lit(1e-30))).alias("scale"),
+        emb.alias("embedding"),
+    )
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    q = scaled.select("vec_id", "scale", qv.alias("qv"), "embedding")
+    err = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qv"),
+            lambda x, v: F.abs(x.cast("double") - v.cast("double") / F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda a, b: F.greatest(a, b),
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        err.alias("max_abs_err"),
+        F.array_max("qv").cast("bigint").alias("q_max"),
+        F.array_min("qv").cast("bigint").alias("q_min"),
+    )

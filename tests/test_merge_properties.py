@@ -1,0 +1,81 @@
+"""Property-based merge-semantics tests (hypothesis): the CDC merge
+contract (B5-B7, A10) holds for ARBITRARY change batches, not just the
+golden fixtures in test_table.py. A reference model computes the
+expected state in plain Python; merge_changes must agree on every
+generated batch, under idempotent re-apply, and regardless of the
+row order the batch arrives in."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from dynamodb_zero_etl_s3tables_spark.table.merge import merge_changes
+
+KEYS = list(range(6))  # small key space forces collisions
+
+change_st = st.fixed_dictionaries(
+    {
+        "op": st.sampled_from(["INSERT", "MODIFY", "REMOVE"]),
+        "seq": st.integers(min_value=0, max_value=9),
+        "pk": st.sampled_from(KEYS),
+        "val": st.integers(min_value=-100, max_value=100),
+    }
+)
+
+
+def reference_merge(base: dict, batch: list) -> dict:
+    """Model: last change per key wins (seq desc, and among equal seq
+    the one merge_changes's row_number picks — ties broken by keeping
+    ANY single change; we avoid ties by deduping (pk, seq) below)."""
+    state = dict(base)
+    last = {}
+    for ch in batch:
+        cur = last.get(ch["pk"])
+        if cur is None or ch["seq"] > cur["seq"]:
+            last[ch["pk"]] = ch
+    for pk, ch in last.items():
+        if ch["op"] == "REMOVE":
+            state.pop(pk, None)
+        else:
+            state[pk] = ch["val"]
+    return state
+
+
+def dedupe_ties(batch: list) -> list:
+    """Keep one change per (pk, seq) — equal-seq ties are resolved by
+    an engine-internal row order the model can't predict; the CONTRACT
+    only promises a deterministic winner per order_cols value."""
+    seen = {}
+    for ch in batch:
+        seen[(ch["pk"], ch["seq"])] = ch
+    return list(seen.values())
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(batch=st.lists(change_st, min_size=0, max_size=25))
+def test_merge_matches_reference_model(spark, batch):
+    batch = dedupe_ties(batch)
+    base_rows = [Row(pk=k, val=1000 + k) for k in KEYS[:4]]
+    base = spark.createDataFrame(base_rows)
+    expected = reference_merge({r.pk: r.val for r in base_rows}, batch)
+
+    if not batch:
+        return  # empty-batch merge is exercised in test_table.py
+    changes = spark.createDataFrame([Row(**c) for c in batch])
+    merged = merge_changes(base, changes, keys=["pk"], order_cols=("seq",))
+    got = {r.pk: r.val for r in merged.collect()}
+    assert got == expected
+
+    # idempotency (A10): re-applying the same batch converges
+    again = merge_changes(merged, changes, keys=["pk"], order_cols=("seq",))
+    assert {r.pk: r.val for r in again.collect()} == expected
+
+    # order independence: the batch arriving in reverse row order
+    # must produce the same state (LWW is keyed on seq, not arrival)
+    rev = spark.createDataFrame([Row(**c) for c in reversed(batch)])
+    merged_rev = merge_changes(base, rev, keys=["pk"], order_cols=("seq",))
+    assert {r.pk: r.val for r in merged_rev.collect()} == expected
