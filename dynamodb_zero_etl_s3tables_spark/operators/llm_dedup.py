@@ -717,25 +717,35 @@ def e02h_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = d.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint(
         eager=True
     )
-    for _ in range(12):
+    from pyspark.sql import Observation
+
+    for i in range(12):
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "comp")
         )
+        # convergence detection rides the SAME job that materializes
+        # the round (observe + eager checkpoint) — one action per
+        # round instead of checkpoint + a separate count join
+        obs = Observation(f"e02h-round-{i}")
         new_labels = (
             labels.unionAll(nbr)
             .groupBy("doc_id")
             .agg(F.min("comp").alias("comp"))
+            .join(
+                labels.select("doc_id", F.col("comp").alias("__old")), "doc_id"
+            )
+            .observe(
+                obs,
+                F.sum((F.col("comp") != F.col("__old")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+            .drop("__old")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if int(obs.get["changed"]) == 0:
             break
     return labels.select(
         "doc_id",

@@ -1049,3 +1049,86 @@ def c05_replication_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.vacuum(unreferenced_days=0, noncurrent_days=0)
     _check(len(t.history()) == 1, "vacuum must prune history to the current snapshot")
     return t.read().select("pk", "status", "price")
+
+
+@query(
+    "c06_corpus_curation_journey",
+    oracle="""
+    WITH final_state AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      FROM documents
+      WHERE doc_id % 13 <> 0
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT md5(text)) AS n_unique_texts,
+           CAST(SUM(CASE WHEN len(string_split(text, ' '))
+                         BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_pass
+    FROM final_state
+    GROUP BY source
+    """,
+)
+def c06_corpus_curation_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family capstone twin of c05: a training corpus flowing
+    through the SAME replication machinery as the relational tables —
+    bootstrap the documents table into a keyed managed table, apply a
+    CDC batch (revision MODIFYs for doc_id % 7, takedown REMOVEs for
+    doc_id % 13 — the GDPR/deletion-request shape every corpus
+    pipeline needs), then run the curation aggregate (token volume,
+    exact-dup distinct count, quality-pass count per source) on the
+    CURRENT SNAPSHOT. The oracle replays the composed CDC effect plus
+    the aggregate in plain SQL, so merge semantics AND the curation
+    math are inside one hash-match. This is the repo's thesis in one
+    query: zero-ETL replication and LLM-corpus analytics on the same
+    snapshot tables.
+
+    Scale: bootstrap/merge are the B5 paths (keyed shuffles); the
+    aggregate is one partial-aggregated pass over the snapshot."""
+    wh = _scratch(sf_dir, "warehouse_c06", wipe=True)
+    cat = Catalog(spark, wh)
+    t = cat.create_table(
+        TableSpec(
+            namespace="corpus",
+            name="documents_repl",
+            key_columns=("doc_id",),
+            order_columns=("seq",),
+        )
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t.bootstrap(d)
+    batch = (
+        d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0))
+        .select(
+            F.lit("MODIFY").alias("op"),
+            F.lit(1).alias("seq"),
+            "doc_id",
+            "source",
+            F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                F.lit("REMOVE").alias("op"),
+                F.lit(1).alias("seq"),
+                "doc_id",
+                "source",
+                "text",
+            )
+        )
+    )
+    t.apply_changes(batch, order_cols=("seq",))
+    state = t.read()
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        state.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks).cast("bigint").alias("total_tokens"),
+            F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+            F.sum(toks.between(10, 1000).cast("int"))
+            .cast("bigint")
+            .alias("n_quality_pass"),
+        )
+    )
