@@ -85,7 +85,7 @@ _GRADE_PRIORITY = [
     "e28_embedding_covariance", "d74_bloom_semi_join",
     "d75_salted_skew_join", "e29_incremental_lsh",
     "h12_interval_left_join_twin", "e30_embedding_quantize",
-    "c06_corpus_curation_journey",
+    "c06_corpus_curation_journey", "c07_snapshot_metadata",
 ]
 
 

@@ -1132,3 +1132,77 @@ def c06_corpus_curation_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_quality_pass"),
         )
     )
+
+
+@query(
+    "c07_snapshot_metadata",
+    oracle="""
+    WITH base AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 10 <= 7),
+    removed AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 10 = 2)
+    SELECT 1 AS version, 'bootstrap' AS operation,
+           (SELECT n FROM base) AS row_count, FALSE AS is_delta
+    UNION ALL
+    SELECT 2, 'merge', (SELECT n FROM base) - (SELECT n FROM removed), FALSE
+    UNION ALL
+    SELECT 3, 'compact', (SELECT n FROM base) - (SELECT n FROM removed), FALSE
+    """,
+)
+def c07_snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-surface: queryable snapshot-metadata table — the engine's
+    analog of Iceberg's ``table$snapshots`` / ``$history`` (what the
+    reference's users query through Athena to audit replication). A
+    known journey (bootstrap -> merge with deletes -> compact) runs
+    against the managed table; ``ManagedTable.snapshots_df`` then
+    exposes (version, operation, row_count, is_delta) as a DataFrame,
+    and the ORACLE RECOMPUTES the expected metadata from the raw data
+    in SQL — so commit versioning, per-snapshot row accounting, and
+    delete propagation are all inside the hash-match, not just
+    asserted engine-side. Metadata is manifest-sized (bounded by
+    retention), so the driver-side materialization is O(snapshots),
+    never O(data)."""
+    wh = _scratch(sf_dir, "warehouse_c07", wipe=True)
+    cat = Catalog(spark, wh)
+    t = cat.create_table(
+        TableSpec(
+            namespace="meta",
+            name="orders_meta",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    t.bootstrap(
+        o.filter(mod10 <= 7).select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    batch = (
+        o.filter(mod10.isin(0, 1))
+        .select(
+            F.lit("MODIFY").alias("op"),
+            F.lit(1).alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            F.lit("TOUCHED").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .unionByName(
+            o.filter(mod10 == 2).select(
+                F.lit("REMOVE").alias("op"),
+                F.lit(1).alias("seq"),
+                F.col("o_orderkey").alias("pk"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    t.apply_changes(batch, order_cols=("seq",))
+    t.compact()
+    return t.snapshots_df().select(
+        F.col("version").cast("int").alias("version"),
+        "operation",
+        "row_count",
+        "is_delta",
+    )

@@ -438,6 +438,36 @@ class ManagedTable:
     def history(self) -> list[Snapshot]:
         return list(self._read_manifest().snapshots)
 
+    def snapshots_df(self) -> DataFrame:
+        """Snapshot metadata as a queryable DataFrame — the engine's
+        analog of Iceberg's ``table$snapshots`` / ``$history``
+        metadata tables: one row per retained snapshot with version,
+        operation, committed row count, timestamp, and whether the
+        snapshot is a merge-on-read delta. Driver-side by nature
+        (metadata is the manifest — bounded by retention, never by
+        data size); joins/filters compose like any other frame."""
+        snaps = self._read_manifest().snapshots
+        schema = T.StructType(
+            [
+                T.StructField("version", T.LongType(), False),
+                T.StructField("operation", T.StringType(), False),
+                T.StructField("row_count", T.LongType(), False),
+                T.StructField("committed_at", T.DoubleType(), False),
+                T.StructField("is_delta", T.BooleanType(), False),
+            ]
+        )
+        rows = [
+            (
+                int(s.version),
+                s.operation,
+                int(s.row_count),
+                float(s.committed_at),
+                s.delta is not None,
+            )
+            for s in snaps
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
     def read_changes(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

@@ -587,3 +587,16 @@ def test_legacy_reopen_refuses_default_order_merge(spark, warehouse):
         t2.apply_changes(changelog_df(spark))
     t2.apply_changes(changelog_df(spark), order_cols=("seq",))  # explicit OK
     assert t2.read().count() == 5
+
+
+def test_snapshots_df_metadata(spark, warehouse):
+    # C7: queryable snapshot metadata — versions, operations, row
+    # accounting, and the MoR delta flag (not exercised by the c07
+    # oracle journey, which is all copy-on-write)
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.apply_changes(changelog_df(spark), strategy="merge-on-read")
+    meta = {r.version: r for r in t.snapshots_df().collect()}
+    assert meta[1].operation == "bootstrap" and not meta[1].is_delta
+    assert meta[2].operation == "merge-mor" and meta[2].is_delta
+    assert meta[1].row_count == 5
