@@ -1206,3 +1206,63 @@ def c07_snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_count",
         "is_delta",
     )
+
+
+@query(
+    "d76_variant_semistructured",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(user_id AS BIGINT)) AS BIGINT) AS sum_users,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_value,
+           CAST(SUM(CASE WHEN user_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shard1
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def d76_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-family: Spark 4 VARIANT round trip — the engine-native form
+    of the reference's deep `M` map problem (SURVEY §7 risk register:
+    heterogeneous DynamoDB documents have no stable StructType).
+    Events encode as JSON documents with a nested object and mixed
+    types; ``parse_json`` ingests them as VARIANT (binary
+    semi-structured storage, no schema declared), and typed values
+    come back out with ``variant_get`` path extraction — the modern
+    replacement for string-JSON + get_json_object (d47), with
+    shredded columnar access instead of per-row reparsing.
+
+    The oracle checks the ROUND TRIP, not the encoding: extracted
+    typed values must aggregate identically to the source columns
+    (the d02 discipline). Value goes through DECIMAL(12,2) before
+    the exact sum — the same money-path cast the decode codec (B3)
+    uses. Scale: encode + parse + extract are all map-side
+    projections; one partial-aggregated shuffle."""
+    e = load(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.struct(
+                F.col("user_id"),
+                (F.col("user_id") % 4).alias("shard"),
+            ).alias("actor"),
+            F.col("value").cast("decimal(12,2)").cast("string").alias("value"),
+        )
+    )
+    v = e.select(F.parse_json(doc).alias("v"))
+    typed = v.select(
+        F.variant_get("v", "$.event_type", "string").alias("event_type"),
+        F.variant_get("v", "$.actor.user_id", "bigint").alias("user_id"),
+        F.variant_get("v", "$.actor.shard", "bigint").alias("shard"),
+        F.variant_get("v", "$.value", "decimal(12,2)").alias("value_dec"),
+    )
+    return typed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("user_id").cast("bigint").alias("sum_users"),
+        F.sum(F.col("value_dec").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("total_value"),
+        F.sum((F.col("shard") == 1).cast("int")).cast("bigint").alias("n_shard1"),
+    )
