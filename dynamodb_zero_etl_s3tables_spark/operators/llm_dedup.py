@@ -297,6 +297,29 @@ _CAND_SQL = (
 )
 
 
+def _long_bands(sigs: DataFrame, *extra) -> DataFrame:
+    """(doc_id, [extra...], band_id, bucket): hash each BAND_ROWS-wide
+    slice of the signature to its LSH bucket and explode to long form
+    — the shared band expansion every LSH consumer (e02b/e02f/e02g/
+    e29, the overflow monitor) builds on. ``extra`` columns (e.g. the
+    full signature array for e02f's estimator) travel with the band
+    rows. ONE definition so a banding change (layout, bucket hash)
+    cannot silently fork the incremental path from the batch path."""
+    band_cols = [
+        _mh64(
+            F.concat_ws(
+                "|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    return sigs.select(
+        "doc_id",
+        *extra,
+        F.posexplode(F.array(*band_cols)).alias("band_id", "bucket"),
+    )
+
+
 @query("e02b_minhash_lsh_pairs", oracle=_CAND_SQL)
 def e02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 stage 2: LSH banding — hash each band of the signature to a
@@ -312,18 +335,7 @@ def e02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs first in the pipeline precisely to keep buckets small.
     """
     sigs = e02_minhash_signatures(spark, sf_dir)
-    band_cols = [
-        _mh64(
-            F.concat_ws(
-                "|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-            )
-        ).alias(f"band_{b}")
-        for b in range(N_BANDS)
-    ]
-    long_bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_id", "bucket"),
-    )
+    long_bands = _long_bands(sigs)
     sized = long_bands.groupBy("band_id", "bucket").agg(
         F.count("*").alias("n"),
         F.array_sort(F.collect_set("doc_id")).alias("ids"),
@@ -352,18 +364,7 @@ def lsh_overflow_buckets(spark: SparkSession, sf_dir: str) -> int:
     rides the same job); this standalone count exists for monitoring
     and for tests that pin the cap contract empirically."""
     sigs = e02_minhash_signatures(spark, sf_dir)
-    band_cols = [
-        _mh64(
-            F.concat_ws(
-                "|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-            )
-        ).alias(f"band_{b}")
-        for b in range(N_BANDS)
-    ]
-    long_bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_id", "bucket"),
-    )
+    long_bands = _long_bands(sigs)
     return (
         long_bands.groupBy("band_id", "bucket")
         .agg(F.count("*").alias("n"))
@@ -573,20 +574,8 @@ def e02f_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree on the estimate by construction.
     """
     sigs = e02_minhash_signatures(spark, sf_dir)
-    band_cols = [
-        _mh64(
-            F.concat_ws(
-                "|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-            )
-        ).alias(f"band_{b}")
-        for b in range(N_BANDS)
-    ]
     sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
-    long_bands = sigs.select(
-        "doc_id",
-        sig_arr.alias("sig"),
-        F.posexplode(F.array(*band_cols)).alias("band_id", "bucket"),
-    )
+    long_bands = _long_bands(sigs, sig_arr.alias("sig"))
     buckets = (
         long_bands.groupBy("band_id", "bucket")
         .agg(
@@ -641,18 +630,7 @@ def e02g_lsh_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket). Two shuffles — bucket-min aggregate, then per-doc min —
     both on uniformly-hashed keys, no pair expansion at all."""
     sigs = e02_minhash_signatures(spark, sf_dir)
-    band_cols = [
-        _mh64(
-            F.concat_ws(
-                "|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-            )
-        ).alias(f"band_{b}")
-        for b in range(N_BANDS)
-    ]
-    long_bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_id", "bucket"),
-    )
+    long_bands = _long_bands(sigs)
     bucket_min = long_bands.groupBy("band_id", "bucket").agg(
         F.min("doc_id").alias("bmin")
     )
@@ -745,7 +723,9 @@ def e02h_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if int(obs.get["changed"]) == 0:
+        # SUM over zero rows observes None (empty corpus) — treat as
+        # converged, matching the old count()==0 exit
+        if int(obs.get["changed"] or 0) == 0:
             break
     return labels.select(
         "doc_id",
@@ -978,18 +958,7 @@ def e29_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs touching the delta. Probe is an equi-join: delta band rows
     vs in-cap buckets."""
     sigs = e02_minhash_signatures(spark, sf_dir)
-    band_cols = [
-        _mh64(
-            F.concat_ws(
-                "|", *[F.col(f"sig_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-            )
-        ).alias(f"band_{b}")
-        for b in range(N_BANDS)
-    ]
-    long_bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_id", "bucket"),
-    )
+    long_bands = _long_bands(sigs)
     # bucket occupancy over the WHOLE corpus (cap semantics == e02b);
     # the standing band index would carry these counts pre-aggregated
     sized = long_bands.groupBy("band_id", "bucket").agg(

@@ -939,7 +939,7 @@ DSIR_BUCKETS = 4096
     )
     SELECT tok.doc_id,
            COUNT(*) AS n_tokens,
-           CAST(ROUND(CAST(SUM(CAST(w.w AS DECIMAL(30,12))) AS DOUBLE)
+           CAST(ROUND(CAST(SUM(CAST(w.w AS DECIMAL(25,9))) AS DOUBLE)
                       / COUNT(*), 6) AS DOUBLE) AS dsir_logweight
     FROM tok JOIN w ON tok.b = w.b
     GROUP BY tok.doc_id
@@ -957,8 +957,8 @@ def e27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: tokens hash into a FIXED {DSIR_BUCKETS}-bucket space, so
     both count tables and the weight table are bounded and broadcast;
     token rows join map-side and shuffle once for the per-doc
-    aggregate. Per-token log-weights are summed as exact DECIMAL(30,12)
-    (e14's discipline: order-independent, and the 1e-12 quantization
+    aggregate. Per-token log-weights are summed as exact DECIMAL(25,9)
+    (FIXTURES.md's computed-double scale: order-independent, and the 1e-12 quantization
     absorbs any last-ulp libm difference between engines) then
     averaged and ROUNDed — this is a genuinely approximate value, so
     ROUND is correct here (FIXTURES.md)."""
@@ -1004,7 +1004,7 @@ def e27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(
-                F.sum(F.col("w").cast("decimal(30,12)")).cast("double")
+                F.sum(F.col("w").cast("decimal(25,9)")).cast("double")
                 / F.count("*"),
                 6,
             ).alias("dsir_logweight"),
