@@ -87,7 +87,8 @@ _GRADE_PRIORITY = [
     "d75_salted_skew_join", "e29_incremental_lsh",
     "h12_interval_left_join_twin", "e30_embedding_quantize",
     "c06_corpus_curation_journey", "c07_snapshot_metadata",
-    "d76_variant_semistructured",
+    "d76_variant_semistructured", "d77_scd2_history",
+    "e31_dup_graph_degree",
 ]
 
 

@@ -356,3 +356,62 @@ def d66_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+
+
+@query(
+    "d77_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def d77_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 from a change stream — the
+    classic warehouse materialization the reference's CDC-to-Iceberg
+    replication exists to feed: per user, collapse consecutive equal
+    attribute values (here event_type stands in for the tracked
+    attribute) into validity intervals [valid_from, valid_to) with an
+    is_current flag on the open row. Two stacked windows on ONE
+    user_id shuffle (d57's funnel discipline): lag() finds change
+    points, lead() over the survivors closes each interval. Ties
+    break on (ts, event_id) so both engines pick identical change
+    rows. At 100 TB this is one keyed shuffle + narrow filters — the
+    incremental form applies the same logic per CDC batch against the
+    current open rows."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    valid_to = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -985,3 +985,49 @@ def e29_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+@query(
+    "e31_dup_graph_degree",
+    oracle=_LONG_BANDS_WITH
+    + f"""
+    , sized AS (
+      SELECT band_id, bucket, COUNT(*) AS n
+      FROM long_bands GROUP BY band_id, bucket
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM long_bands a
+      JOIN long_bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      JOIN sized s
+        ON s.band_id = a.band_id AND s.bucket = a.bucket
+      WHERE s.n <= {LSH_BUCKET_CAP}
+    ), deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM cand
+        UNION ALL
+        SELECT doc_b AS doc_id FROM cand
+      ) GROUP BY doc_id
+    )
+    SELECT degree, COUNT(*) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+)
+def e31_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplication diagnostic: the DEGREE DISTRIBUTION of the
+    near-dup candidate graph — for each degree d, how many documents
+    have exactly d near-dup candidates. The shape tells a curator
+    what kind of duplication the corpus carries before any removal
+    runs: a fat tail means boilerplate families (template pages,
+    mirrors — candidates for cluster-level removal via e02g/e02h), a
+    thin head means pairwise near-copies (pair-verify via e02f/e26
+    suffices). Cost: e02b's candidate pairs + one degree aggregate +
+    one histogram aggregate — pair-bounded, never corpus-squared."""
+    pairs = e02b_minhash_lsh_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
