@@ -88,7 +88,7 @@ _GRADE_PRIORITY = [
     "h12_interval_left_join_twin", "e30_embedding_quantize",
     "c06_corpus_curation_journey", "c07_snapshot_metadata",
     "d76_variant_semistructured", "d77_scd2_history",
-    "e31_dup_graph_degree",
+    "e31_dup_graph_degree", "d78_recursive_hierarchy",
 ]
 
 

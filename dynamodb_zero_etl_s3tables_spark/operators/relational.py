@@ -613,3 +613,46 @@ def d74_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D78: recursive CTE — hierarchy traversal (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+# Same ANSI text runs on BOTH engines (the d61 discipline). The
+# hierarchy is derived deterministically from the customer key:
+# parent(c) = floor(c / 10), roots are keys < 10 — a ~5-level tree at
+# any SF with no extra fixture data.
+_D78_SQL = """
+    WITH RECURSIVE chain(node, cur, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT node, CAST(FLOOR(cur / 10.0) AS BIGINT), depth + 1
+      FROM chain WHERE cur >= 10
+    )
+    SELECT cur AS root,
+           COUNT(*) AS n_nodes,
+           MAX(depth) AS max_depth,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM chain
+    WHERE cur < 10
+    GROUP BY cur
+"""
+
+
+@query("d78_recursive_hierarchy", oracle=_D78_SQL)
+def d78_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): climb a derived
+    parent hierarchy (parent = floor(key/10)) from every customer to
+    its single-digit root, then roll up per root — the org-chart /
+    bill-of-materials traversal shape classic warehouses need and
+    Spark could not express before 4.0. Identical SQL text runs on
+    both engines. Execution is the iterative union-fixpoint: each
+    step is one narrow filter + projection over the frontier, depth
+    bounded by the tree height (~log10(keys)), so at 100 TB the cost
+    is height x frontier scans — same shape as e02h's label
+    propagation, but planned natively by Catalyst."""
+    from dynamodb_zero_etl_s3tables_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_D78_SQL)

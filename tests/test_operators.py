@@ -54,7 +54,7 @@ def test_grade_priority_prefix():
     names = list(QUERY_REGISTRY)
     assert names[: len(_GRADE_PRIORITY)] == _GRADE_PRIORITY
     # 62 never-driver-graded after r2 + the ops added in r3
-    assert len(_GRADE_PRIORITY) == 75
+    assert len(_GRADE_PRIORITY) == 76
     # the driver's 50-row window must stay all-never-graded
     assert "e20_chunk_dedup" in _GRADE_PRIORITY[:50]
     # no duplicates, every priority name registered
