@@ -25,6 +25,7 @@ from dynamodb_zero_etl_s3tables_spark.operators import llm_text  # noqa: E402,F4
 from dynamodb_zero_etl_s3tables_spark.operators import stream_twins  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import analytics  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import tpch_extra  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import tpch_third  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import llm_cluster  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import llm_lm  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import windows  # noqa: E402,F401
@@ -89,6 +90,10 @@ _GRADE_PRIORITY = [
     "c06_corpus_curation_journey", "c07_snapshot_metadata",
     "d76_variant_semistructured", "d77_scd2_history",
     "e31_dup_graph_degree", "d78_recursive_hierarchy",
+    # ---- TPC-H third tranche (r3; never graded) ----
+    "d79_tpch_q6_forecast_revenue", "d80_tpch_q7_nation_volume",
+    "d81_tpch_q8_market_share", "d82_tpch_q13_customer_distribution",
+    "d83_tpch_q15_top_supplier", "d84_tpch_q17_small_quantity_revenue",
 ]
 
 
