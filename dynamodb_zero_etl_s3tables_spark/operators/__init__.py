@@ -94,6 +94,9 @@ _GRADE_PRIORITY = [
     "d79_tpch_q6_forecast_revenue", "d80_tpch_q7_nation_volume",
     "d81_tpch_q8_market_share", "d82_tpch_q13_customer_distribution",
     "d83_tpch_q15_top_supplier", "d84_tpch_q17_small_quantity_revenue",
+    # ---- tokenizer / novelty / streaming-dedup ops (r3; never graded) ----
+    "e32_bpe_pair_counts", "e33_ngram_novelty",
+    "h13_dedup_within_watermark_twin",
 ]
 
 

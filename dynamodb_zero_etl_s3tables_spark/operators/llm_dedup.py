@@ -1031,3 +1031,67 @@ def e31_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "e33_ngram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(
+               toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+7], ' ')) AS h
+      FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)
+    ),
+    fs AS (SELECT h, MIN(doc_id) AS first_doc FROM g GROUP BY h)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty_ratio
+    FROM g JOIN fs ON g.h = fs.h
+    GROUP BY g.doc_id
+    """,
+)
+def e33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: per-document n-gram novelty — for each document, the
+    fraction of its distinct 8-gram hashes whose FIRST corpus
+    occurrence (minimum doc_id) is this document. The novelty curve is
+    the standard diagnostic for ordering-sensitive dedup pipelines
+    (documents arriving later contribute fewer novel n-grams as the
+    corpus saturates); a near-zero ratio marks a document that is
+    wholly reassembled from earlier material even when no single
+    near-duplicate exists (which is why MinHash misses it — pairwise
+    similarity to every individual source stays low).
+
+    Scale: one explode to distinct (doc, gram) pairs, one hash-agg
+    shuffle on the gram hash for first-seen, one co-partitioned join
+    back (AQE reuses the exchange), one doc_id agg. The corpus text is
+    scanned once; everything downstream carries 16-byte hashes. The
+    novelty ratio is IEEE division of two exact ints — bit-identical
+    across engines, no ROUND (FIXTURES.md rule)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 8)
+    idx = F.sequence(F.lit(0), F.size("t") - 8)
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, 8))))
+    )
+    g = base.select("doc_id", F.explode(grams).alias("h"))
+    fs = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        g.join(fs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count("*").cast("double")).alias(
+                "novelty_ratio"
+            ),
+        )
+    )

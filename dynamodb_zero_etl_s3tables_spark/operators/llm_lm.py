@@ -149,3 +149,66 @@ def e23_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n12").desc(), "w1", "w2")
         .limit(BIGRAM_TOP_K)
     )
+
+
+BPE_TOP_K = 50
+
+
+@query(
+    "e32_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT w AS word, COUNT(*) AS n
+      FROM (SELECT UNNEST(string_split(LOWER(text), ' ')) AS w
+            FROM documents)
+      WHERE LENGTH(w) >= 2
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, n
+      FROM words, UNNEST(range(1, LENGTH(word))) AS t(i)
+    )
+    SELECT pair,
+           CAST(SUM(n) AS BIGINT) AS freq,
+           COUNT(*) AS n_types
+    FROM pairs
+    GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT {BPE_TOP_K}
+    """,
+)
+def e32_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: one BPE (byte-pair-encoding) training iteration — the
+    adjacent-symbol-pair frequency count that tokenizer training
+    (Sennrich et al. 2016, public) runs repeatedly to pick the next
+    merge. The classic distributed formulation: collapse the corpus to
+    a (word, count) vocabulary FIRST (one hash-agg shuffle whose
+    cardinality is vocab-sized, not corpus-sized), then explode each
+    word's adjacent character pairs weighted by the word count — so
+    at 100 TB the pair-count shuffle carries thousands of rows, not
+    trillions. `n_types` (distinct word shapes containing the pair)
+    rides along as the tie-diagnostic. Top-K by frequency with the
+    pair string as a total-order tiebreak; all-integer arithmetic, so
+    the hash cannot drift."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = words.select(
+        F.col("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("freq"), F.count("*").alias("n_types"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(BPE_TOP_K)
+    )

@@ -435,3 +435,70 @@ def h12_interval_left_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("c_ts"),
     )
     return purchase_click_attribution(purchases, clicks, how="left_outer")
+
+
+@query(
+    "h13_dedup_within_watermark_twin",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS evt_day
+    FROM events
+    """,
+)
+def h13_dedup_within_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H: REAL Structured Streaming ``dropDuplicatesWithinWatermark``
+    — the state-evicting dedup Spark added for at-least-once sources
+    (a redelivered event may carry a slightly different ingest time,
+    so exact-match ``dropDuplicates`` leaks; the WithinWatermark
+    variant matches on the business key and lets the watermark bound
+    state instead of keeping every key forever). The events backlog is
+    drained with ``trigger(availableNow=True)`` through a file sink
+    and the final frame read back, so checkpointing and the dedup
+    state store are inside the oracle hash-match.
+
+    Determinism: the stream is projected to EXACTLY the dedup key
+    (user_id, event_type, event-day) before the dedup, so whichever
+    physical row wins the first-arrival race, the emitted row is
+    identical — the one construction under which an at-least-once
+    dedup has an exact SQL twin (DISTINCT over the key). The
+    watermark delay (30 days) exceeds every intra-key event-time
+    span at any SF, so no candidate is ever evicted early.
+
+    Scale: dedup state is one entry per distinct key, hash-partitioned
+    across executors by the state store; the 100 TB concern is state
+    size, which this key-projection bounds at key-cardinality × a few
+    bytes, not corpus size."""
+    import hashlib as _hl
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    tag = _hl.sha256(sf_dir.encode()).hexdigest()[:10]
+    root = _P("/tmp/spark_graft_io") / tag / "h13_dedup_wm"
+    if root.exists():
+        _sh.rmtree(root)
+    root.mkdir(parents=True)
+
+    e = load(spark, sf_dir, "events")
+    # NTZ has no watermark support: cast through TIMESTAMP (UTC
+    # session) first, then truncate to the event day (the dedup key's
+    # time component).
+    src = e.select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    src.write.mode("overwrite").parquet(str(root / "in"))
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .parquet(str(root / "in"))
+        .withColumn("evt_day", F.date_trunc("day", "ts").cast("timestamp"))
+        .withWatermark("evt_day", "30 days")
+        .select("user_id", "event_type", "evt_day")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "evt_day"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(root / "out"))
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(str(root / "out"))
