@@ -96,7 +96,8 @@ _GRADE_PRIORITY = [
     "d83_tpch_q15_top_supplier", "d84_tpch_q17_small_quantity_revenue",
     # ---- tokenizer / novelty / streaming-dedup ops (r3; never graded) ----
     "e32_bpe_pair_counts", "e33_ngram_novelty",
-    "h13_dedup_within_watermark_twin",
+    "h13_dedup_within_watermark_twin", "d86_bucketed_join",
+    "d87_dynamic_partition_pruning", "h14_stateful_totals_twin",
 ]
 
 

@@ -1266,3 +1266,122 @@ def d76_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
         F.sum((F.col("shard") == 1).cast("int")).cast("bigint").alias("n_shard1"),
     )
+
+
+@query(
+    "d86_bucketed_join",
+    oracle=f"""
+    SELECT o_orderstatus, l_returnflag,
+           COUNT(*) AS n_lines,
+           {DSUM('l_extendedprice')} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus, l_returnflag
+    ORDER BY o_orderstatus, l_returnflag
+    """,
+)
+def d86_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-family scale pattern: BUCKETED co-located join — both fact
+    tables are written once with ``bucketBy(8, <join key>)`` +
+    ``sortBy`` into catalog tables, after which the orderkey join
+    needs NO shuffle and NO sort on either side: each bucket pair
+    joins locally because identical bucketing functions placed
+    matching keys in matching files. This is the storage-level answer
+    to the "same big join every day" pipeline — at 100 TB the shuffle
+    this avoids is the single largest network cost in the plan, and
+    the one-time bucketed rewrite amortizes across every downstream
+    join/aggregate on the same key. The only Exchange left in the
+    plan is the final group-by's (asserted in tests/test_plans.py:
+    exactly one Exchange, and it sits above the join).
+
+    DuckDB has no bucket concept, so the oracle is the plain join —
+    bucketing must be RESULT-INVISIBLE, which is exactly what the
+    hash-match verifies."""
+    root = _scratch(sf_dir, "d86_bucketed", wipe=True)
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    db = f"bkt_{tag}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    for df, name, key in ((o, "orders_b", "o_orderkey"), (li, "lineitem_b", "l_orderkey")):
+        (
+            df.write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{root}/{name}")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.{name}")
+        )
+    ob = spark.table(f"{db}.orders_b")
+    lb = spark.table(f"{db}.lineitem_b")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice").alias("revenue"))
+        .orderBy("o_orderstatus", "l_returnflag")
+    )
+
+
+@query(
+    "d87_dynamic_partition_pruning",
+    oracle=f"""
+    WITH fact AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             l_extendedprice, l_discount
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        AND o_orderdate <  TIMESTAMP '1997-10-01'
+    )
+    SELECT month, COUNT(*) AS n_lines,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM fact JOIN dim ON ship_month = month
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def d87_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-family scale pattern: DYNAMIC PARTITION PRUNING — the fact
+    table is laid out hive-partitioned by ship month, and the join's
+    dim side (the distinct months of a filtered quarter of orders) is
+    only known at RUNTIME, so no static filter can prune the scan.
+    Catalyst inserts a dynamicpruning subquery: the dim side runs
+    first (reusing the join's own broadcast), and the fact scan then
+    reads ONLY the matching month directories. At 100 TB with daily
+    or monthly partitions this is the difference between scanning 3
+    months and scanning 7 years — the single highest-leverage I/O
+    optimization for star-schema joins on partitioned lakes, and it
+    composes with the broadcast join (one runtime subquery, zero
+    extra shuffles). Asserted in tests/test_plans.py: the fact scan's
+    PartitionFilters carry a dynamicpruningexpression.
+
+    DuckDB has no partitioned layout, so the oracle is the plain
+    derived-column join — the layout must be result-invisible."""
+    out = _scratch(sf_dir, "lineitem_by_month")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        "l_discount",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+    )
+    li.write.mode("overwrite").partitionBy("ship_month").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .distinct()
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        fact.join(F.broadcast(dim), fact.ship_month == dim.month)
+        .groupBy("month")
+        .agg(F.count("*").alias("n_lines"), dsum(rev).alias("revenue"))
+        .orderBy("month")
+    )

@@ -502,3 +502,85 @@ def h13_dedup_within_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFra
     )
     q.awaitTermination(300)
     return spark.read.parquet(str(root / "out"))
+
+
+@query(
+    "h14_stateful_totals_twin",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def h14_stateful_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H: REAL ``applyInPandasWithState`` under the oracle gate — the
+    custom stateful operator (streaming/stateful.running_totals)
+    drains a multi-microbatch events backlog in update mode; each
+    batch emits the post-update running totals for the keys it
+    touched, and the FINAL emission per key (highest batch_id) must
+    equal a plain batch groupBy — the batch-twin law the pytest suite
+    asserts, here promoted to the hash-matched driver gate.
+
+    Determinism: float += across microbatches is order-dependent, so
+    values are quantized to integer cents BEFORE streaming (the d29c
+    pattern) — every partial sum is then an exact integer-valued
+    double, associative in IEEE arithmetic, and the /100 rescale is
+    the identical final operation in both engines.
+
+    Scale: state is one (count, total) pair per live key in the
+    partitioned state store; backlog drain cost is one shuffle per
+    microbatch on user_id. The final-emission pick is a key-partition
+    window over per-batch rows (keys × batches rows, not events)."""
+    import hashlib as _hl
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    from dynamodb_zero_etl_s3tables_spark.streaming.stateful import running_totals
+
+    tag = _hl.sha256(sf_dir.encode()).hexdigest()[:10]
+    root = _P("/tmp/spark_graft_io") / tag / "h14_stateful"
+    if root.exists():
+        _sh.rmtree(root)
+    root.mkdir(parents=True)
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").cast("double").alias("value"),
+    )
+    # 4 input files -> 2 microbatches of 2 files: the running totals
+    # genuinely accumulate across state-store commits.
+    e.repartition(4).write.mode("overwrite").parquet(str(root / "in"))
+
+    stream = spark.readStream.schema(e.schema).option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(str(root / "in"))
+    totals = running_totals(stream)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(str(root / "out"))
+
+    q = (
+        totals.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(str(root / "out"))
+    w = W.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_value") / 100.0).alias("total_value"),
+        )
+    )

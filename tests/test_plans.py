@@ -158,3 +158,39 @@ def test_registry_wide_plan_sweep(spark):
         if unpartitioned and name not in global_window_ok:
             problems.append(f"{name}: unpartitioned Window over unbounded input")
     assert not problems, problems
+
+
+def test_d86_bucketed_join_has_no_shuffle_before_join(spark):
+    """Bucketed co-located join: both sides scan pre-bucketed files,
+    so the orderkey join itself needs NO Exchange — the only shuffles
+    left are the final group-by's and the orderBy's range partitioner,
+    both ABOVE the join. At fixture scale Catalyst rightly prefers a
+    broadcast join (orders is tiny), so broadcast is disabled HERE to
+    surface the 100 TB plan: both-sides-huge, where the bucketed
+    layout is what saves the shuffle."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "d86_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos != -1, plan[:2000]
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # no Exchange keyed on the join key — the bucketed layout feeds
+    # the join directly; all remaining exchanges sit above the join
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    exchanges = [i for i in range(len(plan)) if plan.startswith("Exchange", i)]
+    assert exchanges and all(i < join_pos for i in exchanges), plan[:2000]
+
+
+def test_d87_fact_scan_has_dynamic_pruning(spark):
+    """Dynamic partition pruning: the month-partitioned fact scan must
+    carry a runtime dynamicpruning PartitionFilter fed by the dim
+    side — without it the scan reads every month directory and the
+    operator's whole point is gone."""
+    plan = plan_of(spark, "d87_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "PartitionFilters" in plan
