@@ -333,9 +333,10 @@ def e25_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "e28_embedding_covariance",
-    oracle=f"""
+#: shared covariance CTE chain (upper-triangle gram + means), reused
+#: by e28's oracle and e34's power-iteration oracle so the two cannot
+#: drift (same decimal-sum + ROUND-6 discipline in both)
+_COV_CTES = f"""
     WITH ij AS (
       SELECT i.i AS dim_i, j.j AS dim_j
       FROM (SELECT UNNEST(range(0, {DIM})) AS i) i,
@@ -359,6 +360,13 @@ def e25_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings, ij
       GROUP BY ij.dim_i, ij.dim_j
     )
+"""
+
+
+@query(
+    "e28_embedding_covariance",
+    oracle=_COV_CTES
+    + """
     SELECT g.dim_i, g.dim_j, g.gram_mean,
            g.gram_mean - mi.m * mj.m + 0.0 AS cov
     FROM gram g
@@ -528,4 +536,129 @@ def e30_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         err.alias("max_abs_err"),
         F.array_max("qv").cast("bigint").alias("q_max"),
         F.array_min("qv").cast("bigint").alias("q_min"),
+    )
+
+
+#: power-iteration oracle: 3 unrolled iterations over the shared cov
+#: CTEs. Generated by loop so Spark and SQL iterate identically.
+def _power_iter_ctes(iters: int) -> str:
+    parts = [
+        """,
+    cov_m AS (
+      SELECT g.dim_i, g.dim_j, g.gram_mean - mi.m * mj.m + 0.0 AS cov
+      FROM gram g
+      JOIN means mi ON mi.d = g.dim_i
+      JOIN means mj ON mj.d = g.dim_j
+    ),
+    full_m AS (
+      SELECT dim_i AS i, dim_j AS j, cov FROM cov_m
+      UNION ALL
+      SELECT dim_j AS i, dim_i AS j, cov FROM cov_m WHERE dim_i <> dim_j
+    ),
+    v0 AS (SELECT UNNEST(range(0, %d)) AS d, 0.125 AS x)"""
+        % DIM
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+    w{k} AS (
+      SELECT i AS d,
+             CAST(SUM(CAST(cov * v.x AS DECIMAL(25,9))) AS DOUBLE) AS w
+      FROM full_m JOIN v{k-1} v ON full_m.j = v.d
+      GROUP BY i
+    ),
+    n{k} AS (
+      SELECT SQRT(CAST(SUM(CAST(w * w AS DECIMAL(25,9))) AS DOUBLE)) AS nrm
+      FROM w{k}
+    ),
+    v{k} AS (
+      SELECT d, ROUND(w / (SELECT nrm FROM n{k}), 6) + 0.0 AS x FROM w{k}
+    )"""
+        )
+    return "".join(parts)
+
+
+PCA_ITERS = 3
+
+
+@query(
+    "e34_pca_power_iteration",
+    oracle=_COV_CTES
+    + _power_iter_ctes(PCA_ITERS)
+    + f"""
+    SELECT d AS dim, x AS loading,
+           ROUND((SELECT nrm FROM n{PCA_ITERS}), 6) + 0.0 AS eigenvalue
+    FROM v{PCA_ITERS}
+    ORDER BY dim
+    """,
+)
+def e34_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION over the distributed covariance matrix (e28) — the
+    eigen-step behind PCA/ZCA whitening, which semantic-dedup
+    pipelines (SemDeDup-style, e25) run before clustering so cosine
+    distances are not dominated by a single high-variance direction.
+
+    The split of labor is the scale story: the ONLY pass that touches
+    all N rows is e28's covariance aggregation (shuffle payload fixed
+    at DIM(DIM+1)/2 cells, independent of N); the iteration then runs
+    on the DIMxDIM matrix — metadata-scale, broadcast-joined, 3
+    matvec rounds unrolled on the driver as control flow with all
+    data staying in DataFrames.
+
+    Determinism (the interesting part — iterative float linear
+    algebra under a bit-exact cross-engine gate): every matvec sum
+    and the norm's sum-of-squares go through DECIMAL(25,9) (order-
+    independent), sqrt and division are correctly-rounded IEEE ops
+    (identical in both engines), and the vector is RE-QUANTIZED to
+    6dp after each normalization, so both engines enter every round
+    with bit-identical state — divergence cannot accumulate. The
+    oracle's iteration CTEs are generated by the same loop count
+    (PCA_ITERS) the Spark side runs."""
+    cov = e28_embedding_covariance(spark, sf_dir).select("dim_i", "dim_j", "cov")
+    full_m = cov.select(
+        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "cov"
+    ).unionAll(
+        cov.filter(F.col("dim_i") != F.col("dim_j")).select(
+            F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "cov"
+        )
+    )
+    full_m = full_m.localCheckpoint(eager=True)  # cov agg runs once
+    v = spark.range(DIM).select(
+        F.col("id").cast("int").alias("d"), F.lit(0.125).alias("x")
+    )
+    norm_col = None
+    for _ in range(PCA_ITERS):
+        w = (
+            full_m.join(F.broadcast(v), full_m.j == v.d)
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("cov") * F.col("x")).cast("decimal(25,9)"))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(25,9)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        v = (
+            w.join(F.broadcast(nrm))
+            .select(
+                F.col("i").alias("d"),
+                (F.round(F.col("w") / F.col("nrm"), 6) + F.lit(0.0)).alias("x"),
+            )
+        )
+        norm_col = nrm
+    return (
+        v.join(F.broadcast(norm_col))
+        .select(
+            F.col("d").alias("dim"),
+            F.col("x").alias("loading"),
+            (F.round(F.col("nrm"), 6) + F.lit(0.0)).alias("eigenvalue"),
+        )
+        .orderBy("dim")
     )
