@@ -99,6 +99,24 @@ FLAGSHIPS = {
         "capped bucket index (one shuffle on (band, bucket)); pair "
         "expansion happens only inside buckets the delta touches."
     ),
+    "d86_bucketed_join": (
+        "Bucketed co-located join: both scans report Bucketed: true / "
+        "SelectedBucketsCount, and no Exchange is keyed on the join key "
+        "— the only shuffles are the final aggregate's and the sort's. "
+        "(At fixture scale AQE picks a broadcast join over the bucketed "
+        "layout — equally shuffle-free; the SMJ variant is pinned with "
+        "broadcast disabled in tests/test_plans.py.)"
+    ),
+    "d87_dynamic_partition_pruning": (
+        "Dynamic partition pruning: the month-partitioned fact scan's "
+        "PartitionFilters carry a dynamicpruningexpression fed by the "
+        "filtered dim — the scan reads 3 month directories, not all."
+    ),
+    "e34_pca_power_iteration": (
+        "Power iteration: the only full-corpus pass is the covariance "
+        "aggregate (fixed DIM^2 cell shuffle); the three matvec rounds "
+        "are broadcast joins over DIM x DIM rows — metadata scale."
+    ),
 }
 
 
