@@ -98,7 +98,7 @@ _GRADE_PRIORITY = [
     "e32_bpe_pair_counts", "e33_ngram_novelty",
     "h13_dedup_within_watermark_twin", "d86_bucketed_join",
     "d87_dynamic_partition_pruning", "h14_stateful_totals_twin",
-    "e34_pca_power_iteration",
+    "e34_pca_power_iteration", "e35_cluster_keywords",
 ]
 
 

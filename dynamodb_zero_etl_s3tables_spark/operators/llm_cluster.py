@@ -662,3 +662,75 @@ def e34_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+KEYWORDS_PER_CLUSTER = 10
+
+
+@query(
+    "e35_cluster_keywords",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    toks AS (
+      SELECT a2.cid, UNNEST(string_split(LOWER(d.text), ' ')) AS token
+      FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
+    ),
+    tf AS (SELECT cid, token, COUNT(*) AS n FROM toks GROUP BY cid, token),
+    dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT cid, token, n, df,
+             CAST(n AS DOUBLE) * {K_CLUSTERS} / df AS score
+      FROM tf JOIN dfx USING (token)
+    )
+    SELECT cid AS cluster, rn AS rank, token, n AS tf, df, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+                                       ORDER BY score DESC, n DESC, token) AS rn
+          FROM scored)
+    WHERE rn <= {KEYWORDS_PER_CLUSTER}
+    """,
+)
+def e35_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling: top keywords per k-means cluster by a
+    c-TF-IDF-style score (class-based TF-IDF, the BERTopic-family
+    technique for naming semantic clusters in corpus-curation
+    reports). The idf factor is the exact rational k/df (clusters
+    over clusters-containing-token) instead of log(k/df) — monotone
+    in the same ordering for fixed tf, and IEEE division of exact
+    ints keeps the score bit-identical across engines with no
+    rounding step (FIXTURES.md rule).
+
+    Composes e21's two Lloyd rounds (vec_id aligns 1:1 with doc_id in
+    the corpus) — the oracle reuses the SAME _KMEANS_CTES chain, so
+    the cluster assignment cannot drift between the two engines.
+
+    Scale: the tf aggregate shuffles (cluster, token) cells — bounded
+    by k x vocabulary, not corpus size; df is vocabulary-sized; the
+    top-10 window partitions by cluster over k x vocab rows. After
+    e21's assignment (broadcast centroids, one scan), nothing here
+    rereads the corpus more than the one token explode."""
+    a2 = _two_lloyd_rounds(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        a2.select("vec_id", "cid")
+        .join(d, F.col("doc_id") == F.col("vec_id"))
+        .select("cid", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    )
+    tf = toks.groupBy("cid", "token").agg(F.count("*").alias("n"))
+    dfx = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(dfx, "token").withColumn(
+        "score",
+        F.col("n").cast("double") * F.lit(float(K_CLUSTERS)) / F.col("df"),
+    )
+    w = W.partitionBy("cid").orderBy(F.col("score").desc(), F.col("n").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KEYWORDS_PER_CLUSTER)
+        .select(
+            F.col("cid").alias("cluster"),
+            "rank",
+            "token",
+            F.col("n").alias("tf"),
+            "df",
+            "score",
+        )
+    )

@@ -116,6 +116,8 @@ def test_registry_wide_plan_sweep(spark):
         "e21_kmeans_refine",   # k=8 centroid broadcast per Lloyd step
         "e22_vocab_coverage",  # 1-row corpus-token-total broadcast
         "e25_semdedup",        # same k=8 centroid broadcasts (composes e21)
+        "e34_pca_power_iteration",  # 1-row norm scalar broadcast per matvec round
+        "e35_cluster_keywords",     # same k=8 centroid broadcasts (composes e21)
     }
     # Window with no partition spec over a bounded (post-limit) input:
     global_window_ok = {
@@ -126,6 +128,7 @@ def test_registry_wide_plan_sweep(spark):
         "e21_kmeans_refine",   # centroid-id stamping over the LIMIT-8 seed
         "e22_vocab_coverage",  # rank/cumulative over the top-100 survivors
         "e25_semdedup",        # same LIMIT-8 seed stamping (composes e21)
+        "e35_cluster_keywords",  # same LIMIT-8 seed stamping (composes e21)
     }
     # builders that run jobs/streams at build time; plan shape of
     # their final read is covered by their oracle queries instead
