@@ -697,36 +697,39 @@ def e02h_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Observation
 
+    # Convergence via the LABEL-SUM invariant: every round takes
+    # per-doc mins, so each label either stays or strictly decreases —
+    # the total sum of labels is strictly monotone until the fixpoint,
+    # and an unchanged sum proves NO label moved. Observing the sum
+    # rides the same job that materializes the round, replacing the
+    # previous old-vs-new join (one fewer shuffle per round). The sum
+    # is a DECIMAL(38,0) aggregate: at extreme doc_id magnitudes an
+    # int64 sum of 10^12 labels could overflow, the decimal cannot.
+    prev_sum = None
     for i in range(12):
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "comp")
         )
-        # convergence detection rides the SAME job that materializes
-        # the round (observe + eager checkpoint) — one action per
-        # round instead of checkpoint + a separate count join
         obs = Observation(f"e02h-round-{i}")
         new_labels = (
             labels.unionAll(nbr)
             .groupBy("doc_id")
             .agg(F.min("comp").alias("comp"))
-            .join(
-                labels.select("doc_id", F.col("comp").alias("__old")), "doc_id"
-            )
             .observe(
                 obs,
-                F.sum((F.col("comp") != F.col("__old")).cast("long")).alias(
-                    "changed"
-                ),
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("label_sum"),
             )
-            .drop("__old")
             .localCheckpoint(eager=True)
         )
         labels = new_labels
-        # SUM over zero rows observes None (empty corpus) — treat as
-        # converged, matching the old count()==0 exit
-        if int(obs.get["changed"] or 0) == 0:
+        # SUM over zero rows observes None (empty corpus): normalized
+        # to 0 so the second all-zero round hits s == prev_sum
+        s = obs.get["label_sum"]
+        s = int(s) if s is not None else 0
+        if s == prev_sum:
             break
+        prev_sum = s
     return labels.select(
         "doc_id",
         F.col("comp").alias("component_rep"),
