@@ -1072,8 +1072,6 @@ class ManagedTable:
         the current one) and delete data dirs no retained snapshot
         references after ``unreferenced_days`` — the engine's
         ``unreferencedFileRemoval`` (reference README.md:129-137)."""
-        import shutil
-
         unref = self.spec.unreferenced_days if unreferenced_days is None else unreferenced_days
         noncur = self.spec.noncurrent_days if noncurrent_days is None else noncurrent_days
         now = time.time() if now is None else now
@@ -1087,6 +1085,34 @@ class ManagedTable:
             for s in m.snapshots
             if s is m.current or s.committed_at >= cutoff
         ]
+        dropped = self._retain(m, keep, expected)
+        deleted = self._gc_unreferenced_dirs(m.snapshots, now - unref * 86400)
+        return {"snapshots_dropped": dropped, "dirs_deleted": deleted}
+
+    def expire_snapshots(self, retain_last: int) -> dict[str, int]:
+        """B11 companion — Iceberg ``expire_snapshots(retain_last=N)``
+        analog: COUNT-based retention. Keeps the newest ``retain_last``
+        snapshots (the current snapshot is always among them, being
+        the newest), pins merge-on-read base chains like ``vacuum``,
+        and immediately deletes data dirs no retained snapshot
+        references — the bounded-history policy for tables where
+        commit cadence, not wall-clock age, drives retention cost."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        m = self._read_manifest()
+        if not m.snapshots:
+            return {"snapshots_dropped": 0, "dirs_deleted": 0}
+        expected = m.version
+        newest = sorted(m.snapshots, key=lambda s: -s.version)[:retain_last]
+        keep = [s for s in m.snapshots if s in newest or s is m.current]
+        dropped = self._retain(m, keep, expected)
+        deleted = self._gc_unreferenced_dirs(m.snapshots, float("inf"))
+        return {"snapshots_dropped": dropped, "dirs_deleted": deleted}
+
+    def _retain(self, m: Manifest, keep: list[Snapshot], expected: int) -> int:
+        """Shared retention core: close merge-on-read base chains over
+        ``keep`` and commit the pruned snapshot list. Returns the
+        number of snapshots dropped."""
         # merge-on-read ancestor closure: a retained delta snapshot is
         # unreadable without its base chain, so bases are pinned
         # regardless of age (versions ascend, so one backward pass
@@ -1104,14 +1130,21 @@ class ManagedTable:
                     break
                 cur = nxt
                 keep_v.add(cur.version)
-        keep = [s for s in m.snapshots if s.version in keep_v]
-        dropped = len(m.snapshots) - len(keep)
-        m.snapshots = keep
+        kept = [s for s in m.snapshots if s.version in keep_v]
+        dropped = len(m.snapshots) - len(kept)
+        m.snapshots = kept
         self._write_manifest(m, expected_version=expected)
-        # reference-count at the top-level snapshot-dir granularity: a
-        # pruned merge's snapshot references SUBDIRS of earlier
-        # snapshots' dirs, so a dir stays as long as any retained
-        # snapshot points anywhere inside it
+        return dropped
+
+    def _gc_unreferenced_dirs(self, keep: list[Snapshot], mtime_cutoff: float) -> int:
+        """Delete top-level data dirs referenced by no retained
+        snapshot and last modified before ``mtime_cutoff`` (pass
+        ``float("inf")`` for immediate deletion). Reference-counting is
+        at the snapshot-dir granularity: a pruned merge's snapshot
+        references SUBDIRS of earlier snapshots' dirs, so a dir stays
+        as long as any retained snapshot points anywhere inside it."""
+        import shutil
+
         data_root = self.root / "data"
         referenced: set[str] = set()
         for s in keep:
@@ -1122,10 +1155,9 @@ class ManagedTable:
                 except ValueError:
                     pass  # entry outside data_root — never collected
         deleted = 0
-        unref_cutoff = now - unref * 86400
         if data_root.exists():
             for child in data_root.iterdir():
-                if child.name not in referenced and child.stat().st_mtime < unref_cutoff:
+                if child.name not in referenced and child.stat().st_mtime < mtime_cutoff:
                     shutil.rmtree(child)
                     deleted += 1
-        return {"snapshots_dropped": dropped, "dirs_deleted": deleted}
+        return deleted

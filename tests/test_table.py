@@ -600,3 +600,79 @@ def test_snapshots_df_metadata(spark, warehouse):
     assert meta[1].operation == "bootstrap" and not meta[1].is_delta
     assert meta[2].operation == "merge-mor" and meta[2].is_delta
     assert meta[1].row_count == 5
+
+
+def test_expire_snapshots_retain_last(spark, tmp_path):
+    # B11 companion: count-based retention — keep the newest N
+    # snapshots, pin MoR base chains, immediately GC unreferenced dirs
+    from pyspark.sql import functions as F
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table(
+        TableSpec(namespace="ns", name="exp", key_columns=("pk",), order_columns=("seq",))
+    )
+    base = spark.range(10).select(
+        F.col("id").alias("pk"), F.lit(0).cast("long").alias("seq"),
+        F.lit("a").alias("val"),
+    )
+    t.bootstrap(base)
+    for i in range(1, 5):  # versions 2..5
+        chg = spark.range(i, i + 2).select(
+            F.lit("MODIFY").alias("op"), F.lit(i).cast("long").alias("seq"),
+            F.col("id").alias("pk"), F.lit(f"v{i}").alias("val"),
+        )
+        t.apply_changes(chg)
+    assert len(t.history()) == 5
+    before = t.read().collect()
+
+    res = t.expire_snapshots(retain_last=2)
+    assert res["snapshots_dropped"] == 3
+    assert res["dirs_deleted"] >= 1  # old snapshot dirs gone immediately
+    hist = t.history()
+    assert [s.version for s in hist] == [4, 5]
+    # current snapshot unchanged and still readable
+    assert sorted(map(tuple, t.read().collect())) == sorted(map(tuple, before))
+    # time travel to an expired version now fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in retained history"):
+        t.read(version=1)
+    # invariants hold after expiry
+    audit = t.verify_integrity()
+    assert not audit.get("broken_chains")
+    # retain_last must be positive
+    with _pytest.raises(ValueError, match="retain_last"):
+        t.expire_snapshots(retain_last=0)
+
+
+def test_expire_snapshots_pins_mor_base_chain(spark, tmp_path):
+    # a retained merge-on-read delta must keep its base snapshot
+    # readable even when count-based retention would drop the base
+    from pyspark.sql import functions as F
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh2"))
+    t = cat.create_table(
+        TableSpec(namespace="ns", name="mor", key_columns=("pk",), order_columns=("seq",))
+    )
+    base = spark.range(6).select(
+        F.col("id").alias("pk"), F.lit(0).cast("long").alias("seq"),
+        F.lit("x").alias("val"),
+    )
+    t.bootstrap(base)  # v1 (the MoR base)
+    chg = spark.range(2).select(
+        F.lit("MODIFY").alias("op"), F.lit(1).cast("long").alias("seq"),
+        F.col("id").alias("pk"), F.lit("y").alias("val"),
+    )
+    t.apply_changes(chg, strategy="merge-on-read")  # v2 delta on v1
+    before = sorted(map(tuple, t.read().collect()))
+
+    res = t.expire_snapshots(retain_last=1)
+    # v1 is pinned by v2's chain: nothing droppable
+    assert res["snapshots_dropped"] == 0
+    assert sorted(map(tuple, t.read().collect())) == before
