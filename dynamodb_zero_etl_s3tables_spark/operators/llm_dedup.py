@@ -1098,3 +1098,126 @@ def e33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: probe lengths for the common-span probe, longest first in output
+SPAN_LENGTHS = (8, 16, 32)
+
+
+@query(
+    "e36_common_span_probe",
+    oracle=_LONG_BANDS_WITH
+    + f"""
+    , sized AS (
+      SELECT band_id, bucket, COUNT(*) AS n
+      FROM long_bands GROUP BY band_id, bucket
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM long_bands a
+      JOIN long_bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      JOIN sized s
+        ON s.band_id = a.band_id AND s.bucket = a.bucket
+      WHERE s.n <= {LSH_BUCKET_CAP}
+    ), cdocs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM cand
+        UNION ALL SELECT doc_b AS doc_id FROM cand)
+    ), ctoks AS (
+      SELECT d.doc_id, string_split(LOWER(d.text), ' ') AS toks
+      FROM documents d JOIN cdocs USING (doc_id)
+    ), wins AS (
+      SELECT DISTINCT doc_id, L,
+             md5(array_to_string(
+               toks[CAST(i AS INTEGER):CAST(i AS INTEGER) + L - 1], ' ')) AS h
+      FROM ctoks,
+           (SELECT UNNEST([{", ".join(map(str, SPAN_LENGTHS))}]) AS L) ls,
+           UNNEST(range(1, len(toks) - L + 2)) AS u(i)
+    ), m AS (
+      SELECT c.doc_a, c.doc_b, wa.L, COUNT(*) AS n_shared
+      FROM cand c
+      JOIN wins wa ON wa.doc_id = c.doc_a
+      JOIN wins wb ON wb.doc_id = c.doc_b AND wb.h = wa.h AND wb.L = wa.L
+      GROUP BY c.doc_a, c.doc_b, wa.L
+    )
+    SELECT c.doc_a, c.doc_b,
+           COALESCE(MAX(m.L), 0) AS longest_span,
+           CAST(COALESCE(MAX(CASE WHEN m.L = {SPAN_LENGTHS[0]}
+                                  THEN m.n_shared END), 0) AS BIGINT)
+             AS n_shared_min
+    FROM cand c
+    LEFT JOIN m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+    GROUP BY c.doc_a, c.doc_b
+    """,
+)
+def e36_common_span_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 stage 4 (exact-substring probe): for each LSH candidate
+    pair, the longest L in {8, 16, 32} at which the two documents
+    share a VERBATIM L-token window, plus the shared-window count at
+    the smallest L. This is the bounded form of suffix-array
+    exact-substring dedup (the Lee et al. "Deduplicating Training
+    Data" line of work): instead of building a corpus-wide suffix
+    array, it probes a geometric ladder of window lengths with hash
+    joins — longest_span = 0 separates "similar vocabulary" pairs
+    from "copied passage" pairs, the signal that drives
+    remove-the-span (vs drop-the-document) dedup policies.
+
+    Plan: candidates come from the capped LSH buckets; the corpus is
+    pruned to candidate documents by a semi-join BEFORE any window
+    explosion (at 100 TB the window hashes of non-candidate docs are
+    never computed); each length's distinct window hashes ride one
+    Generate; the pair match is two equi-joins — (pair, doc) then
+    (doc, L, hash) — both partition-parallel, payload bounded by
+    candidates x windows-per-doc. All-integer outputs."""
+    pairs = e02b_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    cdocs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = load(spark, sf_dir, "documents").join(cdocs, "doc_id", "left_semi")
+    base = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    wins = None
+    for L in SPAN_LENGTHS:
+        idx = F.sequence(F.lit(0), F.size("t") - L)
+        w_l = base.filter(F.size("t") >= L).select(
+            "doc_id",
+            F.lit(L).alias("L"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, L)))
+                    )
+                )
+            ).alias("h"),
+        )
+        wins = w_l if wins is None else wins.unionAll(w_l)
+    wa = wins.select(
+        F.col("doc_id").alias("da"), F.col("L").alias("La"), F.col("h").alias("ha")
+    )
+    wb = wins.select(
+        F.col("doc_id").alias("db"), F.col("L").alias("Lb"), F.col("h").alias("hb")
+    )
+    m = (
+        pairs.join(wa, pairs.doc_a == wa.da)
+        .join(
+            wb,
+            (pairs.doc_b == F.col("db"))
+            & (F.col("hb") == F.col("ha"))
+            & (F.col("Lb") == F.col("La")),
+        )
+        .groupBy("doc_a", "doc_b", "La")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    agg = m.groupBy("doc_a", "doc_b").agg(
+        F.max("La").alias("ls"),
+        F.max(
+            F.when(F.col("La") == SPAN_LENGTHS[0], F.col("n_shared"))
+        ).alias("ns"),
+    )
+    return pairs.join(agg, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce(F.col("ls"), F.lit(0)).alias("longest_span"),
+        F.coalesce(F.col("ns"), F.lit(0).cast("long")).alias("n_shared_min"),
+    )
