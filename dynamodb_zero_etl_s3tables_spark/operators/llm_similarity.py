@@ -739,3 +739,172 @@ def e17_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vecs"),
         )
     )
+
+
+#: product-quantization geometry: M subspaces of DIM/M dims, K codes
+PQ_M = 8
+PQ_K = 16
+PQ_SUB = DIM // PQ_M
+
+
+def _SUBDOT(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {PQ_SUB + 1}),"
+        f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "e37_pq_adc_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cb AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             embedding
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    ms AS (SELECT CAST(UNNEST(range(0, {PQ_M})) AS INT) AS m),
+    cbsub AS (
+      SELECT cid, m,
+             cb.embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS cvec
+      FROM cb, ms
+    ),
+    vsub AS (
+      SELECT vec_id, m,
+             e.embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS svec
+      FROM embeddings e, ms
+    ),
+    dists AS (
+      SELECT vec_id, v.m, cid,
+             list_reduce(list_transform(range(1, {PQ_SUB + 1}),
+               i -> (svec[i]::DOUBLE - cvec[i]::DOUBLE)
+                  * (svec[i]::DOUBLE - cvec[i]::DOUBLE)),
+               (acc, x) -> acc + x) AS d2
+      FROM vsub v JOIN cbsub c ON v.m = c.m
+    ),
+    codes AS (
+      SELECT vec_id, m, cid
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, cid) AS rn
+            FROM dists)
+      WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT m, qv[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS qsv
+      FROM q, ms
+    ),
+    lut AS (
+      SELECT c.m, c.cid, {_SUBDOT('c.cvec', 's.qsv')} AS pdot
+      FROM cbsub c JOIN qsub s ON c.m = s.m
+    ),
+    adc AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(pdot AS DECIMAL(25,9))) AS DOUBLE) AS adc_score
+      FROM codes JOIN lut USING (m, cid)
+      GROUP BY vec_id
+    ),
+    exact AS (
+      SELECT vec_id, {_DOT('e.embedding', 'q.qv')} AS exact_dot
+      FROM embeddings e, q
+    )
+    SELECT vec_id, adc_score, exact_dot, rn AS rank
+    FROM (
+      SELECT a.vec_id, a.adc_score, x.exact_dot,
+             ROW_NUMBER() OVER (ORDER BY a.adc_score DESC, a.vec_id) AS rn
+      FROM adc a JOIN exact x USING (vec_id)
+      WHERE a.vec_id <> 0
+    )
+    WHERE rn <= 20
+    """,
+)
+def e37_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 storage/serving path: PRODUCT QUANTIZATION — encode each
+    vector as {PQ_M} one-byte codes (argmin centroid per {PQ_SUB}-dim
+    subspace) and score the query by ASYMMETRIC DISTANCE COMPUTATION:
+    a {PQ_M}x{PQ_K} lookup table of query-subvector x centroid partial
+    dots, summed per code word (Jégou et al. 2011, public). The
+    compressed corpus is DIM/PQ_M x smaller than float32 storage; the
+    exact dot rides along per row so the result itself measures the
+    ADC approximation against ground truth.
+
+    Codebook: the {PQ_K} lowest-vec_id vectors' subvectors (the
+    sampled-codebook surrogate; the trained variant is one e21-style
+    Lloyd round per subspace — same machinery, deliberately not
+    composed here so the encode/score path stays a one-scan shape).
+
+    Scale: encoding is a broadcast join ({PQ_M}x{PQ_K} = 128 codebook
+    rows) + per-row argmin — map-side; the LUT is {PQ_M}x{PQ_K}
+    partial dots computed once and broadcast; ADC scoring shuffles
+    (vec_id, m) code cells once for the per-vector sum. At serving
+    scale the codes table IS the index: 8 bytes/vector vs 256.
+    Determinism: subspace distance and LUT dots are left-to-right
+    IEEE folds; the {PQ_M}-term ADC sum goes through DECIMAL(25,9);
+    argmin ties break on (d2, cid)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    subvecs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB),
+    )
+    cb = (
+        e.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            (F.row_number().over(W.partitionBy(F.lit(1)).orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cid"),
+            "embedding",
+        )
+    )
+    cbsub = cb.select(
+        "cid", F.posexplode(subvecs).alias("m", "cvec")
+    )
+    vsub = e.select("vec_id", F.posexplode(subvecs).alias("m", "svec"))
+    sq = F.zip_with(
+        F.col("svec"),
+        F.col("cvec"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dists = vsub.join(F.broadcast(cbsub), "m").withColumn(
+        "d2", F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+    )
+    wmin = W.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    codes = (
+        dists.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    qsub = q.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice(F.col("qv"), m * PQ_SUB + 1, PQ_SUB),
+            )
+        ).alias("m", "qsv")
+    )
+    lut = cbsub.join(F.broadcast(qsub), "m").select(
+        "m", "cid", dot_fold(F.col("cvec"), F.col("qsv")).alias("pdot")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("pdot").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("adc_score")
+        )
+    )
+    exact = e.join(F.broadcast(q)).select(
+        "vec_id", dot_fold(F.col("embedding"), F.col("qv")).alias("exact_dot")
+    )
+    topk = (
+        adc.join(exact, "vec_id")
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.col("adc_score").desc(), "vec_id")
+        .limit(20)
+    )
+    w = W.partitionBy(F.lit(1)).orderBy(F.col("adc_score").desc(), "vec_id")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "adc_score", "exact_dot", "rank"
+    )

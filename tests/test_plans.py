@@ -118,6 +118,7 @@ def test_registry_wide_plan_sweep(spark):
         "e25_semdedup",        # same k=8 centroid broadcasts (composes e21)
         "e34_pca_power_iteration",  # 1-row norm scalar broadcast per matvec round
         "e35_cluster_keywords",     # same k=8 centroid broadcasts (composes e21)
+        "e37_pq_adc_topk",          # 1-row query-vector broadcast
     }
     # Window with no partition spec over a bounded (post-limit) input:
     global_window_ok = {
@@ -129,6 +130,7 @@ def test_registry_wide_plan_sweep(spark):
         "e22_vocab_coverage",  # rank/cumulative over the top-100 survivors
         "e25_semdedup",        # same LIMIT-8 seed stamping (composes e21)
         "e35_cluster_keywords",  # same LIMIT-8 seed stamping (composes e21)
+        "e37_pq_adc_topk",       # LIMIT-16 codebook stamping + top-20 rank
     }
     # builders that run jobs/streams at build time; plan shape of
     # their final read is covered by their oracle queries instead
