@@ -99,7 +99,7 @@ _GRADE_PRIORITY = [
     "h13_dedup_within_watermark_twin", "d86_bucketed_join",
     "d87_dynamic_partition_pruning", "h14_stateful_totals_twin",
     "e34_pca_power_iteration", "e35_cluster_keywords",
-    "e36_common_span_probe", "e37_pq_adc_topk",
+    "e36_common_span_probe", "e37_pq_adc_topk", "e38_training_export",
 ]
 
 

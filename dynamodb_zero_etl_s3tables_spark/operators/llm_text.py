@@ -1010,3 +1010,135 @@ def e27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dsir_logweight"),
         )
     )
+
+
+@query(
+    "e38_training_export",
+    oracle="""
+    WITH dedup AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS symbol_ratio
+      FROM dedup WHERE length(text) > 0
+    ),
+    kept AS (
+      SELECT doc_id, text, n_words,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *,
+               ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 100 AS b
+        FROM q
+        WHERE (n_words BETWEEN 10 AND 100000)
+          AND mean_word_len BETWEEN 2 AND 12
+          AND symbol_ratio < 0.2
+      )
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM kept GROUP BY split ORDER BY split
+    """,
+)
+def e38_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family capstone: the END-TO-END training-data export — exact
+    dedup (keep lowest doc_id per content hash), the e10 Gopher-style
+    quality gate, the e08 deterministic content-key split, then a REAL
+    split-partitioned parquet export; the returned per-split stats
+    (doc / token / char counts) are computed from the WRITTEN files,
+    so the materialization itself is inside the oracle hash-match —
+    a truncated or double-written export cannot pass.
+
+    This is the shape a corpus team ships nightly: every stage is one
+    of the individually-verified operators, composed in the order the
+    public pipelines (Gopher/CCNet/RefinedWeb lines) run them —
+    dedup BEFORE quality (a duplicate passing quality twice would
+    bias the split sizes), split LAST (so train/valid/test stay
+    disjoint under any upstream change).
+
+    Scale: dedup is one shuffle on the content hash; quality measures
+    are map-side built-ins; the split is a pure hash function; the
+    write is partitioned by split (3 dirs, append-free overwrite);
+    stats are one partial-aggregated pass over the read-back. Nothing
+    holds state on the driver."""
+    import hashlib as _hl
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    from pyspark.sql.window import Window as W
+
+    tag = _hl.sha256(sf_dir.encode()).hexdigest()[:10]
+    out = _P("/tmp/spark_graft_io") / tag / "e38_export"
+    if out.exists():
+        _sh.rmtree(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wd = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        d.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .filter(F.length("text") > 0)
+    )
+    n_words = F.size(F.split(F.col("text"), " "))
+    mean_word_len = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
+    )
+    symbol_ratio = (
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    q = dedup.select(
+        "doc_id",
+        "text",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mwl"),
+        symbol_ratio.alias("sr"),
+    ).filter(
+        F.col("n_words").between(10, 100000)
+        & F.col("mwl").between(2, 12)
+        & (F.col("sr") < 0.2)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    kept = q.select(
+        "doc_id",
+        "text",
+        "n_words",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    kept.write.mode("overwrite").partitionBy("split").parquet(str(out))
+    back = spark.read.parquet(str(out))
+    return (
+        back.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        )
+        .orderBy("split")
+    )
