@@ -1385,3 +1385,124 @@ def d87_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n_lines"), dsum(rev).alias("revenue"))
         .orderBy("month")
     )
+
+
+@query(
+    "c08_incremental_view_maintenance",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <= 7
+    ),
+    final AS (
+      SELECT pk,
+             CASE WHEN pk % 10 = 0 THEN 'MIGRATED' ELSE status END AS status,
+             CASE WHEN pk % 10 IN (0, 1)
+                  THEN CAST(ROUND(CAST(price AS DECIMAL(18,2))
+                                  * CAST(1.5 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  ELSE price END AS price
+      FROM base WHERE pk % 10 <> 3
+      UNION ALL
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 IN (8, 9)
+    )
+    SELECT status, COUNT(*) AS n_orders, {DSUM('price')} AS revenue
+    FROM final GROUP BY status ORDER BY status
+    """,
+)
+def c08_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance off the managed
+    table's changelog — the zero-ETL promise taken one step further:
+    downstream aggregates stay current WITHOUT rescanning the table.
+    The journey: bootstrap (v1) → one CDC batch (price bumps, a
+    group-MIGRATING status change, deletes, late inserts) → v2; the
+    per-status (count, revenue) view is then maintained from v1's
+    stored aggregate plus ONLY the affected keys: subtract their v1
+    contributions, add their v2 contributions (recompute-affected-
+    groups IVM). The ORACLE is the full recompute of v2 — the hash
+    match is literally the incremental == full equivalence proof,
+    including the group migration (a key leaving one status's sums
+    and entering another's).
+
+    Exactness: the view's revenue cells stay DECIMAL(25,6) through
+    the maintenance arithmetic (old-sum + delta-adds − delta-subs is
+    exact in decimal, so it equals the oracle's one-shot decimal sum
+    bit-for-bit after the final double cast) — float maintenance
+    would drift from the recompute by accumulated rounding.
+
+    Scale: the stored aggregate is group-cardinality-sized; the delta
+    terms scan only keys named in read_changes (semi-join — partition
+    - or stats-prunable); nothing rescans unchanged data. At 100 TB
+    with a 0.1% daily change rate this is a 1000x scan reduction per
+    refresh."""
+    wh = _scratch(sf_dir, "warehouse_c08", wipe=True)
+    cat = Catalog(spark, wh)
+    t = cat.create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_ivm",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    base = o.filter(mod10 <= 7).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.bootstrap(base)  # v1
+    bumped = (
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.5").cast("decimal(2,1)"),
+            2,
+        ).cast("double")
+    )
+
+    def chg(op, cond, status_col, price_col):
+        return o.filter(cond).select(
+            F.lit(op).alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            status_col.alias("status"),
+            price_col.alias("price"),
+        )
+
+    batch = (
+        chg("MODIFY", mod10 == 0, F.lit("MIGRATED"), bumped)
+        .unionByName(chg("MODIFY", mod10 == 1, F.col("o_orderstatus"), bumped))
+        .unionByName(chg("REMOVE", mod10 == 3, F.col("o_orderstatus"), F.col("o_totalprice")))
+        .unionByName(chg("INSERT", mod10.isin(8, 9), F.col("o_orderstatus"), F.col("o_totalprice")))
+    )
+    t.apply_changes(batch)  # v2
+    v2 = t.version
+
+    dprice = F.col("price").cast("decimal(25,6)")
+    v1_state = t.read(version=1)
+    # the "stored" MV as of v1 (in a deployment this aggregate is the
+    # persisted view; recomputed here because the query is one-shot)
+    mv1 = v1_state.groupBy("status").agg(
+        F.count("*").alias("dn"), F.sum(dprice).alias("dr")
+    )
+    affected = t.read_changes(1, v2).select("pk").distinct()
+    old_c = (
+        v1_state.join(affected, "pk", "left_semi")
+        .groupBy("status")
+        .agg((-F.count("*")).alias("dn"), (-F.sum(dprice)).alias("dr"))
+    )
+    new_c = (
+        t.read(version=v2)
+        .join(affected, "pk", "left_semi")
+        .groupBy("status")
+        .agg(F.count("*").alias("dn"), F.sum(dprice).alias("dr"))
+    )
+    return (
+        mv1.unionByName(old_c)
+        .unionByName(new_c)
+        .groupBy("status")
+        .agg(F.sum("dn").alias("n_orders"), F.sum("dr").cast("double").alias("revenue"))
+        .filter(F.col("n_orders") > 0)
+        .orderBy("status")
+    )
