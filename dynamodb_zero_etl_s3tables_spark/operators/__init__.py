@@ -100,7 +100,7 @@ _GRADE_PRIORITY = [
     "d87_dynamic_partition_pruning", "h14_stateful_totals_twin",
     "e34_pca_power_iteration", "e35_cluster_keywords",
     "e36_common_span_probe", "e37_pq_adc_topk", "e38_training_export",
-    "c08_incremental_view_maintenance",
+    "c08_incremental_view_maintenance", "e39_source_overlap_matrix",
 ]
 
 

@@ -1142,3 +1142,83 @@ def e38_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "e39_source_overlap_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT source, string_split(LOWER(text), ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(
+               toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+3], ' ')) AS h
+      FROM t, UNNEST(range(1, len(toks) - 2)) AS u(i)
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+    sh AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT sh.source_a, sh.source_b,
+           ta.n AS n_a, tb.n AS n_b, sh.n_shared,
+           CAST(sh.n_shared AS DOUBLE)
+             / (ta.n + tb.n - sh.n_shared) AS jaccard
+    FROM sh
+    JOIN tot ta ON ta.source = sh.source_a
+    JOIN tot tb ON tb.source = sh.source_b
+    """,
+)
+def e39_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus provenance diagnostics: the SOURCE x SOURCE distinct
+    4-gram overlap matrix — which pairs of ingestion sources carry
+    shared text (mirrored crawls, syndicated content, one source
+    scraping another). This is e13's benchmark-contamination check
+    generalized to every source pair at once: the matrix drives
+    source-level dedup ordering (dedup the mirror against the
+    original, not vice versa) and mixture design (two 0.9-Jaccard
+    sources are one source for weighting purposes).
+
+    Scale: grams collapse to DISTINCT (source, hash) FIRST, so the
+    self-join key space is per-source vocabulary, and a gram
+    appearing in k sources emits C(k,2) pair rows — bounded by the
+    SOURCE count (tiny), not document count; no df-cap needed, unlike
+    document-keyed inverted indexes. One explode, one distinct
+    aggregate, one hash-keyed self-join, one pair aggregate. The
+    Jaccard is IEEE division of exact ints — no ROUND (FIXTURES.md
+    rule)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    base = d.select("source", toks.alias("t")).filter(F.size("t") >= 4)
+    idx = F.sequence(F.lit(0), F.size("t") - 4)
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, 4))))
+    )
+    g = base.select("source", F.explode(grams).alias("h")).distinct()
+    tot = g.groupBy("source").agg(F.count("*").alias("n"))
+    a = g.select(F.col("source").alias("source_a"), "h")
+    b = g.select(F.col("source").alias("source_b"), F.col("h").alias("hb"))
+    sh = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        sh.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
