@@ -39,68 +39,58 @@ from dynamodb_zero_etl_s3tables_spark.operators import sources_sinks  # noqa: E4
 
 # ---------------------------------------------------------------------------
 # Grading-window rotation: the driver samples a 50-query prefix of the
-# registry per round. Rounds 1-2 graded 100 of the (then) 162 queries; the
-# explicit priority list below front-loads every query WITHOUT a driver
-# CORRECTNESS row so each gets graded as the window rotates. Order:
-# windows/sort/set ops, scalar-fn + UDF surface, analytics + TPC-H tranche
-# (47 d-rows), then e20/e21/e25 fill round 3's 50-window; positions 51-62
-# (e22, e23, e06*, h11, a-rows, c05) are round 4's window; the operators
-# added in round 3 queue behind those. Already-double-graded flagships keep
-# their relative order at the tail. Rotation bookkeeping: after each round,
-# move newly-graded names to the tail and promote the next tranche.
+# registry per round. Rounds 1-3 graded 150 of the (r3-end) 195 queries,
+# zero failures. Round 4's window is the remaining 45 never-graded queries
+# plus the five operators new this round, which closes the rotation: after
+# r4 every registered query has a driver CORRECTNESS row. Rotation
+# bookkeeping: after each round, move newly-graded names to the tail and
+# promote anything newly added.
 _GRADE_PRIORITY = [
-    # windows / sort / limit / set ops (15)
-    "d29c_median_mode",
-    "d31_window_ranking", "d31b_relative_rank", "d32_lag_lead",
-    "d33_running_sum", "d34_range_frame", "d35_topk_per_group",
-    "d36_global_sort", "d37_top_k", "d38_limit_no_sort",
-    "d39_union", "d39b_union_distinct", "d40_intersect", "d41_except_all",
-    "d73_rolling_distinct_users",
-    # scalar fn families + UDF surface (15)
-    "d42_string_fns", "d43_datetime_fns", "d44_math_fns",
-    "d45_array_fns", "d45b_explode", "d46_map_fns", "d47_json_fns",
-    "d48_hash_fns", "d48b_hash_native",
-    "d49_scalar_python_udf", "d50_pandas_udf_scalar",
-    "d51_pandas_udf_grouped_agg", "d52_apply_in_pandas",
-    "d53_map_in_pandas", "d53b_python_udtf",
-    # analytics + TPC-H tranche (17)
-    "d54_pivot", "d55_unpivot", "d57_funnel", "d58_cohort_retention",
-    "d59_tpch_q3_shipping_priority", "d60_tpch_q10_returned_items",
-    "d62_hll_mergeable_distinct", "d63_kll_quantile_sketch",
-    "d64_tpch_q5_local_supplier_volume", "d65_tpch_q18_large_orders",
-    "d66_timeseries_gapfill", "d67_tpch_q4_order_priority",
-    "d68_tpch_q12_priority_by_status", "d69_tpch_q14_promo_revenue",
-    "d70_tpch_q19_disjunctive_join", "d71_tpch_q21_waiting_supplier",
-    "d72_tpch_q22_idle_customers",
-    # highest-value cluster ops -> fills the 50-window (3)
-    "e20_chunk_dedup", "e21_kmeans_refine", "e25_semdedup",
-    # ---- positions 51-62: next round's window ----
-    "e22_vocab_coverage", "e23_bigram_model",
-    "e06_binary_plumbing", "e06b_media_featurize",
-    "e06c_frame_sample", "e06d_media_exact_dedup",
-    "h11_interval_join_twin",
-    "a03_identifier_derivation", "a04_sanitize_identifier",
-    "a06_policy_merge", "a07_policy_delete",
-    "c05_replication_journey",
-    # ---- new in r3 (never graded; queue behind the r4 window) ----
-    "e26_minhash_containment", "e27_dsir_importance",
-    "e28_embedding_covariance", "d74_bloom_semi_join",
+    # ---- round-4 window: the 45 never-driver-graded queries (closes the
+    # rotation: every one of these gets its first CORRECTNESS row in r4) ----
+    "e22_vocab_coverage", "e23_bigram_model", "e06_binary_plumbing",
+    "e06b_media_featurize", "e06c_frame_sample", "e06d_media_exact_dedup",
+    "h11_interval_join_twin", "a03_identifier_derivation",
+    "a04_sanitize_identifier", "a06_policy_merge", "a07_policy_delete",
+    "c05_replication_journey", "e26_minhash_containment",
+    "e27_dsir_importance", "e28_embedding_covariance", "d74_bloom_semi_join",
     "d75_salted_skew_join", "e29_incremental_lsh",
     "h12_interval_left_join_twin", "e30_embedding_quantize",
     "c06_corpus_curation_journey", "c07_snapshot_metadata",
-    "d76_variant_semistructured", "d77_scd2_history",
-    "e31_dup_graph_degree", "d78_recursive_hierarchy",
-    # ---- TPC-H third tranche (r3; never graded) ----
-    "d79_tpch_q6_forecast_revenue", "d80_tpch_q7_nation_volume",
-    "d81_tpch_q8_market_share", "d82_tpch_q13_customer_distribution",
-    "d83_tpch_q15_top_supplier", "d84_tpch_q17_small_quantity_revenue",
-    # ---- tokenizer / novelty / streaming-dedup ops (r3; never graded) ----
-    "e32_bpe_pair_counts", "e33_ngram_novelty",
-    "h13_dedup_within_watermark_twin", "d86_bucketed_join",
-    "d87_dynamic_partition_pruning", "h14_stateful_totals_twin",
-    "e34_pca_power_iteration", "e35_cluster_keywords",
-    "e36_common_span_probe", "e37_pq_adc_topk", "e38_training_export",
-    "c08_incremental_view_maintenance", "e39_source_overlap_matrix",
+    "d76_variant_semistructured", "d77_scd2_history", "e31_dup_graph_degree",
+    "d78_recursive_hierarchy", "d79_tpch_q6_forecast_revenue",
+    "d80_tpch_q7_nation_volume", "d81_tpch_q8_market_share",
+    "d82_tpch_q13_customer_distribution", "d83_tpch_q15_top_supplier",
+    "d84_tpch_q17_small_quantity_revenue", "e32_bpe_pair_counts",
+    "e33_ngram_novelty", "h13_dedup_within_watermark_twin",
+    "d86_bucketed_join", "d87_dynamic_partition_pruning",
+    "h14_stateful_totals_twin", "e34_pca_power_iteration",
+    "e35_cluster_keywords", "e36_common_span_probe", "e37_pq_adc_topk",
+    "e38_training_export", "c08_incremental_view_maintenance",
+    "e39_source_overlap_matrix",
+    # ---- new in r4 (window positions 46-50) ----
+    "e40_ivf_pq_topk", "e41_neardup_training_export",
+    "e42_bigram_perplexity_filter", "e43_hard_negatives",
+    "h15_session_window_twin",
+    # ---- graded in r3 (CORRECTNESS_r03.json, 50/50 green) -> tail ----
+    "d29c_median_mode", "d31_window_ranking", "d31b_relative_rank",
+    "d32_lag_lead", "d33_running_sum", "d34_range_frame",
+    "d35_topk_per_group", "d36_global_sort", "d37_top_k",
+    "d38_limit_no_sort", "d39_union", "d39b_union_distinct", "d40_intersect",
+    "d41_except_all", "d73_rolling_distinct_users", "d42_string_fns",
+    "d43_datetime_fns", "d44_math_fns", "d45_array_fns", "d45b_explode",
+    "d46_map_fns", "d47_json_fns", "d48_hash_fns", "d48b_hash_native",
+    "d49_scalar_python_udf", "d50_pandas_udf_scalar",
+    "d51_pandas_udf_grouped_agg", "d52_apply_in_pandas", "d53_map_in_pandas",
+    "d53b_python_udtf", "d54_pivot", "d55_unpivot", "d57_funnel",
+    "d58_cohort_retention", "d59_tpch_q3_shipping_priority",
+    "d60_tpch_q10_returned_items", "d62_hll_mergeable_distinct",
+    "d63_kll_quantile_sketch", "d64_tpch_q5_local_supplier_volume",
+    "d65_tpch_q18_large_orders", "d66_timeseries_gapfill",
+    "d67_tpch_q4_order_priority", "d68_tpch_q12_priority_by_status",
+    "d69_tpch_q14_promo_revenue", "d70_tpch_q19_disjunctive_join",
+    "d71_tpch_q21_waiting_supplier", "d72_tpch_q22_idle_customers",
+    "e20_chunk_dedup", "e21_kmeans_refine", "e25_semdedup",
 ]
 
 

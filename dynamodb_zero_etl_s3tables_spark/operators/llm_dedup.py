@@ -1221,3 +1221,86 @@ def e36_common_span_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("ls"), F.lit(0)).alias("longest_span"),
         F.coalesce(F.col("ns"), F.lit(0).cast("long")).alias("n_shared_min"),
     )
+
+
+@query(
+    "e41_neardup_training_export",
+    oracle=f"""
+    WITH RECURSIVE cand AS ({_CAND_SQL}),
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, u.dst
+      FROM reach r
+      JOIN und u ON r.b = u.src
+    ),
+    reps AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) = a
+    ),
+    dd AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN reps r ON d.doc_id = r.doc_id
+    ),
+    q AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS symbol_ratio
+      FROM dd WHERE length(text) > 0
+    ),
+    kept AS (
+      SELECT doc_id, text, n_words,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *,
+               ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 100 AS b
+        FROM q
+        WHERE (n_words BETWEEN 10 AND 100000)
+          AND mean_word_len BETWEEN 2 AND 12
+          AND symbol_ratio < 0.2
+      )
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM kept GROUP BY split ORDER BY split
+    """,
+)
+def e41_neardup_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family capstone #2 (VERDICT r3 #3): the NEAR-DUP export —
+    MinHash signatures -> LSH candidate pairs -> true connected
+    components (e02h) -> keep only each component's representative ->
+    e38's quality gate / deterministic split / REAL split-partitioned
+    parquet write, with per-split stats computed from the read-back.
+    This is the reference's end-state promise (a replicated,
+    DEDUPLICATED, queryable table — /root/reference/README.md:170-174)
+    with the production near-dup stage in front, where e38 alone
+    exercises only exact dedup.
+
+    Scale: the dedup front end is the verified e02h shape (bucketed
+    candidate generation, min-label propagation, rounds = component
+    diameter); the representative filter is a map-side predicate on
+    the component labels; the export tail is one content-hash split +
+    a 3-way partitioned write. Nothing new shuffles — the composition
+    is the point. Oracle: recursive-CTE reachability at fixture scale
+    aggregated to min-reachable reps, then the identical quality/split
+    CTEs as e38's oracle."""
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_text import (
+        quality_split_export,
+    )
+
+    comp = e02h_dedup_components(spark, sf_dir)
+    reps = comp.filter(~F.col("is_duplicate")).select("doc_id")
+    docs = load(spark, sf_dir, "documents").join(reps, "doc_id")
+    return quality_split_export(spark, docs, sf_dir, "e41_export")

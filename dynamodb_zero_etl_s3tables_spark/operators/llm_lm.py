@@ -212,3 +212,119 @@ def e32_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "pair")
         .limit(BPE_TOP_K)
     )
+
+
+#: e42 keep gate: mean bigram cross-entropy (nats) below this passes
+XENT_KEEP_MAX = 3.6
+
+
+@query(
+    "e42_bigram_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             UNNEST(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    dpc AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM bg GROUP BY doc_id, w1, w2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+    v AS (
+      SELECT COUNT(DISTINCT tok) AS vsz
+      FROM (SELECT UNNEST(t) AS tok FROM toks)
+    ),
+    terms AS (
+      SELECT doc_id, cnt,
+             cnt * (ln(n1 + vsz) - ln(n12 + 1)) AS nll
+      FROM dpc JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             ROUND(CAST(SUM(CAST(nll AS DECIMAL(25,9))) AS DOUBLE)
+                   / SUM(cnt), 6) AS cross_entropy
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, cross_entropy,
+           cross_entropy < {XENT_KEEP_MAX} AS kept
+    FROM agg
+    """,
+)
+def e42_bigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: LM-perplexity quality filter (the CCNet gate) — score
+    every document by its mean bigram cross-entropy under the corpus's
+    own add-one-smoothed bigram model (e23's tables with Laplace
+    smoothing: P(w2|w1) = (n12+1)/(n1+V)), and keep documents below a
+    fixed nats threshold. High cross-entropy = improbable token
+    transitions = boilerplate/garbled text; public pipelines run
+    exactly this shape with a KenLM model in place of the in-corpus
+    bigram table — swapping the model swaps one join side, not the
+    plan.
+
+    Scale: the model tables (c12/c1) are (token-pair, count) rows —
+    the join keys are uniformly-hashed strings, and each document
+    pre-aggregates its distinct pairs (dpc) so the join fan-in is
+    types-per-doc, not tokens-per-doc. V is a 1-row broadcast. The
+    per-doc sum routes cnt*log terms through DECIMAL(25,9) and rounds
+    to 6dp so both engines agree bit-exactly; the keep flag compares
+    the ROUNDED value, so it cannot straddle an ulp."""
+    d = load(spark, sf_dir, "documents")
+    tdf = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    bg = (
+        tdf.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    dpc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("cnt"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    v = tdf.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("vsz")
+    )
+    terms = (
+        dpc.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "cnt",
+            (
+                F.col("cnt")
+                * (
+                    F.log(F.col("n1") + F.col("vsz"))
+                    - F.log(F.col("n12") + F.lit(1))
+                )
+            ).alias("nll"),
+        )
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("nll").cast("decimal(25,9)")).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("cross_entropy"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "cross_entropy",
+        (F.col("cross_entropy") < XENT_KEEP_MAX).alias("kept"),
+    )

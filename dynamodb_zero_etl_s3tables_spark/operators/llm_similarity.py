@@ -908,3 +908,390 @@ def e37_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "vec_id", "adc_score", "exact_dot", "rank"
     )
+
+
+#: IVF-PQ serving geometry: probe this many coarse cells
+NPROBE_PQ = 2
+
+
+@query(
+    "e40_ivf_pq_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dims AS (SELECT UNNEST(range(1, {DIM + 1})) AS i),
+    centroids AS (
+      SELECT label, i.i AS dim,
+             CAST(SUM(CAST(embedding[i.i]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM embeddings, dims i
+      GROUP BY label, i.i
+    ),
+    cdist AS (
+      SELECT c.label,
+             CAST(SUM(CAST((c.c - q.qv[c.dim]::DOUBLE) * (c.c - q.qv[c.dim]::DOUBLE)
+                           AS DECIMAL(30,12))) AS DOUBLE) AS d2
+      FROM centroids c, q
+      GROUP BY c.label
+    ),
+    probes AS (
+      SELECT label FROM (
+        SELECT label, ROW_NUMBER() OVER (ORDER BY d2, label) AS rn FROM cdist
+      ) WHERE rn <= {NPROBE_PQ}
+    ),
+    ms AS (SELECT CAST(UNNEST(range(0, {PQ_M})) AS INT) AS m),
+    cb AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             embedding
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    seedsub AS (
+      SELECT cid, m,
+             cb.embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS cvec
+      FROM cb, ms
+    ),
+    vsub AS (
+      SELECT vec_id, m,
+             e.embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS svec
+      FROM embeddings e, ms
+    ),
+    a1d AS (
+      SELECT vec_id, v.m, cid, svec,
+             list_reduce(list_transform(range(1, {PQ_SUB + 1}),
+               i -> (svec[i]::DOUBLE - cvec[i]::DOUBLE)
+                  * (svec[i]::DOUBLE - cvec[i]::DOUBLE)),
+               (acc, x) -> acc + x) AS d2
+      FROM vsub v JOIN seedsub c ON v.m = c.m
+    ),
+    a1 AS (
+      SELECT vec_id, m, cid, svec
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, cid) AS rn FROM a1d)
+      WHERE rn = 1
+    ),
+    cells AS (
+      SELECT m, cid, j.j AS j,
+             ROUND(CAST(SUM(CAST(svec[j.j]::DOUBLE AS DECIMAL(25,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS cv
+      FROM a1, (SELECT UNNEST(range(1, {PQ_SUB + 1})) AS j) j
+      GROUP BY m, cid, j.j
+    ),
+    tmeans AS (
+      SELECT m, cid, list(cv ORDER BY j) AS tvec FROM cells GROUP BY m, cid
+    ),
+    trained AS (
+      SELECT s.m, s.cid,
+             COALESCE(t.tvec,
+                      list_transform(s.cvec, x -> ROUND(x::DOUBLE, 6))) AS cvec
+      FROM seedsub s LEFT JOIN tmeans t ON s.m = t.m AND s.cid = t.cid
+    ),
+    cand AS (
+      SELECT e.vec_id, e.label, e.embedding
+      FROM embeddings e JOIN probes p ON e.label = p.label
+      WHERE e.vec_id <> 0
+    ),
+    csub AS (
+      SELECT vec_id, label, m,
+             c.embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS svec
+      FROM cand c, ms
+    ),
+    cdists AS (
+      SELECT vec_id, label, v.m, cid,
+             list_reduce(list_transform(range(1, {PQ_SUB + 1}),
+               i -> (svec[i]::DOUBLE - cvec[i]) * (svec[i]::DOUBLE - cvec[i])),
+               (acc, x) -> acc + x) AS d2
+      FROM csub v JOIN trained t ON v.m = t.m
+    ),
+    codes AS (
+      SELECT vec_id, label, m, cid
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, cid) AS rn FROM cdists)
+      WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT m, qv[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS qsv
+      FROM q, ms
+    ),
+    lut AS (
+      SELECT t.m, t.cid,
+             list_reduce(list_transform(range(1, {PQ_SUB + 1}),
+               i -> cvec[i] * qsv[i]::DOUBLE), (acc, x) -> acc + x) AS pdot
+      FROM trained t JOIN qsub s ON t.m = s.m
+    ),
+    adc AS (
+      SELECT vec_id, label,
+             CAST(SUM(CAST(pdot AS DECIMAL(25,9))) AS DOUBLE) AS adc_score
+      FROM codes JOIN lut USING (m, cid)
+      GROUP BY vec_id, label
+    ),
+    exact AS (
+      SELECT c.vec_id, {_DOT('c.embedding', 'q.qv')} AS exact_dot
+      FROM cand c, q
+    )
+    SELECT vec_id, label, adc_score, exact_dot, rn AS rank
+    FROM (
+      SELECT a.vec_id, a.label, a.adc_score, x.exact_dot,
+             ROW_NUMBER() OVER (ORDER BY a.adc_score DESC, a.vec_id) AS rn
+      FROM adc a JOIN exact x USING (vec_id)
+    )
+    WHERE rn <= 10
+    """,
+)
+def e40_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 production serving shape: IVF-PQ — the e03b coarse quantizer
+    picks {NPROBE_PQ} probe cells, and only THOSE cells' codes are
+    ADC-scored against a TRAINED product-quantization codebook (one
+    deterministic Lloyd round per subspace over the e37 first-K seed;
+    Jégou et al. 2011). This is the composition VERDICT r3 #2 asked
+    for: at 100 TB the codes table is the index (PQ_M bytes/vector),
+    the coarse probe prunes the scan to ~nprobe/nlist of it, and ADC
+    reads no raw vectors at all — the exact dot rides along here only
+    as self-measuring ground truth for the probed cells.
+
+    Codebook training is the e21 discipline per subspace: assign every
+    subvector to its nearest seed (broadcast {PQ_M}x{PQ_K} seeds,
+    map-side argmin), re-estimate as exact-DECIMAL means re-quantized
+    to 6dp so both engines iterate on bit-identical doubles; empty
+    cells keep their (6dp-rounded) seed. Training cost is one scan +
+    one ({PQ_M}x{PQ_K}x{PQ_SUB})-cell shuffle — independent of N in
+    output size, and run offline once at serving scale.
+
+    Scale: coarse centroids partial-aggregate per label; probe choice
+    is a distributed top-k over nlist rows; candidate selection is a
+    broadcast semi-join on label; encode + LUT + ADC are all broadcast
+    joins against {PQ_M}x{PQ_K}-row tables with one (vec,m) shuffle
+    for the per-vector ADC sum. Determinism: every distance/dot is a
+    left-to-right IEEE fold; ADC sums and centroid means route through
+    DECIMAL; argmin ties break on (d2, cid)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    # --- coarse quantizer: per-label centroids, probe the nearest 2 cells
+    dims = (
+        e.select("label", F.posexplode(F.col("embedding")).alias("dim0", "x"))
+        .groupBy("label", "dim0")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    qd = q.select(F.posexplode(F.col("qv")).alias("dim0", "qx"))
+    cdist = (
+        dims.join(F.broadcast(qd), "dim0")
+        .withColumn(
+            "t",
+            (
+                (F.col("c") - F.col("qx").cast("double"))
+                * (F.col("c") - F.col("qx").cast("double"))
+            ).cast(_DEC),
+        )
+        .groupBy("label")
+        .agg(F.sum("t").cast("double").alias("d2"))
+    )
+    probes = cdist.orderBy("d2", "label").limit(NPROBE_PQ).select("label")
+
+    # --- PQ codebook: first-K seed, then ONE Lloyd round per subspace
+    subvecs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB),
+    )
+    seed = (
+        e.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            (F.row_number().over(W.partitionBy(F.lit(1)).orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cid"),
+            "embedding",
+        )
+        .select("cid", F.posexplode(subvecs).alias("m", "svec0"))
+        .select(
+            "m",
+            "cid",
+            F.transform(F.col("svec0"), lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+
+    def _sub_d2(a, b):
+        sq = F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+        return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+
+    vsub = e.select("vec_id", F.posexplode(subvecs).alias("m", "svec"))
+    wmin = W.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    assign1 = (
+        vsub.join(F.broadcast(seed), "m")
+        .withColumn("d2", _sub_d2(F.col("svec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("m", "cid", "svec")
+    )
+    means = (
+        assign1.select("m", "cid", F.posexplode("svec").alias("j", "v"))
+        .groupBy("m", "cid", "j")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(25,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("cv")
+        )
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cv"))),
+                lambda s: s.getField("cv"),
+            ).alias("tvec")
+        )
+    )
+    trained = seed.join(means, ["m", "cid"], "left").select(
+        "m",
+        "cid",
+        F.coalesce(
+            F.col("tvec"), F.transform(F.col("cvec"), lambda x: F.round(x, 6))
+        ).alias("cvec"),
+    )
+
+    # --- probe-then-score: only the probed cells' vectors get encoded
+    cand = e.join(F.broadcast(probes), "label").filter(F.col("vec_id") != 0)
+    csub = cand.select("vec_id", "label", F.posexplode(subvecs).alias("m", "svec"))
+    codes = (
+        csub.join(F.broadcast(trained), "m")
+        .withColumn("d2", _sub_d2(F.col("svec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "m", "cid")
+    )
+    qsub = q.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice(F.col("qv"), m * PQ_SUB + 1, PQ_SUB),
+            )
+        ).alias("m", "qsv")
+    )
+    lut = trained.join(F.broadcast(qsub), "m").select(
+        "m",
+        "cid",
+        F.aggregate(
+            F.zip_with(
+                F.col("cvec"), F.col("qsv"), lambda x, y: x * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("pdot"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("pdot").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("adc_score")
+        )
+    )
+    exact = cand.join(F.broadcast(q)).select(
+        "vec_id", dot_fold(F.col("embedding"), F.col("qv")).alias("exact_dot")
+    )
+    topk = (
+        adc.join(exact, "vec_id")
+        .orderBy(F.col("adc_score").desc(), "vec_id")
+        .limit(10)
+    )
+    w = W.partitionBy(F.lit(1)).orderBy(F.col("adc_score").desc(), "vec_id")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "label", "adc_score", "exact_dot", "rank"
+    )
+
+
+#: e43 geometry: anchors and negatives-per-anchor
+HN_ANCHORS = 10
+HN_K = 5
+
+
+@query(
+    "e43_hard_negatives",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS alabel, embedding AS av
+      FROM embeddings WHERE vec_id < {HN_ANCHORS}
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id, e.label,
+             ROUND({_DOT('e.embedding', 'a.av')}
+                   / (SQRT({_DOT('e.embedding', 'e.embedding')})
+                      * SQRT({_DOT('a.av', 'a.av')})), 6) AS cos_sim
+      FROM embeddings e, anchors a
+      WHERE e.label <> a.alabel AND e.vec_id <> a.anchor_id
+    )
+    SELECT anchor_id, vec_id, label, cos_sim, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {HN_K}
+    """,
+)
+def e43_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: HARD-NEGATIVE MINING for contrastive training — for
+    each anchor vector, the {HN_K} most-cosine-similar vectors with a
+    DIFFERENT label (similar-but-wrong examples are the negatives that
+    actually move an embedding model; random negatives are too easy).
+
+    Scale: the {HN_ANCHORS}-row anchor set broadcasts; scoring is
+    map-side over the corpus scan (no shuffle of the big side). The
+    per-anchor top-k is TWO-STAGE: a partial top-k inside each input
+    partition (window over (anchor, partition-id) — a map-side
+    reduction, exact because any superset of the per-anchor top-k
+    reduces to the same final top-k) cuts the shuffle to at most
+    k x partitions x anchors rows before the final per-anchor window.
+    With millions of anchors the same plan holds per anchor-shard.
+    Determinism: cosine is the left-to-right IEEE fold, rounded to
+    6dp; ties break on vec_id; the partial stage cannot change the
+    result, only the shuffle volume."""
+    e = load(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        F.col("embedding").alias("av"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col("label") != F.col("alabel"))
+            & (F.col("vec_id") != F.col("anchor_id"))
+        )
+        .select(
+            "anchor_id",
+            "vec_id",
+            "label",
+            F.round(
+                dot_fold(F.col("embedding"), F.col("av"))
+                / (norm_fold(F.col("embedding")) * norm_fold(F.col("av"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    # stage 1: partial top-k per (anchor, input partition) — map-side
+    partial = (
+        scored.withColumn("part", F.spark_partition_id())
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                W.partitionBy("anchor_id", "part").orderBy(
+                    F.col("cos_sim").desc(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("prn") <= HN_K)
+        .drop("part", "prn")
+    )
+    # stage 2: exact per-anchor top-k over the bounded survivors
+    w = W.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+        .select("anchor_id", "vec_id", "label", "cos_sim", "rank")
+    )

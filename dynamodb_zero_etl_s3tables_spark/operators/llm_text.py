@@ -1074,16 +1074,7 @@ def e38_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     write is partitioned by split (3 dirs, append-free overwrite);
     stats are one partial-aggregated pass over the read-back. Nothing
     holds state on the driver."""
-    import hashlib as _hl
-    import shutil as _sh
-    from pathlib import Path as _P
-
     from pyspark.sql.window import Window as W
-
-    tag = _hl.sha256(sf_dir.encode()).hexdigest()[:10]
-    out = _P("/tmp/spark_graft_io") / tag / "e38_export"
-    if out.exists():
-        _sh.rmtree(out)
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     wd = W.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -1091,8 +1082,34 @@ def e38_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rn", F.row_number().over(wd))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .filter(F.length("text") > 0)
     )
+    return quality_split_export(spark, dedup, sf_dir, "e38_export")
+
+
+def quality_split_export(
+    spark: SparkSession, docs: DataFrame, sf_dir: str, subdir: str
+) -> DataFrame:
+    """Shared export tail of the training capstones (e38 here; e41 in
+    llm_dedup composes it behind the MinHash->components near-dup
+    stage): Gopher-style quality gate -> deterministic content-key
+    split -> REAL split-partitioned parquet write -> per-split stats
+    computed from the READ-BACK files, so the materialization itself
+    sits inside the oracle hash. ``docs`` must carry (doc_id, text).
+
+    Scratch layout: /tmp/spark_graft_io/<sha(sf_dir)>/<subdir> — one
+    writer per (sf_dir, subdir) pair; graders running registry entries
+    concurrently must not share a subdir (single-flight per query,
+    see tools/check_correctness.py)."""
+    import hashlib as _hl
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    tag = _hl.sha256(sf_dir.encode()).hexdigest()[:10]
+    out = _P("/tmp/spark_graft_io") / tag / subdir
+    if out.exists():
+        _sh.rmtree(out)
+
+    dedup = docs.select("doc_id", "text").filter(F.length("text") > 0)
     n_words = F.size(F.split(F.col("text"), " "))
     mean_word_len = (
         F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words

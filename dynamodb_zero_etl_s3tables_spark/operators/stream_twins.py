@@ -584,3 +584,79 @@ def h14_stateful_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_value") / 100.0).alias("total_value"),
         )
     )
+
+
+@query(
+    "h15_session_window_twin",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             ts + CASE WHEN event_type = 'purchase'
+                       THEN INTERVAL 60 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS ind_end
+      FROM events
+    ),
+    m AS (
+      SELECT *,
+             MAX(ind_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max_end
+      FROM g
+    ),
+    f AS (
+      SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                     THEN 1 ELSE 0 END AS new_s
+      FROM m
+    ),
+    s AS (
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ind_end) AS session_end,
+           COUNT(*) AS n_events,
+           {DSUM('value')} AS session_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def h15_session_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 companion with the REAL operator: ``F.session_window`` with
+    a DYNAMIC per-event gap (60 min after a purchase, 30 min
+    otherwise) — the exact groupBy(session_window) shape Structured
+    Streaming runs with a watermark in front; batch and streaming
+    share the operator, so this twin exercises the session-merge
+    machinery itself rather than the h05 gap-islands reconstruction.
+
+    Session semantics: each event opens an interval
+    [ts, ts + gap(event)); overlapping intervals merge, and the
+    session end is the MAX of its members' individual ends (an event
+    landing exactly ON the previous max-end starts a NEW session —
+    mirrored by the oracle's ``ts >= prev_max_end`` flag over a
+    running-max window, the interval-union generalization of
+    gap-islands that a fixed-gap lag() check cannot express).
+
+    Scale: one shuffle on user_id; the merge is a per-key sorted scan
+    inside each partition — exactly the streaming state layout. The
+    dynamic gap is a map-side CASE, so changing session policy per
+    event class costs nothing."""
+    e = load(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

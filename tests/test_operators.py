@@ -45,20 +45,29 @@ def test_doc_counts_match_registry():
 
 
 def test_grade_priority_prefix():
-    # Round-3 rotation: the driver grades a 50-query prefix of the
-    # registry; the prefix must be exactly the never-driver-graded set
-    # (rounds 1-2 covered the other 100). Pins _GRADE_PRIORITY against
+    # Round-4 rotation: the driver grades a 50-query prefix of the
+    # registry; the prefix must be exactly the 45 never-driver-graded
+    # queries plus the 5 operators new in round 4 (rounds 1-3 covered
+    # the other 150, zero failures). Pins _GRADE_PRIORITY against
     # accidental registration-order changes.
     from dynamodb_zero_etl_s3tables_spark.operators import _GRADE_PRIORITY
 
     names = list(QUERY_REGISTRY)
     assert names[: len(_GRADE_PRIORITY)] == _GRADE_PRIORITY
-    # the tail (names NOT in the priority prefix) is the fixed set of
+    # the tail (names NOT in the priority list) is the fixed set of
     # 100 queries driver-graded in rounds 1-2; every op added since
     # must be appended to _GRADE_PRIORITY, so the tail never grows
     assert len(QUERY_REGISTRY) - len(_GRADE_PRIORITY) == 100
-    # the driver's 50-row window must stay all-never-graded
-    assert "e20_chunk_dedup" in _GRADE_PRIORITY[:50]
+    # the driver's 50-row window: never-graded tranche + r4 additions
+    window = _GRADE_PRIORITY[:50]
+    for name in (
+        "a03_identifier_derivation", "e06_binary_plumbing",
+        "e38_training_export", "e40_ivf_pq_topk",
+        "e41_neardup_training_export", "h15_session_window_twin",
+    ):
+        assert name in window, name
+    # r3-graded queries rotated out of the window to the tail
+    assert "e20_chunk_dedup" not in window
     # no duplicates, every priority name registered
     assert len(set(_GRADE_PRIORITY)) == len(_GRADE_PRIORITY)
 

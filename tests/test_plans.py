@@ -119,6 +119,9 @@ def test_registry_wide_plan_sweep(spark):
         "e34_pca_power_iteration",  # 1-row norm scalar broadcast per matvec round
         "e35_cluster_keywords",     # same k=8 centroid broadcasts (composes e21)
         "e37_pq_adc_topk",          # 1-row query-vector broadcast
+        "e40_ivf_pq_topk",          # 1-row query-vector broadcast
+        "e42_bigram_perplexity_filter",  # 1-row vocab-size broadcast
+        "e43_hard_negatives",       # 10-row anchor-set broadcast
     }
     # Window with no partition spec over a bounded (post-limit) input:
     global_window_ok = {
@@ -131,6 +134,7 @@ def test_registry_wide_plan_sweep(spark):
         "e25_semdedup",        # same LIMIT-8 seed stamping (composes e21)
         "e35_cluster_keywords",  # same LIMIT-8 seed stamping (composes e21)
         "e37_pq_adc_topk",       # LIMIT-16 codebook stamping + top-20 rank
+        "e40_ivf_pq_topk",       # LIMIT-16 seed stamping + top-10 rank
     }
     # builders that run jobs/streams at build time; plan shape of
     # their final read is covered by their oracle queries instead
