@@ -51,7 +51,47 @@ HEADLINE = [
     "e20_chunk_dedup",          # sub-document chunk dedup
     "e21_kmeans_refine",        # one distributed Lloyd iteration
     "e25_semdedup",             # cluster-bounded semantic dedup
+    # r4 additions (VERDICT r3 #8): heavy r3/r4 ops, appended — the
+    # original-20 and r3-25 prefixes stay comparable across rounds.
+    "e36_common_span_probe",    # LSH pipeline + span-window hashing
+    "e37_pq_adc_topk",          # PQ encode + ADC scoring
+    "e38_training_export",      # dedup->quality->split->parquet write
+    "e39_source_overlap_matrix",  # cross-source n-gram Jaccard
+    "e40_ivf_pq_topk",          # IVF probe + trained-codebook ADC
+    "e41_neardup_training_export",  # components->quality->export
 ]
+
+#: prefix lengths whose subtotals stay comparable across rounds
+N_ORIGINAL = 20
+N_R3 = 25
+
+
+def _calibration(spark) -> float:
+    """Fixed-size host-speed probe (VERDICT r3 #4): a hash-heavy
+    sort+agg over 4M GENERATED rows — independent of SF_DIR and of
+    any operator code, so the ratio of calibration_sec between two
+    BENCH files mechanically normalizes host-speed differences
+    (SCALE.md "Cross-host normalization")."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 4_000_000, 1, 32)
+            .select(
+                ((F.col("id") * 2654435761) % 1000003).alias("k"),
+                F.md5(F.col("id").cast("string")).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.max("h").alias("m"))
+            .orderBy("k")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
 
 
 def main() -> None:
@@ -91,6 +131,13 @@ def main() -> None:
                 "queries": timings,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "runs_per_query": n_runs,
+                "subtotal_original20_sec": round(
+                    sum(timings[n] for n in HEADLINE[:N_ORIGINAL]), 3
+                ),
+                "subtotal_r3_25_sec": round(
+                    sum(timings[n] for n in HEADLINE[:N_R3]), 3
+                ),
+                "calibration_sec": _calibration(spark),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -692,9 +692,6 @@ def e02h_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     edges = edges.localCheckpoint(eager=True)  # candidate gen runs once
-    labels = d.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint(
-        eager=True
-    )
     from pyspark.sql import Observation
 
     # Convergence via the LABEL-SUM invariant: every round takes
@@ -705,7 +702,20 @@ def e02h_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previous old-vs-new join (one fewer shuffle per round). The sum
     # is a DECIMAL(38,0) aggregate: at extreme doc_id magnitudes an
     # int64 sum of 10^12 labels could overflow, the decimal cannot.
-    prev_sum = None
+    # prev_sum seeds from the INITIAL labels (observed on the same job
+    # that checkpoints them), so an already-converged graph — no
+    # edges, or none that lower any label — exits after ONE round
+    # instead of always paying two (ADVICE r3 #2).
+    obs0 = Observation("e02h-round-init")
+    labels = (
+        d.select("doc_id", F.col("doc_id").alias("comp"))
+        .observe(
+            obs0, F.sum(F.col("comp").cast("decimal(38,0)")).alias("label_sum")
+        )
+        .localCheckpoint(eager=True)
+    )
+    s0 = obs0.get["label_sum"]
+    prev_sum = int(s0) if s0 is not None else 0
     for i in range(12):
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)

@@ -1299,7 +1299,12 @@ def d86_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _scratch(sf_dir, "d86_bucketed", wipe=True)
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
     db = f"bkt_{tag}"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    # the scratch wipe above just deleted this db's backing files, so
+    # drop the catalog entries with it — otherwise retired runs leave
+    # stale bkt_* table metadata pointing at missing paths (VERDICT
+    # r3 nit #2); one db name per sf_dir keeps accumulation bounded
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db}")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice"

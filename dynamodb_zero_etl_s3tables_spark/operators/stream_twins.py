@@ -461,8 +461,15 @@ def h13_dedup_within_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFra
     physical row wins the first-arrival race, the emitted row is
     identical — the one construction under which an at-least-once
     dedup has an exact SQL twin (DISTINCT over the key). The
-    watermark delay (30 days) exceeds every intra-key event-time
-    span at any SF, so no candidate is ever evicted early.
+    watermark delay (3650 days) exceeds the FULL event-time span of
+    every fixture, not just each intra-key span: availableNow may
+    legally split the backlog across microbatches in arbitrary file
+    order, and a key first arriving in a later batch with an event
+    day older than an already-advanced watermark would otherwise be
+    dropped as late data (ADVICE r3 #1) — the oversized delay makes
+    the DISTINCT twin hold under ANY batch split. In production the
+    delay is tuned to the real out-of-orderness bound instead; the
+    state layout is identical.
 
     Scale: dedup state is one entry per distinct key, hash-partitioned
     across executors by the state store; the 100 TB concern is state
@@ -489,7 +496,7 @@ def h13_dedup_within_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFra
         spark.readStream.schema(src.schema)
         .parquet(str(root / "in"))
         .withColumn("evt_day", F.date_trunc("day", "ts").cast("timestamp"))
-        .withWatermark("evt_day", "30 days")
+        .withWatermark("evt_day", "3650 days")
         .select("user_id", "event_type", "evt_day")
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "evt_day"])
     )

@@ -428,3 +428,52 @@ def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     # the outer rows are the point: some purchases must be unattributed
     assert any(t[1] is None for t in got)
+
+
+def test_dynamic_gap_session_stream_equals_batch(spark, tmp_path):
+    """h15: streaming session_window with a DYNAMIC per-event gap
+    (60 min after a purchase, 30 min otherwise) == the batch twin
+    (registry h15_session_window_twin) on the same events — the
+    session-merge state machinery is shared between modes, so any
+    divergence would be a watermark/late-data artifact. The oversized
+    watermark delay (fixture discipline, see h13) makes the result
+    microbatch-split-invariant."""
+    from dynamodb_zero_etl_s3tables_spark.operators.stream_twins import (
+        h15_session_window_twin,
+    )
+
+    events = (
+        load(spark, SF_DIR, "events")
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    stream_src = tmp_path / "events_stream"
+    events.write.parquet(str(stream_src))
+    stream = spark.readStream.schema(events.schema).parquet(str(stream_src))
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    agg = (
+        stream.withWatermark("ts", "3650 days")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    got = _drain_to_memory(agg, "dynsess").collect()
+    expected = h15_session_window_twin(spark, SF_DIR).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
