@@ -72,6 +72,8 @@ _GRADE_PRIORITY = [
     "e40_ivf_pq_topk", "e41_neardup_training_export",
     "e42_bigram_perplexity_filter", "e43_hard_negatives",
     "h15_session_window_twin",
+    # ---- new in r4, beyond the 50-window (head of round 5's window) ----
+    "d88_hypertable_rollup", "h16_chained_window_twin", "e45_dsir_resample",
     # ---- graded in r3 (CORRECTNESS_r03.json, 50/50 green) -> tail ----
     "d29c_median_mode", "d31_window_ranking", "d31b_relative_rank",
     "d32_lag_lead", "d33_running_sum", "d34_range_frame",

@@ -415,3 +415,64 @@ def d77_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "d88_hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+             event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(25,6))) AS v_dec
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', bucket_hour) AS TIMESTAMP) AS bucket_day,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(v_dec) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_hours
+    FROM hourly
+    GROUP BY 1, 2
+    """,
+)
+def d88_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-family scale pattern: HYPERTABLE ROLLUP CASCADE (the
+    continuous-aggregate shape TimescaleDB popularized, public) — the
+    daily aggregate is computed FROM the hourly aggregate's partial
+    states, never by rescanning raw events. The partials are chosen
+    mergeable on purpose: counts sum, exact-DECIMAL value sums sum,
+    and distinct-hour counts fall out of the hourly row count. At
+    100 TB this is the difference between a daily report that reads
+    24x fewer, kilobyte-sized rollup rows and one that re-reads the
+    raw table; the same cascade continues upward (day -> month) with
+    the identical plan shape, and each level is exactly what a
+    streaming materialized view would maintain incrementally (c08).
+
+    Determinism: the only float aggregate rides DECIMAL(25,6) at the
+    hourly level and re-sums exactly at the daily level — merge order
+    cannot change the result, which is WHY the rollup is re-usable:
+    mergeability and order-independence are the same property."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("v_dec"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket_hour").alias("bucket_day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("v_dec").cast("double").alias("total_value"),
+            F.count("*").alias("n_hours"),
+        )
+    )

@@ -916,10 +916,9 @@ def e19_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_BUCKETS = 4096
 
 
-@query(
-    "e27_dsir_importance",
-    oracle=f"""
-    WITH tok AS (
+# Shared DSIR CTE chain ending in docw = (doc_id, n_tokens,
+# dsir_logweight); e27 projects it, e45 runs Gumbel top-k on top.
+_DSIR_CTES = f"""tok AS (
       SELECT doc_id, lang,
              ('0x' || substr(md5(UNNEST(string_split(LOWER(text), ' '))), 1, 15))::BIGINT
                % {DSIR_BUCKETS} AS b
@@ -936,13 +935,22 @@ DSIR_BUCKETS = 4096
              LN((COALESCE(t.ct, 0) + 1.0) / (tot.t_total + {DSIR_BUCKETS}))
                - LN((r.cr + 1.0) / (tot.r_total + {DSIR_BUCKETS})) AS w
       FROM raw_c r LEFT JOIN tgt_c t ON r.b = t.b CROSS JOIN tot
-    )
-    SELECT tok.doc_id,
-           COUNT(*) AS n_tokens,
-           CAST(ROUND(CAST(SUM(CAST(w.w AS DECIMAL(25,9))) AS DOUBLE)
-                      / COUNT(*), 6) AS DOUBLE) AS dsir_logweight
-    FROM tok JOIN w ON tok.b = w.b
-    GROUP BY tok.doc_id
+    ),
+    docw AS (
+      SELECT tok.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(ROUND(CAST(SUM(CAST(w.w AS DECIMAL(25,9))) AS DOUBLE)
+                        / COUNT(*), 6) AS DOUBLE) AS dsir_logweight
+      FROM tok JOIN w ON tok.b = w.b
+      GROUP BY tok.doc_id
+    )"""
+
+
+@query(
+    "e27_dsir_importance",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_tokens, dsir_logweight FROM docw
     """,
 )
 def e27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1238,4 +1246,76 @@ def e39_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
             ).alias("jaccard"),
         )
+    )
+
+
+#: e45 selection size and Gumbel hash resolution
+DSIR_SELECT_K = 100
+_GUM_M = 1 << 20
+
+
+@query(
+    "e45_dsir_resample",
+    oracle=f"""
+    WITH {_DSIR_CTES},
+    g AS (
+      SELECT doc_id, n_tokens, dsir_logweight,
+             ROUND(dsir_logweight
+                   - LN(-LN(
+                       ((('0x' || substr(md5('gum|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15))::BIGINT % {_GUM_M}) + 0.5)
+                       / {_GUM_M}.0)), 6) AS sel_key
+      FROM docw
+    )
+    SELECT doc_id, n_tokens, dsir_logweight, sel_key, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id) AS rn
+          FROM g)
+    WHERE rn <= {DSIR_SELECT_K}
+    """,
+)
+def e45_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: DSIR SELECTION — the importance-RESAMPLING step that
+    e27's weights exist for (Xie et al. 2023): draw {DSIR_SELECT_K}
+    documents with probability proportional to exp(weight) WITHOUT
+    replacement via the Gumbel-top-k trick (public): add an
+    independent Gumbel(0,1) perturbation -ln(-ln(u)) to each
+    log-weight and take the k largest keys. The "randomness" is a
+    content-keyed hash (md5 of 'gum|doc_id' -> uniform in (0,1) via
+    (h+0.5)/2^20), so the sample is a pure function of the corpus —
+    re-runnable, shard-order-independent, and oracle-checkable, the
+    e08 deterministic-split discipline applied to weighted sampling.
+    The length-normalized log-weight (e27's mean, not the sum) is
+    used deliberately: it removes document-length bias from the draw.
+
+    Scale: one map-side key computation over e27's bounded-join
+    output, then a distributed top-k (TakeOrderedAndProject) — no new
+    shuffle beyond e27's per-doc aggregate. Determinism: the Gumbel
+    key is rounded to 6dp before ranking (it is a computed double;
+    the quantization absorbs last-ulp libm differences), ties break
+    on doc_id."""
+    dw = e27_dsir_importance(spark, sf_dir)
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("gum|"), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(_GUM_M),
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(_GUM_M))
+    keyed = dw.withColumn(
+        "sel_key", F.round(F.col("dsir_logweight") - F.log(-F.log(u)), 6)
+    )
+    topk = keyed.orderBy(F.col("sel_key").desc(), "doc_id").limit(DSIR_SELECT_K)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(F.lit(1)).orderBy(F.col("sel_key").desc(), "doc_id")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_tokens", "dsir_logweight", "sel_key", "rank"
     )

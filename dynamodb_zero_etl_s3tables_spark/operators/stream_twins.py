@@ -667,3 +667,68 @@ def h15_session_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@query(
+    "h16_chained_window_twin",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(25,6))) AS v_dec
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day_start,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(v_dec) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_hours
+    FROM hourly
+    GROUP BY 1, 2
+    """,
+)
+def h16_chained_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H: CHAINED time-window aggregation — hourly window()
+    aggregates re-aggregated into daily windows via ``window_time()``
+    (the event-time column of a window struct), the construction
+    Spark 3.4+ allows UNMODIFIED in Structured Streaming where a
+    naive window-over-window would be rejected (no event-time column
+    after the first agg). This is d88's rollup cascade expressed in
+    the streaming operator algebra: in streaming mode each level
+    carries its own watermark-tracked state and the daily level
+    consumes the hourly level's FINALIZED windows — so batch and
+    stream share this exact plan, and the twin is what a late-data
+    tolerant two-tier dashboard materializes.
+
+    Scale: level-2 input is level-1's output (bounded by bucket
+    cardinality x group keys, independent of event count); partials
+    are mergeable by construction (counts sum, DECIMAL sums sum).
+    Determinism: identical to d88 — exact DECIMAL at level 1, exact
+    re-sum at level 2."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("v_dec"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w1"), "1 day").alias("w2"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("v_dec").cast("double").alias("total_value"),
+            F.count("*").alias("n_hours"),
+        )
+    )
+    return daily.select(
+        F.col("w2.start").alias("day_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+        "n_hours",
+    )

@@ -477,3 +477,71 @@ def test_dynamic_gap_session_stream_equals_batch(spark, tmp_path):
     got = _drain_to_memory(agg, "dynsess").collect()
     expected = h15_session_window_twin(spark, SF_DIR).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_chained_window_stream_equals_batch(spark, tmp_path):
+    """h16: streaming chained window aggregation (hourly -> daily via
+    window_time) == the batch twin. Chained stateful aggs require
+    append mode, and append only emits windows the watermark has
+    closed — so the input carries one far-future SENTINEL row to push
+    the global watermark past every real window; the sentinel's own
+    (never-closed) windows are excluded from the comparison."""
+    from dynamodb_zero_etl_s3tables_spark.operators.stream_twins import (
+        h16_chained_window_twin,
+    )
+
+    events = load(spark, SF_DIR, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(max_ts, "__sentinel__", 0.0)], schema=events.schema
+    ).select(
+        (F.col("ts") + F.expr("INTERVAL 60 DAYS")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    stream_src = tmp_path / "events_stream"
+    events.unionAll(sentinel).write.parquet(str(stream_src))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(stream_src))
+    hourly = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("v_dec"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w1"), "1 day").alias("w2"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("v_dec").cast("double").alias("total_value"),
+            F.count("*").alias("n_hours"),
+        )
+        .select(
+            F.col("w2.start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_hours",
+        )
+    )
+    q = (
+        daily.writeStream.format("memory")
+        .queryName("chained_daily")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("chained_daily")
+        .filter(F.col("event_type") != "__sentinel__")
+        .collect()
+    )
+    expected = h16_chained_window_twin(spark, SF_DIR).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
