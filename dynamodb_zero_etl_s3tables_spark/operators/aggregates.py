@@ -16,6 +16,7 @@ from dynamodb_zero_etl_s3tables_spark.operators.registry import (
     DSUM,
     davg,
     dsum,
+    fan_out,
     query,
 )
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
@@ -640,4 +641,135 @@ def d29c_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p75_bal",
         (F.col("mode_bal") / 100.0).alias("mode_bal"),
         "n_rows",
+    )
+
+
+#: count-min geometry: CM_D independent hash rows x CM_W buckets.
+#: Keys are token BIGRAMS (~vocab^2 types on the fixture) and the
+#: bucket space is kept SMALLER than the key space on purpose, so the
+#: sketch actually collides and the overestimate column exercises the
+#: CM contract — a sketch wider than its key universe is just an
+#: exact table wearing a costume.
+CM_D = 4
+CM_W = 256
+_CM_M31 = 2_147_483_647
+_CM_AFFINE = [(104_729 + 10 * r, 224_737 + 3 * r) for r in range(CM_D)]
+
+
+@query(
+    "d89_countmin_heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+      SELECT string_split(LOWER(text), ' ') AS t FROM documents
+    ),
+    tok AS (
+      SELECT bg AS token,
+             ('0x' || substr(md5(bg), 1, 15))::BIGINT % {_CM_M31} AS th
+      FROM (
+        SELECT UNNEST(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM t WHERE len(t) >= 2
+      )
+    ),
+    cells AS (
+      {' UNION ALL '.join(
+          f"SELECT {r} AS r, (({a} * th + {b}) % {_CM_M31}) % {CM_W} AS bkt, token FROM tok"
+          for r, (a, b) in enumerate(_CM_AFFINE)
+      )}
+    ),
+    counters AS (
+      SELECT r, bkt, COUNT(*) AS c FROM cells GROUP BY r, bkt
+    ),
+    exact AS (
+      SELECT token, th, COUNT(*) AS true_count
+      FROM tok GROUP BY token, th
+      ORDER BY true_count DESC, token LIMIT 20
+    ),
+    probes AS (
+      SELECT token, true_count, r.r AS r,
+             (({'(CASE '
+                + ' '.join(f"WHEN r.r = {i} THEN {a} * th + {b}" for i, (a, b) in enumerate(_CM_AFFINE))
+                + ' END)'}) % {_CM_M31}) % {CM_W} AS bkt
+      FROM exact, (SELECT UNNEST(range(0, {CM_D})) AS r) r
+    )
+    SELECT p.token, p.true_count,
+           CAST(MIN(c.c) AS BIGINT) AS cm_estimate,
+           CAST(MIN(c.c) - p.true_count AS BIGINT) AS overestimate
+    FROM probes p JOIN counters c ON p.r = c.r AND p.bkt = c.bkt
+    GROUP BY p.token, p.true_count
+    """,
+)
+def d89_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-family sketch #3 (with d62 HLL, d63 KLL): COUNT-MIN heavy
+    hitters — estimate token-BIGRAM frequencies from a fixed {CM_D}x{CM_W}
+    counter grid (Cormode & Muthukrishnan 2005, public) and audit the
+    estimate against the exact counts of the top-20 tokens. The CM
+    contract (estimate >= truth, overestimate bounded by collisions)
+    is IN the output as an `overestimate` column, and — unlike d62/
+    d63's tolerance oracles — the whole thing hash-matches exactly:
+    both engines build identical integer counters from identical
+    portable hashes (md5-prefix base, affine row permutations, the
+    e02 discipline).
+
+    Scale: the sketch is the point — the counter grid is {CM_D}x{CM_W}
+    cells REGARDLESS of corpus size, built in one partial-aggregated
+    pass (each mapper combines locally into at most D x W cells before
+    the shuffle), mergeable across shards/days by cell-wise addition,
+    and queryable for any key without re-scanning. The exact side here
+    is the audit, not the product. One token shuffle for truth, one
+    bounded-cell shuffle for the sketch."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    tok = (
+        fan_out(d)
+        .select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                )
+            ).alias("token")
+        )
+        .select(
+            "token",
+            F.pmod(
+                F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint"),
+                F.lit(_CM_M31),
+            ).alias("th"),
+        )
+    )
+    bucket_cols = [
+        F.pmod(
+            F.pmod(F.lit(a) * F.col("th") + F.lit(b), F.lit(_CM_M31)),
+            F.lit(CM_W),
+        ).alias(f"b_{r}")
+        for r, (a, b) in enumerate(_CM_AFFINE)
+    ]
+    counters = (
+        tok.select(F.posexplode(F.array(*bucket_cols)).alias("r", "bkt"))
+        .groupBy("r", "bkt")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        tok.groupBy("token", "th")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "token")
+        .limit(20)
+    )
+    probes = exact.select(
+        "token",
+        "true_count",
+        F.posexplode(F.array(*bucket_cols)).alias("r", "bkt"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["r", "bkt"])
+        .groupBy("token", "true_count")
+        .agg(
+            F.min("c").cast("bigint").alias("cm_estimate"),
+            (F.min("c") - F.col("true_count")).cast("bigint").alias("overestimate"),
+        )
     )
