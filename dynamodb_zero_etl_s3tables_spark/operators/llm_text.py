@@ -1319,3 +1319,110 @@ def e45_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "n_tokens", "dsir_logweight", "sel_key", "rank"
     )
+
+
+#: e46 hashed-feature space and weight quantization
+QM_BUCKETS = 64
+_QM_M31 = 2_147_483_647
+
+
+@query(
+    "e46_linear_quality_model",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(UNNEST(string_split(LOWER(text), ' '))), 1, 15))::BIGINT
+               % {QM_BUCKETS} AS b
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY doc_id, b),
+    terms AS (
+      SELECT doc_id, c,
+             c * ((('0x' || substr(md5('w|' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                   % 2049 - 1024) / 1024.0) AS t
+      FROM cnt
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(t AS DECIMAL(25,12))) AS DOUBLE)
+               / SUM(c) AS score
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score,
+           ROUND(1 / (1 + EXP(-score)), 6) AS prob,
+           ROUND(1 / (1 + EXP(-score)), 6) >= 0.5 AS kept
+    FROM agg
+    """,
+)
+def e46_linear_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: MODEL-BASED quality scoring — apply a linear
+    classifier over hashed bag-of-words features (the fastText shape
+    behind FineWeb-Edu-style "score every document with a small
+    model" passes, public): tokens hash into {QM_BUCKETS} feature
+    buckets, each bucket carries a weight, and the document score is
+    the length-normalized weighted sum pushed through a sigmoid with
+    a 0.5 keep threshold.
+
+    The weight "model" here is derived from a hash of the bucket id
+    (quantized DYADICALLY to 1/1024 steps in [-1, 1] — exactly
+    representable doubles, so every weight, term product, and
+    DECIMAL(25,12)-routed sum is EXACT in both engines, and the score
+    needs no rounding at all; a 1/1000 quantization would park scores
+    on 6dp rounding boundaries and flip the hash on ties, which the
+    first cut of this operator learned the hard way) so it is
+    self-contained
+    and oracle-checkable; a REAL trained model swaps in as either a
+    broadcast (bucket, weight) table — one extra broadcast join — or
+    a literal weight array, with an identical plan. That substitution
+    point is the operator's purpose: per-document model scoring as a
+    pure map-side + one-aggregate pipeline, no UDF, no inference
+    service round-trip.
+
+    Scale: token->bucket hashing and the weight lookup are map-side
+    expressions; the only shuffle is the per-(doc, bucket) count
+    collapse, bounded by docs x {QM_BUCKETS}. Determinism: weights and
+    term sums are exact (dyadic doubles through DECIMAL(25,12)); the
+    score is one exact-input IEEE division (bit-identical, no ROUND
+    needed); only the sigmoid rounds to 6dp (absorbing last-ulp EXP
+    differences, e27's discipline); `kept` compares the ROUNDED
+    probability so it cannot straddle an ulp."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(QM_BUCKETS),
+        ).alias("b"),
+    )
+    cnt = tok.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    w = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w|"), F.col("b").cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2049),
+        )
+        - F.lit(1024)
+    ) / F.lit(1024.0)
+    terms = cnt.select("doc_id", "c", (F.col("c") * w).alias("t"))
+    agg = terms.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        (
+            F.sum(F.col("t").cast("decimal(25,12)")).cast("double") / F.sum("c")
+        ).alias("score"),
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 6)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        prob.alias("prob"),
+        (prob >= 0.5).alias("kept"),
+    )

@@ -117,6 +117,36 @@ FLAGSHIPS = {
         "aggregate (fixed DIM^2 cell shuffle); the three matvec rounds "
         "are broadcast joins over DIM x DIM rows — metadata scale."
     ),
+    "e40_ivf_pq_topk": (
+        "IVF-PQ serving shape: the coarse probe's semi-join prunes the "
+        "corpus BEFORE any PQ work on candidates; codebook training is "
+        "one scan + a PQ_M x PQ_K x PQ_SUB cell shuffle; encode, LUT, "
+        "and ADC all ride broadcast joins against 128-row tables with "
+        "one (vec, m) shuffle for the per-vector sum."
+    ),
+    "e43_hard_negatives": (
+        "Hard-negative mining: the anchor set broadcasts (BNLJ with a "
+        "10-row build side); per-anchor top-k is TWO windows — the first "
+        "partitioned by (anchor, partition-id) reduces map-side, so the "
+        "per-anchor exchange carries at most k x partitions x anchors "
+        "rows, not every scored pair."
+    ),
+    "d88_hypertable_rollup": (
+        "Rollup cascade: two stacked partial+final HashAggregates — the "
+        "daily level's input is the hourly level's output (bounded by "
+        "bucket cardinality), and no operator below the first aggregate "
+        "appears twice: raw events are scanned exactly once."
+    ),
+    "d89_countmin_heavy_hitters": (
+        "Count-min sketch: the counter build is one partial-aggregated "
+        "exchange of at most CM_D x CM_W cells regardless of corpus "
+        "size; the top-20 audit probes join the broadcast counter grid."
+    ),
+    "h15_session_window_twin": (
+        "Dynamic-gap session windows: one hashpartitioning(user_id) "
+        "exchange feeds the session-merge operator; the gap CASE is a "
+        "map-side projection, identical to the streaming state layout."
+    ),
 }
 
 
