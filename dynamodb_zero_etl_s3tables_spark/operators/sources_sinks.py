@@ -1511,3 +1511,105 @@ def c08_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("n_orders") > 0)
         .orderBy("status")
     )
+
+
+@query(
+    "c09_wap_journey",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <= 7
+    ),
+    merged AS (
+      SELECT pk, status,
+             CASE WHEN pk % 10 IN (0, 1)
+                  THEN CAST(ROUND(CAST(price AS DECIMAL(18,2))
+                                  * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  ELSE price END AS price
+      FROM base WHERE pk % 10 <> 2
+    )
+    SELECT pk, status, price FROM merged
+    """,
+)
+def c09_wap_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9/A8 capstone: the WRITE-AUDIT-PUBLISH workflow end-to-end —
+    bootstrap, stage a change batch that smuggles in a bad row
+    (negative price), AUDIT the staged-but-invisible snapshot via
+    time travel, abort it, stage the corrected batch, audit clean,
+    publish. The oracle replays only the GOOD batch's effect, so the
+    hash-match proves the aborted stage left zero residue in the
+    readable table — the whole point of WAP (Iceberg's
+    branch-commit / validate / fast-forward pattern, public). The
+    in-function _check assertions pin what the oracle cannot see:
+    readers never observed the staged state, the abort freed the
+    version number for reuse, and the final history ends in
+    wap-publish at version 2.
+
+    Scale: staging costs exactly one merge write (same plan as
+    apply_changes); the audit reads only the staged snapshot; publish
+    and abort are O(manifest) metadata flips — no data moves on
+    either outcome."""
+    wh = _scratch(sf_dir, "warehouse_c09", wipe=True)
+    cat = Catalog(spark, wh)
+    t = cat.create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_wap",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+
+    def rows(op: str, seq: int, cond, price):
+        return o.filter(cond).select(
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            price.alias("price"),
+        )
+
+    bump = F.round(
+        F.col("o_totalprice").cast("decimal(18,2)")
+        * F.lit("1.1").cast("decimal(3,1)"),
+        2,
+    ).cast("double")
+
+    t.bootstrap(
+        o.filter(mod10 <= 7).select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    good = rows("MODIFY", 1, mod10.isin(0, 1), bump).unionByName(
+        rows("REMOVE", 1, mod10 == 2, F.col("o_totalprice"))
+    )
+    bad_row = spark.createDataFrame(
+        [("INSERT", 1, -1, "bad", -1.0)], good.schema
+    )
+    # -- stage 1: the poisoned batch; audit catches it; abort
+    v_bad = t.stage_changes(good.unionByName(bad_row), order_cols=("seq",))
+    _check(
+        t.read().filter(F.col("price") < 0).count() == 0,
+        "staged rows leaked into the readable table",
+    )
+    n_bad = t.read(version=v_bad).filter(F.col("price") < 0).count()
+    _check(n_bad == 1, f"audit should see exactly the bad row, saw {n_bad}")
+    t.abort_staged(v_bad)
+    # -- stage 2: corrected batch; audit clean; publish
+    v_good = t.stage_changes(good, order_cols=("seq",))
+    _check(v_good == v_bad, "abort must free the version number for reuse")
+    _check(
+        t.read(version=v_good).filter(F.col("price") < 0).count() == 0,
+        "corrected batch failed its audit",
+    )
+    t.publish(v_good)
+    hist = t.history()
+    _check(
+        hist[-1].operation == "wap-publish" and t.version == 2,
+        f"unexpected WAP history {[s.operation for s in hist]}",
+    )
+    return t.read().select("pk", "status", "price")

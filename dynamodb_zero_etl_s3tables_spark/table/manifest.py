@@ -76,6 +76,11 @@ class Snapshot:
     #: merge-on-read snapshots: {"deletes": dir, "inserts": dir} —
     #: keys to suppress and rows to add relative to ``base_version``
     delta: dict[str, str] | None = None
+    #: write-audit-publish: a staged snapshot is fully written but
+    #: INVISIBLE to read()/scan() until publish() flips this off —
+    #: the Iceberg WAP (branch-commit + fast-forward) semantic over
+    #: this manifest. Absent in pre-WAP manifests -> defaults False.
+    staged: bool = False
 
     def to_dict(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -95,11 +100,15 @@ class Manifest:
 
     @property
     def current(self) -> Snapshot | None:
-        return self.snapshots[-1] if self.snapshots else None
+        """Latest PUBLISHED snapshot — readers never see staged ones."""
+        return next((s for s in reversed(self.snapshots) if not s.staged), None)
 
     @property
     def version(self) -> int:
-        return self.current.version if self.current else 0
+        """Latest snapshot version INCLUDING staged — the optimistic-
+        concurrency sequence number (a staged write must still fence
+        concurrent committers, exactly like an Iceberg sequence)."""
+        return self.snapshots[-1].version if self.snapshots else 0
 
 
 def _evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
@@ -287,6 +296,19 @@ class ManagedTable:
         raw.pop("spec", None)  # consumed by ManagedTable.open
         snaps = [Snapshot.from_dict(s) for s in raw.pop("snapshots")]
         return Manifest(snapshots=snaps, **raw)
+
+    @staticmethod
+    def _fence_staged(m: Manifest, staging: bool = False) -> None:
+        """Invariant: a staged snapshot is always LAST until published
+        or aborted. Any other commit (merge, MoR delta, rollback,
+        compaction) while one is pending would strand it mid-history,
+        so it conflicts instead — the same single-branch-head rule an
+        Iceberg WAP branch enforces."""
+        if not staging and m.snapshots and m.snapshots[-1].staged:
+            raise CommitConflictError(
+                f"staged snapshot v{m.snapshots[-1].version} pending; "
+                "publish or abort it before committing"
+            )
 
     def _write_manifest(self, m: Manifest, expected_version: int) -> None:
         """B9+A8: atomic pointer swap with optimistic version check."""
@@ -725,6 +747,7 @@ class ManagedTable:
         df: DataFrame,
         operation: str,
         carry_entries: list[dict[str, Any]] | None = None,
+        staged: bool = False,
     ) -> None:
         """Write ``df``'s files as snapshot N+1. For partitioned
         tables, ``carry_entries`` are untouched partition dirs from the
@@ -736,6 +759,7 @@ class ManagedTable:
 
         t0 = time.perf_counter()
         m = self._read_manifest()
+        self._fence_staged(m, staging=staged)
         expected = m.version
         if m.current is not None:
             old_schema = T.StructType.fromJson(json.loads(m.current.schema_json))
@@ -792,6 +816,7 @@ class ManagedTable:
                 operation=operation,
                 partitions=partitions,
                 files=files,
+                staged=staged,
             )
         )
         self._write_manifest(m, expected_version=expected)
@@ -917,6 +942,7 @@ class ManagedTable:
                 f"merge-on-read needs a bootstrapped table: "
                 f"{self.spec.qualified_name} has no snapshots"
             )
+        self._fence_staged(m)
         expected = m.version
         cur_schema = T.StructType.fromJson(json.loads(snap.schema_json))
         keys = list(self.spec.key_columns)
@@ -1005,6 +1031,7 @@ class ManagedTable:
         reclaims them later. O(metadata): no data moves. The Iceberg
         rollback semantic over this engine's manifest."""
         m = self._read_manifest()
+        self._fence_staged(m)
         by_v = {s.version: s for s in m.snapshots}
         if version not in by_v:
             raise ValueError(
@@ -1027,6 +1054,69 @@ class ManagedTable:
                 delta=src.delta,
             )
         )
+        self._write_manifest(m, expected_version=expected)
+
+    # -- write-audit-publish (WAP) -----------------------------------------
+
+    def stage_changes(
+        self, changes: DataFrame, order_cols: tuple[str, ...] | None = None
+    ) -> int:
+        """WAP step 1: merge a change batch and commit it STAGED —
+        fully written and version-fenced, but invisible to read()/
+        scan() until :meth:`publish`. The audit step reads the staged
+        snapshot via ``read(version=returned_version)``, validates,
+        then publishes (metadata flip, no data movement) or aborts
+        (snapshot dropped from history; files reclaimed by vacuum).
+        This is the Iceberg write-audit-publish workflow (public
+        pattern: commit to a staging branch, validate, fast-forward)
+        expressed over this engine's manifest. One staged snapshot at
+        a time: a second stage before publish/abort conflicts, same
+        as two writers racing a branch head.
+
+        Scale: identical write cost to apply_changes (the merge is
+        the same plan); audit reads only the staged snapshot; publish
+        and abort are O(manifest)."""
+        m = self._read_manifest()
+        if m.snapshots and m.snapshots[-1].staged:
+            raise CommitConflictError(
+                f"staged snapshot v{m.snapshots[-1].version} already "
+                "pending; publish or abort it first"
+            )
+        order = order_cols or self.spec.order_columns
+        base = self.read()
+        merged = merge_changes(
+            base, changes, keys=self.spec.key_columns, order_cols=order
+        )
+        self._write_snapshot(merged, operation="wap-stage", staged=True)
+        return self._read_manifest().snapshots[-1].version
+
+    def publish(self, version: int) -> None:
+        """WAP step 3a: make the staged snapshot current — a pure
+        manifest flip (audited files become the table atomically)."""
+        m = self._read_manifest()
+        expected = m.version
+        last = m.snapshots[-1] if m.snapshots else None
+        if last is None or last.version != version or not last.staged:
+            raise CommitConflictError(
+                f"no staged snapshot at v{version} to publish "
+                f"(manifest at v{expected})"
+            )
+        last.staged = False
+        last.operation = "wap-publish"
+        self._write_manifest(m, expected_version=expected)
+
+    def abort_staged(self, version: int) -> None:
+        """WAP step 3b: drop a failed-audit staged snapshot from
+        history. Its data dir becomes unreferenced; vacuum reclaims."""
+        m = self._read_manifest()
+        expected = m.version
+        last = m.snapshots[-1] if m.snapshots else None
+        if last is None or last.version != version or not last.staged:
+            raise CommitConflictError(
+                f"no staged snapshot at v{version} to abort "
+                f"(manifest at v{expected})"
+            )
+        m.snapshots.pop()
         self._write_manifest(m, expected_version=expected)
 
     def verify_integrity(self) -> dict[str, Any]:

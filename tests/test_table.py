@@ -676,3 +676,80 @@ def test_expire_snapshots_pins_mor_base_chain(spark, tmp_path):
     # v1 is pinned by v2's chain: nothing droppable
     assert res["snapshots_dropped"] == 0
     assert sorted(map(tuple, t.read().collect())) == before
+
+
+# -- write-audit-publish (WAP) ---------------------------------------------
+
+
+def test_wap_stage_is_invisible_then_publishes(spark, warehouse):
+    """WAP: a staged merge is fully written and version-fenced but
+    invisible to read(); the audit reads it by version; publish is a
+    metadata flip that makes the audited files current atomically."""
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    staged_v = t.stage_changes(changelog_df(spark))
+    assert staged_v == 2
+    # readers still see the bootstrap state
+    assert {r.pk for r in t.read().collect()} == {1, 2, 3, 4, 5}
+    # the audit sees the staged result via time travel
+    audited = {r.pk: r.status for r in t.read(version=staged_v).collect()}
+    assert audited == {1: "v2", 2: "upd", 4: "old", 5: "old", 9: "new"}
+    t.publish(staged_v)
+    assert {r.pk: r.status for r in t.read().collect()} == audited
+    assert t.history()[-1].operation == "wap-publish"
+    assert not t.history()[-1].staged
+
+
+def test_wap_abort_drops_staged(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    staged_v = t.stage_changes(changelog_df(spark))
+    t.abort_staged(staged_v)
+    # table unchanged, history clean, and the next commit reuses v2
+    assert {r.pk for r in t.read().collect()} == {1, 2, 3, 4, 5}
+    assert [s.version for s in t.history()] == [1]
+    t.apply_changes(changelog_df(spark))
+    assert t.version == 2
+    assert {r.pk for r in t.read().collect()} == {1, 2, 4, 5, 9}
+
+
+def test_wap_fences_other_commits(spark, warehouse):
+    """A pending staged snapshot must stay LAST: merges, rollbacks and
+    a second stage all conflict until publish/abort."""
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    staged_v = t.stage_changes(changelog_df(spark))
+    with pytest.raises(CommitConflictError, match="pending"):
+        t.apply_changes(changelog_df(spark))
+    with pytest.raises(CommitConflictError, match="pending"):
+        t.rollback_to(1)
+    with pytest.raises(CommitConflictError, match="already"):
+        t.stage_changes(changelog_df(spark))
+    # publish resolves the fence
+    t.publish(staged_v)
+    t.apply_changes(changelog_df(spark))
+    assert t.version == 3
+
+
+def test_wap_publish_wrong_version_conflicts(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    with pytest.raises(CommitConflictError, match="no staged"):
+        t.publish(1)
+    staged_v = t.stage_changes(changelog_df(spark))
+    with pytest.raises(CommitConflictError, match="no staged"):
+        t.publish(staged_v + 1)
+    t.abort_staged(staged_v)
+
+
+def test_wap_aborted_files_reclaimed_by_vacuum(spark, warehouse, tmp_path):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    staged_v = t.stage_changes(changelog_df(spark))
+    staged_dir = t.history()[-1].data_dir
+    t.abort_staged(staged_v)
+    import pathlib
+
+    assert pathlib.Path(staged_dir).exists()
+    stats = t.vacuum(unreferenced_days=0, noncurrent_days=0, now=time.time() + 1)
+    assert not pathlib.Path(staged_dir).exists(), stats
