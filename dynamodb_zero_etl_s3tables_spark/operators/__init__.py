@@ -75,7 +75,7 @@ _GRADE_PRIORITY = [
     # ---- new in r4, beyond the 50-window (head of round 5's window) ----
     "d88_hypertable_rollup", "h16_chained_window_twin", "e45_dsir_resample",
     "e44_ivf_pq_residual", "d89_countmin_heavy_hitters",
-    "e46_linear_quality_model", "c09_wap_journey",
+    "e46_linear_quality_model", "c09_wap_journey", "e47_ccnet_lm_partition",
     # ---- graded in r3 (CORRECTNESS_r03.json, 50/50 green) -> tail ----
     "d29c_median_mode", "d31_window_ranking", "d31b_relative_rank",
     "d32_lag_lead", "d33_running_sum", "d34_range_frame",

@@ -328,3 +328,150 @@ def e42_bigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cross_entropy",
         (F.col("cross_entropy") < XENT_KEEP_MAX).alias("kept"),
     )
+
+
+@query(
+    "e47_ccnet_lm_partition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             UNNEST(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    dpc AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM bg GROUP BY doc_id, w1, w2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+    v AS (
+      SELECT COUNT(DISTINCT tok) AS vsz
+      FROM (SELECT UNNEST(t) AS tok FROM toks)
+    ),
+    terms AS (
+      SELECT doc_id, cnt,
+             cnt * (ln(n1 + vsz) - ln(n12 + 1)) AS nll
+      FROM dpc JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    ),
+    agg AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(nll AS DECIMAL(25,9))) AS DOUBLE)
+                   / SUM(cnt), 6) AS cross_entropy
+      FROM terms GROUP BY doc_id
+    ),
+    parts AS (
+      SELECT doc_id, cross_entropy,
+             NTILE(3) OVER (ORDER BY cross_entropy, doc_id) AS tercile
+      FROM agg
+    )
+    SELECT doc_id, cross_entropy,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS part
+    FROM parts
+    """,
+)
+def e47_ccnet_lm_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: the CCNet HEAD/MIDDLE/TAIL partition — split the
+    corpus into perplexity terciles under e42's in-corpus bigram
+    model (head = most fluent third, the slice CCNet keeps for LM
+    training; tail = the noisiest; public: Wenzek et al. 2020). The
+    tercile boundary is positional (NTILE semantics over the total
+    order (cross_entropy, doc_id)) — no quantile estimation, no ties
+    ambiguity.
+
+    Scale: scoring is e42's shape (pre-aggregated pair join + one
+    per-doc aggregate). The global ranking deliberately does NOT use
+    an unpartitioned window (which would funnel the corpus into one
+    task — the anti-pattern tests/test_plans.py forbids): it is the
+    classic DISTRIBUTED RANKING construction — range-repartition on
+    the order key, rank WITHIN each partition, then add per-partition
+    row-count offsets (a #partitions-row metadata collect, broadcast
+    back as a literal map). The final rank is exact and independent
+    of where the sampled range boundaries fall, because rank depends
+    only on the total order; NTILE bucket sizes are then reproduced
+    arithmetically from N. The oracle states the same result as a
+    plain NTILE."""
+    d = load(spark, sf_dir, "documents")
+    tdf = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    bg = (
+        tdf.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    dpc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("cnt"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    v = tdf.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("vsz")
+    )
+    terms = (
+        dpc.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "cnt",
+            (
+                F.col("cnt")
+                * (
+                    F.log(F.col("n1") + F.col("vsz"))
+                    - F.log(F.col("n12") + F.lit(1))
+                )
+            ).alias("nll"),
+        )
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("nll").cast("decimal(25,9)")).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("cross_entropy"),
+    )
+    # distributed exact ranking: range-partition on the order key,
+    # rank locally, then shift by the preceding partitions' counts
+    ranged = (
+        agg.repartitionByRange(32, "cross_entropy", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pid before the two branches
+    )
+    counts = sorted(
+        (r["pid"], r["n"])
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    n_total = acc
+    base, rem = divmod(n_total, 3)
+    b1 = base + (1 if rem >= 1 else 0)
+    b2 = b1 + base + (1 if rem >= 2 else 0)
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("pid")]
+    local_rank = F.row_number().over(
+        W.partitionBy("pid").orderBy("cross_entropy", "doc_id")
+    )
+    rank = off + local_rank
+    return ranged.select(
+        "doc_id",
+        "cross_entropy",
+        F.when(rank <= b1, "head")
+        .when(rank <= b2, "middle")
+        .otherwise("tail")
+        .alias("part"),
+    )

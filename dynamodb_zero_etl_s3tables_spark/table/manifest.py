@@ -42,6 +42,7 @@ from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
 from dynamodb_zero_etl_s3tables_spark.table.merge import (
     SchemaEvolutionError,
     merge_changes,
+    wider,
 )
 
 
@@ -112,23 +113,32 @@ class Manifest:
 
 
 def _evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
-    """B4: additive-only evolution. New columns append; type changes
-    and drops are rejected with a descriptive error."""
+    """B4: additive evolution with Iceberg-rule type WIDENING. New
+    columns append; int->long / float->double (either direction of
+    arrival — a narrow incoming column is cast up to the stored wide
+    type, a wide incoming column widens the table schema); any other
+    type change, and drops, are rejected with a descriptive error."""
     old_by_name = {f.name: f for f in old.fields}
-    for f in new.fields:
-        prev = old_by_name.get(f.name)
-        if prev is not None and prev.dataType != f.dataType:
+    evolved_old: list[T.StructField] = []
+    for f in old.fields:
+        inc = next((x for x in new.fields if x.name == f.name), None)
+        if inc is None or inc.dataType == f.dataType:
+            evolved_old.append(f)
+            continue
+        w = wider(f.dataType, inc.dataType)
+        if w is None:
             raise SchemaEvolutionError(
                 f"type conflict for column {f.name!r}: "
-                f"{prev.dataType.simpleString()} -> {f.dataType.simpleString()}"
+                f"{f.dataType.simpleString()} -> {inc.dataType.simpleString()}"
             )
+        evolved_old.append(T.StructField(f.name, w, f.nullable or inc.nullable))
     missing = [f.name for f in old.fields if f.name not in {x.name for x in new.fields}]
     if missing:
         raise SchemaEvolutionError(
             f"columns missing from incoming data (drops are not additive): {missing}"
         )
     added = [f for f in new.fields if f.name not in old_by_name]
-    return T.StructType(list(old.fields) + added)
+    return T.StructType(evolved_old + added)
 
 
 def _stat_safe(v: Any) -> Any:
@@ -765,12 +775,16 @@ class ManagedTable:
             old_schema = T.StructType.fromJson(json.loads(m.current.schema_json))
             evolved = _evolve_schema(old_schema, df.schema)
             # fill columns added by evolution so old snapshots stay readable
+            from pyspark.sql import functions as F
+
             for f in evolved.fields:
                 if f.name not in df.columns:
-                    from pyspark.sql import functions as F
-
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-            df = df.select(*[f.name for f in evolved.fields])
+            # cast-through aligns narrow incoming columns with a
+            # widened (or wider stored) schema; no-op when types match
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in evolved.fields]
+            )
         data_dir = self.root / "data" / f"v{expected + 1}-{uuid.uuid4().hex[:8]}"
         if self.spec.sort_columns:
             # Iceberg sort-order analog: range-cluster so footer min/max
@@ -953,7 +967,9 @@ class ManagedTable:
         image_cols = [c for c in last.columns if c not in drop]
         inserts = last.filter(F.col(OP_COL) != OP_REMOVE).select(*image_cols)
         evolved = _evolve_schema(cur_schema, inserts.schema)  # B4 gate
-        inserts = inserts.select(*[f.name for f in evolved.fields])
+        inserts = inserts.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in evolved.fields]
+        )
         delta_root = self.root / "data" / f"v{expected + 1}-{uuid.uuid4().hex[:8]}"
         inserts, obs = observe_rows(inserts, name="merge-mor")
         inserts.write.mode("overwrite").parquet(str(delta_root / "inserts"))

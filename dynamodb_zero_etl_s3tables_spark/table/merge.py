@@ -30,6 +30,29 @@ class SchemaEvolutionError(ValueError):
     """Non-additive schema change in a merge or commit (B4)."""
 
 
+#: Iceberg-spec legal type promotions (public spec): the left type's
+#: value space embeds losslessly in each type on the right, so reads
+#: of old (narrow) files under the widened schema lose nothing.
+WIDEN_CHAIN: dict[str, tuple[str, ...]] = {
+    "smallint": ("int", "bigint"),
+    "int": ("bigint",),
+    "float": ("double",),
+}
+
+
+def wider(a, b):
+    """The wider of two Spark types if one losslessly embeds in the
+    other (Iceberg promotion rules), else None (illegal change)."""
+    if a == b:
+        return a
+    an, bn = a.simpleString(), b.simpleString()
+    if bn in WIDEN_CHAIN.get(an, ()):
+        return b
+    if an in WIDEN_CHAIN.get(bn, ()):
+        return a
+    return None
+
+
 def latest_per_key(
     changes: DataFrame,
     keys: Sequence[str],
@@ -72,16 +95,24 @@ def merge_changes(
     drop = {OP_COL} | {c for c in order_cols if c not in base.columns}
     image_cols = [c for c in last.columns if c not in drop]
     upserts = last.filter(F.col(OP_COL) != OP_REMOVE).select(*image_cols)
-    # B4 gate: overlapping columns must keep their exact type (a silent
-    # union coercion, e.g. double->string, would corrupt the table)
+    # B4 gate: overlapping columns must keep their exact type OR widen
+    # along the Iceberg promotion chain (int->long, float->double) —
+    # both sides are cast to the wider type so the union is exact; any
+    # other coercion (e.g. double->string) would corrupt the table
     base_types = {f.name: f.dataType for f in base.schema.fields}
     for f in upserts.schema.fields:
         prev = base_types.get(f.name)
         if prev is not None and prev != f.dataType:
-            raise SchemaEvolutionError(
-                f"type conflict for column {f.name!r}: "
-                f"{prev.simpleString()} -> {f.dataType.simpleString()}"
-            )
+            w = wider(prev, f.dataType)
+            if w is None:
+                raise SchemaEvolutionError(
+                    f"type conflict for column {f.name!r}: "
+                    f"{prev.simpleString()} -> {f.dataType.simpleString()}"
+                )
+            if prev != w:
+                base = base.withColumn(f.name, F.col(f.name).cast(w))
+            if f.dataType != w:
+                upserts = upserts.withColumn(f.name, F.col(f.name).cast(w))
     missing = [c for c in base.columns if c not in upserts.columns]
     if missing:
         raise SchemaEvolutionError(

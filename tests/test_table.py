@@ -753,3 +753,69 @@ def test_wap_aborted_files_reclaimed_by_vacuum(spark, warehouse, tmp_path):
     assert pathlib.Path(staged_dir).exists()
     stats = t.vacuum(unreferenced_days=0, noncurrent_days=0, now=time.time() + 1)
     assert not pathlib.Path(staged_dir).exists(), stats
+
+
+# -- type widening (B4, Iceberg promotion rules) ---------------------------
+
+
+def test_schema_widening_int_to_long(spark, warehouse):
+    """An incoming LONG column widens a stored INT column; old rows
+    read back under the widened schema losslessly."""
+    from pyspark.sql import types as T
+
+    spec = TableSpec(namespace="ns", name="widen", key_columns=("pk",), order_columns=("seq",))
+    t = ManagedTable(spark, warehouse, spec)
+    schema_narrow = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("qty", T.IntegerType()),
+    ])
+    t.bootstrap(spark.createDataFrame([(1, 10), (2, 20)], schema_narrow))
+    schema_wide = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("pk", T.LongType()),
+        T.StructField("qty", T.LongType()),
+    ])
+    t.apply_changes(
+        spark.createDataFrame([("INSERT", 1, 3, 2**40)], schema_wide)
+    )
+    got = t.read()
+    assert dict(got.dtypes)["qty"] == "bigint"
+    assert {r.pk: r.qty for r in got.collect()} == {1: 10, 2: 20, 3: 2**40}
+
+
+def test_schema_widening_narrow_arrival_casts_up(spark, warehouse):
+    """An incoming INT column against a stored LONG column is cast up;
+    the table schema does not narrow."""
+    from pyspark.sql import types as T
+
+    spec = TableSpec(namespace="ns", name="widen2", key_columns=("pk",), order_columns=("seq",))
+    t = ManagedTable(spark, warehouse, spec)
+    schema_wide = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("qty", T.LongType()),
+    ])
+    t.bootstrap(spark.createDataFrame([(1, 2**40)], schema_wide))
+    schema_narrow = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("pk", T.LongType()),
+        T.StructField("qty", T.IntegerType()),
+    ])
+    t.apply_changes(spark.createDataFrame([("INSERT", 1, 2, 7)], schema_narrow))
+    got = t.read()
+    assert dict(got.dtypes)["qty"] == "bigint"
+    assert {r.pk: r.qty for r in got.collect()} == {1: 2**40, 2: 7}
+
+
+def test_schema_widening_illegal_change_still_rejected(spark, warehouse):
+    from pyspark.sql import types as T
+
+    spec = TableSpec(namespace="ns", name="widen3", key_columns=("pk",), order_columns=("seq",))
+    t = ManagedTable(spark, warehouse, spec)
+    t.bootstrap(spark.createDataFrame([(1, 10)], "pk long, qty int"))
+    bad = spark.createDataFrame(
+        [("INSERT", 1, 2, "not-a-number")], "op string, seq long, pk long, qty string"
+    )
+    with pytest.raises(SchemaEvolutionError, match="type conflict"):
+        t.apply_changes(bad)
