@@ -1610,3 +1610,118 @@ def e44_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "vec_id", "label", "adc_score", "exact_dot", "rank"
     )
+
+
+#: e48 geometry: coarser codes (denser collisions) + neighbors kept
+KNN_PLANES = 8
+KNN_K = 5
+_E48_PLANES = make_planes("e48", KNN_PLANES, N_TABLES)
+
+
+@query(
+    "e48_knn_graph",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
+    codes AS ({_codes_long_sql(_E48_PLANES, 'base')}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+      FROM codes x JOIN codes y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    n AS (
+      SELECT vec_id, embedding, SQRT({_DOT('embedding', 'embedding')}) AS nrm
+      FROM base
+    ),
+    scored AS (
+      SELECT va, vb,
+             ROUND({_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos
+      FROM cand JOIN n a ON cand.va = a.vec_id JOIN n b ON cand.vb = b.vec_id
+    ),
+    directed AS (
+      SELECT va AS src, vb AS dst, cos FROM scored
+      UNION ALL
+      SELECT vb AS src, va AS dst, cos FROM scored
+    ),
+    topk AS (
+      SELECT src, dst, cos, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cos DESC, dst) AS rn
+        FROM directed
+      ) WHERE rn <= {KNN_K}
+    )
+    SELECT t.src, t.dst, t.cos AS cos_sim, t.rn AS rank,
+           m.src IS NOT NULL AS is_mutual
+    FROM topk t LEFT JOIN topk m ON t.src = m.dst AND t.dst = m.src
+    """,
+)
+def e48_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 graph path: approximate K-NEAREST-NEIGHBOR GRAPH — the seed
+    structure of graph-based ANN indexes and of kNN-graph clustering
+    (NN-Descent / HNSW ground layer, public): generate candidate
+    pairs by {KNN_PLANES}-bit hyperplane LSH across {{N_TABLES}} OR'd
+    tables (coarser codes than e03d on purpose — a kNN graph WANTS
+    denser collisions than near-dup detection), exact-score the
+    candidates, keep each vector's top-{KNN_K} neighbors, and mark
+    MUTUAL edges (both endpoints in each other's top-k — the edges
+    graph clustering trusts).
+
+    Scale: candidates ride the (tbl, bucket) equi-join — per-bucket
+    pair cost is the standard LSH occupancy trade documented in the
+    S-curve header, capped in production by the e02b bucket-cap
+    discipline; per-vector top-k is one window over candidate edges
+    (bounded by collision count, not N^2); the mutuality check is a
+    self equi-join on the directed edge key. Determinism: cosine is
+    the rounded left-to-right fold; ranks tie-break on dst."""
+    e = fan_out(load(spark, sf_dir, "embeddings"))
+    codes = codes_long(e, _E48_PLANES, [])
+    x, y = codes.alias("x"), codes.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb"))
+        .distinct()
+    )
+    n = e.select("vec_id", "embedding", norm_fold(F.col("embedding")).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    scored = (
+        cand.join(a, F.col("va") == F.col("a.vec_id"))
+        .join(b, F.col("vb") == F.col("b.vec_id"))
+        .select(
+            "va",
+            "vb",
+            F.round(
+                dot_fold(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    directed = scored.select(
+        F.col("va").alias("src"), F.col("vb").alias("dst"), "cos"
+    ).unionAll(
+        scored.select(F.col("vb").alias("src"), F.col("va").alias("dst"), "cos")
+    )
+    wk = W.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    topk = (
+        directed.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= KNN_K)
+    )
+    t, m = topk.alias("t"), topk.select("src", "dst").alias("m")
+    return (
+        t.join(
+            m,
+            (F.col("t.src") == F.col("m.dst")) & (F.col("t.dst") == F.col("m.src")),
+            "left",
+        )
+        .select(
+            F.col("t.src").alias("src"),
+            F.col("t.dst").alias("dst"),
+            F.col("t.cos").alias("cos_sim"),
+            F.col("t.rn").alias("rank"),
+            F.col("m.src").isNotNull().alias("is_mutual"),
+        )
+    )
