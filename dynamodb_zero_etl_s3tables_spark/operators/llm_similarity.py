@@ -1335,8 +1335,8 @@ def e43_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims AS (SELECT UNNEST(range(1, {DIM + 1})) AS i),
     centl AS (
       SELECT label, i.i AS dim,
-             CAST(SUM(CAST(embedding[i.i]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE)
-               / COUNT(*) AS c
+             ROUND(CAST(SUM(CAST(embedding[i.i]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS c
       FROM embeddings, dims i
       GROUP BY label, i.i
     ),
@@ -1492,14 +1492,20 @@ def e44_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
 
-    # coarse centroids: long form for distances, arrays for residuals
+    # coarse centroids: long form for distances, arrays for residuals.
+    # Means are RE-QUANTIZED to 6dp (the e34 discipline): the raw
+    # decimal-sum/count double can differ between engines by ~1e-12
+    # per cell at the DECIMAL cast boundary, and e44's score keeps
+    # dot(q, c) UNROUNDED — at sf0.1 the accumulated ulp flipped the
+    # hash until the centroids themselves were pinned.
     dims = (
         e.select("label", F.posexplode(F.col("embedding")).alias("dim0", "x"))
         .groupBy("label", "dim0")
         .agg(
-            (
+            F.round(
                 F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
-                / F.count("*")
+                / F.count("*"),
+                6,
             ).alias("c")
         )
     )
