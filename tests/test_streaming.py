@@ -545,3 +545,60 @@ def test_chained_window_stream_equals_batch(spark, tmp_path):
     )
     expected = h16_chained_window_twin(spark, SF_DIR).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_stream_wap_per_microbatch(spark, warehouse, tmp_path):
+    """Streaming x WAP composition: every microbatch is STAGED,
+    audited against an invariant (no negative prices), and only then
+    published — the gated-CDC shape a table owner runs when upstream
+    batches can carry poison. A batch that fails its audit is aborted
+    and the table keeps its pre-batch state; clean batches land
+    exactly as a plain streaming merge would."""
+    log_dir = tmp_path / "changelog"
+    _write_batch(log_dir / "b1.json", BATCH1)
+    poison = [
+        {"op": "INSERT", "ts": "2024-01-03T00:00:00", "seq": 20, "pk": 66,
+         "status": "bad", "price": -1.0},
+    ]
+    _write_batch(log_dir / "b2.json", BATCH2)
+    _write_batch(log_dir / "b3.json", poison)
+
+    table = ManagedTable(spark, warehouse, SPEC)
+    table.bootstrap(spark.createDataFrame([], IMAGE_SCHEMA))
+    audits = {"published": 0, "aborted": 0}
+
+    def gated_merge(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        v = table.stage_changes(batch_df, order_cols=("ts", "seq"))
+        bad = table.read(version=v).filter(F.col("price") < 0).count()
+        if bad:
+            table.abort_staged(v)
+            audits["aborted"] += 1
+        else:
+            table.publish(v)
+            audits["published"] += 1
+
+    stream = read_changelog_stream(
+        spark, str(log_dir), changelog_schema(IMAGE_SCHEMA), max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(gated_merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert audits["aborted"] == 1 and audits["published"] == 2, audits
+    got = {r.pk: (r.status, r.price) for r in table.read().collect()}
+    # clean batches landed; the poisoned batch left zero residue
+    full_log = spark.read.schema(changelog_schema(IMAGE_SCHEMA)).json(
+        str(log_dir)
+    ).filter(F.col("price").isNull() | (F.col("price") >= 0))
+    empty = spark.createDataFrame([], IMAGE_SCHEMA)
+    expected_df = merge_changes(empty, full_log, keys=["pk"], order_cols=["ts", "seq"])
+    expected = {r.pk: (r.status, r.price) for r in expected_df.collect()}
+    assert got == expected
+    assert 66 not in got
+    assert not table.history()[-1].staged
