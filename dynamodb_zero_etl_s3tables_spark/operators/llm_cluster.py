@@ -734,3 +734,54 @@ def e35_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+@query(
+    "e49_cluster_balanced_sample",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    counts AS (SELECT cid, COUNT(*) AS n_c FROM a2 GROUP BY cid),
+    tgt AS (SELECT MIN(n_c) AS target FROM counts)
+    SELECT a2.vec_id, a2.cid AS cluster, c.n_c,
+           (('0x' || substr(md5('bal|' || CAST(a2.vec_id AS VARCHAR)), 1, 15))::BIGINT
+              % c.n_c) < t.target AS kept
+    FROM a2 JOIN counts c ON a2.cid = c.cid, tgt t
+    """,
+)
+def e49_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: TOPIC-BALANCED downsampling — equalize the e21
+    cluster sizes by keeping ~min-cluster-size vectors from every
+    cluster, chosen by a content-keyed hash (the semantic-level
+    version of e15's per-source rebalance; public pipelines run this
+    between clustering and training to stop one dominant topic from
+    swamping the mixture). The keep test is EXACT integer arithmetic:
+    hash(vec_id) mod n_c < target — no float rate, no rounding, and
+    the expected kept count per cluster is target by construction.
+
+    Scale: composes e21's broadcast-centroid assignment (no new
+    full-corpus pass); cluster counts are k rows; the target is a
+    1-row broadcast; the keep flag is map-side. Determinism: the
+    sample is a pure function of (vec_id, cluster sizes), re-runnable
+    and shard-order-independent — the e08/e45 deterministic-sampling
+    discipline."""
+    a2 = _two_lloyd_rounds(spark, sf_dir)
+    counts = a2.groupBy("cid").agg(F.count("*").alias("n_c"))
+    target = counts.agg(F.min("n_c").alias("target"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bal|"), F.col("vec_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        a2.select("vec_id", "cid")
+        .join(F.broadcast(counts), "cid")
+        .crossJoin(F.broadcast(target))
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            "n_c",
+            (F.pmod(h, F.col("n_c")) < F.col("target")).alias("kept"),
+        )
+    )

@@ -732,3 +732,152 @@ def h16_chained_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         "n_hours",
     )
+
+
+@query(
+    "h17_gated_cdc_sink",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <= 7
+    ),
+    merged AS (
+      SELECT pk,
+             CASE WHEN pk % 10 IN (0, 1) THEN 'touched' ELSE status END AS status,
+             CASE WHEN pk % 10 IN (0, 1)
+                  THEN CAST(ROUND(CAST(price AS DECIMAL(18,2))
+                                  * CAST(1.5 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  ELSE price END AS price
+      FROM base WHERE pk % 10 <> 2
+    )
+    SELECT pk, status, price FROM merged
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 9
+    """,
+)
+def h17_gated_cdc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 x WAP under the oracle: GATED CDC — the real streaming
+    backlog drain (availableNow, one file per microbatch) where every
+    microbatch is WAP-STAGED, audited (no negative prices), and then
+    published or ABORTED inside foreachBatch. The backlog carries a
+    clean update/delete batch, a POISONED insert batch (one negative
+    price — the whole batch must bounce, including its clean rows:
+    transactional all-or-nothing per microbatch), and a clean insert
+    batch. The oracle replays ONLY the surviving batches, so the hash
+    proves the aborted batch left zero residue in the readable table
+    — checkpointing, staging, audit, abort, and publish are all
+    inside the match. Batches touch disjoint key ranges so the final
+    state is independent of file arrival order (the determinism
+    requirement for an oracle-checked stream).
+
+    Scale: staging costs one merge per microbatch (same plan as the
+    ungated h07 path); the audit reads only the staged snapshot;
+    publish/abort are O(manifest). This is the shape a table owner
+    runs when upstream producers cannot be trusted batch-by-batch."""
+    import hashlib as _hl
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    from pyspark.sql import types as T
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.streaming.cdc import (
+        read_changelog_stream,
+    )
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    tag = _hl.sha256(sf_dir.encode()).hexdigest()[:10]
+    root = _P("/tmp/spark_graft_io") / tag / "h17_gated"
+    if root.exists():
+        _sh.rmtree(root)
+    (root / "changelog").mkdir(parents=True)
+
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    base = o.filter(mod10 <= 7).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bumped = (
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.5").cast("decimal(2,1)"),
+            2,
+        ).cast("double")
+    )
+
+    def chg(op, seq, cond, status_col, price_col):
+        return o.filter(cond).select(
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            status_col.alias("status"),
+            price_col.alias("price"),
+        )
+
+    batch1 = chg("MODIFY", 1, mod10.isin(0, 1), F.lit("touched"), bumped).unionByName(
+        chg("REMOVE", 1, mod10 == 2, F.col("o_orderstatus"), F.col("o_totalprice"))
+    )
+    # poisoned batch: clean mod10==8 inserts PLUS one negative-price
+    # row -> the audit must bounce the whole batch
+    poison = chg(
+        "INSERT", 1, mod10 == 8, F.col("o_orderstatus"), F.col("o_totalprice")
+    ).unionByName(
+        spark.createDataFrame(
+            [("INSERT", 1, -1, "bad", -1.0)],
+            "op string, seq long, pk long, status string, price double",
+        )
+    )
+    batch3 = chg("INSERT", 1, mod10 == 9, F.col("o_orderstatus"), F.col("o_totalprice"))
+    batch1.coalesce(1).write.mode("overwrite").json(str(root / "changelog" / "b1"))
+    poison.coalesce(1).write.mode("overwrite").json(str(root / "changelog" / "b2"))
+    batch3.coalesce(1).write.mode("overwrite").json(str(root / "changelog" / "b3"))
+
+    cat = Catalog(spark, str(root / "warehouse"))
+    t = cat.create_table(
+        TableSpec(
+            namespace="stream",
+            name="orders_gated",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    t.bootstrap(base)
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("pk", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+
+    def gated_merge(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        v = t.stage_changes(batch_df, order_cols=("seq",))
+        bad = t.read(version=v).filter(F.col("price") < 0).count()
+        if bad:
+            t.abort_staged(v)
+        else:
+            t.publish(v)
+
+    changes = read_changelog_stream(
+        spark,
+        str(root / "changelog" / "*"),
+        schema,
+        fmt="json",
+        max_files_per_trigger=1,
+    )
+    q = (
+        changes.writeStream.foreachBatch(gated_merge)
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return t.read().select("pk", "status", "price")

@@ -124,6 +124,7 @@ def test_registry_wide_plan_sweep(spark):
         "e43_hard_negatives",       # 10-row anchor-set broadcast
         "e45_dsir_resample",        # composes e27's 1-row totals broadcast
         "e44_ivf_pq_residual",      # 1-row query-vector broadcast
+        "e49_cluster_balanced_sample",  # k=8 centroid broadcasts (composes e21)
     }
     # Window with no partition spec over a bounded (post-limit) input:
     global_window_ok = {
@@ -139,10 +140,11 @@ def test_registry_wide_plan_sweep(spark):
         "e40_ivf_pq_topk",       # LIMIT-16 seed stamping + top-10 rank
         "e45_dsir_resample",     # rank over the top-100 survivors
         "e44_ivf_pq_residual",   # LIMIT-16 seed stamping + top-10 rank
+        "e49_cluster_balanced_sample",  # LIMIT-8 seed stamping (composes e21)
     }
     # builders that run jobs/streams at build time; plan shape of
     # their final read is covered by their oracle queries instead
-    skip = {"h07_stream_merge_sink"}
+    skip = {"h07_stream_merge_sink", "h17_gated_cdc_sink"}
 
     import re
 
