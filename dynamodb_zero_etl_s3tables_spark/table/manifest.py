@@ -1089,9 +1089,12 @@ class ManagedTable:
         a time: a second stage before publish/abort conflicts, same
         as two writers racing a branch head.
 
-        Scale: identical write cost to apply_changes (the merge is
-        the same plan); audit reads only the staged snapshot; publish
-        and abort are O(manifest)."""
+        Scale: the staged merge is the generic full copy-on-write
+        plan (on partitioned tables it rewrites every partition,
+        unlike apply_changes' pruned path — a pruned staged variant
+        would carry untouched partition dirs exactly as
+        _apply_changes_pruned does); audit reads only the staged
+        snapshot; publish and abort are O(manifest)."""
         m = self._read_manifest()
         if m.snapshots and m.snapshots[-1].staged:
             raise CommitConflictError(
