@@ -1314,3 +1314,107 @@ def e41_neardup_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = comp.filter(~F.col("is_duplicate")).select("doc_id")
     docs = load(spark, sf_dir, "documents").join(reps, "doc_id")
     return quality_split_export(spark, docs, sf_dir, "e41_export")
+
+
+#: e50: candidate pairs must reach this shingle-Jaccard to count as
+#: TRUE near-dups (matches the LSH operating point (1/16)^(1/4)~0.5)
+DEDUP_RECALL_J = 0.5
+
+
+@query(
+    "e50_lsh_dedup_recall",
+    oracle=_HASHED_CTE
+    + f"""
+    , dfc AS (SELECT h, COUNT(*) AS df FROM hashed GROUP BY h)
+    , keep AS (
+        SELECT hashed.doc_id, hashed.h
+        FROM hashed JOIN dfc ON hashed.h = dfc.h
+        WHERE dfc.df <= {SHINGLE_DF_CAP}
+    )
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id)
+    , inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    , truth AS (
+        SELECT da, db
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.da
+        JOIN sizes sb ON sb.doc_id = inter.db
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {DEDUP_RECALL_J}
+    )
+    , cand AS ({_CAND_SQL})
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM cand) AS n_cand,
+           (SELECT COUNT(*) FROM truth t JOIN cand c
+              ON t.da = c.doc_a AND t.db = c.doc_b) AS n_hit,
+           CAST((SELECT COUNT(*) FROM truth t JOIN cand c
+                   ON t.da = c.doc_a AND t.db = c.doc_b) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall
+    """,
+)
+def e50_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 measurement harness: RECALL of the MinHash-LSH candidate
+    generator against exact ground truth — the dedup-side counterpart
+    of e03e's ANN recall harness. Ground truth = every pair whose
+    true shingle-Jaccard is >= {DEDUP_RECALL_J} (the LSH operating
+    point), computed NOT by an all-pairs product but via the
+    inverted-index construction: pairs sharing at least one
+    df-capped shingle hash, intersection counts from one
+    (hash -> docs) self-equi-join, union sizes from per-doc distinct
+    shingle counts. The df cap bounds the pair fan-out exactly as in
+    production (a shingle in k docs emits k^2 rows — boilerplate is
+    dropped, which also matches what the LSH side indexes). Output is
+    one row: n_true / n_cand / n_hit / recall — the number a corpus
+    team quotes when asked "what does the banding miss?".
+
+    Scale: both sides ride hash equi-joins with the same df/bucket
+    cap discipline; the three counts are tiny aggregates. On a corpus
+    with no true near-dups above threshold n_true=0 and recall is
+    NULL by construction (NULLIF), which the oracle reproduces."""
+    hashed = _shingle_hashes(load(spark, sf_dir, "documents"))
+    dfc = hashed.groupBy("h").agg(F.count("*").alias("df"))
+    keep = hashed.join(
+        dfc.filter(F.col("df") <= SHINGLE_DF_CAP).select("h"), "h"
+    )
+    sizes = keep.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = keep.select(F.col("doc_id").alias("da"), "h")
+    b = keep.select(F.col("doc_id").alias("db"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    truth = (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .filter(
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+            >= DEDUP_RECALL_J
+        )
+        .select("da", "db")
+    )
+    cand = e02b_minhash_lsh_pairs(spark, sf_dir)
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    n_hit = truth.join(
+        cand,
+        (F.col("da") == F.col("doc_a")) & (F.col("db") == F.col("doc_b")),
+    ).agg(F.count("*").alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_true"), F.lit(0))
+            ).alias("recall"),
+        )
+    )
