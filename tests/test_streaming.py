@@ -602,3 +602,48 @@ def test_stream_wap_per_microbatch(spark, warehouse, tmp_path):
     assert got == expected
     assert 66 not in got
     assert not table.history()[-1].staged
+
+
+def test_dedup_within_watermark_survives_batch_split(spark, tmp_path):
+    """ADVICE r3 #1 closure: dropDuplicatesWithinWatermark's DISTINCT
+    twin must hold under a MULTI-microbatch drain in arbitrary file
+    order — a key first arriving in a late batch with an old event day
+    must not be dropped as late data. The oversized watermark delay
+    (exceeding the fixture's full event-time span) is the load-bearing
+    fact; this test forces one file per trigger to exercise it."""
+    events = load(spark, SF_DIR, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    stream_src = tmp_path / "events_split"
+    # many files -> many microbatches, arbitrary per-file day mixtures
+    events.repartition(8).write.parquet(str(stream_src))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_src))
+        .withColumn("evt_day", F.date_trunc("day", "ts").cast("timestamp"))
+        .withWatermark("evt_day", "3650 days")
+        .select("user_id", "event_type", "evt_day")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "evt_day"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_split")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("dedup_split")
+    expected = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("day", "ts").cast("timestamp").alias("evt_day"),
+        )
+        .distinct()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
