@@ -77,7 +77,7 @@ _GRADE_PRIORITY = [
     "e44_ivf_pq_residual", "d89_countmin_heavy_hitters",
     "e46_linear_quality_model", "c09_wap_journey", "e47_ccnet_lm_partition",
     "e48_knn_graph", "h17_gated_cdc_sink", "e49_cluster_balanced_sample",
-    "e50_lsh_dedup_recall",
+    "e50_lsh_dedup_recall", "e51_filter_attrition",
     # ---- graded in r3 (CORRECTNESS_r03.json, 50/50 green) -> tail ----
     "d29c_median_mode", "d31_window_ranking", "d31b_relative_rank",
     "d32_lag_lead", "d33_running_sum", "d34_range_frame",

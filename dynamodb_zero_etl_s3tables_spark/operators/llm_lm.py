@@ -214,14 +214,10 @@ def e32_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: e42 keep gate: mean bigram cross-entropy (nats) below this passes
-XENT_KEEP_MAX = 3.6
-
-
-@query(
-    "e42_bigram_perplexity_filter",
-    oracle=f"""
-    WITH toks AS (
+# Shared CTE chain ending in agg = (doc_id, n_bigrams, cross_entropy)
+# under the add-one-smoothed in-corpus bigram model; e42 gates on it,
+# e47 terciles it, e51 reports staged attrition with it.
+_XENT_CTES = """toks AS (
       SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
     ),
     bg AS (
@@ -250,7 +246,17 @@ XENT_KEEP_MAX = 3.6
              ROUND(CAST(SUM(CAST(nll AS DECIMAL(25,9))) AS DOUBLE)
                    / SUM(cnt), 6) AS cross_entropy
       FROM terms GROUP BY doc_id
-    )
+    )"""
+
+
+#: e42 keep gate: mean bigram cross-entropy (nats) below this passes
+XENT_KEEP_MAX = 3.6
+
+
+@query(
+    "e42_bigram_perplexity_filter",
+    oracle=f"""
+    WITH {_XENT_CTES}
     SELECT doc_id, n_bigrams, cross_entropy,
            cross_entropy < {XENT_KEEP_MAX} AS kept
     FROM agg
@@ -333,35 +339,7 @@ def e42_bigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e47_ccnet_lm_partition",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
-    ),
-    bg AS (
-      SELECT doc_id,
-             UNNEST(list_transform(range(1, len(t)), i -> t[i])) AS w1,
-             UNNEST(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
-      FROM toks WHERE len(t) >= 2
-    ),
-    dpc AS (
-      SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM bg GROUP BY doc_id, w1, w2
-    ),
-    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
-    c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
-    v AS (
-      SELECT COUNT(DISTINCT tok) AS vsz
-      FROM (SELECT UNNEST(t) AS tok FROM toks)
-    ),
-    terms AS (
-      SELECT doc_id, cnt,
-             cnt * (ln(n1 + vsz) - ln(n12 + 1)) AS nll
-      FROM dpc JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
-    ),
-    agg AS (
-      SELECT doc_id,
-             ROUND(CAST(SUM(CAST(nll AS DECIMAL(25,9))) AS DOUBLE)
-                   / SUM(cnt), 6) AS cross_entropy
-      FROM terms GROUP BY doc_id
-    ),
+    WITH {_XENT_CTES},
     parts AS (
       SELECT doc_id, cross_entropy,
              NTILE(3) OVER (ORDER BY cross_entropy, doc_id) AS tercile
@@ -474,4 +452,110 @@ def e47_ccnet_lm_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(rank <= b2, "middle")
         .otherwise("tail")
         .alias("part"),
+    )
+
+
+@query(
+    "e51_filter_attrition",
+    oracle=f"""
+    WITH {_XENT_CTES},
+    m AS (
+      SELECT doc_id, n_words, f1,
+             (n_words BETWEEN 10 AND 100000) AS f2,
+             (mwl BETWEEN 2 AND 12 AND sym < 0.2) AS f3
+      FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS mwl,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text) AS sym,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) = doc_id AS f1
+        FROM documents WHERE length(text) > 0
+      )
+    ),
+    j AS (
+      SELECT m.*, COALESCE(a.cross_entropy < {XENT_KEEP_MAX}, FALSE) AS f4
+      FROM m LEFT JOIN agg a ON m.doc_id = a.doc_id
+    )
+    SELECT 0 AS stage_idx, 'raw' AS stage,
+           COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens FROM j
+    UNION ALL
+    SELECT 1, 'exact_dedup', COUNT(*), CAST(SUM(n_words) AS BIGINT)
+    FROM j WHERE f1
+    UNION ALL
+    SELECT 2, 'length_gate', COUNT(*), CAST(SUM(n_words) AS BIGINT)
+    FROM j WHERE f1 AND f2
+    UNION ALL
+    SELECT 3, 'word_shape_gate', COUNT(*), CAST(SUM(n_words) AS BIGINT)
+    FROM j WHERE f1 AND f2 AND f3
+    UNION ALL
+    SELECT 4, 'perplexity_gate', COUNT(*), CAST(SUM(n_words) AS BIGINT)
+    FROM j WHERE f1 AND f2 AND f3 AND f4
+    """,
+)
+def e51_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family reporting capstone: the FILTER-ATTRITION FUNNEL — the
+    staged survivor table every corpus paper publishes ("started with
+    N docs / T tokens; exact dedup kept X; length gate kept Y; ...").
+    Stages compose cumulatively in the e38/e41 pipeline order: exact
+    dedup -> length gate -> word-shape gate (mean word length +
+    symbol ratio) -> the e42 perplexity gate; documents too short to
+    carry a bigram fail the perplexity stage by definition.
+
+    Scale: ALL five stage rows come from ONE conditional-aggregation
+    pass over the per-doc flags frame (no per-stage re-scan); the
+    1-row result unpivots driver-free via ``stack``. The flags
+    themselves are one scan of map-side measures + the bounded e42
+    model join + one content-hash window. At 100 TB this is a
+    single-digit number of shuffles producing a 5-row report — the
+    cheapest continuously-publishable health metric a corpus team
+    owns. Determinism: every reported value is an integer count."""
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_words = F.size(F.split(F.col("text"), " "))
+    mwl = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
+    sym = (
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    keeper = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id")) == 1
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        keeper.alias("f1"),
+        n_words.between(10, 100000).alias("f2"),
+        (mwl.between(2, 12) & (sym < 0.2)).alias("f3"),
+    )
+    xent = e42_bigram_perplexity_filter(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("f4raw")
+    )
+    j = m.join(xent, "doc_id", "left").withColumn(
+        "f4", F.coalesce(F.col("f4raw"), F.lit(False))
+    )
+    s1 = F.col("f1")
+    s2 = s1 & F.col("f2")
+    s3 = s2 & F.col("f3")
+    s4 = s3 & F.col("f4")
+    wide = j.agg(
+        F.count("*").alias("n0"),
+        F.sum("n_words").alias("t0"),
+        F.count(F.when(s1, 1)).alias("n1"),
+        F.sum(F.when(s1, F.col("n_words"))).alias("t1"),
+        F.count(F.when(s2, 1)).alias("n2"),
+        F.sum(F.when(s2, F.col("n_words"))).alias("t2"),
+        F.count(F.when(s3, 1)).alias("n3"),
+        F.sum(F.when(s3, F.col("n_words"))).alias("t3"),
+        F.count(F.when(s4, 1)).alias("n4"),
+        F.sum(F.when(s4, F.col("n_words"))).alias("t4"),
+    )
+    return wide.selectExpr(
+        "stack(5, "
+        "0, 'raw', n0, t0, "
+        "1, 'exact_dedup', n1, t1, "
+        "2, 'length_gate', n2, t2, "
+        "3, 'word_shape_gate', n3, t3, "
+        "4, 'perplexity_gate', n4, t4"
+        ") AS (stage_idx, stage, n_docs, n_tokens)"
     )

@@ -126,6 +126,7 @@ def test_registry_wide_plan_sweep(spark):
         "e44_ivf_pq_residual",      # 1-row query-vector broadcast
         "e49_cluster_balanced_sample",  # k=8 centroid broadcasts (composes e21)
         "e50_lsh_dedup_recall",     # three 1-row count-aggregate broadcasts
+        "e51_filter_attrition",     # 1-row vocab-size broadcast (composes e42)
     }
     # Window with no partition spec over a bounded (post-limit) input:
     global_window_ok = {
