@@ -39,15 +39,23 @@ from dynamodb_zero_etl_s3tables_spark.operators import sources_sinks  # noqa: E4
 
 # ---------------------------------------------------------------------------
 # Grading-window rotation: the driver samples a 50-query prefix of the
-# registry per round. Rounds 1-3 graded 150 of the (r3-end) 195 queries,
-# zero failures. Round 4's window is the remaining 45 never-graded queries
-# plus the five operators new this round, which closes the rotation: after
-# r4 every registered query has a driver CORRECTNESS row. Rotation
-# bookkeeping: after each round, move newly-graded names to the tail and
-# promote anything newly added.
+# registry per round. Rounds 1-4 graded 200 of the (r4-end) 213 queries,
+# zero failures. Round 5's window leads with the 13 queries that have never
+# had a driver CORRECTNESS row (all r4-late additions — each passed the
+# independent sf0.001/sf0.01/sf0.1 sweeps in r4), followed by operators new
+# in r5; once those grade green, every registered query has been
+# driver-verified at least once. Rotation bookkeeping: after each round,
+# move newly-graded names to the tail and promote anything newly added.
 _GRADE_PRIORITY = [
-    # ---- round-4 window: the 45 never-driver-graded queries (closes the
-    # rotation: every one of these gets its first CORRECTNESS row in r4) ----
+    # ---- round-5 window head: the 13 never-driver-graded r4 queries ----
+    "d88_hypertable_rollup", "h16_chained_window_twin", "e45_dsir_resample",
+    "e44_ivf_pq_residual", "d89_countmin_heavy_hitters",
+    "e46_linear_quality_model", "c09_wap_journey", "e47_ccnet_lm_partition",
+    "e48_knn_graph", "h17_gated_cdc_sink", "e49_cluster_balanced_sample",
+    "e50_lsh_dedup_recall", "e51_filter_attrition",
+    # ---- new in r5 (window positions 14+) ----
+    # (inserted here as implemented this round)
+    # ---- graded in r4 (CORRECTNESS_r04.json, 50/50 green) -> tail ----
     "e22_vocab_coverage", "e23_bigram_model", "e06_binary_plumbing",
     "e06b_media_featurize", "e06c_frame_sample", "e06d_media_exact_dedup",
     "h11_interval_join_twin", "a03_identifier_derivation",
@@ -67,17 +75,9 @@ _GRADE_PRIORITY = [
     "h14_stateful_totals_twin", "e34_pca_power_iteration",
     "e35_cluster_keywords", "e36_common_span_probe", "e37_pq_adc_topk",
     "e38_training_export", "c08_incremental_view_maintenance",
-    "e39_source_overlap_matrix",
-    # ---- new in r4 (window positions 46-50) ----
-    "e40_ivf_pq_topk", "e41_neardup_training_export",
-    "e42_bigram_perplexity_filter", "e43_hard_negatives",
-    "h15_session_window_twin",
-    # ---- new in r4, beyond the 50-window (head of round 5's window) ----
-    "d88_hypertable_rollup", "h16_chained_window_twin", "e45_dsir_resample",
-    "e44_ivf_pq_residual", "d89_countmin_heavy_hitters",
-    "e46_linear_quality_model", "c09_wap_journey", "e47_ccnet_lm_partition",
-    "e48_knn_graph", "h17_gated_cdc_sink", "e49_cluster_balanced_sample",
-    "e50_lsh_dedup_recall", "e51_filter_attrition",
+    "e39_source_overlap_matrix", "e40_ivf_pq_topk",
+    "e41_neardup_training_export", "e42_bigram_perplexity_filter",
+    "e43_hard_negatives", "h15_session_window_twin",
     # ---- graded in r3 (CORRECTNESS_r03.json, 50/50 green) -> tail ----
     "d29c_median_mode", "d31_window_ranking", "d31b_relative_rank",
     "d32_lag_lead", "d33_running_sum", "d34_range_frame",
