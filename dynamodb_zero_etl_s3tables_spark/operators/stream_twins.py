@@ -16,6 +16,18 @@ from dynamodb_zero_etl_s3tables_spark.operators.registry import DSUM, dsum, quer
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
 
 
+def _drain(q, timeout_sec: int = 300) -> None:
+    """Await an availableNow drain and FAIL LOUDLY on timeout: a
+    partially-drained sink would otherwise surface as a confusing
+    oracle hash mismatch instead of a clear slow-host error."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain exceeded {timeout_sec}s (query {q.name or q.id}); "
+            "result would be partial — aborting instead of returning it"
+        )
+
+
 @query(
     "h02_watermark_twin",
     oracle=f"""
@@ -280,7 +292,7 @@ def h07_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=1,
     )
     q = apply_changes_stream(t, changes, checkpoint_dir=str(root / "ckpt"))
-    q.awaitTermination(300)
+    _drain(q)
     return t.read().select("pk", "status", "price")
 
 
@@ -507,7 +519,7 @@ def h13_dedup_within_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFra
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(str(root / "out"))
 
 
@@ -578,7 +590,7 @@ def h14_stateful_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
 
     out = spark.read.parquet(str(root / "out"))
     w = W.partitionBy("user_id").orderBy(F.col("batch_id").desc())
@@ -879,5 +891,5 @@ def h17_gated_cdc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return t.read().select("pk", "status", "price")

@@ -308,13 +308,16 @@ class ManagedTable:
         return Manifest(snapshots=snaps, **raw)
 
     @staticmethod
-    def _fence_staged(m: Manifest, staging: bool = False) -> None:
+    def _fence_staged(m: Manifest) -> None:
         """Invariant: a staged snapshot is always LAST until published
         or aborted. Any other commit (merge, MoR delta, rollback,
-        compaction) while one is pending would strand it mid-history,
+        compaction — and another STAGE: stages may not stack, else the
+        first becomes unpublishable since publish/abort accept only the
+        last snapshot) while one is pending would strand it mid-history,
         so it conflicts instead — the same single-branch-head rule an
-        Iceberg WAP branch enforces."""
-        if not staging and m.snapshots and m.snapshots[-1].staged:
+        Iceberg WAP branch enforces. Checked on the commit-time re-read,
+        so two racing stage_changes() cannot both land."""
+        if m.snapshots and m.snapshots[-1].staged:
             raise CommitConflictError(
                 f"staged snapshot v{m.snapshots[-1].version} pending; "
                 "publish or abort it before committing"
@@ -769,7 +772,7 @@ class ManagedTable:
 
         t0 = time.perf_counter()
         m = self._read_manifest()
-        self._fence_staged(m, staging=staged)
+        self._fence_staged(m)
         expected = m.version
         if m.current is not None:
             old_schema = T.StructType.fromJson(json.loads(m.current.schema_json))
@@ -1189,10 +1192,13 @@ class ManagedTable:
             return {"snapshots_dropped": 0, "dirs_deleted": 0}
         expected = m.version
         cutoff = now - noncur * 86400
+        # staged snapshots are pinned: an in-flight WAP stage must
+        # survive retention until explicitly published or aborted —
+        # age-based cleanup may never yank a snapshot mid-audit
         keep = [
             s
             for s in m.snapshots
-            if s is m.current or s.committed_at >= cutoff
+            if s.staged or s is m.current or s.committed_at >= cutoff
         ]
         dropped = self._retain(m, keep, expected)
         deleted = self._gc_unreferenced_dirs(m.snapshots, now - unref * 86400)
@@ -1213,7 +1219,10 @@ class ManagedTable:
             return {"snapshots_dropped": 0, "dirs_deleted": 0}
         expected = m.version
         newest = sorted(m.snapshots, key=lambda s: -s.version)[:retain_last]
-        keep = [s for s in m.snapshots if s in newest or s is m.current]
+        # staged pin mirrors vacuum(): count-based retention may not
+        # drop a pending WAP stage (it is the newest today, but the
+        # predicate should not rely on that accident)
+        keep = [s for s in m.snapshots if s.staged or s in newest or s is m.current]
         dropped = self._retain(m, keep, expected)
         deleted = self._gc_unreferenced_dirs(m.snapshots, float("inf"))
         return {"snapshots_dropped": dropped, "dirs_deleted": deleted}

@@ -819,3 +819,103 @@ def test_schema_widening_illegal_change_still_rejected(spark, warehouse):
     )
     with pytest.raises(SchemaEvolutionError, match="type conflict"):
         t.apply_changes(bad)
+
+
+def test_wap_stage_race_cannot_stack(spark, warehouse):
+    """Two racing stage_changes() must not both land: the second
+    writer passes its own (stale) precheck, but the commit-time
+    re-read fence rejects a stage on top of a pending stage — else
+    the first stage becomes unpublishable (publish/abort accept only
+    the LAST snapshot)."""
+    from dynamodb_zero_etl_s3tables_spark.table.merge import merge_changes
+
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    staged_v = t.stage_changes(changelog_df(spark))
+    # simulate the racing writer PAST its precheck (it read the
+    # manifest before the first stage landed) reaching the commit path
+    merged = merge_changes(
+        t.read(), changelog_df(spark), keys=("pk",), order_cols=("seq",)
+    )
+    with pytest.raises(CommitConflictError, match="pending"):
+        t._write_snapshot(merged, operation="wap-stage", staged=True)
+    # the first stage is intact and publishable
+    t.publish(staged_v)
+    assert {r.pk for r in t.read().collect()} == {1, 2, 4, 5, 9}
+
+
+def test_retention_pins_pending_stage(spark, warehouse):
+    """vacuum()/expire_snapshots() may never drop an in-flight staged
+    snapshot — only an explicit abort_staged does. (Unpinned, a
+    zero-window vacuum deleted the staged dir mid-audit and the
+    subsequent publish failed with 'no staged snapshot'.)"""
+    import pathlib
+
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    staged_v = t.stage_changes(changelog_df(spark))
+    staged_dir = t.history()[-1].data_dir
+    # age-based retention with a zero noncurrent window, clock ahead:
+    # every snapshot is past the cutoff, only the pins keep them
+    stats = t.vacuum(unreferenced_days=0, noncurrent_days=0, now=time.time() + 86400)
+    assert stats["snapshots_dropped"] == 0
+    # count-based retention: retain_last=1 would keep only the staged
+    # newest; current and staged must BOTH survive regardless
+    stats2 = t.expire_snapshots(retain_last=1)
+    assert stats2["snapshots_dropped"] == 0
+    assert pathlib.Path(staged_dir).exists()
+    t.publish(staged_v)
+    assert {r.pk for r in t.read().collect()} == {1, 2, 4, 5, 9}
+
+
+def test_schema_widening_partitioned_carried_entries(spark, warehouse):
+    """Widening through the pruned partition path: carried (untouched)
+    partition entries still hold INT32 parquet files which must read
+    back under the widened snapshot schema. Pins the PySpark-4
+    parquet-reader type-promotion dependency (3.x threw
+    SchemaColumnConvertNotSupportedException here)."""
+    spec = TableSpec(
+        namespace="ns", name="widenp", key_columns=("pk",),
+        order_columns=("seq",), partition_columns=("part",),
+    )
+    t = ManagedTable(spark, warehouse, spec)
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "pk long, part string, qty int"
+        )
+    )
+    # touch ONLY partition 'a' with a widened LONG qty; 'b' carries
+    ch = spark.createDataFrame(
+        [("INSERT", 1, 3, "a", 2**40)],
+        "op string, seq long, pk long, part string, qty long",
+    )
+    t.apply_changes(ch)
+    snap = t.history()[-1]
+    carried = [e for e in snap.partitions if e["values"]["part"] == "b"]
+    assert carried, "partition b should carry forward by reference"
+    got = t.read()
+    assert dict(got.dtypes)["qty"] == "bigint"
+    # row from the carried INT32 file reads losslessly under bigint
+    assert {r.pk: r.qty for r in got.collect()} == {1: 10, 2: 20, 3: 2**40}
+
+
+def test_schema_widening_mor_chain(spark, warehouse):
+    """Widening over a merge-on-read chain: the base snapshot keeps
+    narrow INT32 files under a widened layer schema; the read-time
+    anti-join must resolve both sides to the widened type."""
+    spec = TableSpec(namespace="ns", name="widenm", key_columns=("pk",), order_columns=("seq",))
+    t = ManagedTable(spark, warehouse, spec)
+    t.bootstrap(spark.createDataFrame([(1, 10), (2, 20)], "pk long, qty int"))
+    ch = spark.createDataFrame(
+        [("INSERT", 1, 3, 2**40), ("MODIFY", 1, 2, 21)],
+        "op string, seq long, pk long, qty long",
+    )
+    t.apply_changes(ch, strategy="merge-on-read")
+    got = t.read()
+    assert dict(got.dtypes)["qty"] == "bigint"
+    assert {r.pk: r.qty for r in got.collect()} == {1: 10, 2: 21, 3: 2**40}
+    # compaction materializes the widened schema into flat files
+    t.compact(target_file_bytes=1 << 30)
+    got2 = t.read()
+    assert dict(got2.dtypes)["qty"] == "bigint"
+    assert {r.pk: r.qty for r in got2.collect()} == {1: 10, 2: 21, 3: 2**40}
