@@ -1621,6 +1621,12 @@ def e44_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: e48 geometry: coarser codes (denser collisions) + neighbors kept
 KNN_PLANES = 8
 KNN_K = 5
+#: e02b-discipline occupancy cap for e48's deliberately-dense buckets:
+#: 8-bit codes put ~N/256 vectors in a cell per table, so per-bucket
+#: pair cost is quadratic in corpus size unless bounded. Cells above
+#: the cap are DROPPED before expansion (observable via
+#: knn_overflow_buckets), bounding the worst cell at O(cap^2).
+KNN_BUCKET_CAP = int(_os.environ.get("SPARK_GRAFT_KNN_BUCKET_CAP", "1000"))
 _E48_PLANES = make_planes("e48", KNN_PLANES, N_TABLES)
 
 
@@ -1629,10 +1635,15 @@ _E48_PLANES = make_planes("e48", KNN_PLANES, N_TABLES)
     oracle=f"""
     WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
     codes AS ({_codes_long_sql(_E48_PLANES, 'base')}),
+    sized AS (
+      SELECT tbl, bucket, COUNT(*) AS n FROM codes GROUP BY tbl, bucket
+    ),
     cand AS (
       SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
       FROM codes x JOIN codes y
         ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+      JOIN sized s ON x.tbl = s.tbl AND x.bucket = s.bucket
+      WHERE s.n <= {KNN_BUCKET_CAP}
     ),
     n AS (
       SELECT vec_id, embedding, SQRT({_DOT('embedding', 'embedding')}) AS nrm
@@ -1671,15 +1682,26 @@ def e48_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     MUTUAL edges (both endpoints in each other's top-k — the edges
     graph clustering trusts).
 
-    Scale: candidates ride the (tbl, bucket) equi-join — per-bucket
-    pair cost is the standard LSH occupancy trade documented in the
-    S-curve header, capped in production by the e02b bucket-cap
-    discipline; per-vector top-k is one window over candidate edges
-    (bounded by collision count, not N^2); the mutuality check is a
-    self equi-join on the directed edge key. Determinism: cosine is
-    the rounded left-to-right fold; ranks tie-break on dst."""
+    Scale: candidates ride the (tbl, bucket) equi-join with the e02b
+    bucket-cap APPLIED — cells whose occupancy exceeds KNN_BUCKET_CAP
+    are dropped before expansion (audited via knn_overflow_buckets),
+    so the worst cell costs O(cap^2) regardless of corpus size; the
+    allowed-cell list is <= N_TABLES * 2^KNN_PLANES rows, broadcast;
+    per-vector top-k is one window over candidate edges (bounded by
+    collision count, not N^2); the mutuality check is a self
+    equi-join on the directed edge key. Determinism: cosine is the
+    rounded left-to-right fold; ranks tie-break on dst."""
     e = fan_out(load(spark, sf_dir, "embeddings"))
     codes = codes_long(e, _E48_PLANES, [])
+    # occupancy cap: the cell universe is tiny (tables x 2^8), so the
+    # surviving-cell list broadcasts and the cap costs one small agg
+    ok_cells = (
+        codes.groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= KNN_BUCKET_CAP)
+        .select("tbl", "bucket")
+    )
+    codes = codes.join(F.broadcast(ok_cells), ["tbl", "bucket"])
     x, y = codes.alias("x"), codes.alias("y")
     cand = (
         x.join(
@@ -1730,4 +1752,20 @@ def e48_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.rn").alias("rank"),
             F.col("m.src").isNotNull().alias("is_mutual"),
         )
+    )
+
+
+def knn_overflow_buckets(spark: SparkSession, sf_dir: str) -> int:
+    """Ops-surface twin of e02b's ``lsh_overflow_buckets`` for the
+    e48 kNN-graph geometry: how many (tbl, bucket) cells exceeded
+    KNN_BUCKET_CAP and were dropped before pair expansion. Nonzero
+    means the graph is missing edges inside degenerate cells — the
+    deliberate O(cap^2) bound, made visible instead of silent."""
+    e = fan_out(load(spark, sf_dir, "embeddings"))
+    return (
+        codes_long(e, _E48_PLANES, [])
+        .groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > KNN_BUCKET_CAP)
+        .count()
     )

@@ -155,3 +155,49 @@ def test_minhash_env_knobs_regenerate_both_sides():
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "ok"
+
+
+@pytest.fixture(scope="module")
+def hot_bucket_embeddings_dir(tmp_path_factory):
+    """embeddings table where 30 identical vectors share every LSH
+    bucket (one degenerate cell per table) plus scattered distinct
+    vectors — the e48 kNN-graph analog of the clone corpus."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    clone = rng.randn(64).astype("float32")
+    rows = [
+        {"vec_id": i, "embedding": clone.tolist(), "label": 0}
+        for i in range(30)
+    ] + [
+        {"vec_id": 100 + i,
+         "embedding": rng.randn(64).astype("float32").tolist(),
+         "label": 1}
+        for i in range(20)
+    ]
+    d = tmp_path_factory.mktemp("hotvec")
+    pd.DataFrame(rows).to_parquet(d / "embeddings.parquet")
+    return str(d)
+
+
+def test_knn_graph_bucket_cap_binds(spark, hot_bucket_embeddings_dir, monkeypatch):
+    """VERDICT r4 #2: e48's bucket cap must be APPLIED, not prose.
+    With the cap below the clone cell's occupancy: (1) overflow is
+    observed > 0, (2) no clone-clone edge survives (the quadratic
+    cell is gone), (3) edges among the non-degenerate remainder still
+    come out."""
+    from dynamodb_zero_etl_s3tables_spark.operators import llm_similarity as S
+
+    # default cap (1000): clone edges exist and the graph is dense
+    edges = S.e48_knn_graph(spark, hot_bucket_embeddings_dir)
+    assert edges.filter("src < 30 AND dst < 30").count() > 0
+    assert S.knn_overflow_buckets(spark, hot_bucket_embeddings_dir) == 0
+
+    monkeypatch.setattr(S, "KNN_BUCKET_CAP", 10)
+    assert S.knn_overflow_buckets(spark, hot_bucket_embeddings_dir) > 0
+    capped = S.e48_knn_graph(spark, hot_bucket_embeddings_dir)
+    got = capped.collect()
+    assert not any(r.src < 30 and r.dst < 30 for r in got), "clone cell expanded"
+    assert any(r.src >= 100 and r.dst >= 100 for r in got), (
+        "recall lost on the capped remainder"
+    )
