@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.operators.scratch import scratch_dir
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
 from dynamodb_zero_etl_s3tables_spark.table.merge import merge_changes
 
@@ -284,8 +285,7 @@ def b01b_pitr_export_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
     from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
-    scratch = Path("/tmp/spark_graft_io") / tag / "pitr_export"
+    scratch = scratch_dir(sf_dir, "pitr_export")
     if scratch.exists():
         shutil.rmtree(scratch)  # idempotent builder (A10)
     export_root = scratch / "export"

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.operators.scratch import scratch_dir
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
 
 # Tiny deterministic marker-word lists for the language-ID heuristic
@@ -1104,16 +1105,14 @@ def quality_split_export(
     computed from the READ-BACK files, so the materialization itself
     sits inside the oracle hash. ``docs`` must carry (doc_id, text).
 
-    Scratch layout: /tmp/spark_graft_io/<sha(sf_dir)>/<subdir> — one
-    writer per (sf_dir, subdir) pair; graders running registry entries
-    concurrently must not share a subdir (single-flight per query,
-    see tools/check_correctness.py)."""
+    Scratch layout: the per-(sf_dir, process) namespace of
+    operators/scratch.py — one writer per (sf_dir, process, subdir),
+    so concurrent grader processes are disjoint by construction."""
     import hashlib as _hl
     import shutil as _sh
     from pathlib import Path as _P
 
-    tag = _hl.sha256(sf_dir.encode()).hexdigest()[:10]
-    out = _P("/tmp/spark_graft_io") / tag / subdir
+    out = scratch_dir(sf_dir, subdir)
     if out.exists():
         _sh.rmtree(out)
 

@@ -9,14 +9,16 @@ relational result against the original table — so a bug anywhere in
 the round trip (schema drift, partition-column type change, lost
 rows, wrong snapshot) hash-mismatches.
 
-Scratch space: round trips write under ``/tmp/spark_graft_io/<sf>``;
-writes are eager (actions at build time) so the returned lazy
-DataFrame reads stable files when the driver later collects it.
+Scratch space: round trips write under the per-(sf_dir, process)
+namespace of ``operators/scratch.py``; writes are eager (actions at
+build time) so the returned lazy DataFrame reads stable files when
+the driver later collects it.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import shutil
 from pathlib import Path
 
@@ -25,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dynamodb_zero_etl_s3tables_spark.operators.registry import DSUM, dsum, query
+from dynamodb_zero_etl_s3tables_spark.operators.scratch import scratch_dir, scratch_tag
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load, register_views
 from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
 from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
@@ -40,16 +43,9 @@ def _check(cond: bool, msg: str) -> None:
 
 
 def _scratch(sf_dir: str, leaf: str, wipe: bool = False) -> str:
-    """Stable scratch dir per (sf_dir, leaf). ``wipe=True`` clears it
-    first — required for the managed-table ops, whose manifest history
-    would otherwise grow across runs (the builders must be idempotent,
-    reference A10)."""
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
-    p = Path("/tmp/spark_graft_io") / tag / leaf
-    if wipe and p.exists():
-        shutil.rmtree(p)
-    p.parent.mkdir(parents=True, exist_ok=True)
-    return str(p)
+    """Stable scratch dir per (sf_dir, process, leaf) — see
+    operators/scratch.py for the concurrency contract."""
+    return str(scratch_dir(sf_dir, leaf, wipe=wipe))
 
 
 # ---------------------------------------------------------------------------
@@ -1297,12 +1293,14 @@ def d86_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing must be RESULT-INVISIBLE, which is exactly what the
     hash-match verifies."""
     root = _scratch(sf_dir, "d86_bucketed", wipe=True)
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
-    db = f"bkt_{tag}"
+    # db name derives from the SAME per-process scratch tag as the
+    # backing files, so concurrent processes never share a catalog db
+    db = f"bkt_{scratch_tag(sf_dir).replace('-', '_')}"
     # the scratch wipe above just deleted this db's backing files, so
     # drop the catalog entries with it — otherwise retired runs leave
     # stale bkt_* table metadata pointing at missing paths (VERDICT
-    # r3 nit #2); one db name per sf_dir keeps accumulation bounded
+    # r3 nit #2); one db name per (sf_dir, process) keeps accumulation
+    # bounded (dead-process scratch is reaped at import)
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     spark.sql(f"CREATE DATABASE {db}")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")

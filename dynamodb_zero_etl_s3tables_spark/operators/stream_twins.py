@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from dynamodb_zero_etl_s3tables_spark.operators.registry import DSUM, dsum, query
+from dynamodb_zero_etl_s3tables_spark.operators.scratch import scratch_dir
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
 
 
@@ -233,8 +234,7 @@ def h07_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
-    tag = _hl.sha256(sf_dir.encode()).hexdigest()[:10]
-    root = _P("/tmp/spark_graft_io") / tag / "h07_stream"
+    root = scratch_dir(sf_dir, "h07_stream")
     if root.exists():
         _sh.rmtree(root)
     (root / "changelog").mkdir(parents=True)
@@ -491,8 +491,7 @@ def h13_dedup_within_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFra
     import shutil as _sh
     from pathlib import Path as _P
 
-    tag = _hl.sha256(sf_dir.encode()).hexdigest()[:10]
-    root = _P("/tmp/spark_graft_io") / tag / "h13_dedup_wm"
+    root = scratch_dir(sf_dir, "h13_dedup_wm")
     if root.exists():
         _sh.rmtree(root)
     root.mkdir(parents=True)
@@ -559,8 +558,7 @@ def h14_stateful_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dynamodb_zero_etl_s3tables_spark.streaming.stateful import running_totals
 
-    tag = _hl.sha256(sf_dir.encode()).hexdigest()[:10]
-    root = _P("/tmp/spark_graft_io") / tag / "h14_stateful"
+    root = scratch_dir(sf_dir, "h14_stateful")
     if root.exists():
         _sh.rmtree(root)
     root.mkdir(parents=True)
@@ -799,8 +797,7 @@ def h17_gated_cdc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
-    tag = _hl.sha256(sf_dir.encode()).hexdigest()[:10]
-    root = _P("/tmp/spark_graft_io") / tag / "h17_gated"
+    root = scratch_dir(sf_dir, "h17_gated")
     if root.exists():
         _sh.rmtree(root)
     (root / "changelog").mkdir(parents=True)

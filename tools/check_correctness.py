@@ -5,13 +5,14 @@ row-count + column names + order-insensitive value hash.
 Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
 
 Concurrency contract: materializing operators (e38/e41 exports, h07/
-h13/h14 stream sinks, d86/d87 catalog tables, c08) write scratch under
-/tmp/spark_graft_io/<sha256(sf_dir)[:10]>/<query-specific subdir> and
-wipe their own subdir at build time. Distinct queries never share a
-subdir, so one sweep process is always safe — but running the SAME
-query concurrently in two processes against the same sf_dir races on
-that subdir (and d86's bkt_* catalog db). Run sweeps single-flight
-per sf_dir, as this script and the driver do.
+h13/h14/h17 stream sinks, d86/d87 catalog tables, c08) write scratch
+under /tmp/spark_graft_io/<sha256(sf_dir)[:10]>-p<pid>/<subdir>
+(operators/scratch.py) and wipe their own subdir at build time. The
+pid in the namespace makes CONCURRENT PROCESSES disjoint by
+construction — pytest may run alongside a sweep, and two sweeps of
+the same sf_dir don't race (d86's bkt_* catalog db carries the same
+per-process tag). Within one process, distinct queries never share a
+subdir. Dead-process namespaces are reaped at import.
 """
 
 from __future__ import annotations
