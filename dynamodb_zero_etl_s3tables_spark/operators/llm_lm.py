@@ -420,9 +420,15 @@ def e47_ccnet_lm_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cross_entropy"),
     )
     # distributed exact ranking: range-partition on the order key,
-    # rank locally, then shift by the preceding partitions' counts
+    # rank locally, then shift by the preceding partitions' counts.
+    # Parallelism follows the session's shuffle-partition setting
+    # (env-tunable via spark.sql.shuffle.partitions) — a hard-coded
+    # count would make 100TB/32 giant range tasks; the final rank is
+    # exact at ANY partition count because it depends only on the
+    # total order (pinned by the same-hash-at-two-settings pytest).
+    n_range = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = (
-        agg.repartitionByRange(32, "cross_entropy", "doc_id")
+        agg.repartitionByRange(n_range, "cross_entropy", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # pin pid before the two branches
     )

@@ -45,11 +45,11 @@ def test_doc_counts_match_registry():
 
 
 def test_grade_priority_prefix():
-    # Round-4 rotation: the driver grades a 50-query prefix of the
-    # registry; the prefix must be exactly the 45 never-driver-graded
-    # queries plus the 5 operators new in round 4 (rounds 1-3 covered
-    # the other 150, zero failures). Pins _GRADE_PRIORITY against
-    # accidental registration-order changes.
+    # Round-5 rotation: the driver grades a 50-query prefix of the
+    # registry; the prefix must LEAD with the 13 queries that had no
+    # driver CORRECTNESS row after r4 (all r4-late additions), then
+    # r5-new operators, then the already-graded tranches. Pins
+    # _GRADE_PRIORITY against accidental registration-order changes.
     from dynamodb_zero_etl_s3tables_spark.operators import _GRADE_PRIORITY
 
     names = list(QUERY_REGISTRY)
@@ -58,15 +58,17 @@ def test_grade_priority_prefix():
     # 100 queries driver-graded in rounds 1-2; every op added since
     # must be appended to _GRADE_PRIORITY, so the tail never grows
     assert len(QUERY_REGISTRY) - len(_GRADE_PRIORITY) == 100
-    # the driver's 50-row window: never-graded tranche + r4 additions
+    # the driver's 50-row window leads with the never-graded 13
     window = _GRADE_PRIORITY[:50]
     for name in (
-        "a03_identifier_derivation", "e06_binary_plumbing",
-        "e38_training_export", "e40_ivf_pq_topk",
-        "e41_neardup_training_export", "h15_session_window_twin",
+        "d88_hypertable_rollup", "d89_countmin_heavy_hitters",
+        "c09_wap_journey", "e44_ivf_pq_residual", "e48_knn_graph",
+        "h16_chained_window_twin", "h17_gated_cdc_sink",
+        "e51_filter_attrition",
     ):
         assert name in window, name
-    # r3-graded queries rotated out of the window to the tail
+    assert _GRADE_PRIORITY[0] == "d88_hypertable_rollup"
+    # r3-graded queries stay rotated out of the window
     assert "e20_chunk_dedup" not in window
     # no duplicates, every priority name registered
     assert len(set(_GRADE_PRIORITY)) == len(_GRADE_PRIORITY)
@@ -168,3 +170,26 @@ def test_all_builders_resolve(spark):
         df = spec.build(spark, SF_DIR)
         assert df.schema is not None, name
         assert len(df.columns) > 0, name
+
+
+def test_e47_rank_invariant_to_partition_count(spark):
+    """VERDICT r4 #5: e47's distributed exact ranking must produce
+    the identical head/middle/tail assignment at ANY range-partition
+    count (the count now follows spark.sql.shuffle.partitions) —
+    the rank depends only on the total order, not on where the
+    sampled range boundaries fall."""
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_lm import (
+        e47_ccnet_lm_partition,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "3")
+        a = sorted(map(tuple, e47_ccnet_lm_partition(spark, SF_DIR).collect()))
+        spark.conf.set(key, "17")
+        b = sorted(map(tuple, e47_ccnet_lm_partition(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set(key, orig)
+    assert a == b
+    assert len(a) > 0
