@@ -65,6 +65,16 @@ HEADLINE = [
 N_ORIGINAL = 20
 N_R3 = 25
 
+#: recorded quiet-host calibration probe (SCALE.md "Cross-host
+#: normalization"): 0.924s on the r4 build host at rest, 1.028s on the
+#: r4 driver host. A probe >25% above the quiet bound means the run
+#: overlapped residual system load (SCALE.md documents a same-code
+#: 1.5x swing from exactly that) OR a materially slower host — either
+#: way the wall-times are not comparable unadjusted, so the JSON is
+#: stamped load_contaminated for machine detection.
+CALIBRATION_QUIET_SEC = 0.92
+CALIBRATION_LOAD_FACTOR = 1.25
+
 
 def _calibration(spark) -> float:
     """Fixed-size host-speed probe (VERDICT r3 #4): a hash-heavy
@@ -102,6 +112,9 @@ def main() -> None:
     QUERY_REGISTRY["d01_parquet_scan"].build(spark, SF_DIR).write.format(
         "noop"
     ).mode("overwrite").save()
+    # host-speed probe BEFORE the queries (paired with one after, so
+    # load arriving mid-run is also caught)
+    cal_start = _calibration(spark)
     # Each query runs 3x: run 1 pays one-time whole-stage-codegen
     # compilation (irrelevant to cluster throughput, where generated
     # classes are reused across tasks/batches); the headline number is
@@ -122,6 +135,15 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    cal_end = _calibration(spark)
+    # min of the two probes = best observed host speed (the value to
+    # ratio against another file's calibration_sec); the WORSE probe
+    # drives the contamination flag — a quiet run must be quiet at
+    # both ends
+    cal = min(cal_start, cal_end)
+    contaminated = max(cal_start, cal_end) > (
+        CALIBRATION_QUIET_SEC * CALIBRATION_LOAD_FACTOR
+    )
     print(
         json.dumps(
             {
@@ -137,7 +159,11 @@ def main() -> None:
                 "subtotal_r3_25_sec": round(
                     sum(timings[n] for n in HEADLINE[:N_R3]), 3
                 ),
-                "calibration_sec": _calibration(spark),
+                "calibration_sec": cal,
+                "calibration_start_sec": cal_start,
+                "calibration_end_sec": cal_end,
+                "calibration_quiet_bound_sec": CALIBRATION_QUIET_SEC,
+                "load_contaminated": contaminated,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
