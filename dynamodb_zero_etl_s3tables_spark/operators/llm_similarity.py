@@ -1769,3 +1769,210 @@ def knn_overflow_buckets(spark: SparkSession, sf_dir: str) -> int:
         .filter(F.col("n") > KNN_BUCKET_CAP)
         .count()
     )
+
+
+@query(
+    "e52_incremental_ivfpq",
+    oracle=f"""
+    WITH standing AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 <> 3
+    ),
+    ms AS (SELECT CAST(UNNEST(range(0, {PQ_M})) AS INT) AS m),
+    cb AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             embedding
+      FROM (SELECT * FROM standing ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    seedsub AS (
+      SELECT cid, m,
+             cb.embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS cvec
+      FROM cb, ms
+    ),
+    vsub AS (
+      SELECT vec_id, m,
+             e.embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS svec
+      FROM standing e, ms
+    ),
+    a1d AS (
+      SELECT vec_id, v.m, cid, svec,
+             list_reduce(list_transform(range(1, {PQ_SUB + 1}),
+               i -> (svec[i]::DOUBLE - cvec[i]::DOUBLE)
+                  * (svec[i]::DOUBLE - cvec[i]::DOUBLE)),
+               (acc, x) -> acc + x) AS d2
+      FROM vsub v JOIN seedsub c ON v.m = c.m
+    ),
+    a1 AS (
+      SELECT vec_id, m, cid, svec
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, cid) AS rn FROM a1d)
+      WHERE rn = 1
+    ),
+    cells AS (
+      SELECT m, cid, j.j AS j,
+             ROUND(CAST(SUM(CAST(svec[j.j]::DOUBLE AS DECIMAL(25,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS cv
+      FROM a1, (SELECT UNNEST(range(1, {PQ_SUB + 1})) AS j) j
+      GROUP BY m, cid, j.j
+    ),
+    tmeans AS (
+      SELECT m, cid, list(cv ORDER BY j) AS tvec FROM cells GROUP BY m, cid
+    ),
+    trained AS (
+      SELECT s.m, s.cid,
+             COALESCE(t.tvec,
+                      list_transform(s.cvec, x -> ROUND(x::DOUBLE, 6))) AS cvec
+      FROM seedsub s LEFT JOIN tmeans t ON s.m = t.m AND s.cid = t.cid
+    ),
+    cdims AS (
+      SELECT label, j.j AS j,
+             ROUND(CAST(SUM(CAST(embedding[j.j]::DOUBLE AS DECIMAL(30,12)))
+                        AS DOUBLE) / COUNT(*), 6) AS c
+      FROM standing, (SELECT UNNEST(range(1, {DIM + 1})) AS j) j
+      GROUP BY label, j.j
+    ),
+    centarr AS (SELECT label, list(c ORDER BY j) AS cvecfull FROM cdims GROUP BY label),
+    delta AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 3
+      UNION ALL
+      SELECT vec_id, list_reverse(embedding) AS embedding
+      FROM embeddings WHERE vec_id % 10 = 4
+    ),
+    dcelld AS (
+      SELECT d.vec_id, c.label,
+             list_reduce(list_transform(range(1, {DIM + 1}),
+               i -> (d.embedding[i]::DOUBLE - c.cvecfull[i])
+                  * (d.embedding[i]::DOUBLE - c.cvecfull[i])),
+               (acc, x) -> acc + x) AS d2
+      FROM delta d, centarr c
+    ),
+    dcell AS (
+      SELECT vec_id, label AS cell
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, label) AS rn FROM dcelld)
+      WHERE rn = 1
+    ),
+    final AS (
+      SELECT s.vec_id, s.label AS cell, s.embedding, 'standing' AS src
+      FROM standing s WHERE s.vec_id % 10 NOT IN (4, 7)
+      UNION ALL
+      SELECT d.vec_id, dc.cell, d.embedding, 'delta' AS src
+      FROM delta d JOIN dcell dc USING (vec_id)
+    ),
+    fsub AS (
+      SELECT vec_id, cell, src, m,
+             f.embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS svec
+      FROM final f, ms
+    ),
+    fdists AS (
+      SELECT vec_id, cell, src, v.m, cid,
+             list_reduce(list_transform(range(1, {PQ_SUB + 1}),
+               i -> (svec[i]::DOUBLE - cvec[i]) * (svec[i]::DOUBLE - cvec[i])),
+               (acc, x) -> acc + x) AS d2
+      FROM fsub v JOIN trained t ON v.m = t.m
+    )
+    SELECT vec_id, cell, m, cid, src
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                       ORDER BY d2, cid) AS rn FROM fdists)
+    WHERE rn = 1
+    """,
+)
+def e52_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 serving-index MAINTENANCE: incremental IVF-PQ update off a
+    CDC batch — the reference's continuous-replication promise
+    (README.md:12,93) applied to the vector index, and the VERDICT r4
+    #4 composition of e29's incremental-LSH idea with e40's trained
+    IVF-PQ. The standing index (codebook + coarse centroids + codes
+    table, all FROZEN from the indexed corpus) absorbs a change batch
+    of INSERTs (vec_id%10==3, never indexed), re-embed MODIFYs
+    (vec_id%10==4, embedding reversed — a deterministic new vector
+    both engines can state) and REMOVEs (vec_id%10==7): ONLY batch
+    vectors are assigned to coarse cells (argmin over the frozen
+    per-label centroids, 6dp-quantized at source per the SCALE.md
+    determinism rule) and PQ-encoded against the frozen codebook;
+    untouched rows keep their stored codes; tombstones anti-join out.
+
+    THE ORACLE IS THE THEOREM: DuckDB computes the final codes table
+    by a FULL re-encode of the post-batch corpus under the same
+    frozen artifacts, while Spark takes the incremental route
+    (stored codes + delta-only encode + anti-join) — the value-hash
+    match proves incremental maintenance is exactly equivalent to
+    rebuilding, which is what makes minute-cadence index refresh
+    affordable at 100 TB (delta-sized work, not corpus-sized).
+
+    Scale: codebook/centroids broadcast (PQ_M x PQ_K and nlist rows);
+    delta assignment + encode are map-side over the BATCH only; the
+    anti-join is delta-id-sized broadcast against the codes table;
+    the one corpus-scale pass here (recomputing standing codes) is
+    the production table being read, not rebuilt — in a deployment it
+    comes straight off the stored e40 codes table."""
+    e = fan_out(load(spark, sf_dir, "embeddings"))
+    ten = F.col("vec_id") % 10
+    standing = e.filter(ten != 3)
+
+    subvecs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB),
+    )
+    seed = _pq_seed(standing.select("vec_id", "embedding"), subvecs)
+    ssub = standing.select("vec_id", F.posexplode(subvecs).alias("m", "svec"))
+    codebook = _train_pq_codebook(ssub, seed)
+
+    # frozen coarse centroids: per-label 6dp means over the standing
+    # corpus, as dim-ordered arrays (nlist rows -> broadcast)
+    cent = (
+        standing.select("label", F.posexplode("embedding").alias("j", "x"))
+        .groupBy("label", "j")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cvecfull")
+        )
+    )
+
+    # the stored codes table (production: read, not recomputed)
+    standing_codes = _pq_encode(ssub, codebook, ["vec_id"]).join(
+        standing.select("vec_id", F.col("label").alias("cell")), "vec_id"
+    )
+
+    # --- the CDC batch ---
+    delta = (
+        e.filter(ten == 3)
+        .select("vec_id", "embedding")
+        .unionAll(
+            e.filter(ten == 4).select(
+                "vec_id", F.reverse("embedding").alias("embedding")
+            )
+        )
+    )
+    removes = e.filter(ten == 7).select("vec_id")
+
+    # assign ONLY batch vectors to their nearest frozen centroid
+    wcell = W.partitionBy("vec_id").orderBy("d2", "label")
+    dcell = (
+        delta.crossJoin(F.broadcast(cent))
+        .withColumn("d2", _sub_d2(F.col("embedding"), F.col("cvecfull")))
+        .withColumn("rn", F.row_number().over(wcell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+    dsub = delta.select("vec_id", F.posexplode(subvecs).alias("m", "svec"))
+    dcodes = _pq_encode(dsub, codebook, ["vec_id"]).join(dcell, "vec_id")
+
+    # incremental merge: tombstones + replaced ids anti-join out,
+    # fresh delta codes union in — delta-sized work end to end
+    touched = delta.select("vec_id").unionAll(removes).distinct()
+    kept = standing_codes.join(touched, "vec_id", "left_anti")
+    return kept.select(
+        "vec_id", "cell", "m", "cid", F.lit("standing").alias("src")
+    ).unionAll(
+        dcodes.select("vec_id", "cell", "m", "cid", F.lit("delta").alias("src"))
+    )

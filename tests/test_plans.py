@@ -127,6 +127,8 @@ def test_registry_wide_plan_sweep(spark):
         "e49_cluster_balanced_sample",  # k=8 centroid broadcasts (composes e21)
         "e50_lsh_dedup_recall",     # three 1-row count-aggregate broadcasts
         "e51_filter_attrition",     # 1-row vocab-size broadcast (composes e42)
+        "e52_incremental_ivfpq",    # nlist(=10)-row frozen-centroid broadcast
+        #                             against the DELTA side only
     }
     # Window with no partition spec over a bounded (post-limit) input:
     global_window_ok = {
@@ -143,6 +145,7 @@ def test_registry_wide_plan_sweep(spark):
         "e45_dsir_resample",     # rank over the top-100 survivors
         "e44_ivf_pq_residual",   # LIMIT-16 seed stamping + top-10 rank
         "e49_cluster_balanced_sample",  # LIMIT-8 seed stamping (composes e21)
+        "e52_incremental_ivfpq",        # LIMIT-16 seed stamping (composes e40)
     }
     # builders that run jobs/streams at build time; plan shape of
     # their final read is covered by their oracle queries instead
