@@ -340,3 +340,103 @@ def b01b_pitr_export_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("prio_set", "|").alias("prio_set"),
         "missing",
     )
+
+
+@query(
+    "d90_merge_into",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS new_price
+      FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS k,
+             CAST(o_orderkey % 1000 AS DOUBLE) + 0.5 AS new_price
+      FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    m AS (
+      SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice, s.k, s.new_price
+      FROM orders t LEFT JOIN src s ON t.o_orderkey = s.k
+    ),
+    kept AS (
+      SELECT o_orderkey,
+             CASE WHEN k IS NOT NULL AND o_orderstatus = 'O'
+                  THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN k IS NOT NULL AND o_orderstatus = 'O'
+                  THEN new_price ELSE o_totalprice END AS o_totalprice
+      FROM m
+      WHERE NOT (k IS NOT NULL AND o_orderstatus = 'F')
+    ),
+    ins AS (
+      SELECT s.k AS o_orderkey, 'N' AS o_orderstatus, s.new_price AS o_totalprice
+      FROM src s LEFT JOIN orders t ON s.k = t.o_orderkey
+      WHERE t.o_orderkey IS NULL
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM ins
+    """,
+)
+def d90_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-surface: multi-action conditional MERGE INTO — the
+    Delta/Iceberg SQL verb (WHEN MATCHED AND cond THEN UPDATE /
+    WHEN MATCHED AND cond THEN DELETE / WHEN NOT MATCHED THEN
+    INSERT) run through the engine's generic ``table.merge.merge_into``
+    against a deterministic source batch: matched open orders get a
+    10% reprice and status 'U', matched finished orders are deleted,
+    source keys beyond the table insert as status 'N'; matched rows
+    winning no clause (status 'P') carry through untouched. The
+    oracle restates the clause semantics as LEFT JOIN + CASE +
+    anti-join, so the hash checks clause ORDERING and the
+    first-match-wins rule, not just the join.
+
+    Scale: one equi-shuffle join resolves every matched clause
+    (conditions are row-local projections — no per-clause table
+    passes); the insert branch is a source-sized anti-join. Same
+    cost shape as the b05 CDC merge."""
+    from dynamodb_zero_etl_s3tables_spark.table.merge import merge_into
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ten = F.col("o_orderkey") % 10
+    reprice = (
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit(1.1).cast("decimal(2,1)"),
+            2,
+        )
+        .cast("double")
+    )
+    src = (
+        o.filter(ten.isin(0, 1, 2))
+        .select(F.col("o_orderkey").alias("k"), reprice.alias("new_price"))
+        .unionAll(
+            o.filter(ten == 3).select(
+                (F.col("o_orderkey") + 100000000).alias("k"),
+                ((F.col("o_orderkey") % 1000).cast("double") + 0.5).alias(
+                    "new_price"
+                ),
+            )
+        )
+    )
+    return merge_into(
+        o,
+        src,
+        on=[("o_orderkey", "k")],
+        matched=[
+            (
+                "update",
+                F.col("t.o_orderstatus") == "O",
+                {
+                    "o_orderstatus": F.lit("U"),
+                    "o_totalprice": F.col("s.new_price"),
+                },
+            ),
+            ("delete", F.col("t.o_orderstatus") == "F", None),
+        ],
+        insert_values={
+            "o_orderkey": F.col("k"),
+            "o_orderstatus": F.lit("N"),
+            "o_totalprice": F.col("new_price"),
+        },
+    )

@@ -565,3 +565,154 @@ def e51_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "4, 'perplexity_gate', n4, t4"
         ") AS (stage_idx, stage, n_docs, n_tokens)"
     )
+
+
+#: absolute discount for the Kneser-Ney model (Chen & Goodman 1998's
+#: standard fixed discount; in-corpus bigrams have n12 >= 1 > D, so
+#: the discounted mass is always positive and no max() is needed)
+KN_DISCOUNT = 0.75
+
+
+@query(
+    "e53_kneser_ney_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             UNNEST(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    dpc AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM bg GROUP BY doc_id, w1, w2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+    c1k AS (
+      SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1, COUNT(*) AS n1p
+      FROM c12 GROUP BY w1
+    ),
+    cont AS (SELECT w2, COUNT(*) AS n1c FROM c12 GROUP BY w2),
+    v AS (
+      SELECT COUNT(DISTINCT tok) AS vsz
+      FROM (SELECT UNNEST(t) AS tok FROM toks)
+    ),
+    nt AS (SELECT COUNT(*) AS ntypes FROM c12),
+    terms AS (
+      SELECT doc_id, cnt,
+             cnt * (ln(n1 + vsz) - ln(n12 + 1)) AS nll_lp,
+             cnt * (-ln((n12 - {KN_DISCOUNT}) / n1
+                        + (({KN_DISCOUNT} * n1p) / n1)
+                          * (n1c / ntypes))) AS nll_kn
+      FROM dpc JOIN c12 USING (w1, w2) JOIN c1k USING (w1)
+               JOIN cont USING (w2), v, nt
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             ROUND(CAST(SUM(CAST(nll_lp AS DECIMAL(25,9))) AS DOUBLE)
+                   / SUM(cnt), 6) AS ce_laplace,
+             ROUND(CAST(SUM(CAST(nll_kn AS DECIMAL(25,9))) AS DOUBLE)
+                   / SUM(cnt), 6) AS ce_kn
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, ce_laplace, ce_kn,
+           ROUND(ce_laplace - ce_kn, 6) AS kn_gain
+    FROM agg
+    """,
+)
+def e53_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: KNESER-NEY smoothed bigram scoring — the standard LM
+    smoothing (Kneser & Ney 1995; Chen & Goodman 1998, public; the
+    model family KenLM serves in production CCNet filters) scored
+    side by side with e42's add-one baseline:
+
+        P_KN(w2|w1) = (n12 - D)/n1 + (D * N1+(w1,.)/n1) * Pcont(w2)
+        Pcont(w2)   = N1+(.,w2) / N1+(.,.)
+
+    Absolute discounting redistributes mass to a CONTINUATION
+    distribution (how many distinct contexts a word follows, not how
+    often it occurs) — the correction that stops high-frequency but
+    context-bound tokens from looking fluent. ``kn_gain`` (add-one CE
+    minus KN CE per doc) is the per-document smoothing dividend.
+
+    Scale: two extra model tables over e42's — context fertility
+    N1+(w1,.) rides the SAME c1 aggregate (a COUNT(*) next to the
+    SUM), continuation counts are one (w2, count) aggregate over the
+    bigram-type table (types-sized, not corpus-sized), and the type
+    total is a 1-row broadcast. The per-doc join fan-in stays
+    distinct-pairs-per-doc. Determinism: the probability expression
+    is written with IDENTICAL association order in both engines, each
+    nll term quantizes through DECIMAL(25,9), and the final values
+    round to 6dp; kn_gain subtracts the two ROUNDED values."""
+    d = load(spark, sf_dir, "documents")
+    tdf = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    bg = (
+        tdf.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    dpc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("cnt"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1k = c12.groupBy("w1").agg(
+        F.sum("n12").alias("n1"), F.count("*").alias("n1p")
+    )
+    cont = c12.groupBy("w2").agg(F.count("*").alias("n1c"))
+    v = tdf.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("vsz")
+    )
+    nt = c12.agg(F.count("*").alias("ntypes"))
+    p_kn = (F.col("n12") - F.lit(KN_DISCOUNT)) / F.col("n1") + (
+        (F.lit(KN_DISCOUNT) * F.col("n1p")) / F.col("n1")
+    ) * (F.col("n1c") / F.col("ntypes"))
+    terms = (
+        dpc.join(c12, ["w1", "w2"])
+        .join(c1k, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "doc_id",
+            "cnt",
+            (
+                F.col("cnt")
+                * (
+                    F.log(F.col("n1") + F.col("vsz"))
+                    - F.log(F.col("n12") + F.lit(1))
+                )
+            ).alias("nll_lp"),
+            (F.col("cnt") * (-F.log(p_kn))).alias("nll_kn"),
+        )
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("nll_lp").cast("decimal(25,9)")).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("ce_laplace"),
+        F.round(
+            F.sum(F.col("nll_kn").cast("decimal(25,9)")).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("ce_kn"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "ce_laplace",
+        "ce_kn",
+        F.round(F.col("ce_laplace") - F.col("ce_kn"), 6).alias("kn_gain"),
+    )

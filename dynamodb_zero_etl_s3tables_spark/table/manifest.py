@@ -930,6 +930,29 @@ class ManagedTable:
         )
         self._write_snapshot(merged, operation="merge")
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: list | None = None,
+        matched: list = (),
+        insert_values: dict | None = None,
+        insert_cond=None,
+    ) -> None:
+        """General conditional merge commit — the ``MERGE INTO`` verb
+        (Delta/Iceberg SQL surface) over this table: ordered
+        WHEN MATCHED [AND cond] THEN UPDATE/DELETE clauses plus an
+        optional WHEN NOT MATCHED THEN INSERT, applied in one
+        copy-on-write snapshot. ``on`` defaults to the table's key
+        columns joined to same-named source columns. Semantics and
+        scale notes: :func:`..merge.merge_into`."""
+        from dynamodb_zero_etl_s3tables_spark.table.merge import merge_into
+
+        pairs = on or [(k, k) for k in self.spec.key_columns]
+        merged = merge_into(
+            self.read(), source, pairs, matched, insert_values, insert_cond
+        )
+        self._write_snapshot(merged, operation="merge-into")
+
     def _apply_changes_mor(
         self, changes: DataFrame, order_cols: tuple[str, ...]
     ) -> None:

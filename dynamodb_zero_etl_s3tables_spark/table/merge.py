@@ -127,3 +127,86 @@ def merge_changes(
     touched = last.select(*keys)
     survivors = widened.join(touched, on=keys, how="left_anti")
     return survivors.unionByName(upserts)
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: Sequence[tuple[str, str]],
+    matched: Sequence[tuple[str, object, dict | None]] = (),
+    insert_values: dict | None = None,
+    insert_cond=None,
+) -> DataFrame:
+    """General conditional merge — the Delta/Iceberg ``MERGE INTO``
+    surface (public SQL semantics; the reference's managed tables get
+    this verb from the Iceberg/Athena layer) expressed as one plan:
+
+    * ``on``: (target_col, source_col) equi-join key pairs.
+    * ``matched``: ORDERED clauses ``("update", cond, {col: Column})``
+      or ``("delete", cond, None)``; per matched row the FIRST clause
+      whose condition holds wins (``cond=None`` means always). A
+      matched row winning no clause carries through unchanged.
+    * ``insert_values``: ``{target_col: Column}`` images for source
+      rows matching no target row (``WHEN NOT MATCHED THEN INSERT``),
+      gated by ``insert_cond``; ``None`` disables inserts.
+
+    Caller contract (same as Delta): ``source`` must be unique on its
+    join columns — a target row matched by several source rows would
+    make the update ambiguous.
+
+    Scale: ONE equi-shuffle join of target x source resolves every
+    matched clause (conditions and set-expressions are row-local
+    projections — no per-clause passes over the target), and the
+    insert branch reuses the source side with an anti-join. This is
+    the same join-shaped cost as the CDC merge; at 100 TB the join
+    broadcasts or co-partitions exactly as b05 does.
+    """
+    t = target.alias("t")
+    s = source.withColumn("__matched", F.lit(True)).alias("s")
+    join_cond = None
+    for tc, sc in on:
+        c = F.col(f"t.{tc}") == F.col(f"s.{sc}")
+        join_cond = c if join_cond is None else (join_cond & c)
+    j = t.join(s, join_cond, "left")
+    is_matched = F.col("s.__matched").isNotNull()
+
+    # winning clause index per row: 0 = no clause (carry unchanged)
+    idx = F.lit(0)
+    assigned = F.lit(False)
+    for i, (kind, cond, _sets) in enumerate(matched, start=1):
+        if kind not in ("update", "delete"):
+            raise ValueError(f"unknown matched clause kind {kind!r}")
+        hit = is_matched if cond is None else (is_matched & cond)
+        idx = F.when(~assigned & hit, F.lit(i)).otherwise(idx)
+        assigned = assigned | hit
+    j = j.withColumn("__clause", idx)
+
+    delete_ids = [i for i, (k, _c, _s2) in enumerate(matched, 1) if k == "delete"]
+    kept = j.filter(~F.col("__clause").isin(delete_ids)) if delete_ids else j
+    out_cols = []
+    for f in target.schema.fields:
+        expr = F.col(f"t.{f.name}")
+        for i, (kind, _cond, sets) in enumerate(matched, start=1):
+            if kind == "update" and sets and f.name in sets:
+                expr = F.when(
+                    F.col("__clause") == i, sets[f.name].cast(f.dataType)
+                ).otherwise(expr)
+        out_cols.append(expr.alias(f.name))
+    merged = kept.select(*out_cols)
+
+    if insert_values is not None:
+        unmatched = source.alias("s").join(
+            target.alias("t"), join_cond, "left_anti"
+        )
+        if insert_cond is not None:
+            unmatched = unmatched.filter(insert_cond)
+        ins = unmatched.select(
+            *[
+                insert_values[f.name].cast(f.dataType).alias(f.name)
+                if f.name in insert_values
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.schema.fields
+            ]
+        )
+        merged = merged.unionByName(ins)
+    return merged

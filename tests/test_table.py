@@ -919,3 +919,43 @@ def test_schema_widening_mor_chain(spark, warehouse):
     got2 = t.read()
     assert dict(got2.dtypes)["qty"] == "bigint"
     assert {r.pk: r.qty for r in got2.collect()} == {1: 10, 2: 21, 3: 2**40}
+
+
+def test_merge_into_clauses_first_match_wins(spark, warehouse):
+    """General MERGE INTO: ordered matched clauses, first-true wins;
+    unmatched-by-any-clause rows carry; NOT MATCHED inserts."""
+    from dynamodb_zero_etl_s3tables_spark.table.merge import merge_into as mi
+
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))  # pk 1..5, status old, price 10*pk
+    src = spark.createDataFrame(
+        [Row(pk=1, np=111.0), Row(pk=2, np=222.0), Row(pk=9, np=999.0)]
+    )
+    t.merge_into(
+        src,
+        on=[("pk", "pk")],
+        matched=[
+            # pk=1 (price 10) satisfies BOTH conditions: update is
+            # first, so it must win over the delete
+            ("update", F.col("t.price") < 15.0,
+             {"status": F.lit("cheap"), "price": F.col("s.np")}),
+            ("delete", F.col("t.price") < 25.0, None),
+        ],
+        insert_values={
+            "pk": F.col("pk"), "status": F.lit("new"), "price": F.col("np"),
+        },
+    )
+    got = {r.pk: (r.status, r.price) for r in t.read().collect()}
+    assert got == {
+        1: ("cheap", 111.0),          # first clause won
+        3: ("old", 30.0), 4: ("old", 40.0), 5: ("old", 50.0),  # carried
+        9: ("new", 999.0),            # inserted
+    }  # pk=2 deleted by the second clause
+    assert t.history()[-1].operation == "merge-into"
+    # pure-function form: unconditional update only, no inserts
+    out = mi(
+        base_df(spark), src, [("pk", "pk")],
+        matched=[("update", None, {"price": F.col("s.np")})],
+    )
+    got2 = {r.pk: r.price for r in out.collect()}
+    assert got2 == {1: 111.0, 2: 222.0, 3: 30.0, 4: 40.0, 5: 50.0}
