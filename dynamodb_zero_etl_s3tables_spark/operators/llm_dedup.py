@@ -137,7 +137,9 @@ P_TOK = 1_000_003
 _AFFINE = [(1_299_721 + 2 * i, 15_485_863 + 7 * i) for i in range(N_HASHES)]
 
 
-def _shingle_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _shingle_hashes(
+    df: DataFrame, text_col: str = "text", keys: tuple = ("doc_id",)
+) -> DataFrame:
     """(doc_id, h): base hash per distinct w-shingle WITHOUT
     materializing shingle strings — per-token md5-prefix hashes are
     combined by a left-to-right polynomial fold (a*P_TOK + x) mod M31.
@@ -187,7 +189,7 @@ def _shingle_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
         )
     )
-    return base.select("doc_id", F.explode(hs).alias("h"))
+    return base.select(*keys, F.explode(hs).alias("h"))
 
 
 _FOLD_SQL = f"(a, x) -> (a * {P_TOK} + x) % {M31}"
@@ -1416,5 +1418,96 @@ def e50_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_hit").cast("double")
                 / F.nullif(F.col("n_true"), F.lit(0))
             ).alias("recall"),
+        )
+    )
+
+
+_E55_SIG_SQL = ", ".join(
+    f"MIN(({a} * h + {b}) % {M31}) AS sig_{i}" for i, (a, b) in enumerate(_AFFINE)
+)
+_E55_AGREE_SQL = " + ".join(
+    f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+    for i in range(N_HASHES)
+)
+
+
+@query(
+    "e55_source_minhash_sketch",
+    oracle=f"""
+    WITH tokh AS (
+      SELECT source,
+             list_transform(string_split(LOWER(text), ' '),
+                            s -> ({_MH64('s')} % {M31})) AS th
+      FROM documents
+    ), hashed AS (
+      SELECT source,
+             UNNEST(CASE WHEN len(th) >= {SHINGLE_W}
+                  THEN list_distinct(list_transform(
+                         range(1, len(th) - {SHINGLE_W} + 2),
+                         i -> list_reduce(
+                                list_prepend(CAST(0 AS BIGINT), th[i:i+{SHINGLE_W}-1]),
+                                {_FOLD_SQL})))
+                  ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                                    {_FOLD_SQL})] END) AS h
+      FROM tokh
+    ), sigs AS (
+      SELECT source, {_E55_SIG_SQL} FROM hashed GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST({_E55_AGREE_SQL} AS BIGINT) AS n_agree,
+           CAST({_E55_AGREE_SQL} AS DOUBLE) / {N_HASHES} AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.source < b.source
+    """,
+)
+def e55_source_minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 sketch path at CORPUS grain: per-source MERGEABLE MinHash
+    signatures and the pairwise Jaccard estimates they imply — the
+    sketch twin of e39's exact overlap matrix. A source's signature
+    component i is min over its shingle hashes of (a_i*h+b_i) mod M31;
+    because min distributes over union, the signature of any union of
+    shards/partitions is the elementwise min of their signatures
+    (proved by test_minhash_sketch_merges) — so at 100 TB each
+    ingestion shard emits a {N_HASHES}-long vector and source-level
+    (or corpus-level) sketches combine in O(components) WITHOUT
+    re-reading text, which is exactly how the e39 matrix stays
+    refreshable as sources grow. Broder (1997) resemblance sketches,
+    public.
+
+    Scale: one token-hash scan (shared _shingle_hashes shape), one
+    (source, component-mins) hash-aggregate whose output is
+    n_sources x {N_HASHES} values, and a broadcast theta self-join
+    over the tiny signature table. The estimate is agree/{N_HASHES}
+    — IEEE division of exact ints, ~1/sqrt({N_HASHES}) resolution
+    (the e02f operating point); pairs needing certainty escalate to
+    e39's exact join."""
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    g = _shingle_hashes(d, keys=("source",))
+    sigs = g.groupBy("source").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(M31)).alias(
+                f"sig_{i}"
+            )
+            for i, (a, b) in enumerate(_AFFINE)
+        ]
+    )
+    arr = F.array(*[f"sig_{i}" for i in range(N_HASHES)])
+    s = sigs.select("source", arr.alias("sig"))
+    a = s.select(F.col("source").alias("source_a"), F.col("sig").alias("sa"))
+    b = s.select(F.col("source").alias("source_b"), F.col("sig").alias("sb"))
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sa"), F.col("sb"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            agree.cast("bigint").alias("n_agree"),
+            (agree.cast("double") / F.lit(N_HASHES)).alias("est_jaccard"),
         )
     )

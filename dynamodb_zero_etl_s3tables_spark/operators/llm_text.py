@@ -1425,3 +1425,141 @@ def e46_linear_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         prob.alias("prob"),
         (prob >= 0.5).alias("kept"),
     )
+
+
+#: e54 PSI geometry: decile buckets, Laplace-style smoothing so a
+#: source missing a bucket contributes a finite, well-defined term
+PSI_BUCKETS = 10
+
+
+@query(
+    "e54_source_drift_psi",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
+      FROM documents
+    ),
+    r AS (
+      SELECT source,
+             NTILE({PSI_BUCKETS}) OVER (ORDER BY n_words, doc_id) AS bucket
+      FROM d
+    ),
+    sb AS (SELECT source, bucket, COUNT(*) AS n_docs FROM r GROUP BY source, bucket),
+    st AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS cs FROM sb GROUP BY source),
+    bt AS (SELECT bucket, CAST(SUM(n_docs) AS BIGINT) AS cb FROM sb GROUP BY bucket),
+    nt AS (SELECT COUNT(*) AS n FROM d),
+    grid AS (SELECT st.source, st.cs, bt.bucket, bt.cb FROM st, bt),
+    terms AS (
+      SELECT g.source, g.bucket,
+             COALESCE(sb.n_docs, 0) AS n_docs,
+             (COALESCE(sb.n_docs, 0) + 0.5) / (g.cs + 5.0) AS p_src,
+             (g.cb + 0.5) / (n + 5.0) AS p_corpus
+      FROM grid g LEFT JOIN sb ON g.source = sb.source AND g.bucket = sb.bucket, nt
+    ),
+    t2 AS (
+      SELECT source, bucket, n_docs,
+             ROUND(p_src, 6) AS p_src,
+             ROUND(p_corpus, 6) AS p_corpus,
+             ROUND((p_src - p_corpus) * ln(p_src / p_corpus), 6) AS psi_term
+      FROM terms
+    )
+    SELECT source, bucket, n_docs, p_src, p_corpus, psi_term,
+           ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(25,9)))
+                      OVER (PARTITION BY source) AS DOUBLE), 6) AS psi_total
+    FROM t2
+    """,
+)
+def e54_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: PER-SOURCE DISTRIBUTION DRIFT via the POPULATION
+    STABILITY INDEX (standard model-monitoring statistic, public):
+    bucket the corpus into global length deciles (exact NTILE
+    semantics), then for every source compute
+    PSI = sum_b (p_src_b - p_corpus_b) * ln(p_src_b / p_corpus_b)
+    against the corpus-wide bucket distribution, with +0.5/+5
+    smoothing so a source missing a bucket contributes a finite term
+    (the classic PSI>0.2 alarm threshold flags a drifted source in a
+    mixture — the data-sourcing twin of e15's rebalance).
+
+    The decile assignment deliberately avoids a global unpartitioned
+    NTILE window (the single-task funnel tests/test_plans.py forbids):
+    it reuses e47's DISTRIBUTED EXACT RANKING — range-repartition on
+    (n_words, doc_id), rank within partitions, add per-partition
+    offsets (a #partitions-row metadata collect) — and reproduces
+    NTILE's bucket-size arithmetic from the global rank, which is
+    exact at any partition count. Scale: after ranking, everything is
+    (source x bucket)-sized; the source/bucket marginal grid is a
+    broadcast cross of two tiny aggregates. Determinism: p values are
+    exact-integer divisions, psi terms round at 6dp, the per-source
+    total sums DECIMAL-cast rounded terms."""
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_words")
+    )
+    n_range = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        d.repartitionByRange(n_range, "n_words", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pid before the branches
+    )
+    counts = sorted(
+        (r["pid"], r["n"])
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    n_total = acc
+    base, rem = divmod(n_total, PSI_BUCKETS)
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+        F.col("pid")
+    ]
+    rank = off + F.row_number().over(
+        W.partitionBy("pid").orderBy("n_words", "doc_id")
+    )
+    # NTILE's size arithmetic from the exact global rank: the first
+    # `rem` buckets hold base+1 rows, the rest hold base
+    head = rem * (base + 1)
+    bucket = (
+        F.when(rank <= head, F.floor((rank - 1) / (base + 1)) + 1)
+        .otherwise(F.lit(rem) + F.floor((rank - head - 1) / base) + 1)
+        .cast("long")
+    )
+    r = ranged.select("source", bucket.alias("bucket"))
+    sb = r.groupBy("source", "bucket").agg(F.count("*").alias("n_docs"))
+    st = sb.groupBy("source").agg(F.sum("n_docs").alias("cs"))
+    bt = sb.groupBy("bucket").agg(F.sum("n_docs").alias("cb"))
+    grid = F.broadcast(st).crossJoin(F.broadcast(bt))
+    terms = grid.join(sb, ["source", "bucket"], "left").select(
+        "source",
+        "bucket",
+        F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+        (
+            (F.coalesce(F.col("n_docs"), F.lit(0)) + F.lit(0.5))
+            / (F.col("cs") + F.lit(5.0))
+        ).alias("p_src"),
+        ((F.col("cb") + F.lit(0.5)) / (F.lit(n_total) + F.lit(5.0))).alias(
+            "p_corpus"
+        ),
+    )
+    t2 = terms.select(
+        "source",
+        "bucket",
+        "n_docs",
+        F.round("p_src", 6).alias("p_src"),
+        F.round("p_corpus", 6).alias("p_corpus"),
+        F.round(
+            (F.col("p_src") - F.col("p_corpus"))
+            * F.log(F.col("p_src") / F.col("p_corpus")),
+            6,
+        ).alias("psi_term"),
+    )
+    wsrc = W.partitionBy("source")
+    return t2.withColumn(
+        "psi_total",
+        F.round(
+            F.sum(F.col("psi_term").cast("decimal(25,9)")).over(wsrc).cast("double"),
+            6,
+        ),
+    )

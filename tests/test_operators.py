@@ -193,3 +193,38 @@ def test_e47_rank_invariant_to_partition_count(spark):
         spark.conf.set(key, orig)
     assert a == b
     assert len(a) > 0
+
+
+def test_minhash_sketch_merges(spark):
+    """e55's scale claim: MinHash signatures are MERGEABLE — the
+    source-level signature equals the elementwise min of its
+    documents' signatures (min distributes over union), so shard
+    sketches combine without re-reading text."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_dedup import (
+        _AFFINE,
+        M31,
+        N_HASHES,
+        _shingle_hashes,
+    )
+    from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(M31)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_AFFINE)
+    ]
+    direct = (
+        _shingle_hashes(d, keys=("source",)).groupBy("source").agg(*mins)
+    )
+    per_doc = (
+        _shingle_hashes(d, keys=("doc_id", "source"))
+        .groupBy("doc_id", "source")
+        .agg(*mins)
+    )
+    merged = per_doc.groupBy("source").agg(
+        *[F.min(f"sig_{i}").alias(f"sig_{i}") for i in range(N_HASHES)]
+    )
+    key = lambda rows: {r["source"]: tuple(r[f"sig_{i}"] for i in range(N_HASHES)) for r in rows}
+    assert key(direct.collect()) == key(merged.collect())

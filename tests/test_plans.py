@@ -129,6 +129,10 @@ def test_registry_wide_plan_sweep(spark):
         "e51_filter_attrition",     # 1-row vocab-size broadcast (composes e42)
         "e52_incremental_ivfpq",    # nlist(=10)-row frozen-centroid broadcast
         #                             against the DELTA side only
+        "e54_source_drift_psi",     # n_sources x n_buckets marginal grid:
+        #                             broadcast cross of two tiny aggregates
+        "e55_source_minhash_sketch",  # theta self-join over the n_sources-row
+        #                               signature table (broadcast)
     }
     # Window with no partition spec over a bounded (post-limit) input:
     global_window_ok = {
