@@ -1611,3 +1611,124 @@ def c09_wap_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"unexpected WAP history {[s.operation for s in hist]}",
     )
     return t.read().select("pk", "status", "price")
+
+
+@query(
+    "c10_partition_evolution_journey",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status,
+             CAST(o_orderkey % 12 AS BIGINT) AS mon, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <= 6
+    ),
+    merged AS (
+      SELECT pk, status, mon,
+             CASE WHEN pk % 10 IN (0, 3)
+                  THEN CAST(ROUND(CAST(price AS DECIMAL(18,2))
+                                  * CAST(1.2 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  ELSE price END AS price
+      FROM base WHERE pk % 10 <> 5
+    )
+    SELECT status, mon, COUNT(*) AS n, {DSUM('price')} AS total
+    FROM merged GROUP BY status, mon
+    """,
+)
+def c10_partition_evolution_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 capstone: PARTITION SPEC EVOLUTION end-to-end — bootstrap a
+    table partitioned by ``status``, evolve the spec to partition by
+    ``mon`` as a metadata-only commit, then merge a change batch
+    through the mixed-layout table: the pruned path lazily rewrites
+    the old-layout entries under the new spec while applying the
+    batch (Iceberg spec-v2 partition evolution, public; the layout a
+    100 TB table migrates to WITHOUT an up-front rewrite). The oracle
+    replays the merge relationally and aggregates — partitioning must
+    be RESULT-INVISIBLE through the evolution, which is exactly what
+    the hash-match verifies; the in-function _check pins what the
+    oracle cannot see: the evolution commit moved no data, scans
+    pruned on the OLD key before migration, and every post-merge
+    entry carries the NEW layout.
+
+    Scale: the evolution commit is O(manifest); the migration cost is
+    deferred to merges that were rewriting those partitions anyway
+    (or one compact()); mixed-layout scans prune each entry on its
+    own recorded key."""
+    wh = _scratch(sf_dir, "warehouse_c10", wipe=True)
+    cat = Catalog(spark, wh)
+    t = cat.create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_pevo",
+            key_columns=("pk",),
+            order_columns=("seq",),
+            partition_columns=("status",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    base = o.filter(mod10 <= 6).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_orderkey") % 12).cast("bigint").alias("mon"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.bootstrap(base)
+    v_boot = t.version
+    # old-key pruning works before evolution
+    t.scan(filters=[("status", "=", "F")])
+    _check(
+        t.last_scan_metrics["partitions_read"] < t.last_scan_metrics["partitions_total"],
+        "status partition should prune before evolution",
+    )
+    t.evolve_partitioning(("mon",))
+    _check(
+        t.history()[-1].operation == "evolve-partitioning"
+        and t.history()[-1].data_dir == t.history()[-2].data_dir,
+        "evolution must be a metadata-only commit over the same data",
+    )
+    _check(
+        t.read().count() == t.read(version=v_boot).count(),
+        "evolution changed row count",
+    )
+    # old-layout entries still prune on their own key post-evolution
+    t.scan(filters=[("status", "=", "F")])
+    _check(
+        t.last_scan_metrics["partitions_read"] < t.last_scan_metrics["partitions_total"],
+        "old-layout entries must keep pruning on their recorded key",
+    )
+    bump = F.round(
+        F.col("o_totalprice").cast("decimal(18,2)")
+        * F.lit("1.2").cast("decimal(3,1)"),
+        2,
+    ).cast("double")
+
+    def rows(op: str, cond, price):
+        return o.filter(cond).select(
+            F.lit(op).alias("op"),
+            F.lit(1).alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            (F.col("o_orderkey") % 12).cast("bigint").alias("mon"),
+            price.alias("price"),
+        )
+
+    ch = rows("MODIFY", mod10.isin(0, 3) & (mod10 <= 6), bump).unionByName(
+        rows("REMOVE", mod10 == 5, F.col("o_totalprice"))
+    )
+    t.apply_changes(ch)
+    snap = t.history()[-1]
+    _check(
+        snap.partitions is not None
+        and all(set(e["values"].keys()) == {"mon"} for e in snap.partitions),
+        "merge must migrate every entry to the evolved layout",
+    )
+    # the NEW key prunes after migration
+    t.scan(filters=[("mon", "=", 3)])
+    _check(
+        t.last_scan_metrics["partitions_read"] < t.last_scan_metrics["partitions_total"],
+        "mon partition should prune after migration",
+    )
+    return (
+        t.read()
+        .groupBy("status", "mon")
+        .agg(F.count("*").alias("n"), dsum("price").alias("total"))
+    )

@@ -416,19 +416,24 @@ class ManagedTable:
         """Assemble a snapshot from per-partition dirs: read each dir
         with the file schema (missing evolved columns surface as NULL),
         re-attach the partition-column values from the manifest entry.
-        One relation per live partition — bounded by partition count,
-        which is metadata-scale by design."""
+        Each entry's OWN value keys define its layout — after
+        partition-spec evolution, carried entries keep the layout they
+        were written under (Iceberg's per-file spec-id semantic) and
+        still read correctly. One relation per live partition —
+        bounded by partition count, which is metadata-scale by design."""
         from pyspark.sql import functions as F
 
-        pcols = list(self.spec.partition_columns)
         by_name = {f.name: f for f in schema.fields}
-        file_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
         parts: list[DataFrame] = []
         for ent in entries:
+            e_pcols = list(ent["values"].keys())
+            file_schema = T.StructType(
+                [f for f in schema.fields if f.name not in e_pcols]
+            )
             # a pruned scan narrows the entry to specific files
             src = ent.get("read_files") or [ent["dir"]]
             df = self.spark.read.schema(file_schema).parquet(*src)
-            for pc in pcols:
+            for pc in e_pcols:
                 raw = ent["values"][pc]
                 lit = (
                     F.lit(None).cast(by_name[pc].dataType)
@@ -597,19 +602,20 @@ class ManagedTable:
             return df
 
         if snap.partitions is not None:
-            pcols = set(self.spec.partition_columns)
-
+            # pruning is PER ENTRY against the entry's own layout, so
+            # mixed-layout snapshots (partition evolution) prune on
+            # whatever values each entry recorded
             def part_matches(e: dict[str, Any]) -> bool:
                 # partition value is an exact point: stats range [v, v]
                 stats = {}
-                for pc in pcols:
-                    v = _coerce_partition_value(e["values"][pc], by_name[pc].dataType)
+                for pc, raw in e["values"].items():
+                    v = _coerce_partition_value(raw, by_name[pc].dataType)
                     if v is not None:
                         stats[pc] = [v, v]
                 return all(
                     _file_may_match(stats, col, op, val)
                     for col, op, val in filters
-                    if col in pcols
+                    if col in e["values"]
                 )
 
             keep = [e for e in snap.partitions if part_matches(e)]
@@ -629,7 +635,7 @@ class ManagedTable:
                     if all(
                         _file_may_match(f["stats"], col, op, val)
                         for col, op, val in filters
-                        if col not in pcols
+                        if col not in e["values"]
                     )
                 ]
                 files_read += len(kept_files)
@@ -1047,16 +1053,18 @@ class ManagedTable:
             .collect()
         )
         touched = {tuple(r[pc] for pc in pcols) for r in touched_rows}
-        touched_entries = [
-            e
-            for e in snap.partitions
-            if tuple(e["values"][pc] for pc in pcols) in touched
-        ]
-        carry = [
-            e
-            for e in snap.partitions
-            if tuple(e["values"][pc] for pc in pcols) not in touched
-        ]
+
+        def is_touched(e: dict[str, Any]) -> bool:
+            # lazy migration after partition evolution: an entry whose
+            # recorded layout differs from the current spec cannot be
+            # pruned by the new key — treat it as touched so its rows
+            # join this merge and are rewritten under the new layout
+            if set(e["values"].keys()) != set(pcols):
+                return True
+            return tuple(e["values"][pc] for pc in pcols) in touched
+
+        touched_entries = [e for e in snap.partitions if is_touched(e)]
+        carry = [e for e in snap.partitions if not is_touched(e)]
         base_touched = self._read_partition_entries(touched_entries, schema)
         merged = merge_changes(
             base_touched,
@@ -1065,6 +1073,56 @@ class ManagedTable:
             order_cols=order_cols,
         )
         self._write_snapshot(merged, operation="merge", carry_entries=carry)
+
+    def evolve_partitioning(self, partition_columns: tuple[str, ...]) -> None:
+        """Iceberg PARTITION SPEC EVOLUTION analog (public spec-v2
+        behavior): change the table's partition columns as a
+        METADATA-ONLY commit — no data moves. Existing entries keep
+        the layout they were written under (their ``values`` keys ARE
+        their spec, the per-file spec-id semantic), reads and scans
+        handle mixed layouts per entry, and subsequent writes use the
+        new spec. The pruned merge path LAZILY MIGRATES: an old-layout
+        entry can't be pruned by the new key, so its next merge
+        rewrites it under the new layout; ``compact()`` migrates the
+        whole table at once. At 100 TB this is how you re-partition a
+        table you cannot afford to rewrite up front."""
+        from dataclasses import replace
+
+        m = self._read_manifest()
+        self._fence_staged(m)
+        new_cols = tuple(partition_columns)
+        snap = m.current
+        if snap is not None:
+            names = {
+                f.name
+                for f in T.StructType.fromJson(json.loads(snap.schema_json)).fields
+            }
+            missing = [c for c in new_cols if c not in names]
+            if missing:
+                raise SchemaEvolutionError(
+                    f"partition columns not in table schema: {missing}"
+                )
+        expected = m.version
+        self.spec = replace(self.spec, partition_columns=new_cols)
+        m.partition_columns = list(new_cols)
+        if snap is not None:
+            # marker snapshot: same data pointers, evolution visible
+            # in history and time travel (O(metadata) commit)
+            m.snapshots.append(
+                Snapshot(
+                    version=expected + 1,
+                    data_dir=snap.data_dir,
+                    committed_at=time.time(),
+                    row_count=snap.row_count,
+                    schema_json=snap.schema_json,
+                    operation="evolve-partitioning",
+                    partitions=snap.partitions,
+                    files=snap.files,
+                    base_version=snap.base_version,
+                    delta=snap.delta,
+                )
+            )
+        self._write_manifest(m, expected_version=expected)
 
     def rollback_to(self, version: int) -> None:
         """Roll the table back by committing a NEW snapshot that

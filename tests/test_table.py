@@ -959,3 +959,105 @@ def test_merge_into_clauses_first_match_wins(spark, warehouse):
     )
     got2 = {r.pk: r.price for r in out.collect()}
     assert got2 == {1: 111.0, 2: 222.0, 3: 30.0, 4: 40.0, 5: 50.0}
+
+
+# -- partition-spec evolution (Iceberg spec-v2 analog) ---------------------
+
+
+def _pe_base(spark):
+    return spark.createDataFrame(
+        [
+            Row(pk=1, part="a", cat="x", qty=10),
+            Row(pk=2, part="a", cat="y", qty=20),
+            Row(pk=3, part="b", cat="x", qty=30),
+            Row(pk=4, part="b", cat="y", qty=40),
+        ]
+    )
+
+
+def test_partition_evolution_mixed_layout(spark, warehouse):
+    """Evolving the partition spec is metadata-only: old entries keep
+    their layout and stay readable/prunable; the next merge lazily
+    migrates them to the new layout."""
+    spec = TableSpec(
+        namespace="ns", name="pevo", key_columns=("pk",),
+        order_columns=("seq",), partition_columns=("part",),
+    )
+    t = ManagedTable(spark, warehouse, spec)
+    t.bootstrap(_pe_base(spark))
+    t.evolve_partitioning(("cat",))
+    assert t.history()[-1].operation == "evolve-partitioning"
+    assert t.spec.partition_columns == ("cat",)
+    # metadata-only: same rows, old layout still attached per entry
+    assert {r.pk: (r.part, r.cat, r.qty) for r in t.read().collect()} == {
+        1: ("a", "x", 10), 2: ("a", "y", 20),
+        3: ("b", "x", 30), 4: ("b", "y", 40),
+    }
+    # old-layout entries still prune on their OWN key...
+    got = t.scan(filters=[("part", "=", "a")])
+    assert {r.pk for r in got.collect()} == {1, 2}
+    assert t.last_scan_metrics["partitions_read"] == 1
+    # ...and a new-key filter is exact (residual filter; no pruning)
+    assert {r.pk for r in t.scan(filters=[("cat", "=", "x")]).collect()} == {1, 3}
+    # merge under the NEW spec: old-layout entries are rewritten
+    ch = spark.createDataFrame(
+        [Row(op="INSERT", seq=1, pk=5, part="c", cat="x", qty=50)]
+    )
+    t.apply_changes(ch)
+    snap = t.history()[-1]
+    assert all(set(e["values"].keys()) == {"cat"} for e in snap.partitions)
+    assert {r.pk for r in t.read().collect()} == {1, 2, 3, 4, 5}
+    # after migration the new key prunes
+    t.scan(filters=[("cat", "=", "x")])
+    assert t.last_scan_metrics["partitions_read"] == 1
+
+
+def test_partition_evolution_unpartitioned_to_partitioned(spark, warehouse):
+    spec = TableSpec(
+        namespace="ns", name="pevo2", key_columns=("pk",), order_columns=("seq",),
+    )
+    t = ManagedTable(spark, warehouse, spec)
+    t.bootstrap(_pe_base(spark))
+    t.evolve_partitioning(("part",))
+    # old snapshot reads fine; the next merge rewrites partitioned
+    ch = spark.createDataFrame(
+        [Row(op="MODIFY", seq=1, pk=1, part="a", cat="x", qty=11)]
+    )
+    t.apply_changes(ch)
+    snap = t.history()[-1]
+    assert snap.partitions is not None
+    assert {e["values"]["part"] for e in snap.partitions} == {"a", "b"}
+    assert {r.pk: r.qty for r in t.read().collect()} == {1: 11, 2: 20, 3: 30, 4: 40}
+    # reopen from manifest picks up the evolved spec
+    t2 = ManagedTable.open(spark, warehouse, "ns.pevo2")
+    assert t2.spec.partition_columns == ("part",)
+
+
+def test_partition_evolution_compact_migrates_all(spark, warehouse):
+    spec = TableSpec(
+        namespace="ns", name="pevo3", key_columns=("pk",),
+        order_columns=("seq",), partition_columns=("part",),
+    )
+    t = ManagedTable(spark, warehouse, spec)
+    t.bootstrap(_pe_base(spark))
+    t.evolve_partitioning(("cat",))
+    t.compact(target_file_bytes=1 << 30)
+    snap = t.history()[-1]
+    assert all(set(e["values"].keys()) == {"cat"} for e in snap.partitions)
+    assert {r.pk for r in t.read().collect()} == {1, 2, 3, 4}
+
+
+def test_partition_evolution_rejects_unknown_column(spark, warehouse):
+    spec = TableSpec(
+        namespace="ns", name="pevo4", key_columns=("pk",), order_columns=("seq",),
+    )
+    t = ManagedTable(spark, warehouse, spec)
+    t.bootstrap(_pe_base(spark))
+    with pytest.raises(SchemaEvolutionError, match="not in table schema"):
+        t.evolve_partitioning(("nope",))
+    # and a pending stage fences the evolution like any other commit
+    t.stage_changes(
+        spark.createDataFrame([Row(op="INSERT", seq=1, pk=9, part="c", cat="z", qty=90)])
+    )
+    with pytest.raises(CommitConflictError, match="pending"):
+        t.evolve_partitioning(("part",))
