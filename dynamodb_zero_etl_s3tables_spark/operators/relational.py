@@ -656,3 +656,83 @@ def d78_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_D78_SQL)
+
+
+#: d91 grid geometry: 1-hour buckets (microseconds)
+_GRID_US = 3_600_000_000
+
+
+@query(
+    "d91_interval_grid_join",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id AS window_id, ts AS start_ts
+      FROM events WHERE event_type = 'purchase' AND user_id % 20 = 0
+    )
+    SELECT w.window_id, COUNT(e.event_id) AS n_events,
+           {DSUM('e.value')} AS window_value
+    FROM w JOIN events e
+      ON e.ts > w.start_ts AND e.ts <= w.start_ts + INTERVAL 1 HOUR
+    GROUP BY w.window_id
+    """,
+)
+def d91_interval_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-surface: INTERVAL OVERLAP JOIN WITHOUT AN EQUI KEY via the
+    GRID (interval-index) technique — count every event landing in
+    each promo window regardless of user. d19's range join rides a
+    user_id equi-key; with no shared key a naive plan is a theta
+    join over the full cross product (the CartesianProduct the plan
+    gate forbids). The grid construction restores an equi key:
+    events map to their single 1-hour epoch bucket (exact integer
+    DIV on epoch micros — no float rounding at bucket boundaries),
+    each window explodes to the buckets it covers (2 for a 1-hour
+    window), the join runs on the bucket, and the exact interval
+    predicate filters residually. An event's single bucket is
+    covered by every interval that contains the event, so each
+    matching pair appears EXACTLY once — no post-join dedup. The
+    oracle states the same result as the plain theta join.
+
+    Scale: shuffle volume is events + windows x buckets-per-window,
+    keyed by uniformly-distributed time buckets; cost is pairs that
+    SHARE a bucket, not the cross product. Dense hot hours salt like
+    any skewed key (d75). This is the standard distributed interval-
+    index join (public: Spark range-join optimization literature)."""
+    e = load(spark, sf_dir, "events")
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    ev = e.select(
+        "event_id", "value", F.col("ts").alias("ev_ts"), us.alias("ev_us")
+    ).withColumn("bucket", F.expr(f"ev_us DIV {_GRID_US}"))
+    w = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 20 == 0))
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("start_ts"),
+            us.alias("s_us"),
+        )
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_us DIV {_GRID_US}"),
+                    F.expr(f"(s_us + {_GRID_US}) DIV {_GRID_US}"),
+                )
+            ),
+        )
+    )
+    return (
+        w.join(ev, "bucket")
+        .filter(
+            (F.col("ev_ts") > F.col("start_ts"))
+            & (F.col("ev_ts") <= F.col("end_ts"))
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            dsum("value").alias("window_value"),
+        )
+    )

@@ -1732,3 +1732,89 @@ def c10_partition_evolution_journey(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("status", "mon")
         .agg(F.count("*").alias("n"), dsum("price").alias("total"))
     )
+
+
+@query(
+    "c11_snapshot_tag_journey",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <= 5
+    )
+    SELECT status, COUNT(*) AS n, {DSUM('price')} AS total
+    FROM base GROUP BY status
+    """,
+)
+def c11_snapshot_tag_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10/B11 capstone: SNAPSHOT TAGS (Iceberg refs) end-to-end —
+    bootstrap, tag the bootstrap 'baseline', run two merges, then an
+    aggressive zero-window vacuum that would reclaim every noncurrent
+    snapshot: the tag must pin the baseline through retention, and the
+    RETURNED RESULT is the tag-addressed read aggregated. The oracle
+    restates the BOOTSTRAP state (not the merged current state), so
+    the hash-match proves the tag still resolves to the exact original
+    rows after two rewrites and a vacuum — a tag is a retention
+    exemption, which is what makes '$tag=model-v3-training-set'
+    reproducibility on a 100 TB table possible while normal cleanup
+    keeps running. The in-function _check pins what the oracle cannot
+    see: the vacuum DID reclaim the untagged middle snapshot while
+    keeping the tagged one.
+
+    Scale: tag create/resolve are O(manifest); the vacuum walks
+    metadata and deletes only unreferenced dirs."""
+    wh = _scratch(sf_dir, "warehouse_c11", wipe=True)
+    cat = Catalog(spark, wh)
+    t = cat.create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_tags",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    t.bootstrap(
+        o.filter(mod10 <= 5).select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    t.create_tag("baseline")
+
+    def batch(seq, cond, status):
+        return o.filter(cond).select(
+            F.lit("MODIFY").alias("op"),
+            F.lit(seq).alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            F.lit(status).alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+
+    t.apply_changes(batch(1, mod10 == 0, "touched"))
+    t.apply_changes(batch(2, mod10 == 1, "touched2"))
+    import time as _time
+
+    stats = t.vacuum(
+        unreferenced_days=0, noncurrent_days=0, now=_time.time() + 86400
+    )
+    _check(
+        stats["snapshots_dropped"] == 1,
+        f"vacuum should reclaim exactly the untagged middle snapshot, "
+        f"dropped {stats['snapshots_dropped']}",
+    )
+    _check(
+        sorted(s.version for s in t.history()) == [1, 3],
+        f"history should be tagged v1 + current v3, got "
+        f"{[s.version for s in t.history()]}",
+    )
+    _check(
+        t.read().filter(F.col("status") == "touched2").count() > 0,
+        "current state lost the second merge",
+    )
+    return (
+        t.read(tag="baseline")
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), dsum("price").alias("total"))
+    )

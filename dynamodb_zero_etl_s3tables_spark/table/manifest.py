@@ -98,6 +98,10 @@ class Manifest:
     key_columns: list[str]
     partition_columns: list[str]
     snapshots: list[Snapshot] = field(default_factory=list)
+    #: named refs: tag -> pinned snapshot version (Iceberg tag
+    #: semantic). Tagged versions are retention-exempt: vacuum and
+    #: expire_snapshots keep them until the tag is deleted.
+    tags: dict[str, int] = field(default_factory=dict)
 
     @property
     def current(self) -> Snapshot | None:
@@ -342,6 +346,7 @@ class ManagedTable:
             # re-supplying it (ManagedTable.open) — the durable-catalog
             # behavior the reference gets from Glue (ts:110-117)
             "spec": asdict(self.spec),
+            "tags": m.tags,
             "snapshots": [s.to_dict() for s in m.snapshots],
         }
         tmp = self.manifest_path.with_suffix(f".tmp-{uuid.uuid4().hex}")
@@ -357,12 +362,21 @@ class ManagedTable:
     def version(self) -> int:
         return self._read_manifest().version
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Current snapshot, or time travel to ``version`` (B10)."""
+    def read(self, version: int | None = None, tag: str | None = None) -> DataFrame:
+        """Current snapshot, or time travel to ``version`` / ``tag`` (B10)."""
         m = self._read_manifest()
         if not m.snapshots:
             raise FileNotFoundError(f"table {self.spec.qualified_name} has no snapshots")
         by_v = {s.version: s for s in m.snapshots}
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass either version or tag, not both")
+            if tag not in m.tags:
+                raise ValueError(
+                    f"unknown tag {tag!r} on {self.spec.qualified_name} "
+                    f"(tags: {sorted(m.tags)})"
+                )
+            version = m.tags[tag]
         if version is None:
             snap = m.current
         else:
@@ -1074,6 +1088,39 @@ class ManagedTable:
         )
         self._write_snapshot(merged, operation="merge", carry_entries=carry)
 
+    def create_tag(self, name: str, version: int | None = None) -> None:
+        """Iceberg TAG analog: pin a retained snapshot version under a
+        name. ``read(tag=...)`` resolves it; vacuum/expire keep the
+        tagged snapshot (and, for MoR, its base chain via the ancestor
+        closure) until :meth:`delete_tag`. O(manifest) — a ref is
+        metadata. Tag metadata rides the same optimistic manifest
+        swap as data commits; two writers racing PURE ref edits with
+        no interleaving data commit resolve last-writer-wins, which
+        matches ref semantics (the ref's final value is one of the
+        two requested ones; no data is ever at risk)."""
+        m = self._read_manifest()
+        v = m.version if version is None else version
+        if v not in {s.version for s in m.snapshots}:
+            raise ValueError(
+                f"version {v} not in retained history of {self.spec.qualified_name}"
+            )
+        if name in m.tags:
+            raise ValueError(f"tag {name!r} already exists (at v{m.tags[name]})")
+        m.tags[name] = v
+        self._write_manifest(m, expected_version=m.version)
+
+    def delete_tag(self, name: str) -> None:
+        """Drop a tag; the pinned snapshot becomes reclaimable by the
+        normal retention rules on the next vacuum/expire."""
+        m = self._read_manifest()
+        if name not in m.tags:
+            raise ValueError(f"unknown tag {name!r} (tags: {sorted(m.tags)})")
+        del m.tags[name]
+        self._write_manifest(m, expected_version=m.version)
+
+    def list_tags(self) -> dict[str, int]:
+        return dict(self._read_manifest().tags)
+
     def evolve_partitioning(self, partition_columns: tuple[str, ...]) -> None:
         """Iceberg PARTITION SPEC EVOLUTION analog (public spec-v2
         behavior): change the table's partition columns as a
@@ -1273,13 +1320,18 @@ class ManagedTable:
             return {"snapshots_dropped": 0, "dirs_deleted": 0}
         expected = m.version
         cutoff = now - noncur * 86400
-        # staged snapshots are pinned: an in-flight WAP stage must
-        # survive retention until explicitly published or aborted —
-        # age-based cleanup may never yank a snapshot mid-audit
+        # staged snapshots are pinned (an in-flight WAP stage must
+        # survive retention until explicitly published or aborted),
+        # and so are tagged versions — a named ref IS a retention
+        # exemption until the tag is deleted
+        tagged = set(m.tags.values())
         keep = [
             s
             for s in m.snapshots
-            if s.staged or s is m.current or s.committed_at >= cutoff
+            if s.staged
+            or s.version in tagged
+            or s is m.current
+            or s.committed_at >= cutoff
         ]
         dropped = self._retain(m, keep, expected)
         deleted = self._gc_unreferenced_dirs(m.snapshots, now - unref * 86400)
@@ -1300,10 +1352,14 @@ class ManagedTable:
             return {"snapshots_dropped": 0, "dirs_deleted": 0}
         expected = m.version
         newest = sorted(m.snapshots, key=lambda s: -s.version)[:retain_last]
-        # staged pin mirrors vacuum(): count-based retention may not
-        # drop a pending WAP stage (it is the newest today, but the
-        # predicate should not rely on that accident)
-        keep = [s for s in m.snapshots if s.staged or s in newest or s is m.current]
+        # staged + tagged pins mirror vacuum(): count-based retention
+        # may not drop a pending WAP stage or a named ref
+        tagged = set(m.tags.values())
+        keep = [
+            s
+            for s in m.snapshots
+            if s.staged or s.version in tagged or s in newest or s is m.current
+        ]
         dropped = self._retain(m, keep, expected)
         deleted = self._gc_unreferenced_dirs(m.snapshots, float("inf"))
         return {"snapshots_dropped": dropped, "dirs_deleted": deleted}

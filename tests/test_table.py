@@ -1061,3 +1061,46 @@ def test_partition_evolution_rejects_unknown_column(spark, warehouse):
     )
     with pytest.raises(CommitConflictError, match="pending"):
         t.evolve_partitioning(("part",))
+
+
+# -- snapshot tags (Iceberg refs) -------------------------------------------
+
+
+def test_tags_pin_and_time_travel(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.create_tag("baseline")
+    t.apply_changes(changelog_df(spark))
+    assert t.list_tags() == {"baseline": 1}
+    # tag-addressed read = the pinned version, not current
+    assert {r.pk for r in t.read(tag="baseline").collect()} == {1, 2, 3, 4, 5}
+    assert {r.pk for r in t.read().collect()} == {1, 2, 4, 5, 9}
+    # retention: a zero-window vacuum may not drop the tagged snapshot
+    res = t.vacuum(unreferenced_days=0, noncurrent_days=0, now=time.time() + 86400)
+    assert res["snapshots_dropped"] == 0
+    res2 = t.expire_snapshots(retain_last=1)
+    assert res2["snapshots_dropped"] == 0
+    assert t.read(tag="baseline").count() == 5
+    # deleting the tag releases the pin
+    t.delete_tag("baseline")
+    res3 = t.vacuum(unreferenced_days=0, noncurrent_days=0, now=time.time() + 86400)
+    assert res3["snapshots_dropped"] == 1
+    with pytest.raises(ValueError, match="unknown tag"):
+        t.read(tag="baseline")
+
+
+def test_tag_validation(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    with pytest.raises(ValueError, match="not in retained history"):
+        t.create_tag("nope", version=99)
+    t.create_tag("v1")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("v1")
+    with pytest.raises(ValueError, match="either version or tag"):
+        t.read(version=1, tag="v1")
+    with pytest.raises(ValueError, match="unknown tag"):
+        t.delete_tag("ghost")
+    # tags survive reopen from the manifest
+    t2 = ManagedTable.open(spark, warehouse, "ns.items")
+    assert t2.list_tags() == {"v1": 1}
