@@ -1818,3 +1818,297 @@ def c11_snapshot_tag_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n"), dsum("price").alias("total"))
     )
+
+
+@query(
+    "c12_branch_journey",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <= 5
+    ),
+    final AS (
+      SELECT pk,
+             CASE WHEN pk % 10 = 0 THEN 'audited'
+                  WHEN pk % 10 = 1 THEN 'audited2'
+                  ELSE status END AS status,
+             price
+      FROM base WHERE pk % 10 <> 2
+    )
+    SELECT status, COUNT(*) AS n, {DSUM('price')} AS total
+    FROM final GROUP BY status
+    """,
+)
+def c12_branch_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 capstone #2: BRANCHES (Iceberg mutable refs) end-to-end —
+    the multi-commit generalization of c09's single-snapshot WAP.
+    Bootstrap, fork a branch, land TWO change batches on it (updates,
+    then updates + deletes — each merging against the BRANCH head, not
+    main), audit the branch with main still serving the bootstrap,
+    then ``fast_forward`` publishes the whole chain as one metadata
+    flip. The RETURNED RESULT is the post-publish main state; the
+    oracle restates bootstrap + both batches applied in order, so the
+    hash-match proves branch commits stack correctly AND publish is
+    exactly the audited state. In-function _checks pin what the
+    oracle cannot see: main was blind to the branch until publish, a
+    competing merge/stage conflicts while the branch is pending
+    (single-staged-lineage fence), and history records the branch
+    provenance on both published snapshots.
+
+    Scale: each branch commit is a normal copy-on-write merge plan;
+    create/read-head/fast-forward are O(manifest) ref edits — the
+    property that makes audit-before-publish affordable on a 100 TB
+    table (nothing is rewritten at publish time).
+
+    Reference parity: the reference's managed Iceberg bucket exposes
+    branch/tag refs via Athena (README.md:170-174); this is that
+    surface on the engine's own manifest."""
+    wh = _scratch(sf_dir, "warehouse_c12", wipe=True)
+    cat = Catalog(spark, wh)
+    t = cat.create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_branch",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    t.bootstrap(
+        o.filter(mod10 <= 5).select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    boot_n = t.read().count()
+    t.create_branch("audit-2026w33")
+
+    def batch(seq, cond, op, status):
+        return o.filter(cond).select(
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            F.lit(status).alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+
+    v2 = t.apply_changes_to_branch("audit-2026w33", batch(1, mod10 == 0, "MODIFY", "audited"))
+    v3 = t.apply_changes_to_branch(
+        "audit-2026w33",
+        batch(2, mod10 == 1, "MODIFY", "audited2").unionByName(
+            batch(2, mod10 == 2, "REMOVE", "x")
+        ),
+    )
+    _check(
+        (v2, v3) == (2, 3), f"branch commits should land at v2,v3, got {(v2, v3)}"
+    )
+    # main is blind to the pending branch
+    _check(
+        t.read().count() == boot_n
+        and t.read().filter(F.col("status") == "audited").count() == 0,
+        "main readers must not see pending branch commits",
+    )
+    # the single-staged-lineage fence holds while the branch is pending
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import CommitConflictError
+
+    try:
+        t.stage_changes(batch(9, mod10 == 3, "MODIFY", "smuggled"))
+        _check(False, "anonymous stage must conflict with a pending branch")
+    except CommitConflictError:
+        pass
+    # audit the branch head, then publish the chain
+    audited = t.read(branch="audit-2026w33")
+    _check(
+        audited.filter(F.col("status").isin("audited", "audited2")).count() > 0
+        and audited.filter((F.col("pk") % 10) == 2).count() == 0,
+        "branch head must reflect both stacked batches",
+    )
+    head = t.fast_forward("audit-2026w33")
+    _check(head == 3, f"fast-forward should publish head v3, got {head}")
+    _check(
+        [s.ref for s in t.history()] == [None, "audit-2026w33", "audit-2026w33"],
+        "published history must keep branch provenance",
+    )
+    return (
+        t.read()
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), dsum("price").alias("total"))
+    )
+
+
+@query(
+    "c13_replication_audit",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    -- source truth: every change applied
+    src AS (
+      SELECT pk,
+             CASE WHEN pk % 7 = 0 THEN 'SHIPPED2' ELSE status END AS status,
+             cents
+      FROM base WHERE pk % 113 <> 1
+    ),
+    -- replica: changes for pk % 101 = 5 never arrived
+    rep AS (
+      SELECT pk,
+             CASE WHEN pk % 7 = 0 AND pk % 101 <> 5
+                  THEN 'SHIPPED2' ELSE status END AS status,
+             cents
+      FROM base WHERE NOT (pk % 113 = 1 AND pk % 101 <> 5)
+    ),
+    sh AS (
+      SELECT (('0x' || substr(md5(CAST(pk AS VARCHAR)), 1, 15))::BIGINT) % 64 AS bucket,
+             (('0x' || substr(md5(CAST(pk AS VARCHAR) || '|' || status || '|'
+                                  || CAST(cents AS VARCHAR)), 1, 15))::BIGINT) AS rh
+      FROM src
+    ),
+    rh AS (
+      SELECT (('0x' || substr(md5(CAST(pk AS VARCHAR)), 1, 15))::BIGINT) % 64 AS bucket,
+             (('0x' || substr(md5(CAST(pk AS VARCHAR) || '|' || status || '|'
+                                  || CAST(cents AS VARCHAR)), 1, 15))::BIGINT) AS rh
+      FROM rep
+    ),
+    sa AS (SELECT bucket, COUNT(*) AS src_rows, bit_xor(rh) AS src_xor FROM sh GROUP BY bucket),
+    ra AS (SELECT bucket, COUNT(*) AS rep_rows, bit_xor(rh) AS rep_xor FROM rh GROUP BY bucket)
+    SELECT COALESCE(sa.bucket, ra.bucket) AS bucket,
+           COALESCE(src_rows, 0) AS src_rows,
+           COALESCE(rep_rows, 0) AS rep_rows,
+           COALESCE(src_xor, 0) AS src_xor,
+           COALESCE(rep_xor, 0) AS rep_xor,
+           CAST(CASE WHEN COALESCE(src_rows, 0) = COALESCE(rep_rows, 0)
+                      AND COALESCE(src_xor, 0) = COALESCE(rep_xor, 0)
+                     THEN 1 ELSE 0 END AS INT) AS in_sync
+    FROM sa FULL OUTER JOIN ra ON sa.bucket = ra.bucket
+    """,
+)
+def c13_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1/B5 capstone: REPLICATION CONSISTENCY AUDIT — the
+    verification step a zero-ETL replication pipeline needs (the
+    reference promises continuous DynamoDB->S3 Tables replication,
+    README.md:12; this is how you PROVE the replica converged without
+    comparing 100 TB row by row). The replica is a real ManagedTable:
+    bootstrap + one CDC merge where a deterministic slice of the
+    changelog (pk % 101 = 5) was 'lost in transit'. The audit hashes
+    every row to a 60-bit portable digest, folds each side into 64
+    key-hash buckets of (row_count, XOR-of-digests), and joins the
+    bucket summaries: buckets containing only delivered keys match
+    exactly; buckets touched by a lost change mismatch — localizing
+    the divergence to <2% of the keyspace for targeted repair. The
+    oracle restates both sides in SQL with the same md5-prefix
+    digest, so the hash-match proves the engine's merge produced
+    byte-identical state to the relational spec wherever changes were
+    delivered. An in-function _check pins that the mismatching
+    buckets are EXACTLY the buckets holding a lost change.
+
+    Scale: each side folds to 64 rows in ONE partial-aggregated scan
+    (XOR is commutative/associative -> map-side combine); the compare
+    joins two 64-row frames. Bucket count is a knob: 2^20 buckets on
+    a 100 TB table still costs one scan per side plus a
+    megabyte-scale join, and repair re-syncs only mismatched buckets.
+    Both sides stay JVM-side (md5/conv/bit_xor are builtins)."""
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_dedup import _mh64
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    pk = F.col("pk")
+    # changelog: ship every 7th key (seq 1), delete every 113th (seq 2)
+    changes = (
+        base.filter(pk % 7 == 0)
+        .select(
+            F.lit("MODIFY").alias("op"),
+            F.lit(1).alias("seq"),
+            pk,
+            F.lit("SHIPPED2").alias("status"),
+            "cents",
+        )
+        .unionByName(
+            base.filter(pk % 113 == 1).select(
+                F.lit("REMOVE").alias("op"),
+                F.lit(2).alias("seq"),
+                pk,
+                F.lit("x").alias("status"),
+                "cents",
+            )
+        )
+    )
+    wh = _scratch(sf_dir, "warehouse_c13", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_replica",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    t.bootstrap(base)
+    delivered = changes.filter(pk % 101 != 5)  # the lost slice
+    t.apply_changes(delivered)
+
+    # source truth = all changes applied, computed relationally
+    src = base.filter(pk % 113 != 1).select(
+        pk,
+        F.when(pk % 7 == 0, F.lit("SHIPPED2")).otherwise(F.col("status")).alias("status"),
+        "cents",
+    )
+    rep = t.read()
+
+    def side(df, rows_name, xor_name):
+        digest = _mh64(
+            F.concat_ws(
+                "|",
+                F.col("pk").cast("string"),
+                "status",
+                F.col("cents").cast("string"),
+            )
+        )
+        return df.groupBy(
+            F.pmod(_mh64(F.col("pk").cast("string")), F.lit(64)).alias("bucket")
+        ).agg(
+            F.count("*").alias(rows_name), F.bit_xor(digest).alias(xor_name)
+        )
+
+    sa = side(src, "src_rows", "src_xor")
+    ra = side(rep, "rep_rows", "rep_xor")
+    audit = (
+        sa.join(ra, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("src_rows", F.lit(0)).alias("src_rows"),
+            F.coalesce("rep_rows", F.lit(0)).alias("rep_rows"),
+            F.coalesce("src_xor", F.lit(0)).alias("src_xor"),
+            F.coalesce("rep_xor", F.lit(0)).alias("rep_xor"),
+        )
+        .withColumn(
+            "in_sync",
+            (
+                (F.col("src_rows") == F.col("rep_rows"))
+                & (F.col("src_xor") == F.col("rep_xor"))
+            ).cast("int"),
+        )
+    )
+    # the mismatch set must be exactly the buckets holding a lost change
+    lost_buckets = {
+        r.bucket
+        for r in changes.filter(pk % 101 == 5)
+        .select(F.pmod(_mh64(pk.cast("string")), F.lit(64)).alias("bucket"))
+        .distinct()
+        .collect()
+    }
+    bad = {r.bucket for r in audit.filter(F.col("in_sync") == 0).collect()}
+    _check(
+        bad == lost_buckets,
+        f"audit must localize divergence to the lost-change buckets: "
+        f"flagged {sorted(bad)} vs lost {sorted(lost_buckets)}",
+    )
+    return audit

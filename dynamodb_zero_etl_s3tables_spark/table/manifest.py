@@ -82,6 +82,11 @@ class Snapshot:
     #: the Iceberg WAP (branch-commit + fast-forward) semantic over
     #: this manifest. Absent in pre-WAP manifests -> defaults False.
     staged: bool = False
+    #: branch commits: name of the branch this snapshot was committed
+    #: on (None = main / anonymous WAP stage). Kept after fast-forward
+    #: as provenance — history shows which commits arrived via which
+    #: branch, the Iceberg snapshot-summary `branch` property analog.
+    ref: str | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -102,6 +107,12 @@ class Manifest:
     #: semantic). Tagged versions are retention-exempt: vacuum and
     #: expire_snapshots keep them until the tag is deleted.
     tags: dict[str, int] = field(default_factory=dict)
+    #: mutable named refs: branch -> BASE version (the published
+    #: snapshot the branch forked from). The branch HEAD is derived —
+    #: the newest staged snapshot whose ``ref`` equals the branch name,
+    #: falling back to the base — so every branch commit stays a
+    #: single atomic manifest write with no second pointer update.
+    branches: dict[str, int] = field(default_factory=dict)
 
     @property
     def current(self) -> Snapshot | None:
@@ -312,20 +323,31 @@ class ManagedTable:
         return Manifest(snapshots=snaps, **raw)
 
     @staticmethod
-    def _fence_staged(m: Manifest) -> None:
-        """Invariant: a staged snapshot is always LAST until published
-        or aborted. Any other commit (merge, MoR delta, rollback,
-        compaction — and another STAGE: stages may not stack, else the
-        first becomes unpublishable since publish/abort accept only the
-        last snapshot) while one is pending would strand it mid-history,
-        so it conflicts instead — the same single-branch-head rule an
-        Iceberg WAP branch enforces. Checked on the commit-time re-read,
-        so two racing stage_changes() cannot both land."""
-        if m.snapshots and m.snapshots[-1].staged:
-            raise CommitConflictError(
-                f"staged snapshot v{m.snapshots[-1].version} pending; "
-                "publish or abort it before committing"
-            )
+    def _fence_staged(m: Manifest, ref: str | None = None) -> None:
+        """Invariant: staged snapshots are always a contiguous TAIL of
+        history, all on one lineage, until published or aborted. Any
+        other commit (merge, MoR delta, rollback, compaction — and
+        another STAGE on a different lineage: an anonymous stage may
+        not stack, else the first becomes unpublishable since publish/
+        abort accept only the last snapshot) while one is pending would
+        strand it mid-history, so it conflicts instead — the same
+        single-staged-lineage rule an Iceberg WAP branch enforces.
+        The one legal stack is a BRANCH growing its own head: a commit
+        carrying ``ref=name`` may land on top of staged snapshots that
+        all carry the same ``ref`` (multi-commit branches, published
+        together by :meth:`fast_forward`). Checked on the commit-time
+        re-read, so two racing stage_changes() cannot both land."""
+        pending = [s for s in m.snapshots if s.staged]
+        if not pending:
+            return
+        if ref is not None and all(s.ref == ref for s in pending):
+            return  # growing our own branch head
+        head = m.snapshots[-1]
+        where = f"branch {head.ref!r}" if head.ref else "anonymous stage"
+        raise CommitConflictError(
+            f"staged snapshot v{head.version} ({where}) pending; "
+            "publish/fast-forward or abort it before committing"
+        )
 
     def _write_manifest(self, m: Manifest, expected_version: int) -> None:
         """B9+A8: atomic pointer swap with optimistic version check."""
@@ -347,6 +369,7 @@ class ManagedTable:
             # behavior the reference gets from Glue (ts:110-117)
             "spec": asdict(self.spec),
             "tags": m.tags,
+            "branches": m.branches,
             "snapshots": [s.to_dict() for s in m.snapshots],
         }
         tmp = self.manifest_path.with_suffix(f".tmp-{uuid.uuid4().hex}")
@@ -362,21 +385,30 @@ class ManagedTable:
     def version(self) -> int:
         return self._read_manifest().version
 
-    def read(self, version: int | None = None, tag: str | None = None) -> DataFrame:
-        """Current snapshot, or time travel to ``version`` / ``tag`` (B10)."""
+    def read(
+        self,
+        version: int | None = None,
+        tag: str | None = None,
+        branch: str | None = None,
+    ) -> DataFrame:
+        """Current snapshot, or time travel to ``version`` / ``tag``
+        (B10), or the head of a ``branch`` (staged commits included —
+        the audit-side view of an in-flight branch)."""
         m = self._read_manifest()
         if not m.snapshots:
             raise FileNotFoundError(f"table {self.spec.qualified_name} has no snapshots")
         by_v = {s.version: s for s in m.snapshots}
+        if sum(x is not None for x in (version, tag, branch)) > 1:
+            raise ValueError("pass at most one of version / tag / branch")
         if tag is not None:
-            if version is not None:
-                raise ValueError("pass either version or tag, not both")
             if tag not in m.tags:
                 raise ValueError(
                     f"unknown tag {tag!r} on {self.spec.qualified_name} "
                     f"(tags: {sorted(m.tags)})"
                 )
             version = m.tags[tag]
+        if branch is not None:
+            version = self._branch_head(m, branch)
         if version is None:
             snap = m.current
         else:
@@ -781,10 +813,14 @@ class ManagedTable:
         operation: str,
         carry_entries: list[dict[str, Any]] | None = None,
         staged: bool = False,
+        ref: str | None = None,
     ) -> None:
         """Write ``df``'s files as snapshot N+1. For partitioned
         tables, ``carry_entries`` are untouched partition dirs from the
-        previous snapshot, referenced (not copied) by the new one."""
+        previous snapshot, referenced (not copied) by the new one.
+        ``ref`` marks a branch commit: it may stack on staged
+        snapshots of the SAME branch (schema evolution then baselines
+        on the branch head, not the published current)."""
         from dynamodb_zero_etl_s3tables_spark.metrics import (
             CommitMetrics,
             observe_rows,
@@ -792,10 +828,15 @@ class ManagedTable:
 
         t0 = time.perf_counter()
         m = self._read_manifest()
-        self._fence_staged(m)
+        self._fence_staged(m, ref=ref)
         expected = m.version
-        if m.current is not None:
-            old_schema = T.StructType.fromJson(json.loads(m.current.schema_json))
+        evolve_base = m.current
+        if ref is not None:
+            branch_snaps = [s for s in m.snapshots if s.staged and s.ref == ref]
+            if branch_snaps:
+                evolve_base = branch_snaps[-1]
+        if evolve_base is not None:
+            old_schema = T.StructType.fromJson(json.loads(evolve_base.schema_json))
             evolved = _evolve_schema(old_schema, df.schema)
             # fill columns added by evolution so old snapshots stay readable
             from pyspark.sql import functions as F
@@ -854,6 +895,7 @@ class ManagedTable:
                 partitions=partitions,
                 files=files,
                 staged=staged,
+                ref=ref,
             )
         )
         self._write_manifest(m, expected_version=expected)
@@ -1121,6 +1163,120 @@ class ManagedTable:
     def list_tags(self) -> dict[str, int]:
         return dict(self._read_manifest().tags)
 
+    # -- branches (mutable refs: Iceberg branch + WAP fast-forward) --------
+
+    @staticmethod
+    def _branch_head(m: Manifest, name: str) -> int:
+        """Resolve a branch to its head version: the newest staged
+        snapshot committed on it, else the base it forked from."""
+        if name not in m.branches:
+            raise ValueError(
+                f"unknown branch {name!r} (branches: {sorted(m.branches)})"
+            )
+        commits = [s.version for s in m.snapshots if s.staged and s.ref == name]
+        return commits[-1] if commits else m.branches[name]
+
+    def create_branch(self, name: str, version: int | None = None) -> None:
+        """Iceberg BRANCH analog: a mutable named ref forked from a
+        published snapshot. Commits land on it via
+        :meth:`apply_changes_to_branch` (staged — invisible to main
+        readers), audits read it via ``read(branch=...)``, and
+        :meth:`fast_forward` publishes the whole chain atomically —
+        multi-commit write-audit-publish, generalizing the single-
+        snapshot :meth:`stage_changes`. The branch BASE version is
+        retention-pinned like a tag until the branch is deleted or
+        fast-forwarded. Linear-history simplification (documented
+        engine contract): only one lineage may have PENDING commits at
+        a time — a commit to branch B while branch A has staged
+        commits conflicts, exactly like the anonymous-stage fence."""
+        m = self._read_manifest()
+        published = {s.version for s in m.snapshots if not s.staged}
+        v = (m.current.version if m.current else 0) if version is None else version
+        if v not in published:
+            raise ValueError(
+                f"version {v} is not a published snapshot of "
+                f"{self.spec.qualified_name} (published: {sorted(published)})"
+            )
+        if name in m.branches:
+            raise ValueError(f"branch {name!r} already exists")
+        if name in m.tags:
+            raise ValueError(f"{name!r} already names a tag")
+        m.branches[name] = v
+        self._write_manifest(m, expected_version=m.version)
+
+    def list_branches(self) -> dict[str, int]:
+        """name -> current head version (staged commits included)."""
+        m = self._read_manifest()
+        return {n: self._branch_head(m, n) for n in m.branches}
+
+    def apply_changes_to_branch(
+        self,
+        name: str,
+        changes: DataFrame,
+        order_cols: tuple[str, ...] | None = None,
+    ) -> int:
+        """Merge a change batch onto ``name``'s head and commit it as
+        a staged branch snapshot; returns the new head version. The
+        merge baselines on the BRANCH head (not the published current),
+        so successive batches stack — the multi-commit WAP workflow.
+
+        Scale: each branch commit is the generic full copy-on-write
+        merge plan (same note as :meth:`stage_changes`); the ref
+        bookkeeping is O(manifest)."""
+        m = self._read_manifest()
+        head = self._branch_head(m, name)  # validates the branch too
+        # Lost-update guard: once main advances past the fork point, a
+        # first branch commit would baseline on stale data and a later
+        # fast-forward would silently discard main's changes. Iceberg
+        # requires main to be an ancestor of the fast-forwarded branch;
+        # with linear history that means the branch must fork from the
+        # CURRENT tip when its first commit lands (after that, the
+        # staged fence keeps main frozen until publish/abort).
+        if head == m.branches[name] and m.current and m.current.version != head:
+            raise CommitConflictError(
+                f"branch {name!r} forked at v{head} but main advanced to "
+                f"v{m.current.version}; recreate the branch from the tip"
+            )
+        base = self.read(version=head)
+        order = order_cols or self.spec.order_columns
+        merged = merge_changes(
+            base, changes, keys=self.spec.key_columns, order_cols=order
+        )
+        self._write_snapshot(
+            merged, operation=f"branch-merge:{name}", staged=True, ref=name
+        )
+        return self._read_manifest().snapshots[-1].version
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch: flip every staged snapshot committed on
+        it to published, in commit order, and drop the branch ref — a
+        pure manifest flip (no data movement), the Iceberg
+        ``fast_forward('main', branch)`` analog. Returns the new
+        current version. A branch with no commits just evaporates."""
+        m = self._read_manifest()
+        head = self._branch_head(m, name)
+        expected = m.version
+        for s in m.snapshots:
+            if s.staged and s.ref == name:
+                s.staged = False
+                s.operation = f"branch-publish:{name}"
+        del m.branches[name]
+        self._write_manifest(m, expected_version=expected)
+        return head
+
+    def delete_branch(self, name: str) -> dict[str, int]:
+        """Abort a branch: drop its staged snapshots from history
+        (their data dirs become unreferenced; vacuum reclaims) and
+        remove the ref. The failed-audit exit of the branch WAP."""
+        m = self._read_manifest()
+        self._branch_head(m, name)  # existence check
+        expected = m.version
+        before = len(m.snapshots)
+        m.snapshots = [s for s in m.snapshots if not (s.staged and s.ref == name)]
+        del m.branches[name]
+        self._write_manifest(m, expected_version=expected)
+        return {"commits_dropped": before - len(m.snapshots)}
+
     def evolve_partitioning(self, partition_columns: tuple[str, ...]) -> None:
         """Iceberg PARTITION SPEC EVOLUTION analog (public spec-v2
         behavior): change the table's partition columns as a
@@ -1227,11 +1383,7 @@ class ManagedTable:
         _apply_changes_pruned does); audit reads only the staged
         snapshot; publish and abort are O(manifest)."""
         m = self._read_manifest()
-        if m.snapshots and m.snapshots[-1].staged:
-            raise CommitConflictError(
-                f"staged snapshot v{m.snapshots[-1].version} already "
-                "pending; publish or abort it first"
-            )
+        self._fence_staged(m)  # early exit before the merge is computed
         order = order_cols or self.spec.order_columns
         base = self.read()
         merged = merge_changes(
@@ -1322,9 +1474,11 @@ class ManagedTable:
         cutoff = now - noncur * 86400
         # staged snapshots are pinned (an in-flight WAP stage must
         # survive retention until explicitly published or aborted),
-        # and so are tagged versions — a named ref IS a retention
-        # exemption until the tag is deleted
-        tagged = set(m.tags.values())
+        # and so are tagged versions and branch BASES — a named ref IS
+        # a retention exemption until the ref is deleted (a branch's
+        # next commit merges against its base, so losing the base
+        # would strand the branch)
+        tagged = set(m.tags.values()) | set(m.branches.values())
         keep = [
             s
             for s in m.snapshots
@@ -1352,9 +1506,9 @@ class ManagedTable:
             return {"snapshots_dropped": 0, "dirs_deleted": 0}
         expected = m.version
         newest = sorted(m.snapshots, key=lambda s: -s.version)[:retain_last]
-        # staged + tagged pins mirror vacuum(): count-based retention
-        # may not drop a pending WAP stage or a named ref
-        tagged = set(m.tags.values())
+        # staged + tagged + branch-base pins mirror vacuum(): count-
+        # based retention may not drop a pending WAP stage or a named ref
+        tagged = set(m.tags.values()) | set(m.branches.values())
         keep = [
             s
             for s in m.snapshots

@@ -133,6 +133,8 @@ def test_registry_wide_plan_sweep(spark):
         #                             broadcast cross of two tiny aggregates
         "e55_source_minhash_sketch",  # theta self-join over the n_sources-row
         #                               signature table (broadcast)
+        "e53_kneser_ney_score",     # two 1-row broadcasts (vocab size,
+        #                             bigram-type total)
     }
     # Window with no partition spec over a bounded (post-limit) input:
     global_window_ok = {

@@ -723,7 +723,7 @@ def test_wap_fences_other_commits(spark, warehouse):
         t.apply_changes(changelog_df(spark))
     with pytest.raises(CommitConflictError, match="pending"):
         t.rollback_to(1)
-    with pytest.raises(CommitConflictError, match="already"):
+    with pytest.raises(CommitConflictError, match="pending"):
         t.stage_changes(changelog_df(spark))
     # publish resolves the fence
     t.publish(staged_v)
@@ -1097,10 +1097,130 @@ def test_tag_validation(spark, warehouse):
     t.create_tag("v1")
     with pytest.raises(ValueError, match="already exists"):
         t.create_tag("v1")
-    with pytest.raises(ValueError, match="either version or tag"):
+    with pytest.raises(ValueError, match="at most one of"):
         t.read(version=1, tag="v1")
     with pytest.raises(ValueError, match="unknown tag"):
         t.delete_tag("ghost")
     # tags survive reopen from the manifest
     t2 = ManagedTable.open(spark, warehouse, "ns.items")
     assert t2.list_tags() == {"v1": 1}
+
+
+# -- branches (Iceberg branch + multi-commit WAP fast-forward) -------------
+
+
+def second_batch(spark):
+    return spark.createDataFrame(
+        [
+            Row(op="MODIFY", seq=3, pk=4, status="b2", price=44.0),
+            Row(op="REMOVE", seq=3, pk=5, status="x", price=0.0),
+        ]
+    )
+
+
+def test_branch_stack_audit_fast_forward(spark, warehouse):
+    """Two commits stack on one branch (main blind to both), the
+    branch read sees the stacked state, and fast_forward publishes
+    the whole chain atomically."""
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.create_branch("audit")
+    v2 = t.apply_changes_to_branch("audit", changelog_df(spark))
+    v3 = t.apply_changes_to_branch("audit", second_batch(spark))
+    assert (v2, v3) == (2, 3)
+    # main readers still see the bootstrap
+    assert {r.status for r in t.read().collect()} == {"old"}
+    # branch head = both batches applied in order
+    state = {r.pk: r.status for r in t.read(branch="audit").collect()}
+    assert state == {1: "v2", 2: "upd", 4: "b2", 9: "new"}
+    assert t.list_branches() == {"audit": 3}
+    head = t.fast_forward("audit")
+    assert head == 3
+    assert {r.pk: r.status for r in t.read().collect()} == state
+    ops = [s.operation for s in t.history()]
+    assert ops == ["bootstrap", "branch-publish:audit", "branch-publish:audit"]
+    # provenance survives publish
+    assert [s.ref for s in t.history()] == [None, "audit", "audit"]
+    assert t.list_branches() == {}
+
+
+def test_branch_fences_other_lineages(spark, warehouse):
+    """While a branch has pending commits: main merges, anonymous
+    stages, and commits to a SECOND branch all conflict."""
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.create_branch("a")
+    t.create_branch("b")
+    t.apply_changes_to_branch("a", changelog_df(spark))
+    with pytest.raises(CommitConflictError, match="branch 'a'"):
+        t.apply_changes(second_batch(spark))
+    with pytest.raises(CommitConflictError, match="branch 'a'"):
+        t.stage_changes(second_batch(spark))
+    with pytest.raises(CommitConflictError, match="branch 'a'"):
+        t.apply_changes_to_branch("b", second_batch(spark))
+    # publishing A unblocks B
+    t.fast_forward("a")
+    # ...but B's fork point is now stale: the lost-update guard trips
+    with pytest.raises(CommitConflictError, match="main advanced"):
+        t.apply_changes_to_branch("b", second_batch(spark))
+
+
+def test_branch_delete_aborts_commits(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.create_branch("audit")
+    t.apply_changes_to_branch("audit", changelog_df(spark))
+    t.apply_changes_to_branch("audit", second_batch(spark))
+    res = t.delete_branch("audit")
+    assert res == {"commits_dropped": 2}
+    assert [s.version for s in t.history()] == [1]
+    assert {r.status for r in t.read().collect()} == {"old"}
+    # history is clean again: a normal merge lands fine
+    t.apply_changes(changelog_df(spark))
+    assert t.version == 2
+
+
+def test_branch_base_pinned_through_retention(spark, warehouse):
+    """A branch ref pins its fork base: vacuum/expire may not reclaim
+    it (the branch's next commit merges against that base)."""
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.apply_changes(changelog_df(spark))
+    # fork a branch at v1 (not current), then advance main
+    t.create_branch("old-base", version=1)
+    t.apply_changes(second_batch(spark))
+    res = t.vacuum(unreferenced_days=0, noncurrent_days=0, now=time.time() + 86400)
+    # v2 (untagged, unbranched, noncurrent) drops; v1 is pinned
+    assert res["snapshots_dropped"] == 1
+    assert sorted(s.version for s in t.history()) == [1, 3]
+    assert t.read(branch="old-base").count() == 5
+    res2 = t.expire_snapshots(retain_last=1)
+    assert res2["snapshots_dropped"] == 0
+
+
+def test_branch_validation(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.create_tag("pin")
+    with pytest.raises(ValueError, match="names a tag"):
+        t.create_branch("pin")
+    t.create_branch("audit")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("audit")
+    with pytest.raises(ValueError, match="not a published snapshot"):
+        t.create_branch("ghost", version=99)
+    with pytest.raises(ValueError, match="unknown branch"):
+        t.read(branch="nope")
+    with pytest.raises(ValueError, match="unknown branch"):
+        t.fast_forward("nope")
+    # a staged snapshot is not a valid fork point
+    v = t.stage_changes(changelog_df(spark))
+    with pytest.raises(ValueError, match="not a published snapshot"):
+        t.create_branch("on-stage", version=v)
+    t.abort_staged(v)
+    # branches survive reopen from the manifest
+    t2 = ManagedTable.open(spark, warehouse, "ns.items")
+    assert t2.list_branches() == {"audit": 1}
+    # empty-branch fast-forward just evaporates the ref
+    assert t2.fast_forward("audit") == 1
+    assert t2.list_branches() == {}
