@@ -2112,3 +2112,107 @@ def c13_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"flagged {sorted(bad)} vs lost {sorted(lost_buckets)}",
     )
     return audit
+
+
+#: d92: target rows per compaction group (the write.target-file-size
+#: analog expressed in rows, which are deterministic cross-engine —
+#: byte sizes depend on the parquet writer and may not be oracled)
+COMPACT_TARGET_ROWS = 1000
+
+
+@query(
+    "d92_compaction_plan",
+    oracle=f"""
+    WITH p AS (
+      SELECT o_orderkey % 24 AS pv, COUNT(*) AS n_rows
+      FROM orders GROUP BY pv
+    ),
+    w AS (
+      SELECT pv, n_rows,
+             COALESCE(SUM(n_rows) OVER (ORDER BY pv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM p
+    )
+    SELECT CAST(FLOOR(cum / {COMPACT_TARGET_ROWS}) AS BIGINT) AS group_id,
+           COUNT(*) AS n_partitions,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           MIN(pv) AS first_partition, MAX(pv) AS last_partition
+    FROM w GROUP BY group_id
+    """,
+)
+def d92_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 companion: COMPACTION PLANNING from manifest metadata alone
+    — the Iceberg ``rewrite_data_files(strategy => 'binpack')``
+    planning phase (public procedure) over this engine's manifest. A
+    24-partition managed table is bootstrapped; the planner then reads
+    ONLY the current snapshot's partition entries (per-file row
+    stats collected at commit time) and packs adjacent small
+    partitions into rewrite groups by running row count against a
+    target-size knob. The oracle recomputes the same plan relationally
+    from the raw data, so the hash-match proves the manifest's
+    committed statistics agree exactly with the data they describe —
+    the property that lets maintenance be planned WITHOUT scanning the
+    table. _checks pin plan integrity: groups cover every partition
+    exactly once and plan totals equal the table row count.
+
+    Scale: planning input is the manifest (O(partitions) metadata, no
+    data scan — at 100 TB that is the difference between a
+    sub-second planning step and a full-table pass); each rewrite
+    group is then compacted independently (b11b executes that path).
+    The pack uses one bounded window over the metadata frame —
+    partitions-count rows, not data rows."""
+    wh = _scratch(sf_dir, "warehouse_d92", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_small_parts",
+            key_columns=("pk",),
+            order_columns=("seq",),
+            partition_columns=("part_bucket",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    t.bootstrap(
+        o.select(
+            F.col("o_orderkey").alias("pk"),
+            (F.col("o_orderkey") % 24).alias("part_bucket"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    snap = t._read_manifest().current
+    _check(snap is not None and snap.partitions is not None, "partitioned snapshot expected")
+    meta = [
+        (
+            int(e["values"]["part_bucket"]),
+            int(sum(f["rows"] for f in e.get("files", []))),
+        )
+        for e in snap.partitions
+    ]
+    _check(len(meta) == 24, f"expected 24 partition entries, got {len(meta)}")
+    stats = spark.createDataFrame(meta, "pv BIGINT, n_rows BIGINT")
+    from pyspark.sql import Window
+
+    # bounded global window: the input is the O(partitions) metadata
+    # frame (24 rows here; manifest-sized, never data-sized)
+    w = Window.orderBy("pv").rowsBetween(Window.unboundedPreceding, -1)
+    planned = stats.withColumn(
+        "group_id",
+        F.floor(
+            F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+            / F.lit(COMPACT_TARGET_ROWS)
+        ),
+    )
+    plan = planned.groupBy("group_id").agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("n_rows").alias("total_rows"),
+        F.min("pv").alias("first_partition"),
+        F.max("pv").alias("last_partition"),
+    )
+    sums = plan.agg(
+        F.sum("n_partitions").alias("np"), F.sum("total_rows").alias("tr")
+    ).collect()[0]
+    _check(
+        sums.np == 24 and sums.tr == sum(r for _, r in meta),
+        f"plan must cover all partitions/rows exactly once, got {sums}",
+    )
+    return plan

@@ -152,6 +152,8 @@ def test_registry_wide_plan_sweep(spark):
         "e44_ivf_pq_residual",   # LIMIT-16 seed stamping + top-10 rank
         "e49_cluster_balanced_sample",  # LIMIT-8 seed stamping (composes e21)
         "e52_incremental_ivfpq",        # LIMIT-16 seed stamping (composes e40)
+        "d92_compaction_plan",          # cumsum over the O(partitions)
+        #                                 manifest-metadata frame (24 rows)
     }
     # builders that run jobs/streams at build time; plan shape of
     # their final read is covered by their oracle queries instead
