@@ -1511,3 +1511,83 @@ def e55_source_minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (agree.cast("double") / F.lit(N_HASHES)).alias("est_jaccard"),
         )
     )
+
+
+@query(
+    "e56_split_leakage_audit",
+    oracle=f"""
+    WITH cand AS (SELECT * FROM ({_CAND_SQL}) c),
+    spl AS (
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               (('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                1, 15))::BIGINT) % 100 AS b
+        FROM documents
+      )
+    ),
+    labeled AS (
+      SELECT LEAST(sa.split, sb.split) AS split_lo,
+             GREATEST(sa.split, sb.split) AS split_hi
+      FROM cand
+      JOIN spl sa ON sa.doc_id = cand.doc_a
+      JOIN spl sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT split_lo, split_hi, COUNT(*) AS n_pairs,
+           CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS INT)
+             AS is_leak
+    FROM labeled GROUP BY split_lo, split_hi
+    """,
+)
+def e56_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline QA: TRAIN/TEST LEAKAGE AUDIT — near-duplicate
+    pairs (e02b's banded-LSH candidates) joined against the
+    deterministic e08 split, classified by the unordered split pair.
+    Rows with ``is_leak = 1`` are candidate near-dups STRADDLING a
+    split boundary — the contamination that inflates eval scores
+    (the reason near-dedup runs BEFORE splitting in production; Lee
+    et al. 2022 measure exactly this failure). The audit is the
+    monitoring twin of e41's export pipeline, which deduplicates
+    first and therefore cannot leak; pointing it at a naively-split
+    corpus (as here) quantifies what dedup-after-split would cost.
+
+    Scale: rides e02b's capped bucket expansion unchanged (one
+    shuffle, O(cap^2) worst task); the split label is a pure hash
+    expression (no data motion) and the classify join touches
+    candidate PAIRS, not the corpus. Output is <= 6 summary rows via
+    partial-aggregated counts."""
+    pairs = e02b_minhash_lsh_pairs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    spl = d.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    labeled = (
+        pairs.join(spl.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+        .join(spl.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+    )
+    return labeled.groupBy("split_lo", "split_hi").agg(
+        F.count("*").alias("n_pairs"),
+        F.max((F.col("split_lo") != F.col("split_hi")).cast("int")).alias("is_leak"),
+    )
