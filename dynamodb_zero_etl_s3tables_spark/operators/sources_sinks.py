@@ -2331,3 +2331,88 @@ def d94_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.format("ddb_export").option("path", out).load()
     _check(len(df.inputFiles()) == 0, "python datasource should own its splits")
     return df
+
+
+@query(
+    "c14_rename_journey",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <= 5
+    ),
+    final AS (
+      SELECT pk,
+             CASE WHEN pk % 10 = 0 THEN 'relabeled' ELSE status END AS state,
+             price AS amount
+      FROM base
+    )
+    SELECT state, COUNT(*) AS n, {DSUM('amount')} AS total
+    FROM final GROUP BY state
+    """,
+)
+def c14_rename_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 capstone: COLUMN RENAME WITHOUT REWRITE end-to-end —
+    bootstrap, rename ``status -> state`` (metadata-only: _check pins
+    that the new snapshot references the SAME data directory), merge a
+    change batch that binds to the new name, then rename
+    ``price -> amount`` on the merged snapshot (a second mapping over
+    files that now mix old- and new-named columns). The RETURNED
+    RESULT aggregates over both renamed columns; the oracle restates
+    the journey relationally under the final names, so the hash-match
+    proves the name mapping never surfaced a NULLed column or lost a
+    row. Time travel to v1 must still show the ORIGINAL name — the
+    Iceberg rename semantic.
+
+    Scale: both renames are O(manifest) commits — on a 100 TB table
+    they are milliseconds vs a full-table rewrite; reads add only a
+    projection-level rename, and scan pruning keys off the re-mapped
+    stats (tested in test_rename_scan_pruning_follows_new_name)."""
+    wh = _scratch(sf_dir, "warehouse_c14", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_renamed",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    t.bootstrap(
+        o.filter(mod10 <= 5).select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    dir_v1 = t.history()[-1].data_dir
+    t.rename_column("status", "state")
+    _check(
+        t.history()[-1].data_dir == dir_v1,
+        "rename must be metadata-only (same data dir)",
+    )
+    # merge binds to the NEW name
+    t.apply_changes(
+        o.filter(mod10 == 0).select(
+            F.lit("MODIFY").alias("op"),
+            F.lit(1).alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            F.lit("relabeled").alias("state"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    t.rename_column("price", "amount")
+    _check(
+        "status" in t.read(version=1).columns,
+        "time travel must keep the pre-rename name",
+    )
+    cols = set(t.read().columns)
+    _check(
+        cols == {"pk", "state", "amount"},
+        f"current schema should carry both renames, got {sorted(cols)}",
+    )
+    return (
+        t.read()
+        .groupBy("state")
+        .agg(F.count("*").alias("n"), dsum("amount").alias("total"))
+    )

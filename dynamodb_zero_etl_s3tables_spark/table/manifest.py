@@ -87,6 +87,14 @@ class Snapshot:
     #: as provenance — history shows which commits arrived via which
     #: branch, the Iceberg snapshot-summary `branch` property analog.
     ref: str | None = None
+    #: column renames (Iceberg field-ID name-mapping analog): maps the
+    #: column name AS STORED IN THIS SNAPSHOT'S DATA FILES to its
+    #: current name in ``schema_json``. Set by metadata-only
+    #: ``rename_column`` commits, which reference the previous
+    #: snapshot's files unchanged; reads load files under their stored
+    #: names and rename on the fly. Later merges write files with the
+    #: new names, so their snapshots carry no mapping.
+    read_renames: dict[str, str] | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -453,8 +461,37 @@ class ManagedTable:
                 .unionByName(inserts)
             )
         if snap.partitions is None:
-            return self.spark.read.schema(schema).parquet(snap.data_dir)
+            raw = self.spark.read.schema(self._file_schema(schema, snap)).parquet(
+                snap.data_dir
+            )
+            return self._apply_read_renames(raw, snap)
         return self._read_partition_entries(snap.partitions, schema)
+
+    @staticmethod
+    def _file_schema(schema: T.StructType, snap: Snapshot) -> T.StructType:
+        """The snapshot schema under the names its data FILES use —
+        current names inverse-mapped through ``read_renames`` (an
+        explicit-schema parquet read matches by name, so reading
+        renamed files with the current name would surface NULLs)."""
+        if not snap.read_renames:
+            return schema
+        inv = {cur: fc for fc, cur in snap.read_renames.items()}
+        return T.StructType(
+            [
+                T.StructField(
+                    inv.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+                )
+                for f in schema.fields
+            ]
+        )
+
+    @staticmethod
+    def _apply_read_renames(df: DataFrame, snap: Snapshot) -> DataFrame:
+        if snap.read_renames:
+            for file_col, cur in snap.read_renames.items():
+                if file_col != cur:
+                    df = df.withColumnRenamed(file_col, cur)
+        return df
 
     def _read_partition_entries(
         self, entries: list[dict[str, Any]], schema: T.StructType
@@ -713,7 +750,10 @@ class ManagedTable:
         }
         if not keep_files:
             return self.spark.createDataFrame([], schema)
-        return residual(self.spark.read.schema(schema).parquet(*keep_files))
+        raw = self.spark.read.schema(self._file_schema(schema, snap)).parquet(
+            *keep_files
+        )
+        return residual(self._apply_read_renames(raw, snap))
 
     def maybe_compact(
         self,
@@ -1325,6 +1365,100 @@ class ManagedTable:
                     delta=snap.delta,
                 )
             )
+        self._write_manifest(m, expected_version=expected)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """B4 extension: COLUMN RENAME as a metadata-only commit — the
+        Iceberg field-ID rename semantic (rename without rewrite)
+        realized through a per-snapshot name mapping. The new snapshot
+        references the previous snapshot's data files UNCHANGED;
+        ``read_renames`` records file-name -> current-name so reads
+        load files under their stored names and rename on the fly
+        (an explicit-schema parquet read binds by name — without the
+        mapping a renamed column would silently read as NULL). Later
+        merges/compactions write files under the new name and carry no
+        mapping; renames compose (a->b->c keeps one file->current
+        entry). Time travel to pre-rename versions shows the old name,
+        exactly like Iceberg.
+
+        Documented constraints: the current snapshot must be
+        unpartitioned copy-on-write (partition entries and MoR delta
+        chains would need per-entry mappings — the per-file spec-id
+        generalization), and key/order/partition columns cannot be
+        renamed (the spec that merges bind to is persisted and
+        stable).
+
+        Scale: O(manifest). On a 100 TB table this commits in
+        milliseconds while a rewrite-based rename would be a full
+        table pass; per-file min/max stats are re-keyed in the
+        manifest so scan pruning keeps working under the new name."""
+        m = self._read_manifest()
+        self._fence_staged(m)
+        expected = m.version
+        snap = m.current
+        if snap is None:
+            raise FileNotFoundError(
+                f"table {self.spec.qualified_name} has no snapshots"
+            )
+        if snap.partitions is not None or snap.delta is not None:
+            raise ValueError(
+                "rename_column requires an unpartitioned copy-on-write "
+                "current snapshot (compact() a MoR chain first)"
+            )
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"unknown column {old!r} (columns: {names})")
+        if new in names:
+            raise SchemaEvolutionError(
+                f"cannot rename {old!r}: column {new!r} already exists"
+            )
+        protected = set(self.spec.key_columns) | set(
+            self.spec.order_columns or ()
+        ) | set(self.spec.partition_columns)
+        if old in protected:
+            raise ValueError(
+                f"cannot rename {old!r}: key/order/partition columns are "
+                "bound by the persisted table spec"
+            )
+        new_schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        renames = dict(snap.read_renames or {})
+        inv = {cur: fc for fc, cur in renames.items()}
+        file_col = inv.get(old, old)
+        renames.pop(file_col, None)
+        if file_col != new:
+            renames[file_col] = new
+        files = None
+        if snap.files is not None:
+            files = [
+                {
+                    **e,
+                    "stats": {
+                        (new if k == old else k): v
+                        for k, v in (e.get("stats") or {}).items()
+                    },
+                }
+                for e in snap.files
+            ]
+        m.snapshots.append(
+            Snapshot(
+                version=expected + 1,
+                data_dir=snap.data_dir,
+                committed_at=time.time(),
+                row_count=snap.row_count,
+                schema_json=json.dumps(new_schema.jsonValue()),
+                operation=f"rename-column:{old}->{new}",
+                files=files,
+                read_renames=renames or None,
+            )
+        )
         self._write_manifest(m, expected_version=expected)
 
     def rollback_to(self, version: int) -> None:

@@ -1224,3 +1224,80 @@ def test_branch_validation(spark, warehouse):
     # empty-branch fast-forward just evaporates the ref
     assert t2.fast_forward("audit") == 1
     assert t2.list_branches() == {}
+
+
+# -- column rename (metadata-only, Iceberg name-mapping analog) ------------
+
+
+def test_rename_column_no_rewrite(spark, warehouse):
+    """Rename is O(manifest): data files are untouched, reads map the
+    stored name to the new one (no NULLed column), time travel to the
+    pre-rename version still shows the old name."""
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    dir_before = t.history()[-1].data_dir
+    t.rename_column("status", "state")
+    assert t.history()[-1].data_dir == dir_before  # same files
+    out = t.read()
+    assert "state" in out.columns and "status" not in out.columns
+    vals = {r.pk: r.state for r in out.collect()}
+    assert vals == {i: "old" for i in range(1, 6)}  # data intact, not NULL
+    # pre-rename snapshot keeps the old name
+    old = t.read(version=1)
+    assert "status" in old.columns and "state" not in old.columns
+
+
+def test_rename_then_merge_and_compose(spark, warehouse):
+    """Post-rename merges bind to the new name and write unmapped
+    files; a second rename composes to one file->current entry."""
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.rename_column("status", "state")
+    batch = spark.createDataFrame(
+        [Row(op="MODIFY", seq=1, pk=2, state="merged", price=22.0)]
+    )
+    t.apply_changes(batch)
+    state = {r.pk: r.state for r in t.read().collect()}
+    assert state[2] == "merged" and state[1] == "old"
+    assert t.history()[-1].read_renames is None  # fresh files, no mapping
+    # compose: rename again (state -> phase) on the merged snapshot
+    t.rename_column("state", "phase")
+    assert {r.pk: r.phase for r in t.read().collect()}[2] == "merged"
+
+
+def test_rename_scan_pruning_follows_new_name(spark, warehouse):
+    """Manifest min/max stats are re-keyed: scan() prunes on the NEW
+    name after a metadata-only rename."""
+    spec = TableSpec(
+        namespace="ns", name="pruned", key_columns=("pk",),
+        order_columns=("seq",), sort_columns=("price",),
+        properties={"write.sorted-file-count": "4"},
+    )
+    t = ManagedTable(spark, warehouse, spec)
+    t.bootstrap(
+        spark.createDataFrame(
+            [Row(pk=i, status="s", price=float(i)) for i in range(1, 101)]
+        )
+    )
+    t.rename_column("price", "amount")
+    got = t.scan([("amount", ">=", 90.0)])
+    assert got.count() == 11
+    assert t.last_scan_metrics["files_read"] < t.last_scan_metrics["files_total"]
+
+
+def test_rename_validation(spark, warehouse):
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    with pytest.raises(ValueError, match="unknown column"):
+        t.rename_column("ghost", "x")
+    with pytest.raises(SchemaEvolutionError, match="already exists"):
+        t.rename_column("status", "price")
+    with pytest.raises(ValueError, match="bound by the persisted table spec"):
+        t.rename_column("pk", "id")
+    # MoR chain refuses until compacted
+    t.apply_changes(changelog_df(spark), strategy="merge-on-read")
+    with pytest.raises(ValueError, match="unpartitioned copy-on-write"):
+        t.rename_column("status", "state")
+    t.compact()
+    t.rename_column("status", "state")
+    assert "state" in t.read().columns
