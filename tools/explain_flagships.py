@@ -147,6 +147,26 @@ FLAGSHIPS = {
         "exchange feeds the session-merge operator; the gap CASE is a "
         "map-side projection, identical to the streaming state layout."
     ),
+    "e52_incremental_ivfpq": (
+        "Incremental IVF-PQ maintenance: the frozen codebook/centroids are "
+        "broadcast; only the CDC delta's vectors shuffle for cell "
+        "assignment + PQ encoding — no full-corpus pass."
+    ),
+    "e53_kneser_ney_score": (
+        "Kneser-Ney scoring: one bigram shuffle builds all model tables; "
+        "vocab-size and type-total are single-row broadcasts; per-doc join "
+        "fans in over distinct-pairs-per-doc only."
+    ),
+    "c13_replication_audit": (
+        "Replication audit: each side folds to 64 (bucket, count, XOR) rows "
+        "via partial HashAggregate (map-side combine on the commutative "
+        "XOR); the compare is a 64-row join."
+    ),
+    "e56_split_leakage_audit": (
+        "Split-leakage audit: rides e02b's capped bucket expansion (one "
+        "bucket-hash shuffle); split labels are pure hash projections; the "
+        "classify joins touch candidate pairs, not the corpus."
+    ),
 }
 
 
