@@ -1591,3 +1591,121 @@ def e56_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.max((F.col("split_lo") != F.col("split_hi")).cast("int")).alias("is_leak"),
     )
+
+
+#: winnowing geometry (Schleimer, Wilkerson & Aiken 2003, public —
+#: the MOSS local fingerprinting algorithm): k-gram size and window
+#: width. Guarantee: any shared run of >= WIN_W + WIN_K - 1 tokens
+#: produces at least one shared fingerprint.
+WIN_K = 4
+WIN_W = 5
+
+
+@query(
+    "e57_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
+    ),
+    kg AS (
+      SELECT doc_id,
+             UNNEST(range(1, len(t) - {WIN_K} + 2)) AS pos,
+             UNNEST(list_transform(
+               range(1, len(t) - {WIN_K} + 2),
+               i -> {_MH64(f"array_to_string(list_slice(t, i, i + {WIN_K} - 1), ' ')")}
+             )) AS kgh,
+             len(t) - {WIN_K} + 1 AS m
+      FROM toks WHERE len(t) >= {WIN_K}
+    ),
+    wmin AS (
+      SELECT doc_id, pos, m,
+             MIN(kgh) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS fp
+      FROM kg
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, fp
+      FROM wmin WHERE pos <= GREATEST(m - {WIN_W} + 1, 1)
+    ),
+    shared AS (
+      SELECT fp, COUNT(*) AS nd FROM sel GROUP BY fp
+    )
+    SELECT s.doc_id,
+           MAX(k.m) AS n_kgrams,
+           COUNT(*) AS n_fingerprints,
+           CAST(COUNT(*) AS DOUBLE) / MAX(k.m) AS density,
+           CAST(SUM(CASE WHEN sh.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared
+    FROM sel s
+    JOIN shared sh USING (fp)
+    JOIN (SELECT DISTINCT doc_id, m FROM kg) k USING (doc_id)
+    GROUP BY s.doc_id
+    """,
+)
+def e57_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E2 bridge: WINNOWING fingerprint selection (Schleimer,
+    Wilkerson & Aiken 2003 — the MOSS algorithm, public): hash every
+    {WIN_K}-token k-gram, slide a {WIN_W}-wide window over the hash
+    sequence, keep each window's minimum — a LOCAL selection rule
+    with a coverage guarantee (any shared token run of length >=
+    w + k - 1 yields a shared fingerprint), unlike e02's corpus-
+    global MinHash which can miss short local overlaps. Output per
+    document: k-gram count, selected-fingerprint count, density
+    (expected ~2/(w+1)), and how many of its fingerprints appear in
+    at least one other document (the plagiarism/contamination
+    signal). Short documents (fewer k-grams than the window) keep
+    their global minimum, so every doc with >= {WIN_K} tokens is
+    fingerprinted.
+
+    Scale: k-gram hashing is a map-side array transform; the window
+    min is a PER-DOCUMENT window (rows-bounded frame on the doc_id
+    shuffle — no global ordering); the sharing count groups by
+    fingerprint, whose cardinality is ~density x corpus tokens —
+    the same payload class as e02's shingle shuffle. Fingerprints
+    are stored positions-free here; the pos-annotated variant (for
+    span alignment) adds one column, not a new shuffle.
+    Determinism: md5-prefix hashes, integer counts, one exact IEEE
+    division for density."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    m = F.size(t) - WIN_K + 1
+    kgrams = (
+        d.select("doc_id", t.alias("t"), m.alias("m"))
+        .filter(F.size("t") >= WIN_K)
+        .select(
+            "doc_id",
+            "m",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("m")),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        _mh64(F.array_join(F.slice("t", i, WIN_K), " ")).alias(
+                            "kgh"
+                        ),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "m", "g.pos", "g.kgh")
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_W - 1)
+    sel = (
+        kgrams.withColumn("fp", F.min("kgh").over(w))
+        .filter(F.col("pos") <= F.greatest(F.col("m") - WIN_W + 1, F.lit(1)))
+        .select("doc_id", "m", "fp")
+        .distinct()
+    )
+    shared = sel.groupBy("fp").agg(F.count("*").alias("nd"))
+    return (
+        sel.join(shared, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.max("m").alias("n_kgrams"),
+            F.count("*").alias("n_fingerprints"),
+            (F.count("*").cast("double") / F.max("m")).alias("density"),
+            F.sum((F.col("nd") > 1).cast("int")).cast("bigint").alias("n_shared"),
+        )
+    )
