@@ -59,11 +59,19 @@ HEADLINE = [
     "e39_source_overlap_matrix",  # cross-source n-gram Jaccard
     "e40_ivf_pq_topk",          # IVF probe + trained-codebook ADC
     "e41_neardup_training_export",  # components->quality->export
+    # r5 additions, appended under the same superset discipline — the
+    # original-20, r3-25, and r4-31 prefixes stay comparable. A
+    # subtotal_r4_31_sec is emitted for the r4 window.
+    "e53_kneser_ney_score",     # KN-smoothed bigram model + per-doc CE
+    "e57_winnowing_fingerprints",  # k-gram hash + window-min selection
+    "e56_split_leakage_audit",  # LSH pairs x split classification
+    "c13_replication_audit",    # bootstrap + merge + XOR-bucket compare
 ]
 
 #: prefix lengths whose subtotals stay comparable across rounds
 N_ORIGINAL = 20
 N_R3 = 25
+N_R4 = 31
 
 #: recorded quiet-host calibration probe (SCALE.md "Cross-host
 #: normalization"): 0.924s on the r4 build host at rest, 1.028s on the
@@ -164,6 +172,9 @@ def main() -> None:
                 ),
                 "subtotal_r3_25_sec": round(
                     sum(timings[n] for n in HEADLINE[:N_R3]), 3
+                ),
+                "subtotal_r4_31_sec": round(
+                    sum(timings[n] for n in HEADLINE[:N_R4]), 3
                 ),
                 "calibration_sec": cal,
                 "calibration_start_sec": cal_start,

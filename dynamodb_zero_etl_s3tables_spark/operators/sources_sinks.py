@@ -2416,3 +2416,106 @@ def c14_rename_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("state")
         .agg(F.count("*").alias("n"), dsum("amount").alias("total"))
     )
+
+
+@query(
+    "c15_shallow_clone_journey",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <= 5
+    ),
+    -- prod applied batch 1 before the clone; the clone then applied
+    -- its own experimental batch 2 while prod applied batch 3
+    clone_final AS (
+      SELECT pk,
+             CASE WHEN pk % 10 = 0 THEN 'shipped'
+                  WHEN pk % 10 = 1 THEN 'experiment'
+                  ELSE status END AS status,
+             price
+      FROM base
+    )
+    SELECT status, COUNT(*) AS n, {DSUM('price')} AS total
+    FROM clone_final GROUP BY status
+    """,
+)
+def c15_shallow_clone_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9/B10 capstone: SHALLOW CLONE end-to-end (Delta SHALLOW CLONE
+    / Iceberg register_table analog) — bootstrap + merge on the
+    'production' table, zero-copy clone into a SECOND warehouse, then
+    diverge: the clone applies an experimental batch while production
+    applies its own. The RETURNED RESULT is the CLONE's final state;
+    the oracle restates bootstrap + prod batch 1 + the clone's
+    experiment (and NOT prod's post-clone batch 3), so the hash-match
+    proves the clone captured the exact source snapshot and its
+    lineage diverged cleanly. _checks pin the zero-copy property (no
+    data dir under the clone's root at clone time), isolation in both
+    directions, and that clone-side retention deletes nothing shared.
+
+    Scale: the clone is O(manifest) — cloning a 100 TB table is a
+    metadata write; each side's later commits write only their own
+    deltas under their own root. The documented caveat (source
+    vacuum can reclaim dirs a clone references; pin with a source
+    tag) is tested in test_shallow_clone_breaks_when_source_vacuums."""
+    wh_prod = _scratch(sf_dir, "warehouse_c15_prod", wipe=True)
+    wh_dev = _scratch(sf_dir, "warehouse_c15_dev", wipe=True)
+    t = Catalog(spark, wh_prod).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_prod",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    t.bootstrap(
+        o.filter(mod10 <= 5).select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+
+    def batch(seq, cond, status):
+        return o.filter(cond).select(
+            F.lit("MODIFY").alias("op"),
+            F.lit(seq).alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            F.lit(status).alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+
+    t.apply_changes(batch(1, mod10 == 0, "shipped"))
+    clone = t.clone_to(wh_dev, qualified_name="dev.orders_experiment")
+    from pathlib import Path as _P
+
+    _check(
+        not (_P(wh_dev) / "dev" / "orders_experiment" / "data").exists(),
+        "shallow clone must copy no data",
+    )
+    # diverge both sides
+    clone.apply_changes(batch(2, mod10 == 1, "experiment"))
+    t.apply_changes(batch(3, mod10 == 2, "prod_only"))
+    _check(
+        t.read().filter(F.col("status") == "experiment").count() == 0,
+        "production must not see the clone's experiment",
+    )
+    _check(
+        clone.read().filter(F.col("status") == "prod_only").count() == 0,
+        "the clone must not see production's post-clone batch",
+    )
+    import time as _time
+
+    res = clone.vacuum(
+        unreferenced_days=0, noncurrent_days=0, now=_time.time() + 86400
+    )
+    _check(
+        res["dirs_deleted"] == 0 and t.verify_integrity()["ok"],
+        "clone-side retention must never touch shared source dirs",
+    )
+    return (
+        clone.read()
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), dsum("price").alias("total"))
+    )

@@ -1367,6 +1367,60 @@ class ManagedTable:
             )
         self._write_manifest(m, expected_version=expected)
 
+    def clone_to(
+        self, warehouse: str, qualified_name: str | None = None
+    ) -> "ManagedTable":
+        """SHALLOW CLONE (the Delta ``SHALLOW CLONE`` / Iceberg
+        ``register_table`` analog): materialize this table's manifest
+        under another warehouse WITHOUT copying any data — the clone's
+        snapshots reference the source's data directories by absolute
+        path. Zero-copy dev/test/experiment tables over production
+        data: commits on either side diverge independently (each
+        writes under its own root), and the clone's vacuum/GC can
+        never touch source files because reference-scanning and
+        deletion are both scoped to a table's OWN ``data/`` dir.
+
+        Only PUBLISHED snapshots are cloned (a pending stage/branch
+        belongs to the source's in-flight lineage); tags copy (they
+        pin published versions), branches do not.
+
+        Documented caveat (same as Delta's): the SOURCE does not know
+        about clones — a source-side vacuum/expire can reclaim dirs a
+        clone still references. ``verify_integrity()`` on the clone
+        reports such breakage (missing_paths); production use pins
+        the cloned version with a source-side tag first.
+
+        Scale: O(manifest) — cloning a 100 TB table is a metadata
+        write."""
+        from dataclasses import replace as _dc_replace
+
+        m = self._read_manifest()
+        published = [s for s in m.snapshots if not s.staged]
+        if not published:
+            raise FileNotFoundError(
+                f"table {self.spec.qualified_name} has no published snapshots"
+            )
+        if qualified_name is None:
+            ns, name = self.spec.namespace, self.spec.name
+        else:
+            ns, _, name = qualified_name.partition(".")
+        spec2 = _dc_replace(self.spec, namespace=ns, name=name)
+        clone = ManagedTable(self.spark, warehouse, spec2)
+        if clone.manifest_path.exists():
+            raise ValueError(
+                f"table {spec2.qualified_name!r} already exists under {warehouse}"
+            )
+        m2 = Manifest(
+            spec_namespace=ns,
+            spec_name=name,
+            key_columns=list(self.spec.key_columns),
+            partition_columns=list(self.spec.partition_columns),
+            snapshots=[Snapshot.from_dict(s.to_dict()) for s in published],
+            tags=dict(m.tags),
+        )
+        clone._write_manifest(m2, expected_version=0)
+        return clone
+
     def rename_column(self, old: str, new: str) -> None:
         """B4 extension: COLUMN RENAME as a metadata-only commit — the
         Iceberg field-ID rename semantic (rename without rewrite)

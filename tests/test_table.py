@@ -1301,3 +1301,64 @@ def test_rename_validation(spark, warehouse):
     t.compact()
     t.rename_column("status", "state")
     assert "state" in t.read().columns
+
+
+# -- shallow clone (zero-copy table registration) --------------------------
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, warehouse, tmp_path):
+    src = ManagedTable(spark, warehouse, SPEC)
+    src.bootstrap(base_df(spark))
+    src.apply_changes(changelog_df(spark))
+    wh2 = str(tmp_path / "wh2")
+    clone = src.clone_to(wh2)
+    # identical state, zero data copied under the clone's root
+    assert sorted(map(tuple, clone.read().collect())) == sorted(
+        map(tuple, src.read().collect())
+    )
+    assert not (clone.root / "data").exists()
+    # divergence: each side commits independently
+    clone.apply_changes(
+        spark.createDataFrame([Row(op="MODIFY", seq=9, pk=4, status="clone", price=1.0)])
+    )
+    src.apply_changes(
+        spark.createDataFrame([Row(op="MODIFY", seq=9, pk=5, status="src", price=2.0)])
+    )
+    c = {r.pk: r.status for r in clone.read().collect()}
+    s = {r.pk: r.status for r in src.read().collect()}
+    assert c[4] == "clone" and s[4] == "old"
+    assert s[5] == "src" and c[5] == "old"
+    # clone-side retention never deletes source dirs
+    res = clone.vacuum(unreferenced_days=0, noncurrent_days=0, now=time.time() + 86400)
+    assert src.verify_integrity()["ok"]
+    assert clone.verify_integrity()["ok"]
+    assert res["dirs_deleted"] == 0  # shared dirs live under the source root
+
+
+def test_shallow_clone_validation_and_staged_exclusion(spark, warehouse, tmp_path):
+    src = ManagedTable(spark, warehouse, SPEC)
+    src.bootstrap(base_df(spark))
+    staged_v = src.stage_changes(changelog_df(spark))
+    wh2 = str(tmp_path / "wh2")
+    clone = src.clone_to(wh2, qualified_name="dev.items_copy")
+    # the pending stage is the source's in-flight lineage, not cloned
+    assert [s.version for s in clone.history()] == [1]
+    assert clone.spec.qualified_name == "dev.items_copy"
+    src.publish(staged_v)
+    with pytest.raises(ValueError, match="already exists"):
+        src.clone_to(wh2, qualified_name="dev.items_copy")
+
+
+def test_shallow_clone_breaks_when_source_vacuums(spark, warehouse, tmp_path):
+    """The documented Delta-style caveat, surfaced mechanically: the
+    source does not know about clones, so a source-side vacuum that
+    reclaims a dir the clone references leaves the clone with
+    missing_paths in verify_integrity()."""
+    src = ManagedTable(spark, warehouse, SPEC)
+    src.bootstrap(base_df(spark))
+    clone = src.clone_to(str(tmp_path / "wh2"))
+    src.apply_changes(changelog_df(spark))
+    # source reclaims v1 (the clone's only snapshot)
+    src.vacuum(unreferenced_days=0, noncurrent_days=0, now=time.time() + 86400)
+    audit = clone.verify_integrity()
+    assert not audit["ok"] and audit["missing_paths"]
