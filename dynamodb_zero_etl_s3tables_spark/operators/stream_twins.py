@@ -890,3 +890,168 @@ def h17_gated_cdc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain(q)
     return t.read().select("pk", "status", "price")
+
+
+#: h19 drift gate: PSI threshold above which a microbatch is
+#: quarantined instead of merged (0.25 = the classic "significant
+#: shift" alarm level; hash-sampled clean batches sit near 0).
+H19_PSI_MAX = 0.25
+
+
+@query(
+    "h19_drift_gated_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           CAST(1 AS INT) AS quarantined_batches
+    FROM events GROUP BY event_type
+    """,
+)
+def h19_drift_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H x e54: STREAMING DRIFT GATE — continuous ingest where every
+    microbatch's `value` distribution is scored against a frozen
+    baseline with the Population Stability Index BEFORE it may merge
+    (the model-monitoring gate, applied at ingestion time). The
+    backlog holds three clean batches (hash-partitioned thirds of the
+    corpus — near-uniform samples, PSI ~ 0) and one POISONED batch
+    (top-decile values rewritten 100x): the gate must merge the clean
+    three and quarantine the drifted one. The oracle restates the
+    UNPOISONED corpus aggregate plus the literal quarantine count, so
+    the hash-match proves (a) the poison batch left zero residue and
+    (b) the gate fired exactly once — a silent pass-through OR an
+    over-eager gate both hash-mismatch.
+
+    Determinism: batch membership is one file per trigger, file
+    contents are content-hash partitioned; PSI buckets use exact
+    corpus decile boundaries (sorted collect of 9 doubles, computed
+    once); batches touch disjoint-or-idempotent keys so the final
+    state is arrival-order independent.
+
+    Scale: the baseline is 9 boundaries + 10 proportions — a
+    broadcast-sized artifact computed once per deployment, exactly
+    how production drift monitors ship reference windows; each
+    microbatch adds one pass over its own rows (conditional-sum
+    bucketing, no shuffle beyond the merge it was already paying).
+    Quarantined batches persist to a dead-letter dir for triage, the
+    standard quarantine pattern."""
+    import shutil as _sh
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    from dynamodb_zero_etl_s3tables_spark.operators.sources_sinks import _check
+
+    root = scratch_dir(sf_dir, "h19_drift")
+    if root.exists():
+        _sh.rmtree(root)
+    (root / "in").mkdir(parents=True)
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    # frozen baseline: exact decile boundaries + corpus bucket shares
+    bounds = [
+        r[0]
+        for r in e.selectExpr(
+            "explode(percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))) AS b"
+        ).collect()
+    ]
+
+    def bucketize(col):
+        # bucket = number of decile boundaries at or below the value
+        return sum((col >= F.lit(cut)).cast("int") for cut in bounds)
+
+    base_prop = (
+        e.groupBy(bucketize(F.col("value")).alias("bkt"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    total = sum(r.n for r in base_prop)
+    p_base = {r.bkt: r.n / total for r in base_prop}
+
+    # backlog: three clean hash-partitioned thirds + one poisoned file
+    clean = e.withColumn(
+        "part", F.pmod(F.xxhash64("event_id"), F.lit(3)).cast("int")
+    )
+    clean.repartition(3, "part").drop("part").write.mode("overwrite").parquet(
+        str(root / "in")
+    )
+    poison = e.filter(
+        F.col("value") >= F.lit(bounds[-1])
+    ).withColumn("value", F.col("value") * 100)
+    poison.coalesce(1).write.mode("append").parquet(str(root / "in"))
+
+    wh = str(root / "wh")
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="stream",
+            name="events_gated",
+            key_columns=("event_id",),
+            order_columns=("seq",),
+        )
+    )
+    t.bootstrap(e.limit(0))
+    (root / "dead").mkdir()
+    quarantined = []
+
+    def gate(batch_df, batch_id: int) -> None:
+        rows = batch_df.groupBy(
+            bucketize(F.col("value")).alias("bkt")
+        ).agg(F.count("*").alias("n"))
+        got = {r.bkt: r.n for r in rows.collect()}
+        n = sum(got.values())
+        if n == 0:
+            return
+        # smoothed PSI against the frozen baseline (e54's formula)
+        import math
+
+        psi = 0.0
+        for bkt in range(10):
+            pb = p_base.get(bkt, 0.0) + 0.5 / total
+            pa = (got.get(bkt, 0) + 0.5) / (n + 5)
+            psi += (pa - pb) * math.log(pa / pb)
+        if psi > H19_PSI_MAX:
+            quarantined.append(batch_id)
+            batch_df.write.mode("append").parquet(str(root / "dead"))
+            return
+        t.apply_changes(
+            batch_df.select(
+                F.lit("INSERT").alias("op"),
+                F.lit(int(batch_id)).cast("long").alias("seq"),
+                "event_id",
+                "event_type",
+                "user_id",
+                "value",
+            )
+        )
+
+    stream = spark.readStream.schema(e.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(root / "in"))
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    _check(
+        len(quarantined) == 1,
+        f"exactly the poisoned batch must quarantine, got {quarantined}",
+    )
+    dead = spark.read.parquet(str(root / "dead"))
+    _check(
+        dead.count() > 0 and dead.agg(F.min("value")).collect()[0][0]
+        >= bounds[-1] * 100,
+        "dead-letter dir must hold exactly the poisoned rows",
+    )
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("total_value"),
+            F.lit(len(quarantined)).cast("int").alias("quarantined_batches"),
+        )
+    )

@@ -157,7 +157,11 @@ def test_registry_wide_plan_sweep(spark):
     }
     # builders that run jobs/streams at build time; plan shape of
     # their final read is covered by their oracle queries instead
-    skip = {"h07_stream_merge_sink", "h17_gated_cdc_sink"}
+    skip = {
+        "h07_stream_merge_sink",
+        "h17_gated_cdc_sink",
+        "h19_drift_gated_ingest",
+    }
 
     import re
 
