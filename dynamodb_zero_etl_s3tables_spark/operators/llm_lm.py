@@ -716,3 +716,109 @@ def e53_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ce_kn",
         F.round(F.col("ce_laplace") - F.col("ce_kn"), 6).alias("kn_gain"),
     )
+
+
+#: e59 DoReMi mixing: weight = (1-SMOOTH)*softmax(excess) + SMOOTH/K
+DOREMI_SMOOTH_NUM = 1
+DOREMI_SMOOTH_DEN = 3
+
+
+@query(
+    "e59_doremi_mixture",
+    oracle=f"""
+    WITH {_XENT_CTES},
+    src AS (
+      SELECT d.source, a.doc_id, a.cross_entropy
+      FROM agg a JOIN documents d USING (doc_id)
+    ),
+    per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             ROUND(CAST(SUM(CAST(cross_entropy AS DECIMAL(25,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_ce
+      FROM src GROUP BY source
+    ),
+    ref AS (
+      SELECT ROUND(CAST(SUM(CAST(cross_entropy AS DECIMAL(25,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS ref_ce
+      FROM src
+    ),
+    ex AS (
+      SELECT source, n_docs, avg_ce,
+             ROUND(avg_ce - ref_ce, 6) AS excess,
+             EXP(ROUND(avg_ce - ref_ce, 6)) AS raw
+      FROM per, ref
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(raw AS DECIMAL(25,9))) AS DOUBLE) AS sraw,
+             COUNT(*) AS k
+      FROM ex
+    )
+    SELECT source, n_docs, avg_ce, excess,
+           ROUND((1.0 - {DOREMI_SMOOTH_NUM}.0 / {DOREMI_SMOOTH_DEN}.0) * (raw / sraw)
+                 + ({DOREMI_SMOOTH_NUM}.0 / {DOREMI_SMOOTH_DEN}.0) / k, 6) AS weight
+    FROM ex, tot
+    """,
+)
+def e59_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: DOMAIN MIXTURE REWEIGHTING in the DoReMi shape (Xie
+    et al. 2023, public): per-source EXCESS LOSS (mean bigram
+    cross-entropy of the source minus the corpus reference — e42's
+    model standing in for the proxy/reference model pair) drives
+    exponentiated-gradient weights, smoothed with the uniform
+    distribution (weight = 2/3 softmax(excess) + 1/3 uniform, the
+    paper's uniform-mixing step). Sources whose text the LM finds
+    hardest get upweighted — the training-mixture table a 100 TB
+    curation run feeds its sampler. One multiplicative-weights round
+    over STATIC excess losses (the paper re-trains its proxy between
+    rounds; each later round reuses this exact query shape with
+    refreshed losses).
+
+    Scale: per-doc CE is e42's audited one-token-shuffle plan; from
+    there everything is source-grain — K rows (sources) through a
+    softmax with a 1-row broadcast total. Determinism: per-doc and
+    per-source means route through DECIMAL(25,9) and round to 6dp
+    BEFORE exp (identical IEEE exp input both engines); the exp-sum
+    quantizes through DECIMAL; final weights round to 6dp."""
+    ce = e42_bigram_perplexity_filter(spark, sf_dir).select(
+        "doc_id", "cross_entropy"
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    src = ce.join(d, "doc_id")
+    per = src.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.col("cross_entropy").cast("decimal(25,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_ce"),
+    )
+    ref = src.agg(
+        F.round(
+            F.sum(F.col("cross_entropy").cast("decimal(25,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("ref_ce")
+    )
+    ex = per.crossJoin(F.broadcast(ref)).select(
+        "source",
+        "n_docs",
+        "avg_ce",
+        F.round(F.col("avg_ce") - F.col("ref_ce"), 6).alias("excess"),
+        F.exp(F.round(F.col("avg_ce") - F.col("ref_ce"), 6)).alias("raw"),
+    )
+    tot = ex.agg(
+        F.sum(F.col("raw").cast("decimal(25,9)")).cast("double").alias("sraw"),
+        F.count("*").alias("k"),
+    )
+    smooth = DOREMI_SMOOTH_NUM / DOREMI_SMOOTH_DEN
+    return ex.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "avg_ce",
+        "excess",
+        F.round(
+            (F.lit(1.0) - F.lit(smooth)) * (F.col("raw") / F.col("sraw"))
+            + F.lit(smooth) / F.col("k"),
+            6,
+        ).alias("weight"),
+    )

@@ -135,6 +135,9 @@ def test_registry_wide_plan_sweep(spark):
         #                               signature table (broadcast)
         "e53_kneser_ney_score",     # two 1-row broadcasts (vocab size,
         #                             bigram-type total)
+        "e59_doremi_mixture",       # composes e42's vocab broadcast + two
+        #                             1-row broadcasts (reference CE, softmax
+        #                             total) over the K-sources frame
     }
     # Window with no partition spec over a bounded (post-limit) input:
     global_window_ok = {
