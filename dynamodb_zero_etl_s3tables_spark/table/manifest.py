@@ -1543,6 +1543,10 @@ class ManagedTable:
                 files=src.files,
                 base_version=src.base_version,
                 delta=src.delta,
+                # a rename-mapped source keeps its file-name mapping —
+                # without this, rolling back to a renamed snapshot
+                # would silently read the renamed column as NULL
+                read_renames=src.read_renames,
             )
         )
         self._write_manifest(m, expected_version=expected)

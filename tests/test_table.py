@@ -1362,3 +1362,20 @@ def test_shallow_clone_breaks_when_source_vacuums(spark, warehouse, tmp_path):
     src.vacuum(unreferenced_days=0, noncurrent_days=0, now=time.time() + 86400)
     audit = clone.verify_integrity()
     assert not audit["ok"] and audit["missing_paths"]
+
+
+def test_rollback_to_renamed_snapshot_keeps_mapping(spark, warehouse):
+    """Found by the model walk: rollback_to must carry the source
+    snapshot's read_renames — without it, rolling back to a
+    rename-mapped snapshot silently reads the renamed column as NULL."""
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.rename_column("status", "state")        # v2: mapped, same files
+    t.apply_changes(                          # v3: fresh files, no map
+        spark.createDataFrame(
+            [Row(op="MODIFY", seq=1, pk=1, state="upd", price=1.0)]
+        )
+    )
+    t.rollback_to(2)                          # v4: must re-carry the map
+    vals = {r.pk: r.state for r in t.read().collect()}
+    assert vals == {i: "old" for i in range(1, 6)}  # not None!
