@@ -118,6 +118,7 @@ def test_random_walk_matches_model(spark, warehouse, tmp_path, seed):
             [
                 "merge", "merge", "merge_mor", "rollback", "tag",
                 "branch", "rename", "compact", "vacuum", "expire", "clone",
+                "stage",
             ]
         )
         seq += 1
@@ -142,6 +143,23 @@ def test_random_walk_matches_model(spark, warehouse, tmp_path, seed):
             name = f"tag{seq}"
             t.create_tag(name)
             tagged[name] = (dict(model.state), model.col, t.version)
+        elif op == "stage":
+            # WAP: stage, audit the invisible snapshot, coin-flip publish
+            batch = make_batch(rng, seq)
+            staged_v = t.stage_changes(batch_df(batch, model.col))
+            expect = apply_batch(model.state, batch)
+            got, _ = engine_state(t)
+            assert got == model.state, f"step {step}: stage leaked into main"
+            audited = {
+                r.pk: (r[model.col], r.price)
+                for r in t.read(version=staged_v).collect()
+            }
+            assert audited == expect, f"step {step}: staged audit view wrong"
+            if rng.random() < 0.5:
+                t.publish(staged_v)
+                model.commit(expect)
+            else:
+                t.abort_staged(staged_v)
         elif op == "branch":
             # two stacked commits, audit, then flip a coin on publish
             name = f"br{seq}"
