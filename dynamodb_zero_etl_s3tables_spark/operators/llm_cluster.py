@@ -902,3 +902,58 @@ def e58_blockwise_int4(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bits_per_value"
         ),
     )
+
+
+@query(
+    "e60_incontext_packing",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    j AS (
+      SELECT a2.cid, a2.vec_id AS doc_id, t.n_tok
+      FROM a2 JOIN tok t ON t.doc_id = a2.vec_id
+    ),
+    c AS (
+      SELECT cid, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY cid ORDER BY doc_id) AS cum
+      FROM j
+    )
+    SELECT doc_id, cid AS cluster, n_tok,
+           CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def e60_incontext_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: SEMANTIC sequence packing in the In-Context
+    Pretraining shape (Shi et al. 2023, public): pack RELATED
+    documents into the same fixed-token-budget context windows by
+    grouping on the e21 k-means cluster before the e09 packing
+    cumsum — so a training sequence carries topically coherent
+    neighbors instead of random shards, the property the paper shows
+    improves in-context learning. Within a cluster the order is the
+    stable doc_id (the paper's nearest-neighbor path ordering is the
+    documented upgrade: replace ORDER BY doc_id with the e48 kNN-graph
+    traversal — same window, different sort key).
+
+    Scale: composes e21's broadcast-centroid assignment (no new
+    corpus pass); the packing window is PARTITIONED BY CLUSTER —
+    parallel across clusters, no global ordering; token counts are a
+    map-side projection. Packs inherit e09's budget (512)."""
+    a2 = _two_lloyd_rounds(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    from pyspark.sql.window import Window as W
+
+    j = a2.select(F.col("vec_id").alias("doc_id"), "cid").join(d, "doc_id")
+    w = W.partitionBy("cid").orderBy("doc_id")
+    return j.select(
+        "doc_id",
+        F.col("cid").alias("cluster"),
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).alias(
+            "pack_id"
+        ),
+    )

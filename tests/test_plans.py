@@ -135,6 +135,7 @@ def test_registry_wide_plan_sweep(spark):
         #                               signature table (broadcast)
         "e53_kneser_ney_score",     # two 1-row broadcasts (vocab size,
         #                             bigram-type total)
+        "e60_incontext_packing",    # k=8 centroid broadcasts (composes e21)
         "e59_doremi_mixture",       # composes e42's vocab broadcast + two
         #                             1-row broadcasts (reference CE, softmax
         #                             total) over the K-sources frame
@@ -155,6 +156,7 @@ def test_registry_wide_plan_sweep(spark):
         "e44_ivf_pq_residual",   # LIMIT-16 seed stamping + top-10 rank
         "e49_cluster_balanced_sample",  # LIMIT-8 seed stamping (composes e21)
         "e52_incremental_ivfpq",        # LIMIT-16 seed stamping (composes e40)
+        "e60_incontext_packing",        # LIMIT-8 seed stamping (composes e21)
         "d92_compaction_plan",          # cumsum over the O(partitions)
         #                                 manifest-metadata frame (24 rows)
     }
