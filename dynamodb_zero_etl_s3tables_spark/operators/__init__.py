@@ -62,7 +62,7 @@ _GRADE_PRIORITY = [
     "d94_python_datasource", "e56_split_leakage_audit", "c14_rename_journey",
     "e57_winnowing_fingerprints", "c15_shallow_clone_journey",
     "e58_blockwise_int4", "h19_drift_gated_ingest", "e59_doremi_mixture",
-    "e60_incontext_packing",
+    "e60_incontext_packing", "e61_matryoshka_recall", "e62_hybrid_rrf",
     # ---- graded in r4 (CORRECTNESS_r04.json, 50/50 green) -> tail ----
     "e22_vocab_coverage", "e23_bigram_model", "e06_binary_plumbing",
     "e06b_media_featurize", "e06c_frame_sample", "e06d_media_exact_dedup",

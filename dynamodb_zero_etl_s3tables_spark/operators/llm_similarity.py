@@ -1976,3 +1976,124 @@ def e52_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         dcodes.select("vec_id", "cell", "m", "cid", F.lit("delta").alias("src"))
     )
+
+
+# ---------------------------------------------------------------------------
+# e61: Matryoshka (MRL) truncation-recall ladder
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = [8, 16, 32, 64]
+MRL_K = 20
+
+
+def _TDOT(a: str, b: str) -> str:
+    """DuckDB twin of a PREFIX dot product: left-to-right double fold
+    over the first ``d`` components (``d`` is a column in scope)."""
+    return (
+        f"list_reduce(list_transform(range(1, d + 1),"
+        f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "e61_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dims AS (SELECT UNNEST({MRL_DIMS}) AS d),
+    scored AS (
+      SELECT dims.d, e.vec_id,
+             ROUND({_TDOT('e.embedding', 'q.qv')}
+                   / (SQRT({_TDOT('e.embedding', 'e.embedding')})
+                      * SQRT({_TDOT('q.qv', 'q.qv')})), 6) AS cos_sim
+      FROM embeddings e, q, dims
+      WHERE e.vec_id <> 0
+    ),
+    topk AS (
+      SELECT d, vec_id
+      FROM (SELECT d, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY d
+                                      ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM scored)
+      WHERE rn <= {MRL_K}
+    ),
+    full_set AS (SELECT vec_id FROM topk WHERE d = {MRL_DIMS[-1]})
+    SELECT t.d AS dim, COUNT(f.vec_id) AS hits,
+           CAST(COUNT(f.vec_id) AS DOUBLE) / {MRL_K} AS recall_at_k
+    FROM topk t LEFT JOIN full_set f ON t.vec_id = f.vec_id
+    GROUP BY t.d
+    """,
+)
+def e61_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 family: MATRYOSHKA truncation-recall ladder (Kusupati et
+    al. 2022, public MRL paper): score the e03 query against each
+    PREFIX of the embedding ({MRL_DIMS} dims), take the per-dim exact
+    cosine top-{MRL_K}, and report each truncation's recall against
+    the full-dimension top-{MRL_K}. This is the serving-cost dial MRL
+    embeddings expose — how many prefix dims a coarse retrieval stage
+    can drop while keeping the candidate set — measured on the corpus
+    itself (the same measurement FineWeb-style pipelines run before
+    committing to a truncated first-pass index).
+
+    Scale: the 1-row query vector broadcasts; per-(vector, dim)
+    scoring is a map-side projection over one corpus scan with a
+    bounded x{len(MRL_DIMS)} explode — no shuffle of the big side.
+    The per-dim top-k is TWO-STAGE like e43: a partial top-k inside
+    each (dim, input-partition) bounds the final per-dim window's
+    input to k x partitions rows, so the 4-partition dim window never
+    funnels the corpus. The {MRL_K}-row full-dim set broadcasts into
+    the recall join. Determinism: 6dp-rounded IEEE prefix folds, ties
+    break on vec_id — identical in both engines."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+    )
+    dims = F.explode(F.array(*[F.lit(d) for d in MRL_DIMS])).alias("d")
+    te = F.slice(F.col("embedding"), F.lit(1), F.col("d"))
+    tq = F.slice(F.col("qv"), F.lit(1), F.col("d"))
+    scored = (
+        e.join(F.broadcast(q))
+        .select("vec_id", "embedding", "qv", dims)
+        .select(
+            "d",
+            "vec_id",
+            F.round(
+                dot_fold(te, tq) / (norm_fold(te) * norm_fold(tq)), 6
+            ).alias("cos_sim"),
+        )
+    )
+    # stage 1: partial top-k per (dim, input partition) — map-side
+    partial = (
+        scored.withColumn("part", F.spark_partition_id())
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                W.partitionBy("d", "part").orderBy(
+                    F.col("cos_sim").desc(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("prn") <= MRL_K)
+        .drop("part", "prn")
+    )
+    # stage 2: exact per-dim top-k over the bounded survivors
+    wd = W.partitionBy("d").orderBy(F.col("cos_sim").desc(), "vec_id")
+    topk = (
+        partial.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= MRL_K)
+        .select("d", "vec_id")
+    )
+    full_set = topk.filter(F.col("d") == MRL_DIMS[-1]).select(
+        F.col("vec_id").alias("fid")
+    )
+    return (
+        topk.join(
+            F.broadcast(full_set), topk.vec_id == full_set.fid, "left"
+        )
+        .groupBy(F.col("d").alias("dim"))
+        .agg(
+            F.count("fid").alias("hits"),
+            (F.count("fid").cast("double") / MRL_K).alias("recall_at_k"),
+        )
+    )

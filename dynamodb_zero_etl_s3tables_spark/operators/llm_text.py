@@ -1563,3 +1563,99 @@ def e54_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# e62: hybrid lexical + dense retrieval via Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    """Compose the RRF oracle from the registered e18 (lexical) and
+    e03 (dense) oracles, so the fused twin can never drift from the
+    arms it fuses."""
+    from dynamodb_zero_etl_s3tables_spark.operators.registry import (
+        QUERY_REGISTRY,
+    )
+
+    lex = QUERY_REGISTRY["e18_bm25_retrieval"].oracle
+    dense = QUERY_REGISTRY["e03_cosine_topk"].oracle
+    return f"""
+    WITH lex AS ({lex}),
+    dense AS ({dense}),
+    lexr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM lex
+    ),
+    denser AS (SELECT vec_id AS doc_id, rank AS dense_rank FROM dense),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             COALESCE(l.lex_rank, 0) AS lex_rank,
+             COALESCE(d.dense_rank, 0) AS dense_rank,
+             ROUND(
+               (CASE WHEN l.lex_rank IS NULL THEN 0.0
+                     ELSE 1.0 / ({_RRF_K} + l.lex_rank) END)
+               + (CASE WHEN d.dense_rank IS NULL THEN 0.0
+                       ELSE 1.0 / ({_RRF_K} + d.dense_rank) END), 6)
+               AS rrf_score
+      FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, lex_rank, dense_rank, rrf_score,
+           ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+             AS fused_rank
+    FROM fused
+    """
+
+
+@query("e62_hybrid_rrf", oracle=_rrf_oracle())
+def e62_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: HYBRID RETRIEVAL by Reciprocal Rank Fusion (Cormack
+    et al. 2009, public): fuse the e18 BM25 lexical top-20 with the
+    e03 dense cosine top-20 via score = sum over arms of
+    1/(k + rank), k={_RRF_K} — the standard fusion every hybrid RAG
+    retrieval stack runs, composed from this repo's own two arms
+    (doc_id == vec_id is the corpus's established embedding
+    correspondence, as in e49/e60). A doc missing from one arm
+    contributes 0 from that arm (its rank column reads 0).
+
+    Scale: both arms are already bounded top-k results (<= 20 rows
+    each) — the fusion join, the rank windows, and the final sort all
+    run over at most 40 rows regardless of corpus size; corpus-scale
+    work happens inside the arms, which keep their own scale shapes
+    (e18's pre-shuffle term filter, e03's two-stage top-k). The
+    partition-less windows here are post-limit by construction.
+    Determinism: integer ranks; rrf_score is a fixed-order two-term
+    IEEE sum rounded to 6dp; ties break on doc_id."""
+    from pyspark.sql.window import Window as W
+
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_similarity import (
+        e03_cosine_topk,
+    )
+
+    lex = e18_bm25_retrieval(spark, sf_dir)
+    wl = W.partitionBy(F.lit(1)).orderBy(F.col("bm25").desc(), "doc_id")
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).alias("lex_rank")
+    )
+    dense = e03_cosine_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank")
+    )
+    fused = lexr.join(dense, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+        F.round(
+            F.coalesce(
+                1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                1.0 / (_RRF_K + F.col("dense_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    wf = W.partitionBy(F.lit(1)).orderBy(F.col("rrf_score").desc(), "doc_id")
+    return fused.withColumn("fused_rank", F.row_number().over(wf))

@@ -136,6 +136,9 @@ def test_registry_wide_plan_sweep(spark):
         "e53_kneser_ney_score",     # two 1-row broadcasts (vocab size,
         #                             bigram-type total)
         "e60_incontext_packing",    # k=8 centroid broadcasts (composes e21)
+        "e61_matryoshka_recall",    # 1-row query-vector broadcast
+        "e62_hybrid_rrf",           # composes e18's 1-row corpus-stats
+        #                             broadcast + e03's query-vector broadcast
         "e59_doremi_mixture",       # composes e42's vocab broadcast + two
         #                             1-row broadcasts (reference CE, softmax
         #                             total) over the K-sources frame
@@ -157,6 +160,8 @@ def test_registry_wide_plan_sweep(spark):
         "e49_cluster_balanced_sample",  # LIMIT-8 seed stamping (composes e21)
         "e52_incremental_ivfpq",        # LIMIT-16 seed stamping (composes e40)
         "e60_incontext_packing",        # LIMIT-8 seed stamping (composes e21)
+        "e62_hybrid_rrf",               # rank windows over the two <=20-row
+        #                                 post-limit arms (composes e03/e18)
         "d92_compaction_plan",          # cumsum over the O(partitions)
         #                                 manifest-metadata frame (24 rows)
     }
