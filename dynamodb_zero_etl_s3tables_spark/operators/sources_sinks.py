@@ -2519,3 +2519,151 @@ def c15_shallow_clone_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n"), dsum("price").alias("total"))
     )
+
+
+@query(
+    "c16_bloom_skip_journey",
+    oracle="""
+    SELECT o_orderkey AS pk, o_orderstatus AS status,
+           o_totalprice AS price
+    FROM orders
+    WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+    """,
+)
+def c16_bloom_skip_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 scan-pruning capstone: per-file BLOOM skipping (the
+    Iceberg Puffin bloom-blob analog) end-to-end — bootstrap a
+    ManagedTable whose layout hash-scatters customers across 32 files
+    (every file spans nearly the full o_custkey range, so the footer
+    min/max stats that power sort-order skipping are USELESS here),
+    then point-look-up one customer. The write-time per-file bloom
+    recorded in the manifest prunes the files that provably lack the
+    key; the residual filter keeps the result exact, so the oracle is
+    the plain predicate on the source table — the bloom changes row
+    flow, never semantics (d74's discipline, lifted from a runtime
+    join filter into table metadata).
+
+    Scale: bloom build is one column-pruned read per written file,
+    riding the write task (Puffin's placement); probe is
+    metadata-only driver-side planning, exactly where Iceberg
+    evaluates its blobs. At 100 TB a point lookup on a non-sort,
+    non-partition column goes from 'open every footer and read most
+    row groups' to touching the ~N_orders/customer files that
+    actually contain the key. The in-builder _checks fail the query
+    loudly if pruning did not engage (files_read < files_total) or
+    the bloom dropped a real row (count equality vs the unpruned
+    read)."""
+    wh = _scratch(sf_dir, "warehouse_c16", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_bloom",
+            key_columns=("pk",),
+            bloom_columns=("cust",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    t.bootstrap(
+        o.select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        ).repartition(32, "pk")
+    )
+    k = o.agg(F.min("o_custkey")).collect()[0][0]
+    out = t.scan([("cust", "=", int(k))])
+    m = t.last_scan_metrics
+    _check(
+        m["files_read"] < m["files_total"],
+        f"bloom must prune files for a point lookup, got {m}",
+    )
+    unpruned = t.read().filter(F.col("cust") == int(k)).count()
+    _check(
+        out.count() == unpruned,
+        "bloom pruning must never drop a matching row",
+    )
+    return out.select("pk", "status", "price")
+
+
+@query(
+    "c17_constraint_gate_journey",
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status,
+             CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT status, COUNT(*) AS n, {DSUM('price')} AS total
+    FROM final GROUP BY status
+    """,
+)
+def c17_constraint_gate_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5/B9 write-path capstone: CHECK-CONSTRAINT enforcement
+    (Delta invariant / ANSI CHECK analog) end-to-end — a table
+    declaring `price >= 0` and a status domain accepts its bootstrap,
+    REJECTS a poisoned CDC batch atomically (the violating commit is
+    rolled back before the manifest references it: version unchanged,
+    no orphan data, integrity clean), then accepts a corrective valid
+    batch. The oracle restates bootstrap + the valid batch ONLY, so
+    the hash-match proves the poisoned batch left zero residue.
+
+    Scale: enforcement is an Observation ON THE WRITE JOB itself —
+    the same pass that writes the parquet counts FALSE rows per
+    expression, so a 100 TB commit pays zero extra scans for any
+    number of constraints; the abort path is O(files-written) local
+    deletes, and readers can never observe a half-enforced state
+    because the manifest swap is the only publication point."""
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import (
+        ConstraintViolationError,
+    )
+
+    wh = _scratch(sf_dir, "warehouse_c17", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_checked",
+            key_columns=("pk",),
+            order_columns=("seq",),
+            check_constraints=("price >= 0", "status IN ('O', 'F', 'P')"),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    t.bootstrap(
+        o.select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    v = t.version
+
+    def batch(seq, cond, price_col):
+        return o.filter(cond).select(
+            F.lit("MODIFY").alias("op"),
+            F.lit(seq).alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            price_col.alias("price"),
+        )
+
+    # poisoned batch: negative prices — must be rejected atomically
+    try:
+        t.apply_changes(batch(1, mod10 == 0, -F.col("o_totalprice")))
+        _check(False, "poisoned batch must raise ConstraintViolationError")
+    except ConstraintViolationError:
+        pass
+    _check(t.version == v, "rejected commit must not advance the version")
+    _check(
+        t.verify_integrity()["ok"],
+        "rejected commit must leave integrity clean",
+    )
+    # corrective valid batch: doubled (still non-negative) prices
+    t.apply_changes(batch(2, mod10 == 1, F.col("o_totalprice") * 2))
+    return (
+        t.read()
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), dsum("price").alias("total"))
+    )

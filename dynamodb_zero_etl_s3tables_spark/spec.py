@@ -71,6 +71,20 @@ class TableSpec:
     # columns so per-file min/max stats are tight and `scan` can skip
     # files. Empty = no clustering (stats recorded but rarely selective).
     sort_columns: tuple[str, ...] = ()
+    # Iceberg Puffin bloom-filter analog: writes record a per-file
+    # bloom over these columns' values so `scan` can skip files on
+    # EQUALITY predicates even where min/max ranges overlap (the
+    # high-cardinality point-lookup case sort_columns doesn't cover).
+    # int/string columns only; sized ~16 bits/distinct value at write.
+    bloom_columns: tuple[str, ...] = ()
+    # Delta-invariant / ANSI CHECK analog: SQL boolean expressions a
+    # commit's rows must satisfy. Evaluated by the write job itself
+    # (an Observation on the write — no second pass); any FALSE row
+    # aborts the commit before the manifest references it. ANSI
+    # semantics: NULL/unknown passes. MoR delta layers ("merge-mor")
+    # are exempt (tombstones are not table rows); their compaction,
+    # which materializes merged rows, enforces.
+    check_constraints: tuple[str, ...] = ()
     # maintenance knobs (reference README.md:134-135 defaults 10/30 days)
     unreferenced_days: int = 10
     noncurrent_days: int = 30

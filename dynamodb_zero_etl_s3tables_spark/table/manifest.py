@@ -27,6 +27,7 @@ partition columns to support that.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -48,6 +49,12 @@ from dynamodb_zero_etl_s3tables_spark.table.merge import (
 
 class CommitConflictError(RuntimeError):
     """Raised when the manifest version moved under us (A8)."""
+
+
+class ConstraintViolationError(RuntimeError):
+    """Raised when a commit's rows violate a spec.check_constraints
+    expression; the commit is rolled back (its data dir removed, the
+    manifest untouched) before this propagates."""
 
 
 @dataclass
@@ -179,7 +186,81 @@ def _stat_safe(v: Any) -> Any:
     return None
 
 
-def _collect_file_stats(data_dir: str) -> list[dict[str, Any]]:
+#: bloom probe count (k). Sizing is per-file: ~16 bits per distinct
+#: value, so the false-positive rate stays ~(1-e^(-k/16))^k ~= 0.2%.
+_BLOOM_K = 4
+
+
+def _bloom_key(v: Any) -> str | None:
+    """Canonical hash key for a bloom value: ints and strings only
+    (floats and other types are excluded — equality pruning on them
+    is a footgun), type-tagged so int 5 and string '5' stay distinct."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    return None
+
+
+def _bloom_positions(key: str, bits: int) -> list[int]:
+    return [
+        int.from_bytes(
+            hashlib.md5(f"{key}|{i}".encode()).digest()[:8], "big"
+        )
+        % bits
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_build(values: list[Any]) -> dict[str, Any] | None:
+    """Per-file bloom over a column's values -> {bits, hex}, or None
+    when any value is un-keyable (a partial bloom would false-negative
+    and silently drop rows — absence of a bloom always reads the file)."""
+    keys = set()
+    for v in values:
+        if v is None:
+            continue
+        k = _bloom_key(v)
+        if k is None:
+            return None
+        keys.add(k)
+    if not keys:
+        return None
+    bits = max(256, 1 << (len(keys) * 16 - 1).bit_length())
+    bits = min(bits, 1 << 20)
+    buf = bytearray(bits // 8)
+    for k in keys:
+        for p in _bloom_positions(k, bits):
+            buf[p // 8] |= 1 << (p % 8)
+    return {"bits": bits, "hex": bytes(buf).hex()}
+
+
+def _bloom_may_match(
+    blooms: dict[str, Any] | None, col: str, op: str, val: Any
+) -> bool:
+    """Conservative bloom test: False only when the file's bloom
+    proves the equality value absent. Non-equality ops, missing
+    blooms, and un-keyable values always pass."""
+    if op != "=" or not blooms:
+        return True
+    b = blooms.get(col)
+    if b is None:
+        return True
+    key = _bloom_key(val)
+    if key is None:
+        return True
+    buf = bytes.fromhex(b["hex"])
+    return all(
+        buf[p // 8] & (1 << (p % 8))
+        for p in _bloom_positions(key, b["bits"])
+    )
+
+
+def _collect_file_stats(
+    data_dir: str, bloom_columns: tuple[str, ...] = ()
+) -> list[dict[str, Any]]:
     """Per-file row-group min/max from parquet footers — the stats an
     Iceberg writer records into its manifest at write time. Locally
     this is a driver-side footer sweep (metadata-scale: one footer per
@@ -209,14 +290,27 @@ def _collect_file_stats(data_dir: str) -> list[dict[str, Any]]:
                     stats[name] = [min(stats[name][0], lo), max(stats[name][1], hi)]
                 else:
                     stats[name] = [lo, hi]
-        entries.append(
-            {
-                "path": str(p),
-                "bytes": p.stat().st_size,
-                "rows": md.num_rows,
-                "stats": stats,
-            }
-        )
+        entry: dict[str, Any] = {
+            "path": str(p),
+            "bytes": p.stat().st_size,
+            "rows": md.num_rows,
+            "stats": stats,
+        }
+        present = [c for c in bloom_columns if c in f.schema_arrow.names]
+        if present:
+            # Puffin-analog bloom build: one column-pruned read per
+            # bloom column. Locally driver-side; on a cluster this
+            # rides the write task that just produced the file (the
+            # values are still in memory there) — same placement as
+            # the footer stats above.
+            blooms = {}
+            for c in present:
+                b = _bloom_build(f.read(columns=[c]).column(c).to_pylist())
+                if b is not None:
+                    blooms[c] = b
+            if blooms:
+                entry["bloom"] = blooms
+        entries.append(entry)
     return entries
 
 
@@ -303,7 +397,14 @@ class ManagedTable:
                 "key_columns": raw["key_columns"],
                 "partition_columns": raw["partition_columns"],
             }
-        for k in ("key_columns", "partition_columns", "order_columns", "sort_columns"):
+        for k in (
+            "key_columns",
+            "partition_columns",
+            "order_columns",
+            "sort_columns",
+            "bloom_columns",
+            "check_constraints",
+        ):
             if k in spec_dict and spec_dict[k] is not None:
                 spec_dict[k] = tuple(spec_dict[k])
         tbl = cls(spark, warehouse, TableSpec(**spec_dict))
@@ -717,6 +818,7 @@ class ManagedTable:
                     for f in ents
                     if all(
                         _file_may_match(f["stats"], col, op, val)
+                        and _bloom_may_match(f.get("bloom"), col, op, val)
                         for col, op, val in filters
                         if col not in e["values"]
                     )
@@ -741,6 +843,7 @@ class ManagedTable:
             for e in entries
             if all(
                 _file_may_match(e["stats"], col, op, _stat_safe(val) if not isinstance(val, (int, float, str)) else val)
+                and _bloom_may_match(e.get("bloom"), col, op, val)
                 for col, op, val in filters
             )
         ]
@@ -907,11 +1010,50 @@ class ManagedTable:
                 ).sortWithinPartitions(*sort)
         # B13: row count observed by the write job itself — no second job
         df, obs = observe_rows(df, name=operation)
+        constraints = tuple(
+            self.spec.check_constraints if operation != "merge-mor" else ()
+        )
+        cobs = None
+        if constraints:
+            # CHECK enforcement rides the SAME write job (Observation,
+            # like the row count): a row violates when the expression
+            # is FALSE — ANSI CHECK semantics, NULL passes.
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            cobs = Observation(f"checks-{time.time_ns()}")
+            df = df.observe(
+                cobs,
+                *[
+                    F.sum(
+                        F.when(F.expr(c) == F.lit(False), 1).otherwise(0)
+                    ).alias(f"viol_{i}")
+                    for i, c in enumerate(constraints)
+                ],
+            )
         writer = df.write.mode("overwrite")
         partitions: list[dict[str, Any]] | None = None
         if self.spec.partition_columns:
             writer = writer.partitionBy(*self.spec.partition_columns)
         writer.parquet(str(data_dir))
+        if cobs is not None:
+            vals = cobs.get
+            viol = {
+                c: int(vals[f"viol_{i}"])
+                for i, c in enumerate(constraints)
+                if vals[f"viol_{i}"]
+            }
+            if viol:
+                # abort BEFORE the manifest references the dir: readers
+                # never see it, and the orphan dir is gone immediately
+                import shutil
+
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise ConstraintViolationError(
+                    f"commit {operation!r} on {self.spec.qualified_name} "
+                    f"violates check constraints (violating rows per "
+                    f"expression): {viol}"
+                )
         files: list[dict[str, Any]] | None = None
         if self.spec.partition_columns:
             fresh = self._enumerate_partition_dirs(data_dir)
@@ -919,10 +1061,12 @@ class ManagedTable:
                 # per-partition file stats: lets scan() skip files
                 # INSIDE surviving partitions; carried entries keep
                 # the stats they were written with
-                ent["files"] = _collect_file_stats(ent["dir"])
+                ent["files"] = _collect_file_stats(
+                    ent["dir"], self.spec.bloom_columns
+                )
             partitions = fresh + list(carry_entries or [])
         else:
-            files = _collect_file_stats(str(data_dir))
+            files = _collect_file_stats(str(data_dir), self.spec.bloom_columns)
         n = int(obs.get["row_count"])
         m.snapshots.append(
             Snapshot(
