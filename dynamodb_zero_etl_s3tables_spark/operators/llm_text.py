@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dynamodb_zero_etl_s3tables_spark.operators.registry import query
+from dynamodb_zero_etl_s3tables_spark.operators.registry import DSUM, dsum, query
 from dynamodb_zero_etl_s3tables_spark.operators.scratch import scratch_dir
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
 
@@ -1659,3 +1659,113 @@ def e62_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = W.partitionBy(F.lit(1)).orderBy(F.col("rrf_score").desc(), "doc_id")
     return fused.withColumn("fused_rank", F.row_number().over(wf))
+
+
+# ---------------------------------------------------------------------------
+# e63: per-source Zipf rank-frequency slope
+# ---------------------------------------------------------------------------
+
+_ZIPF_R = 100  # fit over the top-R ranks (Zipf holds in the head)
+
+
+@query(
+    "e63_zipf_slope",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT source, token, COUNT(*) AS c
+      FROM (SELECT source, UNNEST(string_split(LOWER(text), ' ')) AS token
+            FROM documents)
+      GROUP BY source, token
+    ),
+    ranked AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, token) AS rnk
+      FROM cnt
+    ),
+    pts AS (
+      SELECT source, ROUND(LN(rnk), 6) AS lx, ROUND(LN(c), 6) AS ly
+      FROM ranked WHERE rnk <= {_ZIPF_R}
+    ),
+    sums AS (
+      SELECT source,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {DSUM('lx')} AS sx, {DSUM('ly')} AS sy,
+             {DSUM('lx * lx', 12)} AS sxx, {DSUM('lx * ly', 12)} AS sxy
+      FROM pts GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_ranks,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM sums
+    """,
+)
+def e63_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: per-source ZIPF rank-frequency slope — OLS fit of
+    ln(freq) ~ ln(rank) over each source's top-{_ZIPF_R} token ranks.
+    Natural text sits near slope -1 (Zipf's law, public literature);
+    a source whose slope diverges (too flat = template/boilerplate
+    spam, too steep = degenerate vocabulary) is a corpus-health flag
+    the e19 report card can't see — same diagnostic family as e54's
+    PSI drift, but on the vocabulary's SHAPE rather than a length
+    marginal.
+
+    Scale: per-(source, token) counts are one partial-aggregated
+    shuffle of the token stream; the per-source rank is TWO-STAGE
+    (partial top-{_ZIPF_R} inside each input partition, then the
+    final per-source window over <= R x partitions survivors — the
+    e43 discipline, so the vocabulary-sized frame never funnels
+    through one task). The OLS fit is a per-source aggregate over
+    exactly R points. Determinism: LN+ROUND-6 on integer inputs (the
+    e05/e18 discipline), decimal sums, ties break on token."""
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    # stage 1: partial per-(source, input-partition) top-R
+    partial = (
+        cnt.withColumn("part", F.spark_partition_id())
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                W.partitionBy("source", "part").orderBy(
+                    F.col("c").desc(), "token"
+                )
+            ),
+        )
+        .filter(F.col("prn") <= _ZIPF_R)
+        .drop("part", "prn")
+    )
+    # stage 2: exact per-source rank over the bounded survivors
+    ranked = partial.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.col("c").desc(), "token")
+        ),
+    ).filter(F.col("rnk") <= _ZIPF_R)
+    pts = ranked.select(
+        "source",
+        F.round(F.log("rnk"), 6).alias("lx"),
+        F.round(F.log("c"), 6).alias("ly"),
+    )
+    sums = pts.groupBy("source").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("lx").alias("sx"),
+        dsum("ly").alias("sy"),
+        dsum(F.col("lx") * F.col("lx"), 12).alias("sxx"),
+        dsum(F.col("lx") * F.col("ly"), 12).alias("sxy"),
+    )
+    return sums.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_ranks"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
