@@ -2667,3 +2667,64 @@ def c17_constraint_gate_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n"), dsum("price").alias("total"))
     )
+
+
+@query(
+    "c18_zorder_compact_journey",
+    oracle="""
+    SELECT o_orderkey AS pk, o_custkey AS cust, o_totalprice AS price
+    FROM orders
+    WHERE o_custkey < CAST(FLOOR((SELECT MAX(o_custkey) FROM orders) / 10.0)
+                           AS BIGINT)
+      AND o_totalprice < 100000.0
+    """,
+)
+def c18_zorder_compact_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11/B12 maintenance capstone: OPTIMIZE ZORDER BY end-to-end
+    (Delta OPTIMIZE ZORDER / Iceberg sort-order rewrite analog) — a
+    table whose bootstrap hash-scatters rows across 16 files answers
+    a two-dimensional box query by reading EVERY file (each file
+    spans both value ranges); `compact(zorder_by=("cust", "price"))`
+    rewrites the same rows range-clustered on the Morton key, after
+    which the SAME scan prunes most files on its min/max stats alone.
+    The oracle is the plain box predicate on the source table: layout
+    maintenance changes file geometry, never rows.
+
+    Scale: the Morton key is a pure codegen expression
+    (functions/zorder.py — shift/mask built-ins, no UDF); its scale
+    grid comes from the manifest's own file stats (metadata-scale
+    planning, no data pass); the rewrite is the one shuffle any
+    compaction pays. The in-builder _checks fail loudly if the
+    z-ordered layout does not actually prune the box query or the
+    rewrite perturbs a single row."""
+    wh = _scratch(sf_dir, "warehouse_c18", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics", name="orders_z", key_columns=("pk",)
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    t.bootstrap(
+        o.select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_custkey").alias("cust"),
+            F.col("o_totalprice").alias("price"),
+        ).repartition(16, "pk")
+    )
+    kmax = o.agg(F.max("o_custkey")).collect()[0][0]
+    box = [("cust", "<", int(kmax // 10)), ("price", "<", 100000.0)]
+    n_before = t.scan(box).count()
+    snap = t._read_manifest().current
+    total = sum(e["bytes"] for e in snap.files)
+    t.compact(target_file_bytes=max(4096, total // 12), zorder_by=("cust", "price"))
+    out = t.scan(box)
+    m = t.last_scan_metrics
+    _check(
+        m["files_read"] < m["files_total"],
+        f"z-ordered layout must prune the box query, got {m}",
+    )
+    _check(
+        out.count() == n_before,
+        "layout maintenance must never change the row set",
+    )
+    return out

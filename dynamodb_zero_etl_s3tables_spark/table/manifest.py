@@ -894,7 +894,40 @@ class ManagedTable:
                 return self.compact(target_file_bytes)
         return None
 
-    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict[str, int]:
+    def _stats_bounds(self, snap: Snapshot, col: str) -> tuple[Any, Any] | None:
+        """Global [min, max] of ``col`` from the snapshot's own file
+        stats — metadata-scale planning input (no data read). None
+        when any file lacks stats for the column (caller falls back
+        to a column-pruned agg). MoR layers may carry superseded
+        rows; a superset range only widens the z-order grid, never
+        breaks it."""
+        m = self._read_manifest()
+        by_v = {s.version: s for s in m.snapshots}
+        los: list[Any] = []
+        his: list[Any] = []
+        cur: Snapshot | None = snap
+        while cur is not None:
+            ents = (
+                [f for e in cur.partitions for f in (e.get("files") or [])]
+                if cur.partitions is not None
+                else (cur.files or [])
+            )
+            if not ents:
+                return None
+            for f in ents:
+                rng = f["stats"].get(col)
+                if rng is None:
+                    return None
+                los.append(rng[0])
+                his.append(rng[1])
+            cur = by_v.get(cur.base_version) if cur.base_version is not None else None
+        return (min(los), max(his)) if los else None
+
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        zorder_by: tuple[str, ...] | None = None,
+    ) -> dict[str, int]:
         """Bin-pack small data files into ~``target_file_bytes`` files
         — the compaction half of Iceberg table maintenance the
         reference's managed pipeline performs alongside
@@ -909,7 +942,16 @@ class ManagedTable:
         Partitioned tables keep their partition layout, packing within
         each partition (`repartition` by partition key → one writer
         task per partition holds all its rows).
-        """
+
+        ``zorder_by`` additionally Morton-clusters the rewrite on the
+        given numeric columns (Delta OPTIMIZE ZORDER BY / Iceberg
+        sort-order rewrite analog): the scale grid comes from the
+        manifest's own file stats (metadata-scale planning, the same
+        place Iceberg reads it), the key is a pure codegen expression
+        (functions/zorder.py), and the range-clustered layout keeps
+        per-file min/max tight in EVERY listed dimension — so `scan`
+        box queries prune files that a single-column sort layout
+        would have to read."""
         m = self._read_manifest()
         snap = m.current
         if snap is None:
@@ -928,12 +970,38 @@ class ManagedTable:
         files_before = len(paths)
         total_bytes = sum(p.stat().st_size for p in paths)
         df = self.read()
+        zkey = None
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            from dynamodb_zero_etl_s3tables_spark.functions.zorder import (
+                zorder_key,
+            )
+
+            bounds = []
+            for c in zorder_by:
+                b = self._stats_bounds(snap, c)
+                if b is None:  # stats gap: one column-pruned agg
+                    row = df.agg(F.min(c), F.max(c)).collect()[0]
+                    b = (row[0], row[1])
+                bounds.append((F.col(c), float(b[0]), float(b[1])))
+            zkey = "__zkey"
+            df = df.withColumn(zkey, zorder_key(bounds))
         if self.spec.partition_columns:
             # one writer task per partition value -> one packed file each
             df = df.repartition(*self.spec.partition_columns)
+            if zkey:
+                df = df.sortWithinPartitions(zkey).drop(zkey)
         else:
             n_target = max(1, -(-total_bytes // target_file_bytes))
-            df = df.repartition(n_target)
+            if zkey:
+                df = (
+                    df.repartitionByRange(n_target, zkey)
+                    .sortWithinPartitions(zkey)
+                    .drop(zkey)
+                )
+            else:
+                df = df.repartition(n_target)
         self._write_snapshot(df, operation="compact")
         new = self._read_manifest().current
         new_dirs = (

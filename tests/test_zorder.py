@@ -72,3 +72,61 @@ def test_zorder_layout_prunes_both_dims(spark, warehouse):
     # x-sorted layout prunes on x only (~4/16 files); the y constraint
     # prunes nothing there. z-order tightens BOTH dims per file.
     assert z_read < x_read, (z_read, x_read)
+
+
+# ---------------------------------------------------------------------------
+# compact(zorder_by=...): Delta OPTIMIZE ZORDER BY analog on ManagedTable
+# ---------------------------------------------------------------------------
+
+
+def test_compact_zorder_preserves_rows_and_prunes_box(spark, tmp_path):
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+
+    t = ManagedTable(
+        spark,
+        str(tmp_path / "wh"),
+        TableSpec(namespace="ns", name="zc", key_columns=("pk",)),
+    )
+    # x and y scattered across 16 files: every file spans both ranges
+    df = spark.range(0, 40000).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % 200).cast("double").alias("x"),
+        ((F.col("id") * 7) % 200).cast("double").alias("y"),
+    )
+    t.bootstrap(df.repartition(16, "pk"))
+    before = sorted(map(tuple, t.read().collect()))
+    box = [("x", "<", 25.0), ("x", ">=", 0.0), ("y", "<", 25.0), ("y", ">=", 0.0)]
+    t.scan(box)
+    m0 = t.last_scan_metrics
+    assert m0["files_read"] == m0["files_total"]  # scattered: no pruning
+    r = t.compact(target_file_bytes=64 * 1024, zorder_by=("x", "y"))
+    assert r["files_after"] >= 4  # multiple files or there is nothing to prune
+    assert sorted(map(tuple, t.read().collect())) == before
+    out = t.scan(box)
+    m1 = t.last_scan_metrics
+    assert m1["files_read"] < m1["files_total"], m1
+    want = [r0 for r0 in before if r0[1] < 25.0 and r0[2] < 25.0]
+    assert sorted(map(tuple, out.collect())) == want
+
+
+def test_compact_zorder_bounds_from_manifest_stats(spark, tmp_path):
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+
+    t = ManagedTable(
+        spark,
+        str(tmp_path / "wh"),
+        TableSpec(namespace="ns", name="zb", key_columns=("pk",)),
+    )
+    t.bootstrap(
+        spark.range(0, 1000).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 50).cast("double").alias("x"),
+            (F.col("id") % 7).cast("double").alias("y"),
+        )
+    )
+    snap = t._read_manifest().current
+    assert t._stats_bounds(snap, "x") == (0.0, 49.0)
+    assert t._stats_bounds(snap, "y") == (0.0, 6.0)
+    assert t._stats_bounds(snap, "nope") is None
