@@ -2097,3 +2097,114 @@ def e61_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("fid").cast("double") / MRL_K).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e64: PageRank centrality over the e48 kNN graph
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+
+
+def _pr_oracle() -> str:
+    """Compose the PageRank oracle on top of e48's registered oracle
+    (the e62 discipline: the derived query can never drift from the
+    graph it ranks). All rank arithmetic is bigint fixed-point."""
+    from dynamodb_zero_etl_s3tables_spark.operators.registry import (
+        QUERY_REGISTRY,
+    )
+
+    g = QUERY_REGISTRY["e48_knn_graph"].oracle
+    body = f"""
+    WITH g AS ({g}),
+    edges AS (SELECT src, dst FROM g),
+    outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS v FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT v, 1000000000 // nn.n AS r FROM nodes, nn)"""
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        body += f""",
+    s{i} AS (
+      SELECT e.dst AS v, SUM({prev}.r // outd.od) AS s
+      FROM edges e
+      JOIN {prev} ON e.src = {prev}.v
+      JOIN outd ON e.src = outd.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT nodes.v,
+             (150000000 // nn.n) + (85 * COALESCE(s{i}.s, 0)) // 100 AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN s{i} ON nodes.v = s{i}.v
+    )"""
+        prev = f"r{i}"
+    body += f"""
+    SELECT {prev}.v AS vec_id, outd.od AS out_degree,
+           CAST({prev}.r AS BIGINT) AS pagerank_nanos
+    FROM {prev} JOIN outd ON {prev}.v = outd.src
+    """
+    return body
+
+
+@query("e64_knn_pagerank", oracle=_pr_oracle())
+def e64_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 graph path: PAGERANK centrality over the e48 kNN graph —
+    {PR_ITERS} damped power-iteration rounds (d=0.85, uniform
+    teleport) over the directed top-k neighbor edges. High-centrality
+    vectors sit in dense semantic neighborhoods (prototypical
+    examples — kept for coreset selection); low-centrality ones are
+    outliers (candidates for inspection or down-weighting). This is
+    the graph-centrality data-selection primitive beside e49's
+    cluster balancing, and the iterative-algorithm counterpart of
+    e34's power iteration, done on an edge list instead of a matrix.
+
+    Scale: the edge list is MATERIALIZED to scratch parquet once
+    (real pipelines persist the graph; it also keeps each iteration's
+    plan O(1) instead of re-deriving the LSH graph per round). Every
+    iteration is one shuffle: contributions are a map-side projection
+    of the (rank JOIN edges) hash join on src, partially aggregated
+    on dst. Node count, out-degrees, and ranks are O(N) frames. At
+    100 TB the same loop runs with the rank frame hash-partitioned on
+    vec_id and the edge list bucketed on src — no step is quadratic.
+    Determinism: rank mass is BIGINT FIXED-POINT (nano-units, 1.0 =
+    1e9): init 1e9//N, contributions r//outdeg, damping (85*s)//100 —
+    floor divisions and integer sums only, so both engines agree
+    bit-for-bit with NO float rounding anywhere (float ROUND ties on
+    constructed rationals are exactly where engine ROUND
+    implementations diverge). Every node has out-degree >= 1 by
+    e48's construction, so there is no dangling-mass term; the
+    per-step floor leaks < 1e-9 of mass per node, the standard
+    fixed-point trade."""
+    from dynamodb_zero_etl_s3tables_spark.operators.scratch import scratch_dir
+
+    edges_path = str(scratch_dir(sf_dir, "e64_edges", wipe=True))
+    e48_knn_graph(spark, sf_dir).select("src", "dst").write.mode(
+        "overwrite"
+    ).parquet(edges_path)
+    edges = spark.read.parquet(edges_path)
+
+    outd = edges.groupBy("src").agg(F.count("*").alias("od"))
+    nodes = edges.select(F.col("src").alias("v")).distinct()
+    n = nodes.count()
+    teleport = 150000000 // n
+    ranks = nodes.select("v", F.lit(10**9 // n).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.v)
+            .join(outd, "src")
+            .select("dst", F.expr("r div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.v == contrib.dst, "left").select(
+            "v",
+            (
+                F.lit(teleport)
+                + F.expr("div(85 * coalesce(s, 0L), 100)")
+            ).cast("long").alias("r"),
+        )
+    return ranks.join(outd, ranks.v == outd.src).select(
+        F.col("v").alias("vec_id"),
+        F.col("od").alias("out_degree"),
+        F.col("r").alias("pagerank_nanos"),
+    )
