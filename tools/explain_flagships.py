@@ -167,6 +167,23 @@ FLAGSHIPS = {
         "bucket-hash shuffle); split labels are pure hash projections; the "
         "classify joins touch candidate pairs, not the corpus."
     ),
+    "e61_matryoshka_recall": (
+        "MRL truncation ladder: one-row query broadcast, per-(vector, dim) "
+        "scoring map-side over a bounded x4 explode; per-dim top-k is "
+        "two-stage (partial per input partition before the 4-partition "
+        "window), so the corpus never funnels."
+    ),
+    "e63_zipf_slope": (
+        "Zipf slope: one partial-aggregated token-count shuffle; per-source "
+        "rank is two-stage partial top-100; the OLS fit aggregates exactly "
+        "R points per source through decimal sums."
+    ),
+    "e64_knn_pagerank": (
+        "Fixed-point PageRank: edge list read back from its one-time "
+        "materialization; each iteration is a single hash join + partial "
+        "aggregate on dst (integer sums — no float in the loop); rank and "
+        "degree frames stay O(N)."
+    ),
 }
 
 
