@@ -2728,3 +2728,67 @@ def c18_zorder_compact_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         "layout maintenance must never change the row set",
     )
     return out
+
+
+@query(
+    "c19_delete_where_journey",
+    oracle=f"""
+    WITH kept AS (
+      SELECT o_orderstatus AS status, o_totalprice AS price
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+    )
+    SELECT status, COUNT(*) AS n, {DSUM('price')} AS total
+    FROM kept GROUP BY status
+    """,
+)
+def c19_delete_where_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5/B7 DML capstone: predicate DELETE end-to-end (Iceberg
+    `DELETE FROM ... WHERE` / Delta DELETE analog) — a table
+    partitioned on order status deletes `status = 'F' AND price <
+    100000`; the manifest's partition values prove the predicate
+    cannot match the other status partitions, so those are CARRIED as
+    metadata references (zero I/O) and only the 'F' partition is
+    rewritten without its TRUE rows. The oracle restates the
+    surviving rows from the source table; the _checks pin the pruning
+    shape (exactly one partition rewritten) and that the pre-delete
+    version still time-travels to the full row set.
+
+    Scale: a retention/PII delete on a partitioned fact table
+    rewrites only the partitions the predicate can touch — at 100 TB
+    with daily partitions that is one partition, not the table; the
+    carried dirs cost nothing and history keeps every old file
+    referenced for time travel until retention expires it."""
+    wh = _scratch(sf_dir, "warehouse_c19", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_del",
+            key_columns=("pk",),
+            partition_columns=("status",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    t.bootstrap(
+        o.select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    n_full = t.read().count()
+    v = t.version
+    r = t.delete_where([("status", "=", "F"), ("price", "<", 100000.0)])
+    _check(
+        r["partitions_rewritten"] == 1 and r["partitions_carried"] == 2,
+        f"delete must rewrite only the 'F' partition, got {r}",
+    )
+    _check(
+        t.read(version=v).count() == n_full,
+        "the pre-delete snapshot must still time-travel to every row",
+    )
+    return (
+        t.read()
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), dsum("price").alias("total"))
+    )

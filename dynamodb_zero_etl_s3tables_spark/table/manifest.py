@@ -1382,6 +1382,76 @@ class ManagedTable:
         )
         self._write_snapshot(merged, operation="merge", carry_entries=carry)
 
+    def delete_where(
+        self, filters: list[tuple[str, str, Any]]
+    ) -> dict[str, Any]:
+        """Predicate DELETE (Iceberg ``DELETE FROM ... WHERE`` /
+        Delta DELETE analog) with copy-on-write FILE PRUNING:
+        partitions whose manifest values prove the conjunctive
+        predicate cannot match are CARRIED into the new snapshot as
+        metadata references — only possibly-matching partitions are
+        read and rewritten without their TRUE rows. ANSI semantics: a
+        row whose predicate evaluates NULL is kept (DELETE removes
+        only TRUE rows). Unpartitioned tables do a full CoW rewrite
+        (the single-dir snapshot layout has no per-file carry;
+        partition your deletion axis if deletes are hot — same
+        constraint Iceberg CoW has before merge-on-read deletes).
+
+        At 100 TB this is the difference between rewriting the table
+        and rewriting the ~1 partition a retention predicate touches:
+        carried dirs cost zero I/O, and history/time travel keep
+        working because the old snapshot still references every old
+        file. Ops are the scan set (``= < <= > >=``), conjunctive."""
+        from pyspark.sql import functions as F
+
+        filters = list(filters)
+        for col, op, _ in filters:
+            if op not in _PRUNE_OPS:
+                raise ValueError(
+                    f"unsupported scan op {op!r} (use one of {_PRUNE_OPS})"
+                )
+        m = self._read_manifest()
+        snap = m.current
+        if snap is None:
+            raise FileNotFoundError(
+                f"table {self.spec.qualified_name} has no snapshots"
+            )
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        by_name = {f.name: f for f in schema.fields}
+        pred = None
+        for col, op, val in filters:
+            c = F.col(col)
+            cond = {
+                "=": c == val, "<": c < val, "<=": c <= val,
+                ">": c > val, ">=": c >= val,
+            }[op]
+            pred = cond if pred is None else (pred & cond)
+        keep = ~F.coalesce(pred, F.lit(False))
+
+        if snap.partitions is not None:
+            def may_match(e: dict[str, Any]) -> bool:
+                stats = {}
+                for pc, raw in e["values"].items():
+                    v = _coerce_partition_value(raw, by_name[pc].dataType)
+                    if v is not None:
+                        stats[pc] = [v, v]
+                return all(
+                    _file_may_match(stats, col, op, val)
+                    for col, op, val in filters
+                    if col in e["values"]
+                )
+
+            touched = [e for e in snap.partitions if may_match(e)]
+            carry = [e for e in snap.partitions if not may_match(e)]
+            kept = self._read_partition_entries(touched, schema).filter(keep)
+            self._write_snapshot(kept, operation="delete", carry_entries=carry)
+            return {
+                "partitions_rewritten": len(touched),
+                "partitions_carried": len(carry),
+            }
+        self._write_snapshot(self.read().filter(keep), operation="delete")
+        return {"partitions_rewritten": None, "partitions_carried": None}
+
     def create_tag(self, name: str, version: int | None = None) -> None:
         """Iceberg TAG analog: pin a retained snapshot version under a
         name. ``read(tag=...)`` resolves it; vacuum/expire keep the
