@@ -2792,3 +2792,69 @@ def c19_delete_where_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n"), dsum("price").alias("total"))
     )
+
+
+@query(
+    "c20_update_where_journey",
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderstatus AS status,
+             CASE WHEN o_orderstatus = 'O' AND o_totalprice < 50000.0
+                  THEN o_totalprice * 1.1 ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT status, COUNT(*) AS n, {DSUM('price')} AS total
+    FROM final GROUP BY status
+    """,
+)
+def c20_update_where_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 DML capstone: predicate UPDATE end-to-end (Delta
+    `UPDATE ... WHERE` analog), the write-side companion of c19 — a
+    table partitioned on order status applies `price *= 1.1` to
+    `status = 'O' AND price < 50000` rows; the manifest proves the
+    other status partitions unmatchable, so they are CARRIED as
+    metadata references and only the 'O' partition is rewritten, with
+    the update expression evaluated INSIDE the write job (codegen'd
+    CASE, no extra pass). Cardinality is invariant by construction.
+    The oracle restates the CASE over the source table; _checks pin
+    the pruning shape and the unchanged row count.
+
+    Scale: a price-correction backfill on a 100 TB fact table
+    rewrites one partition; assignment to partition columns is
+    rejected (a row changing partitions needs the all-partition
+    path), which is what keeps the pruned rewrite sound."""
+    wh = _scratch(sf_dir, "warehouse_c20", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_upd",
+            key_columns=("pk",),
+            partition_columns=("status",),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    t.bootstrap(
+        o.select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    n_full = t.read().count()
+    r = t.update_where(
+        [("status", "=", "O"), ("price", "<", 50000.0)],
+        {"price": "price * 1.1"},
+    )
+    _check(
+        r["partitions_rewritten"] == 1 and r["partitions_carried"] == 2,
+        f"update must rewrite only the 'O' partition, got {r}",
+    )
+    _check(
+        t.read().count() == n_full,
+        "UPDATE must never change the row count",
+    )
+    return (
+        t.read()
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), dsum("price").alias("total"))
+    )

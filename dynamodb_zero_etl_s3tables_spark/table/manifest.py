@@ -1452,6 +1452,91 @@ class ManagedTable:
         self._write_snapshot(self.read().filter(keep), operation="delete")
         return {"partitions_rewritten": None, "partitions_carried": None}
 
+    def update_where(
+        self,
+        filters: list[tuple[str, str, Any]],
+        assignments: dict[str, str],
+    ) -> dict[str, Any]:
+        """Predicate UPDATE (Delta ``UPDATE ... WHERE`` / Iceberg
+        row-level update analog), sharing delete_where's pruning:
+        carried partitions are metadata references, touched partitions
+        are rewritten with ``assignments`` (column -> SQL expression,
+        evaluated in the row's scope) applied ONLY to rows whose
+        predicate is TRUE (NULL/FALSE rows pass through untouched —
+        ANSI). Assignments to partition columns are rejected: a row
+        changing partitions under a pruned rewrite would need the
+        all-partition path (use apply_changes for reshaping writes).
+
+        At 100 TB: a backfill/correction touching one partition's
+        predicate range rewrites that partition only — the update
+        expression runs inside the write job, codegen'd, no extra
+        pass."""
+        from pyspark.sql import functions as F
+
+        bad = set(assignments) & set(self.spec.partition_columns)
+        if bad:
+            raise ValueError(
+                f"update_where cannot assign partition columns {sorted(bad)}"
+            )
+        filters = list(filters)
+        for col, op, _ in filters:
+            if op not in _PRUNE_OPS:
+                raise ValueError(
+                    f"unsupported scan op {op!r} (use one of {_PRUNE_OPS})"
+                )
+        m = self._read_manifest()
+        snap = m.current
+        if snap is None:
+            raise FileNotFoundError(
+                f"table {self.spec.qualified_name} has no snapshots"
+            )
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        by_name = {f.name: f for f in schema.fields}
+        pred = None
+        for col, op, val in filters:
+            c = F.col(col)
+            cond = {
+                "=": c == val, "<": c < val, "<=": c <= val,
+                ">": c > val, ">=": c >= val,
+            }[op]
+            pred = cond if pred is None else (pred & cond)
+        hit = F.coalesce(pred, F.lit(False))
+
+        def apply_set(df: DataFrame) -> DataFrame:
+            for col, expr in assignments.items():
+                df = df.withColumn(
+                    col,
+                    F.when(hit, F.expr(expr).cast(by_name[col].dataType))
+                    .otherwise(F.col(col)),
+                )
+            return df
+
+        if snap.partitions is not None:
+            def may_match(e: dict[str, Any]) -> bool:
+                stats = {}
+                for pc, raw in e["values"].items():
+                    v = _coerce_partition_value(raw, by_name[pc].dataType)
+                    if v is not None:
+                        stats[pc] = [v, v]
+                return all(
+                    _file_may_match(stats, col, op, val)
+                    for col, op, val in filters
+                    if col in e["values"]
+                )
+
+            touched = [e for e in snap.partitions if may_match(e)]
+            carry = [e for e in snap.partitions if not may_match(e)]
+            updated = apply_set(self._read_partition_entries(touched, schema))
+            self._write_snapshot(
+                updated, operation="update", carry_entries=carry
+            )
+            return {
+                "partitions_rewritten": len(touched),
+                "partitions_carried": len(carry),
+            }
+        self._write_snapshot(apply_set(self.read()), operation="update")
+        return {"partitions_rewritten": None, "partitions_carried": None}
+
     def create_tag(self, name: str, version: int | None = None) -> None:
         """Iceberg TAG analog: pin a retained snapshot version under a
         name. ``read(tag=...)`` resolves it; vacuum/expire keep the

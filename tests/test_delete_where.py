@@ -108,3 +108,75 @@ def test_delete_rejects_unknown_op(spark, warehouse):
     t = _ptable(spark, warehouse, "dr")
     with pytest.raises(ValueError, match="unsupported scan op"):
         t.delete_where([("g", "!=", 1)])
+
+
+# ---------------------------------------------------------------------------
+# update_where: the UPDATE companion, same pruning
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_update_carries_and_rewrites(spark, warehouse):
+    t = _ptable(spark, warehouse, "uw")
+    old_dirs = {
+        e["values"]["g"]: e["dir"]
+        for e in t._read_manifest().current.partitions
+    }
+    r = t.update_where([("g", "=", 1), ("pk", "<", 50)], {"x": "x + 1000.0"})
+    assert r["partitions_rewritten"] == 1 and r["partitions_carried"] == 4
+    snap = t._read_manifest().current
+    assert snap.operation == "update"
+    for e in snap.partitions:
+        if e["values"]["g"] != "1":
+            assert e["dir"] == old_dirs[e["values"]["g"]]
+    got = {r0["pk"]: r0["x"] for r0 in t.read().filter("g = 1").collect()}
+    for pk, x in got.items():
+        want = pk * 2.0 + (1000.0 if pk < 50 else 0.0)
+        assert x == want, (pk, x, want)
+    assert t.read().count() == 2000  # UPDATE never changes cardinality
+
+
+def test_update_rejects_partition_column_assignment(spark, warehouse):
+    import pytest
+
+    t = _ptable(spark, warehouse, "uwp")
+    with pytest.raises(ValueError, match="partition columns"):
+        t.update_where([("pk", "<", 10)], {"g": "g + 1"})
+
+
+def test_update_null_predicate_rows_untouched(spark, warehouse):
+    from pyspark.sql import Row
+
+    t = ManagedTable(
+        spark, warehouse,
+        TableSpec(namespace="ns", name="un", key_columns=("pk",)),
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [Row(pk=1, x=1.0), Row(pk=2, x=None), Row(pk=3, x=9.0)],
+            schema="pk bigint, x double",
+        )
+    )
+    t.update_where([("x", ">", 5.0)], {"x": "x * 2"})
+    got = {r["pk"]: r["x"] for r in t.read().collect()}
+    assert got == {1: 1.0, 2: None, 3: 18.0}
+
+
+def test_update_respects_constraints(spark, warehouse):
+    import pytest
+
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import (
+        ConstraintViolationError,
+    )
+
+    t = ManagedTable(
+        spark, warehouse,
+        TableSpec(
+            namespace="ns", name="uc", key_columns=("pk",),
+            check_constraints=("x >= 0",),
+        ),
+    )
+    t.bootstrap(_df(spark, 100))
+    v = t.version
+    with pytest.raises(ConstraintViolationError):
+        t.update_where([("pk", "<", 10)], {"x": "-1.0"})
+    assert t.version == v
