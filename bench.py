@@ -158,6 +158,15 @@ def main() -> None:
     contaminated = min(cal_start, cal_end) > (
         CALIBRATION_QUIET_SEC * CALIBRATION_LOAD_FACTOR
     ) or cal_end > (CALIBRATION_QUIET_SEC * CALIBRATION_LOAD_FACTOR)
+    # Disambiguate the flag's two causes for the reader:
+    # calibration_stable means the END probe is no worse than the
+    # start (within 15%) — load arriving mid-run inflates the end;
+    # C2-JIT warmup only ever inflates the START (see comment above).
+    # A contaminated file with stable probes is a uniformly slower
+    # host: wall-times are valid after dividing by host_speed_factor.
+    # Contaminated + unstable = load arrived mid-run; distrust it.
+    stable = cal_end <= cal_start * 1.15
+    speed_factor = round(cal / CALIBRATION_QUIET_SEC, 3)
     print(
         json.dumps(
             {
@@ -181,6 +190,8 @@ def main() -> None:
                 "calibration_end_sec": cal_end,
                 "calibration_quiet_bound_sec": CALIBRATION_QUIET_SEC,
                 "load_contaminated": contaminated,
+                "calibration_stable": stable,
+                "host_speed_factor": speed_factor,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
