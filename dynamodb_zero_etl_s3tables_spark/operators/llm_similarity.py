@@ -2208,3 +2208,114 @@ def e64_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("od").alias("out_degree"),
         F.col("r").alias("pagerank_nanos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e65: greedy k-center coreset selection
+# ---------------------------------------------------------------------------
+
+KC_K = 8  # selected centers (incl. the deterministic seed vec_id=0)
+
+
+def _D2(a: str, b: str) -> str:
+    """DuckDB twin of _sub_d2 over full vectors: left-to-right fold
+    of (a_i - b_i)^2 as (x-y)*(x-y), matching Spark's multiply."""
+    return (
+        f"list_reduce(list_transform(range(1, {DIM + 1}),"
+        f" i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+        f" * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    """Iterative greedy k-center as chained CTEs: m_i holds each
+    remaining vector's 6dp-rounded min-d2 to the chosen set, n_i the
+    argmax (the i-th center). Same per-round re-quantization as the
+    Spark builder, so both engines pick identical centers."""
+    body = f"""
+    WITH m0 AS (
+      SELECT e.vec_id,
+             ROUND({_D2('e.embedding', 'c.cv')}, 6) AS d
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding AS cv FROM embeddings
+                  WHERE vec_id = 0) c
+      WHERE e.vec_id <> 0
+    )"""
+    for i in range(1, KC_K):
+        body += f""",
+    n{i} AS (SELECT vec_id AS v, d FROM m{i - 1}
+             ORDER BY d DESC, vec_id LIMIT 1),
+    m{i} AS (
+      SELECT m.vec_id,
+             LEAST(m.d, ROUND({_D2('e.embedding', 'c.cv')}, 6)) AS d
+      FROM m{i - 1} m
+      JOIN embeddings e ON e.vec_id = m.vec_id
+      CROSS JOIN (SELECT embedding AS cv FROM embeddings
+                  WHERE vec_id = (SELECT v FROM n{i})) c
+      WHERE m.vec_id <> (SELECT v FROM n{i})
+    )"""
+    picks = ["SELECT 0 AS sel_round, 0 AS vec_id, 0.0 AS dist"]
+    for i in range(1, KC_K):
+        picks.append(
+            f"SELECT {i} AS sel_round, v AS vec_id, d AS dist FROM n{i}"
+        )
+    return body + "\n    " + "\n    UNION ALL ".join(picks)
+
+
+@query("e65_kcenter_coreset", oracle=_kcenter_oracle())
+def e65_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: GREEDY K-CENTER coreset selection (the 2-approx
+    farthest-first traversal; Sener & Savarese 2018 use it for
+    active-learning coresets, public) — pick {KC_K} vectors such that
+    every corpus vector is near some pick: seed at vec_id=0, then
+    repeatedly take the vector FARTHEST (max min-d2) from the chosen
+    set. The emitted `dist` column is the selection radius at each
+    round — its decay curve is the coverage diagnostic. Complements
+    e21 (k-means summarizes density; k-center covers the SUPPORT,
+    grabbing exactly the outlier modes density-seeking misses —
+    that's why it's the active-learning pick).
+
+    Scale: the classic k-pass algorithm, one pass per center — each
+    round updates a persistent O(N) min-dist frame against ONE
+    broadcast-literal center (least(old, new) map-side projection)
+    and takes a TakeOrderedAndProject argmax; nothing is quadratic
+    and the frame never re-scores against the whole chosen set. At
+    100 TB: k scans, each trivially parallel — the known cost of
+    greedy k-center (index-accelerated variants exist; the exact
+    greedy IS the reference semantics). Determinism: per-round 6dp
+    re-quantization of min-d2 (the e34 discipline), argmax ties on
+    vec_id."""
+    e = load(spark, sf_dir, "embeddings")
+    seed = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("cv")
+    )
+    mind = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(seed))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(_sub_d2(F.col("embedding"), F.col("cv")), 6).alias("d"),
+        )
+    )
+    picks = [(0, 0, 0.0)]
+    for i in range(1, KC_K):
+        top = mind.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()[0]
+        picks.append((i, int(top["vec_id"]), float(top["d"])))
+        cv = F.array(*[F.lit(float(x)) for x in
+                       e.filter(F.col("vec_id") == top["vec_id"])
+                       .collect()[0]["embedding"]])
+        mind = (
+            mind.filter(F.col("vec_id") != int(top["vec_id"]))
+            .select(
+                "vec_id",
+                "embedding",
+                F.least(
+                    F.col("d"),
+                    F.round(_sub_d2(F.col("embedding"), cv), 6),
+                ).alias("d"),
+            )
+        )
+    return spark.createDataFrame(
+        picks, schema="sel_round int, vec_id bigint, dist double"
+    )
