@@ -1769,3 +1769,139 @@ def e63_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e66: stratified eval split with exact largest-remainder apportionment
+# ---------------------------------------------------------------------------
+
+_EVAL_PCT = 10  # eval target: 10% of the corpus, exactly apportioned
+
+
+@query(
+    "e66_stratified_split",
+    oracle=f"""
+    WITH strata AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(n) AS big_n, (SUM(n) * {_EVAL_PCT}) // 100 AS t
+      FROM strata
+    ),
+    quota AS (
+      SELECT s.source, s.n,
+             (t.t * s.n) // tot.big_n AS qf,
+             (t.t * s.n) % tot.big_n AS rem
+      FROM strata s, tot t, tot
+    ),
+    short AS (
+      SELECT t.t - SUM(q.qf) AS k FROM quota q, tot t GROUP BY t.t
+    ),
+    ranked AS (
+      SELECT source, n, qf, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
+      FROM quota
+    ),
+    alloc AS (
+      SELECT source, n,
+             qf + CASE WHEN rr <= (SELECT k FROM short) THEN 1 ELSE 0 END
+               AS eval_quota
+      FROM ranked
+    ),
+    hashed AS (
+      SELECT d.source, d.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('strat|' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS hr
+      FROM documents d
+    ),
+    chosen AS (
+      SELECT h.source, h.doc_id
+      FROM hashed h JOIN alloc a ON h.source = a.source
+      WHERE h.hr <= a.eval_quota
+    )
+    SELECT a.source, CAST(a.n AS BIGINT) AS n_docs,
+           CAST(a.eval_quota AS BIGINT) AS eval_quota,
+           CAST(COALESCE(SUM(c.doc_id), 0) AS BIGINT) AS eval_id_sum
+    FROM alloc a LEFT JOIN chosen c ON a.source = c.source
+    GROUP BY a.source, a.n, a.eval_quota
+    """,
+)
+def e66_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 family: STRATIFIED eval split with EXACT largest-remainder
+    apportionment (Hamilton's method, public): the eval set is
+    exactly floor(N * {_EVAL_PCT}%) documents, distributed across
+    source strata proportionally — floor quotas first, then +1 to the
+    strata with the largest integer remainders until the total is
+    exact. Within a stratum, membership is the lowest content-hash
+    ranks (e08's md5 discipline), so the selection is a pure function
+    of the data: any engine, any layout, any rerun picks the same
+    documents — `eval_id_sum` pins that cross-engine. This is the
+    eval-set builder e08's independent per-row buckets can't be: e08
+    hits 10% only in expectation; benchmark curation needs the exact
+    count AND per-source proportionality (else small sources vanish
+    from the eval set).
+
+    Scale: strata/quota/allocation frames are O(sources) — pure
+    integer arithmetic (// and %), no floats anywhere in the
+    apportionment; the per-stratum hash rank is one window over the
+    corpus partitioned by source (two-stage not needed: rank feeds a
+    per-stratum top-quota filter, and a skewed source can use the
+    e43 partial-rank discipline unchanged). One corpus scan total."""
+    from pyspark.sql.window import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    strata = d.groupBy("source").agg(F.count("*").alias("n"))
+    tot = strata.agg(
+        F.sum("n").alias("big_n"),
+        F.expr(f"div(sum(n) * {_EVAL_PCT}, 100)").alias("t"),
+    )
+    quota = strata.join(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "big_n",
+        "t",
+        F.expr("div(t * n, big_n)").alias("qf"),
+        ((F.col("t") * F.col("n")) % F.col("big_n")).alias("rem"),
+    )
+    short = quota.groupBy("t").agg(
+        (F.first("t") - F.sum("qf")).alias("k")
+    ).select("k")
+    ranked = quota.withColumn(
+        "rr",
+        F.row_number().over(W.orderBy(F.col("rem").desc(), "source")),
+    )
+    alloc = ranked.join(F.broadcast(short)).select(
+        "source",
+        "n",
+        (
+            F.col("qf")
+            + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+        ).alias("eval_quota"),
+    )
+    hr = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    hashed = d.select("source", "doc_id", hr.alias("hr"))
+    chosen = hashed.join(F.broadcast(alloc.select("source", "eval_quota")), "source").filter(
+        F.col("hr") <= F.col("eval_quota")
+    )
+    return (
+        alloc.join(
+            chosen.groupBy("source").agg(
+                F.sum("doc_id").alias("eval_id_sum")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "eval_quota",
+            F.coalesce("eval_id_sum", F.lit(0)).alias("eval_id_sum"),
+        )
+    )

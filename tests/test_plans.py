@@ -139,6 +139,8 @@ def test_registry_wide_plan_sweep(spark):
         "e61_matryoshka_recall",    # 1-row query-vector broadcast
         "e62_hybrid_rrf",           # composes e18's 1-row corpus-stats
         #                             broadcast + e03's query-vector broadcast
+        "e66_stratified_split",     # 1-row corpus-total + 1-row shortfall
+        #                             broadcasts over the O(sources) frame
         "e59_doremi_mixture",       # composes e42's vocab broadcast + two
         #                             1-row broadcasts (reference CE, softmax
         #                             total) over the K-sources frame
@@ -162,6 +164,8 @@ def test_registry_wide_plan_sweep(spark):
         "e60_incontext_packing",        # LIMIT-8 seed stamping (composes e21)
         "e62_hybrid_rrf",               # rank windows over the two <=20-row
         #                                 post-limit arms (composes e03/e18)
+        "e66_stratified_split",         # remainder-rank window over the
+        #                                 O(sources) strata frame
         "d92_compaction_plan",          # cumsum over the O(partitions)
         #                                 manifest-metadata frame (24 rows)
     }
