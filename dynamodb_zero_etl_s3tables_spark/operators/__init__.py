@@ -66,7 +66,7 @@ _GRADE_PRIORITY = [
     "c16_bloom_skip_journey", "c17_constraint_gate_journey",
     "e63_zipf_slope", "c18_zorder_compact_journey", "e64_knn_pagerank",
     "c19_delete_where_journey", "c20_update_where_journey",
-    "e65_kcenter_coreset", "e66_stratified_split",
+    "e65_kcenter_coreset", "e66_stratified_split", "e67_bpe_training",
     # ---- graded in r4 (CORRECTNESS_r04.json, 50/50 green) -> tail ----
     "e22_vocab_coverage", "e23_bigram_model", "e06_binary_plumbing",
     "e06b_media_featurize", "e06c_frame_sample", "e06d_media_exact_dedup",

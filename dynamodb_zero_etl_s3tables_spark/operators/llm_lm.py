@@ -822,3 +822,160 @@ def e59_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e67: full BPE tokenizer-training loop (iterated merges)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+BPE_VOCAB_CAP = 500  # train on the top-N word shapes (count desc, word)
+
+
+def _bpe_oracle() -> str:
+    """Chained-CTE twin of the merge loop. Merge application uses the
+    double-space boundary trick so one REPLACE performs the exact
+    leftmost-greedy non-overlapping merge (runs of a self-pair
+    included): double every separator, match ' a  b ' (single-space
+    margins), then collapse runs of spaces. Both engines' REPLACE
+    scans left-to-right and continues after the replacement, which is
+    precisely the greedy semantics."""
+    body = f"""
+    WITH wraw AS (
+      SELECT word, COUNT(*) AS n
+      FROM (SELECT UNNEST(string_split(LOWER(text), ' ')) AS word
+            FROM documents)
+      WHERE len(word) >= 2
+      GROUP BY word
+      ORDER BY n DESC, word LIMIT {BPE_VOCAB_CAP}
+    ),
+    w0 AS (
+      SELECT word, CAST(n AS BIGINT) AS n,
+             array_to_string(list_transform(range(1, len(word) + 1),
+                                            i -> substr(word, i, 1)),
+                             ' ') AS seq
+      FROM wraw
+    )"""
+    for i in range(1, BPE_MERGES + 1):
+        p, w = f"w{i - 1}", f"w{i}"
+        body += f""",
+    p{i} AS (
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS c
+      FROM (
+        SELECT n, UNNEST(list_transform(range(1, len(syms)),
+                         j -> syms[j] || ' ' || syms[j + 1])) AS pair
+        FROM (SELECT n, string_split(seq, ' ') AS syms FROM {p})
+      )
+      GROUP BY pair
+    ),
+    t{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1),
+    {w} AS (
+      SELECT word, n,
+             TRIM(REGEXP_REPLACE(
+               REPLACE('  ' || REPLACE(seq, ' ', '  ') || '  ',
+                       ' ' || REPLACE(t.pair, ' ', '  ') || ' ',
+                       ' ' || REPLACE(t.pair, ' ', '') || ' '),
+               ' +', ' ', 'g')) AS seq
+      FROM {p}, t{i} t
+    )"""
+    picks = [
+        f"SELECT {i} AS it, pair, REPLACE(pair, ' ', '') AS merged, c AS cnt"
+        f" FROM t{i}"
+        for i in range(1, BPE_MERGES + 1)
+    ]
+    return body + "\n    " + "\n    UNION ALL ".join(picks)
+
+
+@query("e67_bpe_training", oracle=_bpe_oracle())
+def e67_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: the FULL BPE tokenizer-training loop (Sennrich et
+    al. 2016, public) — e32 ran one pair count; this runs
+    {BPE_MERGES} complete merge iterations: count adjacent symbol
+    pairs over the vocabulary, take the most frequent (ties on the
+    pair string), apply the merge to every word's symbol sequence
+    with exact leftmost-greedy non-overlapping semantics (self-pair
+    runs like 'a a a' merge floor(k/2) times, leftmost first), and
+    repeat on the merged sequences. The emitted rows are the learned
+    merge table — the artifact a tokenizer trainer ships.
+
+    Scale: the classic distributed BPE formulation — the corpus
+    collapses to a (word, count) vocabulary ONCE (the only
+    corpus-sized shuffle); every iteration then works on the
+    vocab-sized frame (capped at the top {BPE_VOCAB_CAP} shapes,
+    count-desc deterministic, via TakeOrderedAndProject), so 100 TB
+    of text costs the same per-iteration work as 1 GB once the vocab
+    is built. The top pair is a driver scalar per round (the merge
+    table IS driver-sized state in every real trainer). Merge
+    application is pure string expressions (codegen, no UDF): double
+    separators, one REPLACE with single-space margins (= exact greedy
+    semantics in both engines' continue-after-replacement scan),
+    collapse spaces. All-integer counts; no floats anywhere."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(BPE_VOCAB_CAP)
+        .select(
+            "word",
+            "n",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.col("word").substr(i, F.lit(1)),
+                ),
+                " ",
+            ).alias("seq"),
+        )
+    )
+    merges = []
+    for it in range(1, BPE_MERGES + 1):
+        syms = F.split(F.col("seq"), " ")
+        pairs = words.select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda j: F.concat(
+                        F.element_at(syms, j),
+                        F.lit(" "),
+                        F.element_at(syms, j + 1),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        pair, cnt = top["pair"], int(top["c"])
+        merged = pair.replace(" ", "")
+        merges.append((it, pair, merged, cnt))
+        pat = " " + pair.replace(" ", "  ") + " "
+        words = words.select(
+            "word",
+            "n",
+            F.trim(
+                F.regexp_replace(
+                    F.replace(
+                        F.concat(
+                            F.lit("  "),
+                            F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+                            F.lit("  "),
+                        ),
+                        F.lit(pat),
+                        F.lit(" " + merged + " "),
+                    ),
+                    " +",
+                    " ",
+                )
+            ).alias("seq"),
+        )
+    return spark.createDataFrame(
+        merges, schema="it int, pair string, merged string, cnt bigint"
+    )
