@@ -1905,3 +1905,187 @@ def e66_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("eval_id_sum", F.lit(0)).alias("eval_id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e68: sliding-window RAG chunker with overlap + provenance
+# ---------------------------------------------------------------------------
+
+_CHUNK = 64   # window length (tokens)
+_STRIDE = 32  # window stride (50% overlap)
+
+
+@query(
+    "e68_sliding_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    shaped AS (
+      SELECT doc_id, toks, n,
+             1 + CASE WHEN n > {_CHUNK}
+                      THEN (n - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}
+                      ELSE 0 END AS n_chunks
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id, n, n_chunks,
+             UNNEST(range(0, n_chunks)) AS chunk_idx
+      FROM shaped
+    )
+    SELECT c.doc_id, CAST(c.chunk_idx AS INT) AS chunk_idx,
+           CAST(c.chunk_idx * {_STRIDE} + 1 AS BIGINT) AS start_tok,
+           CAST(LEAST(c.chunk_idx * {_STRIDE} + {_CHUNK}, c.n)
+                - c.chunk_idx * {_STRIDE} AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+                 t.toks[(c.chunk_idx * {_STRIDE} + 1):
+                        LEAST(c.chunk_idx * {_STRIDE} + {_CHUNK}, c.n)],
+                 ' ')) AS chunk_fp
+    FROM chunks c JOIN t ON c.doc_id = t.doc_id
+    """,
+)
+def e68_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: SLIDING-WINDOW CHUNKER for RAG indexing —
+    {_CHUNK}-token windows at {_STRIDE}-token stride (50% overlap,
+    the standard retrieval-chunking default) with full provenance:
+    each chunk's 1-based token span plus an md5 fingerprint of the
+    exact token slice, which is what a retrieval index stores to
+    dedupe chunks and map hits back to document offsets. Complements
+    e20 (fixed NON-overlapping chunks for dedup granularity) — the
+    overlap here is deliberate: a boundary-straddling answer span
+    appears intact in at least one chunk.
+
+    Scale: pure per-row expression work — tokenize once, derive the
+    chunk count arithmetically, explode a bounded integer sequence,
+    slice + hash JVM-side (no UDF, no shuffle at all until whatever
+    consumes the chunks aggregates them). Output cardinality is
+    sum(ceil(tokens/stride)) ~= corpus_tokens/{_STRIDE}, emitted
+    streaming from the scan. All-integer span math; the fingerprint
+    pins the slicing cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.when(
+        n > _CHUNK, F.floor((n - _CHUNK + _STRIDE - 1) / _STRIDE)
+    ).otherwise(0)
+    shaped = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * _STRIDE + 1
+    clen = F.least(
+        F.col("chunk_idx") * _STRIDE + _CHUNK, F.col("n")
+    ) - F.col("chunk_idx") * _STRIDE
+    return shaped.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("bigint").alias("start_tok"),
+        clen.cast("bigint").alias("chunk_len"),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), start, clen), " ")
+        ).alias("chunk_fp"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# e69: quality-aware representative selection for dup clusters
+# ---------------------------------------------------------------------------
+
+
+def _e69_oracle() -> str:
+    """Composed from the registered e02h (components) and e05c
+    (quality) oracles — the e62 discipline: the keep-policy twin can
+    never drift from the clusters and scores it ranks."""
+    from dynamodb_zero_etl_s3tables_spark.operators.registry import (
+        QUERY_REGISTRY,
+    )
+
+    comp = QUERY_REGISTRY["e02h_dedup_components"].oracle
+    qual = QUERY_REGISTRY["e05c_quality_score"].oracle
+    return f"""
+    WITH comp AS ({comp}),
+    qual AS ({qual}),
+    members AS (
+      SELECT c.component_rep, c.doc_id, q.passes_filter, q.n_tokens
+      FROM comp c JOIN qual q ON c.doc_id = q.doc_id
+    ),
+    sized AS (
+      SELECT component_rep, COUNT(*) AS n_members FROM members
+      GROUP BY component_rep HAVING COUNT(*) > 1
+    ),
+    ranked AS (
+      SELECT m.component_rep, m.doc_id, m.n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY m.component_rep
+               ORDER BY m.passes_filter DESC, m.n_tokens DESC, m.doc_id
+             ) AS rn
+      FROM members m JOIN sized s ON m.component_rep = s.component_rep
+    )
+    SELECT r.component_rep, s.n_members,
+           r.doc_id AS kept_doc_id,
+           CAST(r.n_tokens AS BIGINT) AS kept_n_tokens,
+           s.n_members - 1 AS n_dropped
+    FROM ranked r JOIN sized s ON r.component_rep = s.component_rep
+    WHERE r.rn = 1
+    """
+
+
+@query("e69_best_of_cluster", oracle=_e69_oracle())
+def e69_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 keep-policy stage: QUALITY-AWARE representative selection —
+    for every multi-member near-dup component (e02h's exact connected
+    components), keep the member by the documented production policy
+    (FineWeb/CCNet practice, public): quality-gate pass first, then
+    longest, then smallest doc_id. e02g/e02h keep min-doc_id (an
+    arbitrary member); real curation keeps the BEST copy, because
+    near-dup clusters routinely mix a clean original with truncated
+    or boilerplate-wrapped mirrors.
+
+    Scale: composes two already-bounded frames — component labels
+    (one row per doc) and per-doc quality scores (projection-only) —
+    through one equi-join; the keep window partitions on the
+    component label (cluster sizes are small by near-dup physics, and
+    a pathological mega-cluster is exactly what e02b's bucket cap
+    bounds upstream). Output is one row per multi-member cluster.
+    Determinism: integer/boolean sort keys only, total order via
+    doc_id."""
+    from pyspark.sql.window import Window as W
+
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_dedup import (
+        e02h_dedup_components,
+    )
+
+    comp = e02h_dedup_components(spark, sf_dir)
+    qual = e05c_quality_score(spark, sf_dir).select(
+        "doc_id", "passes_filter", "n_tokens"
+    )
+    members = comp.select("component_rep", "doc_id").join(qual, "doc_id")
+    sized = (
+        members.groupBy("component_rep")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+    ranked = members.join(sized, "component_rep").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("component_rep").orderBy(
+                F.col("passes_filter").desc(),
+                F.col("n_tokens").desc(),
+                "doc_id",
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component_rep",
+        "n_members",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_tokens").cast("bigint").alias("kept_n_tokens"),
+        (F.col("n_members") - 1).alias("n_dropped"),
+    )
