@@ -67,7 +67,7 @@ _GRADE_PRIORITY = [
     "e63_zipf_slope", "c18_zorder_compact_journey", "e64_knn_pagerank",
     "c19_delete_where_journey", "c20_update_where_journey",
     "e65_kcenter_coreset", "e66_stratified_split", "e67_bpe_training",
-    "e68_sliding_chunks", "e69_best_of_cluster",
+    "e68_sliding_chunks", "e69_best_of_cluster", "d95_analytic_completeness",
     # ---- graded in r4 (CORRECTNESS_r04.json, 50/50 green) -> tail ----
     "e22_vocab_coverage", "e23_bigram_model", "e06_binary_plumbing",
     "e06b_media_featurize", "e06c_frame_sample", "e06d_media_exact_dedup",

@@ -401,3 +401,82 @@ def d73_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "users_7d")
         .distinct()
     )
+
+
+@query(
+    "d95_analytic_completeness",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             l_extendedprice AS price,
+             NTILE(10) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice, l_orderkey,
+                                      l_linenumber) AS tile,
+             RANK() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice, l_orderkey,
+                                   l_linenumber) AS rnk,
+             PERCENT_RANK() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS pr,
+             CUME_DIST() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey,
+                                        l_linenumber) AS cd,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT flag, CAST(tile AS INT) AS tile, COUNT(*) AS n_rows,
+           CAST(MIN(rnk) AS BIGINT) AS min_rank,
+           CAST(MAX(rnk) AS BIGINT) AS max_rank,
+           BOOL_AND(ABS(pr - CAST(rnk - 1 AS DOUBLE) / (n - 1)) < 1e-12
+                    AND cd >= pr AND cd <= 1.0
+                    AND cd >= CAST(rnk AS DOUBLE) / n - 1e-12)
+             AS identities_ok
+    FROM w GROUP BY flag, tile
+    """,
+)
+def d95_analytic_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D31 completion: the remaining ANSI analytic functions —
+    NTILE(10), PERCENT_RANK, CUME_DIST — exercised together over a
+    total order and pinned by ORACLE-PINNED BOOLEAN identities (the
+    d25/d48b discipline): every row must satisfy
+    percent_rank = (rank-1)/(n-1) and rank/n <= cume_dist <= 1 in
+    BOTH engines, so the hash-match proves Spark's implementations
+    follow the ANSI definitions rather than comparing raw float
+    columns whose engine ROUND ties could diverge. Emitted cells are
+    integers/booleans only (tile occupancy + rank spans) — exact.
+
+    Scale: one hash-partition shuffle on the partition key serves all
+    four window functions (Catalyst computes them in a single Window
+    node over one sort); the decile aggregate is a partial hash-agg.
+    Total order via (price, orderkey, linenumber) makes NTILE's
+    bucket boundaries deterministic."""
+    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wspec = W.partitionBy("l_returnflag").orderBy(*order)
+    wall = W.partitionBy("l_returnflag")
+    li = load(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.ntile(10).over(wspec).alias("tile"),
+        F.rank().over(wspec).alias("rnk"),
+        F.percent_rank().over(wspec).alias("pr"),
+        F.cume_dist().over(wspec).alias("cd"),
+        F.count("*").over(wall).alias("n"),
+    )
+    ok = (
+        (
+            F.abs(
+                F.col("pr")
+                - (F.col("rnk") - 1).cast("double") / (F.col("n") - 1)
+            )
+            < 1e-12
+        )
+        & (F.col("cd") >= F.col("pr"))
+        & (F.col("cd") <= 1.0)
+        & (F.col("cd") >= F.col("rnk").cast("double") / F.col("n") - 1e-12)
+    )
+    return w.groupBy("flag", "tile").agg(
+        F.count("*").alias("n_rows"),
+        F.min("rnk").cast("bigint").alias("min_rank"),
+        F.max("rnk").cast("bigint").alias("max_rank"),
+        F.bool_and(ok).alias("identities_ok"),
+    )
