@@ -66,12 +66,20 @@ HEADLINE = [
     "e57_winnowing_fingerprints",  # k-gram hash + window-min selection
     "e56_split_leakage_audit",  # LSH pairs x split classification
     "c13_replication_audit",    # bootstrap + merge + XOR-bucket compare
+    # r5 late additions (same superset discipline; subtotal_r5_35_sec
+    # closes the window above so these five stay separable in r6+)
+    "e61_matryoshka_recall",    # per-dim prefix scoring + 2-stage top-k
+    "e64_knn_pagerank",         # LSH kNN graph + 3 fixed-point iterations
+    "e67_bpe_training",         # 8 BPE merge rounds over capped vocab
+    "e66_stratified_split",     # apportionment + per-stratum hash ranks
+    "e68_sliding_chunks",       # overlap chunker, slice+hash per row
 ]
 
 #: prefix lengths whose subtotals stay comparable across rounds
 N_ORIGINAL = 20
 N_R3 = 25
 N_R4 = 31
+N_R5 = 35
 
 #: recorded quiet-host calibration probe (SCALE.md "Cross-host
 #: normalization"): 0.924s on the r4 build host at rest, 1.028s on the
@@ -184,6 +192,9 @@ def main() -> None:
                 ),
                 "subtotal_r4_31_sec": round(
                     sum(timings[n] for n in HEADLINE[:N_R4]), 3
+                ),
+                "subtotal_r5_35_sec": round(
+                    sum(timings[n] for n in HEADLINE[:N_R5]), 3
                 ),
                 "calibration_sec": cal,
                 "calibration_start_sec": cal_start,
