@@ -184,6 +184,12 @@ FLAGSHIPS = {
         "aggregate on dst (integer sums — no float in the loop); rank and "
         "degree frames stay O(N)."
     ),
+    "e67_bpe_training": (
+        "BPE training loop: the final merged-vocab frame shows pure string "
+        "expressions (replace/regexp_replace codegen, no UDF) over the "
+        "capped vocab; the one corpus-sized shuffle is the initial word "
+        "count, every iteration after is vocab-sized."
+    ),
 }
 
 
