@@ -26,6 +26,7 @@ from dynamodb_zero_etl_s3tables_spark.operators import stream_twins  # noqa: E40
 from dynamodb_zero_etl_s3tables_spark.operators import analytics  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import tpch_extra  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import tpch_third  # noqa: E402,F401
+from dynamodb_zero_etl_s3tables_spark.operators import tpch_partsupp  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import llm_cluster  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import llm_lm  # noqa: E402,F401
 from dynamodb_zero_etl_s3tables_spark.operators import windows  # noqa: E402,F401
@@ -68,6 +69,8 @@ _GRADE_PRIORITY = [
     "c19_delete_where_journey", "c20_update_where_journey",
     "e65_kcenter_coreset", "e66_stratified_split", "e67_bpe_training",
     "e68_sliding_chunks", "e69_best_of_cluster", "d95_analytic_completeness",
+    "d96_tpch_q2_min_cost_supplier", "d97_tpch_q11_important_stock",
+    "d98_tpch_q16_supplier_part_counts", "d99_tpch_q20_excess_stock",
     # ---- graded in r4 (CORRECTNESS_r04.json, 50/50 green) -> tail ----
     "e22_vocab_coverage", "e23_bigram_model", "e06_binary_plumbing",
     "e06b_media_featurize", "e06c_frame_sample", "e06d_media_exact_dedup",

@@ -141,6 +141,12 @@ def test_registry_wide_plan_sweep(spark):
         #                             broadcast + e03's query-vector broadcast
         "e66_stratified_split",     # 1-row corpus-total + 1-row shortfall
         #                             broadcasts over the O(sources) frame
+        "d96_tpch_q2_min_cost_supplier",    # 1-row supplier-count broadcast
+        #                             (derived-partsupp stride needs S)
+        "d97_tpch_q11_important_stock",     # same 1-row count + the spec's
+        #                             1-row grand-total scalar broadcast
+        "d98_tpch_q16_supplier_part_counts",  # same 1-row count broadcast
+        "d99_tpch_q20_excess_stock",          # same 1-row count broadcast
         "e59_doremi_mixture",       # composes e42's vocab broadcast + two
         #                             1-row broadcasts (reference CE, softmax
         #                             total) over the K-sources frame
