@@ -1709,3 +1709,53 @@ def e57_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("nd") > 1).cast("int")).cast("bigint").alias("n_shared"),
         )
     )
+
+
+@query(
+    "e71_soft_dedup_weights",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS content_hash,
+             len(string_split(text, ' ')) AS ws_tokens,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, content_hash, CAST(n_copies AS BIGINT) AS n_copies,
+           1.0 / n_copies AS weight,
+           CAST(ws_tokens AS DOUBLE) / n_copies AS effective_tokens
+    FROM g
+    """,
+)
+def e71_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 family: SOFT dedup — keep every copy but downweight each
+    duplicate group to unit total mass (weight = 1/n_copies, effective
+    token count scaled to match), the reweighting alternative to hard
+    removal (SoftDeDup, arXiv 2024; the same mechanism serves
+    sampling-based dedup in any loss-weighted trainer). Composes with
+    e01: the group key is the same exact content hash, so 'soft' and
+    'hard' pipelines share the hash pass. Shape: one window over the
+    content-hash shuffle (same single shuffle as e01's groupBy — the
+    window keeps the per-doc rows that hard dedup would collapse).
+    The divisions are double-exact and identical in both engines
+    (small-integer operands), so the hash gate applies fully."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash")
+    return (
+        d.select(
+            "doc_id",
+            F.md5("text").alias("content_hash"),
+            F.size(F.split("text", " ")).alias("ws_tokens"),
+        )
+        .withColumn("n_copies", F.count("*").over(w))
+        .select(
+            "doc_id",
+            "content_hash",
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            (F.lit(1.0) / F.col("n_copies")).alias("weight"),
+            (F.col("ws_tokens").cast("double") / F.col("n_copies")).alias(
+                "effective_tokens"
+            ),
+        )
+    )

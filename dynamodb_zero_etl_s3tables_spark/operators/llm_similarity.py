@@ -2319,3 +2319,88 @@ def e65_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, schema="sel_round int, vec_id bigint, dist double"
     )
+
+
+@query(
+    "e70_filtered_ann",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label, e.vec_id % 3 = 1 AS qualifies,
+             ROUND({_DOT('e.embedding', 'q.qv')}
+                   / (SQRT({_DOT('e.embedding', 'e.embedding')})
+                      * SQRT({_DOT('q.qv', 'q.qv')})), 6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    ),
+    pre AS (
+      SELECT 'pre_filter' AS arm, vec_id, label, cos_sim,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored WHERE qualifies
+    ),
+    post AS (
+      SELECT 'post_filter' AS arm, vec_id, label, cos_sim, rank
+      FROM (SELECT vec_id, label, cos_sim, qualifies,
+                   ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored)
+      WHERE rank <= 10 AND qualifies
+    )
+    SELECT arm, rank, vec_id, label, cos_sim FROM pre WHERE rank <= 10
+    UNION ALL
+    SELECT arm, rank, vec_id, label, cos_sim FROM post
+    """,
+)
+def e70_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 family: FILTERED vector search — top-k under a metadata
+    predicate (here ``vec_id % 3 = 1``, the stand-in for a tenant /
+    language / license filter), the strategy question every vector
+    store answers (Qdrant/Vespa/Milvus docs; public). Two arms, same
+    scoring pass:
+
+    - ``pre_filter``: predicate FIRST, exact top-10 among qualifying
+      vectors — always returns k results; at scale the predicate
+      pushes into the scan, so cost is proportional to the qualifying
+      subset.
+    - ``post_filter``: unfiltered top-10, predicate applied AFTER —
+      the cheap-but-lossy strategy; returns only however many of the
+      global top-10 happen to qualify (~k/3 here), quantifying the
+      attrition that makes naive post-filtering wrong for selective
+      predicates.
+
+    One scored scan feeds both arms (the optimizer shares the
+    broadcast query vector); each arm is a distributed
+    TakeOrderedAndProject; the post-limit rank windows are bounded.
+    The oracle replays both arms, so the hash pins the attrition
+    behavior, not just the winners."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("vec_id") % 3 == 1).alias("qualifies"),
+            F.round(
+                dot_fold(F.col("embedding"), F.col("qv"))
+                / (norm_fold(F.col("embedding")) * norm_fold(F.col("qv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    rank_w = W.partitionBy(F.lit(1)).orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    pre = (
+        scored.filter("qualifies")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(rank_w))
+        .select(F.lit("pre_filter").alias("arm"), "rank", "vec_id", "label", "cos_sim")
+    )
+    post = (
+        scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter("qualifies")
+        .select(F.lit("post_filter").alias("arm"), "rank", "vec_id", "label", "cos_sim")
+    )
+    return pre.unionAll(post)

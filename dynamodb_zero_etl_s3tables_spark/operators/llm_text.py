@@ -2089,3 +2089,107 @@ def e69_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("kept_n_tokens"),
         (F.col("n_members") - 1).alias("n_dropped"),
     )
+
+
+@query(
+    "e72_temperature_mixture",
+    oracle="""
+    WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tgt AS (SELECT MIN(n) AS min_n FROM cnt),
+    h AS (
+      SELECT d.doc_id, d.lang, c.n, t.min_n,
+             ('0x' || substr(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10000 AS bucket
+      FROM documents d JOIN cnt c ON d.lang = c.lang CROSS JOIN tgt t
+    )
+    SELECT doc_id, lang, bucket
+    FROM h
+    WHERE bucket * bucket * n < 100000000 * min_n
+    """,
+)
+def e72_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 family: TEMPERATURE-based mixture sampling — keep each
+    document of language L with probability (min_n / n_L)^(1/2), the
+    alpha=0.5 temperature flattening multilingual pipelines use to
+    boost low-resource languages without e15's hard equalization
+    (mBERT/XLM-R exponential smoothing, mT5 alpha sampling; public).
+    The sqrt never touches floating point: acceptance
+    ``bucket/10000 < sqrt(min_n/n)`` is squared into the EXACT integer
+    predicate ``bucket^2 * n < 10^8 * min_n`` (bucket < 10^4 and
+    corpus counts keep the product far inside int64), so both engines
+    keep bit-identical rows — the same boundary-proofing discipline as
+    e15's linear rates. Shape: one metadata-sized count aggregate
+    broadcast back over a single corpus scan; generalizes to any
+    alpha = p/q by raising both sides to the q-th power."""
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tgt = cnt.agg(F.min("n").alias("min_n"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    return (
+        d.join(F.broadcast(cnt), "lang")
+        .join(F.broadcast(tgt))
+        .select("doc_id", "lang", bucket.alias("bucket"), "n", "min_n")
+        .filter(
+            F.col("bucket") * F.col("bucket") * F.col("n")
+            < F.lit(100000000) * F.col("min_n")
+        )
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+@query(
+    "e73_feature_hash_embed",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('fh|' || token), 1, 15))::BIGINT AS hv
+      FROM tok
+    )
+    SELECT doc_id, CAST(hv % 64 AS BIGINT) AS dim,
+           CAST(SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+             AS w
+    FROM h
+    GROUP BY doc_id, hv % 64
+    HAVING SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+    """,
+)
+def e73_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E3 bridge: signed feature-hash document embeddings (the
+    hashing trick — Weinberger et al., ICML 2009; fastText's input
+    layer) — a 64-dim sparse vector per document from token hashes
+    alone, no trained model: dim = h mod 64, sign = parity of the next
+    hash bit, coordinate = signed token count. Zero-valued coordinates
+    (exact sign cancellation) drop on both engines. All integer
+    arithmetic end-to-end, so the cross-engine hash is exact by
+    construction. Shape: explode -> one groupBy(doc, dim) shuffle with
+    map-side partial aggregation; output is the sparse COO triple
+    form downstream ops consume directly (cosine via a dim-keyed
+    self-join instead of a dense fold). At 100 TB this is the standard
+    cheap-embedding path: linear scan, bounded dimensionality,
+    no model broadcast."""
+    d = load(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fh|"), F.col("token"))), 1, 15), 16, 10
+    ).cast("bigint")
+    sign = F.when(F.expr("hv div 64") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .select("doc_id", hv.alias("hv"))
+        .select("doc_id", (F.col("hv") % 64).cast("bigint").alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("bigint").alias("w"))
+        .filter(F.col("w") != 0)
+    )

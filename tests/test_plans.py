@@ -141,6 +141,8 @@ def test_registry_wide_plan_sweep(spark):
         #                             broadcast + e03's query-vector broadcast
         "e66_stratified_split",     # 1-row corpus-total + 1-row shortfall
         #                             broadcasts over the O(sources) frame
+        "e70_filtered_ann",        # 1-row query-vector broadcast
+        "e72_temperature_mixture",  # 1-row min-lang-count broadcast
         "d96_tpch_q2_min_cost_supplier",    # 1-row supplier-count broadcast
         #                             (derived-partsupp stride needs S)
         "d97_tpch_q11_important_stock",     # same 1-row count + the spec's
@@ -174,6 +176,8 @@ def test_registry_wide_plan_sweep(spark):
         #                                 O(sources) strata frame
         "d92_compaction_plan",          # cumsum over the O(partitions)
         #                                 manifest-metadata frame (24 rows)
+        "e70_filtered_ann",             # rank over the two top-10
+        #                                 post-limit arms (composes e03)
     }
     # builders that run jobs/streams at build time; plan shape of
     # their final read is covered by their oracle queries instead
