@@ -1692,7 +1692,9 @@ def e48_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the directed edge key. Determinism: cosine is the
     rounded left-to-right fold; ranks tie-break on dst."""
     e = fan_out(load(spark, sf_dir, "embeddings"))
-    codes = codes_long(e, _E48_PLANES, [])
+    # three consumers (cap agg, both self-join sides) would each
+    # recompute the per-vector plane folds — pin the codes once
+    codes = codes_long(e, _E48_PLANES, []).localCheckpoint(eager=True)
     # occupancy cap: the cell universe is tiny (tables x 2^8), so the
     # surviving-cell list broadcasts and the cap costs one small agg
     ok_cells = (
@@ -1737,6 +1739,9 @@ def e48_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = (
         directed.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= KNN_K)
+        # the mutuality self-join reads topk twice; without the pin
+        # the whole candidate-scoring pipeline executes twice
+        .localCheckpoint(eager=True)
     )
     t, m = topk.alias("t"), topk.select("src", "dst").alias("m")
     return (
