@@ -190,6 +190,25 @@ FLAGSHIPS = {
         "capped vocab; the one corpus-sized shuffle is the initial word "
         "count, every iteration after is vocab-sized."
     ),
+    "d96_tpch_q2_min_cost_supplier": (
+        "TPC-H Q2 over the derived partsupp: the derivation is a map-side "
+        "explode over the part scan (one 1-row supplier-count broadcast, "
+        "no shuffle); the part filter prunes BEFORE the region join; the "
+        "correlated MIN decorrelates into one window on the single "
+        "hashpartitioning(ps_partkey) exchange; suppliers/nation/region "
+        "broadcast."
+    ),
+    "e70_filtered_ann": (
+        "Filtered vector search: one scored scan (query vector broadcast) "
+        "feeds BOTH strategy arms; each arm is TakeOrderedAndProject with "
+        "a post-limit rank window; the predicate evaluates map-side, so "
+        "pre-filter cost tracks the qualifying subset."
+    ),
+    "e73_feature_hash_embed": (
+        "Feature-hash embeddings: explode + hash are pure projections; one "
+        "partial-aggregated (doc, dim) exchange of integer counts — no "
+        "vector data, no UDF, dimensionality fixed at 64."
+    ),
 }
 
 
