@@ -2858,3 +2858,111 @@ def c20_update_where_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n"), dsum("price").alias("total"))
     )
+
+
+@query(
+    "c21_generated_columns_journey",
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey AS pk,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.5
+                  ELSE o_totalprice END AS price,
+             o_orderdate AS odate
+      FROM orders
+    ),
+    gen AS (
+      SELECT pk, price,
+             CAST(YEAR(odate) AS INTEGER) AS o_year,
+             CASE WHEN price < 100000.0 THEN 'small'
+                  WHEN price < 250000.0 THEN 'mid'
+                  ELSE 'large' END AS band
+      FROM final
+    )
+    SELECT o_year, band, COUNT(*) AS n, {DSUM('price')} AS total
+    FROM gen GROUP BY o_year, band
+    """,
+)
+def c21_generated_columns_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/B5 capstone: GENERATED COLUMNS end-to-end (Delta generated
+    columns / Iceberg hidden-partition-transform cousin) — the table
+    declares ``o_year = YEAR(odate)`` and a price band; the journey
+    proves all three write-side behaviors:
+
+    1. bootstrap OMITS both columns -> computed in the write job;
+    2. two CDC batches omit them too (an insert wave, then a price
+       update wave) -> each merged image is recomputed from its OWN
+       row, so the band tracks the updated price while o_year stays
+       put;
+    3. a poisoned batch SUPPLIES a wrong band -> the null-safe ``<=>``
+       write-observation constraint aborts the commit before the
+       manifest references it (asserted: version unchanged).
+
+    The oracle replays the final state from raw orders and recomputes
+    both expressions in SQL, so the hash proves the engine's computed
+    values equal the declarative definitions. Scale: generation is a
+    pure projection riding the write job (no second pass, no
+    shuffle); validation shares the existing constraint Observation."""
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import (
+        ConstraintViolationError,
+    )
+
+    wh = _scratch(sf_dir, "warehouse_c21", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="analytics",
+            name="orders_gen",
+            key_columns=("pk",),
+            generated_columns=(
+                ("o_year", "CAST(YEAR(odate) AS INT)"),
+                (
+                    "band",
+                    "CASE WHEN price < 100000.0 THEN 'small' "
+                    "WHEN price < 250000.0 THEN 'mid' ELSE 'large' END",
+                ),
+            ),
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    # 1) bootstrap without the generated columns (keys % 3 != 2)
+    t.bootstrap(o.filter(F.col("pk") % 3 != 2))
+    # 2a) insert wave: the missing third, still no generated columns
+    ins = o.filter(F.col("pk") % 3 == 2).select(
+        F.lit("MODIFY").alias("op"), "pk", "price", "odate",
+        F.lit(1).alias("ts"), F.col("pk").alias("seq"),
+    )
+    t.apply_changes(ins)
+    # 2b) update wave: +50% price for keys % 7 == 0 — the band must be
+    # recomputed from the NEW price, o_year from the unchanged date
+    upd = o.filter(F.col("pk") % 7 == 0).select(
+        F.lit("MODIFY").alias("op"), "pk",
+        (F.col("price") * 1.5).alias("price"), "odate",
+        F.lit(2).alias("ts"), F.col("pk").alias("seq"),
+    )
+    t.apply_changes(upd)
+    # 3) poisoned batch: supplies band='small' for a 'large' row
+    v = t.version
+    bad = (
+        t.read()
+        .filter(F.col("band") == "large")
+        .limit(1)
+        .select(
+            F.lit("MODIFY").alias("op"), "pk", "price", "odate",
+            "o_year", F.lit("small").alias("band"),
+            F.lit(3).alias("ts"), F.lit(0).alias("seq"),
+        )
+    )
+    try:
+        t.apply_changes(bad)
+        _check(False, "mismatched generated column must abort the commit")
+    except ConstraintViolationError:
+        pass
+    _check(t.version == v, "aborted commit must not advance the version")
+    return (
+        t.read()
+        .groupBy("o_year", "band")
+        .agg(F.count("*").alias("n"), dsum("price").alias("total"))
+    )

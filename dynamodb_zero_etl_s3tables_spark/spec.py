@@ -85,6 +85,14 @@ class TableSpec:
     # are exempt (tombstones are not table rows); their compaction,
     # which materializes merged rows, enforces.
     check_constraints: tuple[str, ...] = ()
+    # Delta generated-columns analog: (column, sql_expression) pairs.
+    # A write that OMITS the column gets it computed from the
+    # expression (same job, pure projection); a write that SUPPLIES
+    # it is validated row-by-row via a null-safe `<=>` constraint on
+    # the write Observation — a mismatch aborts the commit before the
+    # manifest references it. Declaration order is compute order, so
+    # a later generated column may reference an earlier one.
+    generated_columns: tuple[tuple[str, str], ...] = ()
     # maintenance knobs (reference README.md:134-135 defaults 10/30 days)
     unreferenced_days: int = 10
     noncurrent_days: int = 30

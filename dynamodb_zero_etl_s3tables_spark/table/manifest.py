@@ -407,6 +407,11 @@ class ManagedTable:
         ):
             if k in spec_dict and spec_dict[k] is not None:
                 spec_dict[k] = tuple(spec_dict[k])
+        if spec_dict.get("generated_columns") is not None:
+            # json round-trips the (name, expr) pairs as lists
+            spec_dict["generated_columns"] = tuple(
+                tuple(p) for p in spec_dict["generated_columns"]
+            )
         tbl = cls(spark, warehouse, TableSpec(**spec_dict))
         # A pre-spec manifest never recorded order_columns, so the
         # reconstructed spec silently carries the DEFAULT ('ts','seq');
@@ -1018,6 +1023,23 @@ class ManagedTable:
 
     # -- writes -------------------------------------------------------------
 
+    def _fill_generated(self, df: DataFrame) -> DataFrame:
+        """Delta generated-columns analog (write side): compute every
+        generated column the frame lacks, in declaration order (so
+        later expressions may reference earlier generated columns).
+        Pure projections — no extra job, no shuffle. Columns the
+        writer DID supply pass through untouched here; the `<=>`
+        write-observation constraint in _write_snapshot validates
+        them."""
+        if not self.spec.generated_columns:
+            return df
+        from pyspark.sql import functions as F
+
+        for name, expr in self.spec.generated_columns:
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        return df
+
     def _write_snapshot(
         self,
         df: DataFrame,
@@ -1038,6 +1060,11 @@ class ManagedTable:
         )
 
         t0 = time.perf_counter()
+        if operation != "merge-mor":
+            # generated columns: compute any the writer omitted (MoR
+            # delta layers are exempt like checks — tombstones are not
+            # table rows; compaction materializes and enforces)
+            df = self._fill_generated(df)
         m = self._read_manifest()
         self._fence_staged(m, ref=ref)
         expected = m.version
@@ -1081,6 +1108,14 @@ class ManagedTable:
         constraints = tuple(
             self.spec.check_constraints if operation != "merge-mor" else ()
         )
+        if operation != "merge-mor" and self.spec.generated_columns:
+            # a supplied generated column must equal its expression —
+            # null-safe <=> (never NULL), so unlike ANSI CHECK a NULL
+            # mismatch cannot slip through; freshly computed columns
+            # satisfy this trivially
+            constraints += tuple(
+                f"`{n}` <=> ({x})" for n, x in self.spec.generated_columns
+            )
         cobs = None
         if constraints:
             # CHECK enforcement rides the SAME write job (Observation,
@@ -1224,6 +1259,13 @@ class ManagedTable:
                 "pass order_cols explicitly to merge (reads are unaffected)"
             )
         order = order_cols or self.spec.order_columns
+        # generated columns must exist on the change images BEFORE the
+        # merge union (CoW) / delta write (MoR) — a batch that omits
+        # them would otherwise schema-mismatch against stored rows.
+        # SQL expressions are null-tolerant, so REMOVE tombstones that
+        # carry null attributes compute to null and are dropped at
+        # read/merge time anyway.
+        changes = self._fill_generated(changes)
         if strategy == "merge-on-read":
             self._apply_changes_mor(changes, order)
             return
