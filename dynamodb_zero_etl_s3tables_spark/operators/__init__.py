@@ -73,7 +73,7 @@ _GRADE_PRIORITY = [
     "d98_tpch_q16_supplier_part_counts", "d99_tpch_q20_excess_stock",
     "e70_filtered_ann", "e71_soft_dedup_weights",
     "e72_temperature_mixture", "e73_feature_hash_embed",
-    "c21_generated_columns_journey",
+    "c21_generated_columns_journey", "h20_table_changelog_stream",
     # ---- graded in r4 (CORRECTNESS_r04.json, 50/50 green) -> tail ----
     "e22_vocab_coverage", "e23_bigram_model", "e06_binary_plumbing",
     "e06b_media_featurize", "e06c_frame_sample", "e06d_media_exact_dedup",

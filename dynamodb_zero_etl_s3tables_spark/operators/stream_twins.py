@@ -1055,3 +1055,125 @@ def h19_drift_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(quarantined)).cast("int").alias("quarantined_batches"),
         )
     )
+
+
+@query(
+    "h20_table_changelog_stream",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders
+    )
+    SELECT CAST(1 AS BIGINT) AS version, 'INSERT' AS change_op,
+           pk, status, price
+    FROM base WHERE pk % 3 = 0
+    UNION ALL
+    SELECT 2, 'UPSERT', pk, status, price FROM base WHERE pk % 3 = 1
+    UNION ALL
+    SELECT 2, 'DELETE', pk, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM base WHERE pk % 6 = 0
+    UNION ALL
+    SELECT 3, 'UPSERT', pk, status, price * 2 FROM base WHERE pk % 3 = 2
+    """,
+)
+def h20_table_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-family capstone: the MANAGED TABLE ITSELF as a streaming
+    SOURCE — Delta CDF / Iceberg incremental-read streaming analog on
+    the Spark 4 Python DataSource streaming API
+    (streaming/table_source.py). Offsets are manifest versions; each
+    microbatch emits the change rows of the versions it covers
+    (bootstrap -> INSERT, merge-on-read CDC -> UPSERT/DELETE from the
+    delta layer, which already IS the per-commit change file — no
+    snapshot diffing anywhere).
+
+    The journey proves the two properties a CDF stream owes you:
+    (1) completeness — bootstrap + two CDC waves drain into exactly
+    the relational changelog the oracle restates from raw orders; and
+    (2) incremental RESUME — the second drain reuses the first's
+    checkpoint and appends ONLY wave 2's rows (asserted), i.e. a
+    restarted consumer continues from its committed version instead
+    of replaying history. This is the reference's continuous
+    replication (README.md:12,93) surfaced as a consumable stream.
+
+    Scale: a microbatch is one CDC batch — O(batch) rows read from
+    the delta dir the writer just produced; the documented upgrade
+    for fat batches is the partitioned DataSourceStreamReader variant
+    (one InputPartition per delta file, d94-style executor fan-out)."""
+    import shutil as _sh
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        make_changelog_source,
+    )
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    root = scratch_dir(sf_dir, "h20_cdf")
+    if root.exists():
+        _sh.rmtree(root)
+    root.mkdir(parents=True)
+
+    t = Catalog(spark, str(root / "wh")).create_table(
+        TableSpec(namespace="ns", name="orders_cdf", key_columns=("pk",))
+    )
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.bootstrap(base.filter(F.col("pk") % 3 == 0))
+    wave1 = (
+        base.filter(F.col("pk") % 3 == 1)
+        .select(
+            F.lit("MODIFY").alias("op"), "pk", "status", "price",
+            F.lit(1).alias("ts"), F.col("pk").alias("seq"),
+        )
+        .unionByName(
+            base.filter(F.col("pk") % 6 == 0).select(
+                F.lit("REMOVE").alias("op"), "pk",
+                F.lit(None).cast("string").alias("status"),
+                F.lit(None).cast("double").alias("price"),
+                F.lit(1).alias("ts"), F.col("pk").alias("seq"),
+            )
+        )
+    )
+    t.apply_changes(wave1, strategy="merge-on-read")
+
+    try:
+        spark.dataSource.register(make_changelog_source())
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("table_changelog")
+        .option("manifest", str(root / "wh" / "ns" / "orders_cdf" / "manifest.json"))
+        .option("keys", "pk")
+        .load()
+    )
+
+    def drain() -> int:
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(root / "out"))
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return spark.read.parquet(str(root / "out")).count()
+
+    n1 = drain()  # bootstrap + wave 1
+    wave2 = base.filter(F.col("pk") % 3 == 2).select(
+        F.lit("MODIFY").alias("op"), "pk", "status",
+        (F.col("price") * 2).alias("price"),
+        F.lit(2).alias("ts"), F.col("pk").alias("seq"),
+    )
+    t.apply_changes(wave2, strategy="merge-on-read")
+    n2 = drain()  # resumes from the committed version
+    n_wave2 = wave2.count()
+    if n2 - n1 != n_wave2:
+        raise AssertionError(
+            f"checkpoint resume must append exactly wave 2 "
+            f"({n_wave2} rows), got {n1} -> {n2}"
+        )
+    return spark.read.parquet(str(root / "out")).select(
+        "version", "change_op", "pk", "status", "price"
+    )

@@ -75,12 +75,32 @@ def changelog_schema_ddl(manifest_path: str) -> str:
 
 
 def make_changelog_source():
-    """Factory returning the DataSource class (lazy import pattern —
-    the class is pickled into the streaming engine, see d94)."""
+    """Factory returning the DataSource class. Everything the class
+    touches is defined INSIDE this closure (cloudpickle then ships it
+    by value): the streaming engine pickles the source into a python
+    runner process that does not have this repo on sys.path — a
+    module-global reference would die with ModuleNotFoundError there
+    (same lazy pattern as d94's DdbExportDataSource)."""
     import glob
     import json
 
     from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    ddl_map = dict(_DDL)
+
+    def _schema_ddl(manifest_path):
+        raw = json.loads(open(manifest_path).read())
+        fields = json.loads(raw["snapshots"][-1]["schema_json"])["fields"]
+        cols = []
+        for f in fields:
+            t = f["type"]
+            if not isinstance(t, str) or t not in ddl_map:
+                raise TypeError(
+                    f"changelog source supports primitive columns only; "
+                    f"{f['name']!r} has type {t!r}"
+                )
+            cols.append(f"{f['name']} {ddl_map[t]}")
+        return "version bigint, change_op string, " + ", ".join(cols)
 
     def _read_rows(dir_path):
         import pyarrow.parquet as pq
@@ -164,7 +184,7 @@ def make_changelog_source():
             return "table_changelog"
 
         def schema(self):
-            return changelog_schema_ddl(self.options["manifest"])
+            return _schema_ddl(self.options["manifest"])
 
         def simpleStreamReader(self, schema):
             import json as _json

@@ -185,6 +185,7 @@ def test_registry_wide_plan_sweep(spark):
         "h07_stream_merge_sink",
         "h17_gated_cdc_sink",
         "h19_drift_gated_ingest",
+        "h20_table_changelog_stream",
     }
 
     import re
