@@ -1759,3 +1759,86 @@ def e71_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _e75_oracle() -> str:
+    from dynamodb_zero_etl_s3tables_spark.operators.registry import QUERY_REGISTRY
+
+    pairs = QUERY_REGISTRY["e02b_minhash_lsh_pairs"].oracle
+    return f"""
+    WITH pairs AS ({pairs}),
+    lab AS (
+      SELECT doc_id, source,
+             CAST(SUBSTR(source, 4) AS INTEGER) >= 15 AS is_new
+      FROM documents
+    ),
+    cross_hits AS (
+      SELECT CASE WHEN a.is_new THEN p.doc_a ELSE p.doc_b END AS new_doc,
+             CASE WHEN a.is_new THEN p.doc_b ELSE p.doc_a END AS base_doc
+      FROM pairs p
+      JOIN lab a ON a.doc_id = p.doc_a
+      JOIN lab b ON b.doc_id = p.doc_b
+      WHERE a.is_new <> b.is_new
+    )
+    SELECT c.new_doc AS doc_id, l.source,
+           COUNT(*) AS n_base_matches,
+           MIN(c.base_doc) AS first_base_match
+    FROM cross_hits c JOIN lab l ON l.doc_id = c.new_doc
+    GROUP BY c.new_doc, l.source
+    """
+
+
+@query("e75_cross_corpus_dedup", oracle=_e75_oracle())
+def e75_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 family: ASYMMETRIC (cross-corpus) near-dedup — quarantine
+    documents of the NEW crawl (sources src15-19) that near-duplicate
+    anything in the BASE training corpus (src0-14), while pairs
+    INSIDE either corpus are ignored. This is the snapshot-over-
+    snapshot dedup every refresh pipeline runs (RefinedWeb/FineWeb
+    dedupe each CommonCrawl snapshot against all prior ones, public):
+    base-internal duplicates were already adjudicated, new-internal
+    ones are e02's job — only the cross edges decide admission.
+
+    Shape: the candidate generation IS e02b (one bucket-hash shuffle,
+    capped expansion — composition, nothing recomputed differently);
+    the corpus labels are a pure projection joined onto the pair
+    list, the cross filter drops same-side pairs, and the quarantine
+    list aggregates per new doc. At 100 TB the label join touches
+    candidate pairs only — corpus membership never shuffles the
+    corpus itself."""
+    pairs = e02b_minhash_lsh_pairs(spark, sf_dir)
+    lab = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.substring("source", 4, 10).cast("int") >= 15).alias("is_new"),
+    )
+    a = lab.select(
+        F.col("doc_id").alias("doc_a"), F.col("is_new").alias("new_a")
+    )
+    b = lab.select(
+        F.col("doc_id").alias("doc_b"), F.col("is_new").alias("new_b")
+    )
+    cross = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("new_a") != F.col("new_b"))
+        .select(
+            F.when(F.col("new_a"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("new_doc"),
+            F.when(F.col("new_a"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("base_doc"),
+        )
+    )
+    return (
+        cross.groupBy("new_doc")
+        .agg(
+            F.count("*").alias("n_base_matches"),
+            F.min("base_doc").alias("first_base_match"),
+        )
+        .join(lab.select("doc_id", "source"), F.col("new_doc") == F.col("doc_id"))
+        .select(
+            "doc_id", "source", "n_base_matches", "first_base_match"
+        )
+    )

@@ -2409,3 +2409,128 @@ def e70_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("post_filter").alias("arm"), "rank", "vec_id", "label", "cos_sim")
     )
     return pre.unionAll(post)
+
+
+# ---------------------------------------------------------------------------
+# e74: MMR-diversified retrieval
+# ---------------------------------------------------------------------------
+
+MMR_K = 5       # diversified picks out of the top-20 candidates
+MMR_LAMBDA = 0.5  # dyadic, so 0.5*rel - 0.5*maxsim is exact on 6dp inputs
+
+
+def _COS(a: str, b: str) -> str:
+    """DuckDB cosine between two stored vectors (same fold as Spark)."""
+    return (
+        f"({_DOT(a, b)} / (SQRT({_DOT(a, a)}) * SQRT({_DOT(b, b)})))"
+    )
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR as chained CTEs (the e65 discipline): c0 is the
+    top-20 relevance candidate pool; each m_i carries every remaining
+    candidate's running max-similarity to the chosen set (6dp
+    re-quantized per round); each n_i is the argmax of
+    0.5*rel - 0.5*maxsim."""
+    body = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c0 AS (
+      SELECT e.vec_id, ROUND({_COS('e.embedding', 'q.qv')}, 6) AS rel,
+             e.embedding
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id
+      LIMIT 20
+    ),
+    m0 AS (SELECT vec_id, rel, 0.0 AS ms FROM c0)"""
+    for i in range(1, MMR_K + 1):
+        body += f""",
+    n{i} AS (SELECT vec_id, rel, ms, 0.5 * rel - 0.5 * ms AS mmr
+             FROM m{i - 1}
+             ORDER BY 0.5 * rel - 0.5 * ms DESC, vec_id LIMIT 1),
+    m{i} AS (
+      SELECT m.vec_id, m.rel,
+             GREATEST(m.ms, ROUND({_COS('e.embedding', 'p.pe')}, 6)) AS ms
+      FROM m{i - 1} m
+      JOIN c0 e ON e.vec_id = m.vec_id
+      CROSS JOIN (SELECT c.embedding AS pe FROM c0 c
+                  WHERE c.vec_id = (SELECT vec_id FROM n{i})) p
+      WHERE m.vec_id <> (SELECT vec_id FROM n{i})
+    )"""
+    picks = [
+        f"SELECT {i - 1} AS sel_round, vec_id, rel, mmr FROM n{i}"
+        for i in range(1, MMR_K + 1)
+    ]
+    return body + "\n    " + "\n    UNION ALL ".join(picks)
+
+
+@query("e74_mmr_rerank", oracle=_mmr_oracle())
+def e74_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 serving path: MAXIMAL MARGINAL RELEVANCE re-ranking
+    (Carbonell & Goldstein, SIGIR 1998 — the standard RAG
+    diversification pass): from the exact top-20 relevance candidates
+    of query vec_id=0, greedily pick {MMR_K} results maximizing
+    ``0.5*relevance - 0.5*max_sim_to_already_picked`` — near-duplicate
+    hits collapse to one representative so the context window carries
+    distinct evidence, the retrieval-time twin of e25's corpus-side
+    semantic dedup.
+
+    Scale: the corpus-sized work is exactly e03 (broadcast query
+    vector, map-side scoring, distributed top-20); the greedy loop
+    then runs on the BOUNDED 20-row candidate frame — each of the
+    {MMR_K} rounds is a least-upon-broadcast-literal projection plus a
+    1-row argmax (the e65 k-center shape, here over a post-limit
+    frame, so each round is metadata-rate). Determinism: 6dp
+    re-quantized cosines, dyadic lambda=0.5 (exact halves — no
+    rounding boundary), argmax ties on vec_id."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qv")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            norm_fold(F.col("embedding")).alias("nrm"),
+            F.round(
+                dot_fold(F.col("embedding"), F.col("_qv"))
+                / (norm_fold(F.col("embedding")) * norm_fold(F.col("_qv"))),
+                6,
+            ).alias("rel"),
+        )
+    )
+    rem = (
+        scored.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(20)
+        .withColumn("ms", F.lit(0.0))
+        .localCheckpoint(eager=True)  # bounded 20-row frame
+    )
+    picks = []
+    for i in range(MMR_K):
+        mmr = 0.5 * F.col("rel") - 0.5 * F.col("ms")
+        top = (
+            rem.withColumn("mmr", mmr)
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )  # 1-row argmax per round, the documented e65-style collect
+        picks.append((i, int(top["vec_id"]), float(top["rel"]), float(top["mmr"])))
+        pv = F.array(*[F.lit(float(x)) for x in top["embedding"]])
+        pn = F.lit(float(top["nrm"]))
+        rem = rem.filter(F.col("vec_id") != int(top["vec_id"])).select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "rel",
+            F.greatest(
+                F.col("ms"),
+                F.round(
+                    dot_fold(F.col("embedding"), pv) / (F.col("nrm") * pn), 6
+                ),
+            ).alias("ms"),
+        )
+    return spark.createDataFrame(
+        picks, schema="sel_round int, vec_id bigint, rel double, mmr double"
+    )
