@@ -527,7 +527,9 @@ def e02d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIG_ARRAY_SQL = "[" + ", ".join(f"sig_{i}" for i in range(N_HASHES)) + "]"
 
-_EST_SQL = (
+#: shared candidate-pair prefix (signatures travel with the band rows)
+#: — final SELECTs differ per estimator (e02f full, e76 b-bit)
+_CAND_SQL = (
     _HASHED_CTE
     + f"""
     , sigs AS (
@@ -550,6 +552,12 @@ _EST_SQL = (
         ON s.band_id = a.band_id AND s.bucket = a.bucket
       WHERE s.n <= {LSH_BUCKET_CAP}
     )
+"""
+)
+
+_EST_SQL = (
+    _CAND_SQL
+    + f"""
     SELECT doc_a, doc_b,
            ROUND(CAST(len(list_filter(range(1, {N_HASHES} + 1),
                                       i -> sig_a[i] = sig_b[i])) AS DOUBLE)
@@ -1841,4 +1849,83 @@ def e75_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "source", "n_base_matches", "first_base_match"
         )
+    )
+
+
+_BBIT_SQL = (
+    _CAND_SQL
+    + f"""
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_filter(range(1, {N_HASHES} + 1),
+                                      i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+                 / {N_HASHES}, 6) AS est_full,
+           CAST(len(list_filter(range(1, {N_HASHES} + 1),
+                                i -> sig_a[i] % 2 = sig_b[i] % 2)) AS BIGINT)
+             AS n_agree_1bit,
+           ROUND(2.0 * (CAST(len(list_filter(range(1, {N_HASHES} + 1),
+                                 i -> sig_a[i] % 2 = sig_b[i] % 2)) AS DOUBLE)
+                        / {N_HASHES}) - 1.0, 6) AS est_1bit
+    FROM cand
+"""
+)
+
+
+@query("e76_bbit_minhash", oracle=_BBIT_SQL)
+def e76_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 family: B-BIT MINWISE HASHING (Li & Koenig, WWW 2010 —
+    public) at b=1: keep only the LOWEST BIT of each of the 64
+    minhash components, shrinking signature storage 32x (64 bits vs
+    64 ints — at 100 TB of signatures that is the difference between
+    an in-memory dedup index and a spilled one). One bit agrees half
+    the time by chance, so raw agreement A estimates
+    C + (1-C)*J with C = 1/2^b = 0.5; the unbiased corrector is
+    J = (A - C)/(1 - C) = 2A - 1 at b=1. Emitted side by side with
+    the full 64-int estimate over the SAME candidate pairs, so the
+    hash gate pins the estimator algebra and the row set at once.
+
+    Shape: identical to e02f (signatures travel with band rows, one
+    bucket shuffle, capped in-bucket expansion, estimates computed
+    before the pair distinct); the b-bit projection is a per-element
+    ``% 2`` inside the same zip_with — no extra pass. All agreements
+    are integers; both estimates are exact dyadic arithmetic on
+    n/64, so cross-engine equality is exact."""
+    sigs = e02_minhash_signatures(spark, sf_dir)
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
+    long_bands = _long_bands(sigs, sig_arr.alias("sig"))
+    buckets = (
+        long_bands.groupBy("band_id", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_sort(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("sig")))
+            ).alias("members"),
+        )
+        .filter((F.col("n") > 1) & (F.col("n") <= LSH_BUCKET_CAP))
+    )
+    scored = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (m, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "n -> struct(m.doc_id AS doc_a, n.doc_id AS doc_b, "
+                    "size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), "
+                    "eq -> eq)) AS n_full, "
+                    "size(filter(zip_with(m.sig, n.sig, "
+                    "(x, y) -> x % 2 = y % 2), eq -> eq)) AS n_1bit))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    nh = float(N_HASHES)
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("n_full").cast("double") / nh, 6).alias("est_full"),
+        F.col("n_1bit").cast("bigint").alias("n_agree_1bit"),
+        F.round(2.0 * (F.col("n_1bit").cast("double") / nh) - 1.0, 6).alias(
+            "est_1bit"
+        ),
     )
