@@ -258,3 +258,68 @@ def d53c_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInArrow(
         count_tokens, "doc_id bigint, n_tokens int, n_bytes int"
     )
+
+
+@query(
+    "d100_udtf_table_argument",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM documents
+    GROUP BY source
+    """,
+)
+def d100_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D53 (polymorphic table function): Spark 4 UDTF with a TABLE
+    ARGUMENT routed by ``PARTITION BY ... ORDER BY ...`` — the
+    SQL-standard PTF surface (SQL:2016 polymorphic table functions;
+    Spark's TABLE(...) syntax). Each source's rows stream through ONE
+    UDTF instance in doc_id order; per-row state accumulates in
+    ``eval`` and ``terminate`` emits the per-partition summary — the
+    custom-aggregation escape hatch when logic won't fit builtin
+    aggregates. first/last doc columns are ORDER BY-dependent, so the
+    oracle hash (min/max under the same order) pins that the engine
+    actually routed and ordered partitions, not just grouped.
+
+    Scale: PARTITION BY shuffles once on source exactly like a
+    groupBy; each partition streams through its worker row-by-row
+    with O(1) state. Python per-row cost makes this the
+    LOW-cardinality-partition tool (per-source corpus reports); the
+    high-volume twin stays d51/d52's vectorized pandas surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="source: string, n_docs: bigint, total_tokens: bigint, "
+        "first_doc: bigint, last_doc: bigint"
+    )
+    class SourceSummary:
+        def __init__(self):
+            self._src = None
+            self._n = 0
+            self._tok = 0
+            self._first = None
+            self._last = None
+
+        def eval(self, row):
+            self._src = row["source"]
+            self._n += 1
+            self._tok += len(row["text"].split(" "))
+            if self._first is None:
+                self._first = row["doc_id"]
+            self._last = row["doc_id"]
+
+        def terminate(self):
+            if self._src is not None:
+                yield self._src, self._n, self._tok, self._first, self._last
+
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "source", "text").createOrReplaceTempView("__ptf_docs")
+    spark.udtf.register("source_summary", SourceSummary)
+    return spark.sql(
+        "SELECT s.* FROM source_summary("
+        "TABLE(SELECT doc_id, source, text FROM __ptf_docs) "
+        "PARTITION BY source ORDER BY doc_id) s"
+    )
