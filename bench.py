@@ -73,6 +73,12 @@ HEADLINE = [
     "e67_bpe_training",         # 8 BPE merge rounds over capped vocab
     "e66_stratified_split",     # apportionment + per-stratum hash ranks
     "e68_sliding_chunks",       # overlap chunker, slice+hash per row
+    # r5 session-2 additions (subtotal_r5_40_sec closes the window
+    # above so these stay separable in r6+)
+    "d96_tpch_q2_min_cost_supplier",  # derived partsupp + decorrelated MIN
+    "d97_tpch_q11_important_stock",   # partsupp value agg vs scalar total
+    "e75_cross_corpus_dedup",   # e02b pairs x corpus-membership filter
+    "e76_bbit_minhash",         # 1-bit signature estimator vs full
 ]
 
 #: prefix lengths whose subtotals stay comparable across rounds
@@ -80,6 +86,7 @@ N_ORIGINAL = 20
 N_R3 = 25
 N_R4 = 31
 N_R5 = 35
+N_R5B = 40
 
 #: recorded quiet-host calibration probe (SCALE.md "Cross-host
 #: normalization"): 0.924s on the r4 build host at rest, 1.028s on the
@@ -195,6 +202,9 @@ def main() -> None:
                 ),
                 "subtotal_r5_35_sec": round(
                     sum(timings[n] for n in HEADLINE[:N_R5]), 3
+                ),
+                "subtotal_r5_40_sec": round(
+                    sum(timings[n] for n in HEADLINE[:N_R5B]), 3
                 ),
                 "calibration_sec": cal,
                 "calibration_start_sec": cal_start,
