@@ -504,16 +504,31 @@ class ManagedTable:
         version: int | None = None,
         tag: str | None = None,
         branch: str | None = None,
+        as_of: float | None = None,
     ) -> DataFrame:
         """Current snapshot, or time travel to ``version`` / ``tag``
-        (B10), or the head of a ``branch`` (staged commits included —
-        the audit-side view of an in-flight branch)."""
+        (B10), the head of a ``branch`` (staged commits included —
+        the audit-side view of an in-flight branch), or ``as_of`` a
+        unix timestamp (Delta ``TIMESTAMP AS OF`` analog: the newest
+        PUBLISHED snapshot committed at or before that instant)."""
         m = self._read_manifest()
         if not m.snapshots:
             raise FileNotFoundError(f"table {self.spec.qualified_name} has no snapshots")
         by_v = {s.version: s for s in m.snapshots}
-        if sum(x is not None for x in (version, tag, branch)) > 1:
-            raise ValueError("pass at most one of version / tag / branch")
+        if sum(x is not None for x in (version, tag, branch, as_of)) > 1:
+            raise ValueError("pass at most one of version / tag / branch / as_of")
+        if as_of is not None:
+            eligible = [
+                s for s in m.snapshots
+                if not s.staged and s.committed_at <= as_of
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"no snapshot of {self.spec.qualified_name} committed "
+                    f"at or before {as_of} (earliest: "
+                    f"{min(s.committed_at for s in m.snapshots if not s.staged)})"
+                )
+            version = max(eligible, key=lambda s: s.version).version
         if tag is not None:
             if tag not in m.tags:
                 raise ValueError(

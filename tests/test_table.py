@@ -1379,3 +1379,48 @@ def test_rollback_to_renamed_snapshot_keeps_mapping(spark, warehouse):
     t.rollback_to(2)                          # v4: must re-carry the map
     vals = {r.pk: r.state for r in t.read().collect()}
     assert vals == {i: "old" for i in range(1, 6)}  # not None!
+
+
+# -- timestamp time travel (B10, Delta TIMESTAMP AS OF analog) --------------
+
+def test_read_as_of_timestamp(spark, warehouse):
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(namespace="ns", name="asof", key_columns=("pk",))
+    )
+    t.bootstrap(spark.createDataFrame([(1, "a")], "pk long, v string"))
+    t.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 2, "b", 1, 1)], "op string, pk long, v string, ts long, seq long"
+        )
+    )
+    snaps = {s.version: s.committed_at for s in t._read_manifest().snapshots}
+    # exactly at v1's commit -> v1; midway between commits -> still v1;
+    # at/after v2's commit -> v2
+    assert t.read(as_of=snaps[1]).count() == 1
+    assert t.read(as_of=(snaps[1] + snaps[2]) / 2).count() == 1
+    assert t.read(as_of=snaps[2]).count() == 2
+    assert t.read(as_of=snaps[2] + 1e6).count() == 2
+    with pytest.raises(ValueError, match="at or before"):
+        t.read(as_of=snaps[1] - 10.0)
+    with pytest.raises(ValueError, match="at most one"):
+        t.read(version=1, as_of=snaps[1])
+
+
+def test_read_as_of_skips_staged(spark, warehouse):
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(namespace="ns", name="asof2", key_columns=("pk",))
+    )
+    t.bootstrap(spark.createDataFrame([(1, "a")], "pk long, v string"))
+    t.stage_changes(
+        spark.createDataFrame(
+            [("MODIFY", 2, "b", 1, 1)], "op string, pk long, v string, ts long, seq long"
+        )
+    )
+    # a pending WAP stage is newer but must be invisible to as_of
+    assert t.read(as_of=time.time() + 1e6).count() == 1
