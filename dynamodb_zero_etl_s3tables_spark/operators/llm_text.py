@@ -2193,3 +2193,119 @@ def e73_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s").cast("bigint").alias("w"))
         .filter(F.col("w") != 0)
     )
+
+
+@query(
+    "e77_trained_langid",
+    oracle="""
+    WITH lab AS (
+      SELECT doc_id, lang, LOWER(text) AS ltext,
+             ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    ),
+    train_tok AS (
+      SELECT lang, UNNEST(string_split(ltext, ' ')) AS token
+      FROM lab WHERE bucket < 80
+    ),
+    cnt AS (SELECT lang, token, COUNT(*) AS c FROM train_tok GROUP BY lang, token),
+    nl AS (SELECT lang, COUNT(*) AS n FROM train_tok GROUP BY lang),
+    test_tok AS (
+      SELECT doc_id, lang AS true_lang, UNNEST(string_split(ltext, ' ')) AS token
+      FROM lab WHERE bucket >= 90
+    ),
+    scored AS (
+      SELECT t.doc_id, t.true_lang, n.lang AS cand_lang,
+             CAST(COALESCE(SUM(c.c), 0) AS DOUBLE) / n.n AS score
+      FROM test_tok t
+      CROSS JOIN nl n
+      LEFT JOIN cnt c ON c.token = t.token AND c.lang = n.lang
+      GROUP BY t.doc_id, t.true_lang, n.lang, n.n
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand_lang AS pred_lang
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+            FROM scored)
+      WHERE rn = 1
+    )
+    SELECT true_lang, pred_lang, COUNT(*) AS n
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+)
+def e77_trained_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 family: TRAINED language ID — learn per-language unigram
+    frequency tables on the e08 train split (bucket < 80), classify
+    the held-out test split (bucket >= 90) by the average training
+    frequency of its tokens, and emit the confusion matrix — the
+    train/eval loop of a fastText-style langid (public shape), where
+    e05b is the zero-shot marker heuristic. The score factors as
+    (sum of per-token train counts) / (language token total): ONE
+    IEEE division of two exact integers per (doc, language), so both
+    engines produce bit-identical doubles — no logs, no per-token
+    float sums (the determinism contract survives a trained model).
+    Argmax ties break on language name.
+
+    Scale: training is one (lang, token) count shuffle; the model
+    stays a table (no driver round-trip); classification joins test
+    tokens to counts on the token key and aggregates per (doc, lang)
+    — corpus-linear, the per-doc window ranks 5 candidate rows."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    lab = d.select(
+        "doc_id", "lang", F.lower("text").alias("ltext"), bucket.alias("bucket")
+    )
+    train_tok = (
+        lab.filter(F.col("bucket") < 80)
+        .select("lang", F.explode(F.split("ltext", " ")).alias("token"))
+    )
+    cnt = (
+        train_tok.groupBy("lang", "token")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("lang").alias("c_lang"), F.col("token").alias("c_token"), "c"
+        )
+    )
+    nl = train_tok.groupBy("lang").agg(F.count("*").alias("n")).select(
+        F.col("lang").alias("cand_lang"), "n"
+    )
+    test_tok = lab.filter(F.col("bucket") >= 90).select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split("ltext", " ")).alias("token"),
+    )
+    scored = (
+        test_tok.join(F.broadcast(nl))
+        .join(
+            cnt,
+            (F.col("token") == F.col("c_token"))
+            & (F.col("cand_lang") == F.col("c_lang")),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand_lang", "n")
+        .agg(
+            (F.coalesce(F.sum("c"), F.lit(0)).cast("double") / F.col("n")).alias(
+                "score"
+            )
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n"))

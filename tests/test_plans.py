@@ -142,6 +142,8 @@ def test_registry_wide_plan_sweep(spark):
         "e66_stratified_split",     # 1-row corpus-total + 1-row shortfall
         #                             broadcasts over the O(sources) frame
         "e70_filtered_ann",        # 1-row query-vector broadcast
+        "e77_trained_langid",      # 5-row language-total broadcast (the
+        #                            per-candidate score denominator)
         "e72_temperature_mixture",  # 1-row min-lang-count broadcast
         "d96_tpch_q2_min_cost_supplier",    # 1-row supplier-count broadcast
         #                             (derived-partsupp stride needs S)
