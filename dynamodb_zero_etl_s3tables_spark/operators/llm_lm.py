@@ -832,7 +832,7 @@ BPE_MERGES = 8
 BPE_VOCAB_CAP = 500  # train on the top-N word shapes (count desc, word)
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte_body() -> str:
     """Chained-CTE twin of the merge loop. Merge application uses the
     double-space boundary trick so one REPLACE performs the exact
     leftmost-greedy non-overlapping merge (runs of a self-pair
@@ -878,38 +878,22 @@ def _bpe_oracle() -> str:
                ' +', ' ', 'g')) AS seq
       FROM {p}, t{i} t
     )"""
+    return body
+
+
+def _bpe_oracle() -> str:
     picks = [
         f"SELECT {i} AS it, pair, REPLACE(pair, ' ', '') AS merged, c AS cnt"
         f" FROM t{i}"
         for i in range(1, BPE_MERGES + 1)
     ]
-    return body + "\n    " + "\n    UNION ALL ".join(picks)
+    return _bpe_cte_body() + "\n    " + "\n    UNION ALL ".join(picks)
 
 
-@query("e67_bpe_training", oracle=_bpe_oracle())
-def e67_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E-family: the FULL BPE tokenizer-training loop (Sennrich et
-    al. 2016, public) — e32 ran one pair count; this runs
-    {BPE_MERGES} complete merge iterations: count adjacent symbol
-    pairs over the vocabulary, take the most frequent (ties on the
-    pair string), apply the merge to every word's symbol sequence
-    with exact leftmost-greedy non-overlapping semantics (self-pair
-    runs like 'a a a' merge floor(k/2) times, leftmost first), and
-    repeat on the merged sequences. The emitted rows are the learned
-    merge table — the artifact a tokenizer trainer ships.
-
-    Scale: the classic distributed BPE formulation — the corpus
-    collapses to a (word, count) vocabulary ONCE (the only
-    corpus-sized shuffle); every iteration then works on the
-    vocab-sized frame (capped at the top {BPE_VOCAB_CAP} shapes,
-    count-desc deterministic, via TakeOrderedAndProject), so 100 TB
-    of text costs the same per-iteration work as 1 GB once the vocab
-    is built. The top pair is a driver scalar per round (the merge
-    table IS driver-sized state in every real trainer). Merge
-    application is pure string expressions (codegen, no UDF): double
-    separators, one REPLACE with single-space margins (= exact greedy
-    semantics in both engines' continue-after-replacement scan),
-    collapse spaces. All-integer counts; no floats anywhere."""
+def _train_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    """The e67 training loop, extracted so e78 can APPLY the learned
+    merge table: returns [(it, pair, merged, cnt), ...] — identical
+    driver-side state to what e67 emits as rows."""
     d = load(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
@@ -956,26 +940,161 @@ def e67_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair, cnt = top["pair"], int(top["c"])
         merged = pair.replace(" ", "")
         merges.append((it, pair, merged, cnt))
-        pat = " " + pair.replace(" ", "  ") + " "
-        words = words.select(
-            "word",
-            "n",
-            F.trim(
-                F.regexp_replace(
-                    F.replace(
-                        F.concat(
-                            F.lit("  "),
-                            F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
-                            F.lit("  "),
-                        ),
-                        F.lit(pat),
-                        F.lit(" " + merged + " "),
-                    ),
-                    " +",
-                    " ",
-                )
-            ).alias("seq"),
+        words = words.select("word", "n", _apply_merge(pair).alias("seq"))
+    return merges
+
+
+def _apply_merge(pair: str):
+    """One exact leftmost-greedy non-overlapping merge as a pure
+    string expression over the ``seq`` column (the double-space
+    boundary trick — see _bpe_oracle's docstring)."""
+    merged = pair.replace(" ", "")
+    pat = " " + pair.replace(" ", "  ") + " "
+    return F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.concat(
+                    F.lit("  "),
+                    F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+                    F.lit("  "),
+                ),
+                F.lit(pat),
+                F.lit(" " + merged + " "),
+            ),
+            " +",
+            " ",
         )
+    )
+
+
+@query("e67_bpe_training", oracle=_bpe_oracle())
+def e67_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: the FULL BPE tokenizer-training loop (Sennrich et
+    al. 2016, public) — e32 ran one pair count; this runs
+    {BPE_MERGES} complete merge iterations: count adjacent symbol
+    pairs over the vocabulary, take the most frequent (ties on the
+    pair string), apply the merge to every word's symbol sequence
+    with exact leftmost-greedy non-overlapping semantics (self-pair
+    runs like 'a a a' merge floor(k/2) times, leftmost first), and
+    repeat on the merged sequences. The emitted rows are the learned
+    merge table — the artifact a tokenizer trainer ships.
+
+    Scale: the classic distributed BPE formulation — the corpus
+    collapses to a (word, count) vocabulary ONCE (the only
+    corpus-sized shuffle); every iteration then works on the
+    vocab-sized frame (capped at the top {BPE_VOCAB_CAP} shapes,
+    count-desc deterministic, via TakeOrderedAndProject), so 100 TB
+    of text costs the same per-iteration work as 1 GB once the vocab
+    is built. The top pair is a driver scalar per round (the merge
+    table IS driver-sized state in every real trainer). Merge
+    application is pure string expressions (codegen, no UDF): double
+    separators, one REPLACE with single-space margins (= exact greedy
+    semantics in both engines' continue-after-replacement scan),
+    collapse spaces. All-integer counts; no floats anywhere."""
+    merges = _train_bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, schema="it int, pair string, merged string, cnt bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# e78: tokenizer fertility by language (apply the trained merges)
+# ---------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    """e67's training CTEs (w0..wN, t1..tN) + application of every
+    learned merge to the FULL per-language word inventory, then the
+    per-language fertility aggregates. All counts integer; the two
+    emitted ratios are single integer/integer IEEE divisions."""
+    body = _bpe_cte_body()
+    body += """,
+    aw0 AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n,
+             array_to_string(list_transform(range(1, len(word) + 1),
+                                            i -> substr(word, i, 1)),
+                             ' ') AS seq
+      FROM (SELECT lang, UNNEST(string_split(LOWER(text), ' ')) AS word
+            FROM documents)
+      GROUP BY lang, word
+    )"""
+    for i in range(1, BPE_MERGES + 1):
+        body += f""",
+    aw{i} AS (
+      SELECT a.lang, a.word, a.n,
+             TRIM(REGEXP_REPLACE(
+               REPLACE('  ' || REPLACE(a.seq, ' ', '  ') || '  ',
+                       ' ' || REPLACE(t.pair, ' ', '  ') || ' ',
+                       ' ' || REPLACE(t.pair, ' ', '') || ' '),
+               ' +', ' ', 'g')) AS seq
+      FROM aw{i - 1} a, t{i} t
+    )"""
+    return (
+        body
+        + f"""
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_words,
+           CAST(SUM(n * len(string_split(seq, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(n * len(string_split(seq, ' '))) AS DOUBLE)
+             / SUM(n) AS fertility,
+           CAST(SUM(n * len(word)) AS DOUBLE)
+             / SUM(n * len(string_split(seq, ' '))) AS chars_per_token
+    FROM aw{BPE_MERGES}
+    GROUP BY lang
+    """
+    )
+
+
+@query("e78_tokenizer_fertility", oracle=_fertility_oracle())
+def e78_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: TOKENIZER FERTILITY by language — apply e67's trained
+    merge table to the full per-language word inventory and report
+    tokens-per-word and chars-per-token per language, the standard
+    tokenizer-fairness diagnostic (a tokenizer trained on a skewed
+    mixture fragments low-resource languages into more tokens —
+    XLM-R/BLOOM tokenizer analyses, public). Completes the tokenizer
+    lifecycle: e32 pair counts -> e67 training -> application +
+    evaluation here.
+
+    Scale: encoding works on the DISTINCT (lang, word) inventory with
+    occurrence counts — the corpus collapses once, each of the
+    {BPE_MERGES} merges is a pure string projection over the
+    vocabulary frame, and the fertility roll-up weights by count, so
+    100 TB of text is encoded at vocabulary cost. Determinism: the
+    merge application is the proven leftmost-greedy REPLACE; both
+    ratios are single divisions of exact integers (no float sums)."""
+    merges = _train_bpe_merges(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    aw = (
+        d.select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "lang",
+            "word",
+            "n",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.col("word").substr(i, F.lit(1)),
+                ),
+                " ",
+            ).alias("seq"),
+        )
+    )
+    for _it, pair, _merged, _cnt in merges:
+        aw = aw.select("lang", "word", "n", _apply_merge(pair).alias("seq"))
+    tok = F.size(F.split(F.col("seq"), " "))
+    return aw.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.sum(F.col("n") * tok).cast("bigint").alias("n_tokens"),
+        (
+            F.sum(F.col("n") * tok).cast("double") / F.sum("n")
+        ).alias("fertility"),
+        (
+            F.sum(F.col("n") * F.length("word")).cast("double")
+            / F.sum(F.col("n") * tok)
+        ).alias("chars_per_token"),
     )
