@@ -2966,3 +2966,82 @@ def c21_generated_columns_journey(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("o_year", "band")
         .agg(F.count("*").alias("n"), dsum("price").alias("total"))
     )
+
+
+@query(
+    "c22_drop_column_journey",
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 0.9
+                  ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT status, COUNT(*) AS n, {DSUM('price')} AS total
+    FROM final GROUP BY status
+    """,
+)
+def c22_drop_column_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 capstone: DROP COLUMN end-to-end (Iceberg drop-column
+    semantic) — bootstrap orders with an ``odate`` column, merge a
+    discount wave, DROP ``odate`` as a metadata-only commit (_check
+    pins that the new snapshot references the SAME data directory —
+    zero rewrite), then merge another wave whose batches no longer
+    carry the column and read back the final aggregate. Time travel
+    to the pre-drop version still shows ``odate`` (_check), exactly
+    like Iceberg's schema history. The oracle replays the surviving
+    columns' final state from raw orders, so the hash proves the drop
+    neither lost rows nor disturbed the retained columns.
+
+    Scale: the drop is O(manifest) — on a 100 TB table it commits in
+    milliseconds; subsequent explicit-schema reads prune the dropped
+    column at the parquet reader, so it stops costing I/O immediately
+    without any rewrite."""
+    wh = _scratch(sf_dir, "warehouse_c22", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(namespace="analytics", name="orders_drop", key_columns=("pk",))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    t.bootstrap(o)
+    # wave 1 (still carries odate): 10% discount for pk % 5 == 0
+    t.apply_changes(
+        o.filter(F.col("pk") % 5 == 0).select(
+            F.lit("MODIFY").alias("op"), "pk", "status",
+            (F.col("price") * 0.9).alias("price"), "odate",
+            F.lit(1).alias("ts"), F.col("pk").alias("seq"),
+        )
+    )
+    pre_drop = t.version
+    d_before = t._read_manifest().current.data_dir
+    t.drop_column("odate")
+    after = t._read_manifest().current
+    _check(
+        after.data_dir == d_before,
+        "drop_column must be metadata-only (same data dir)",
+    )
+    _check(
+        "odate" in t.read(version=pre_drop).columns
+        and "odate" not in t.read().columns,
+        "pre-drop versions must keep the column; current must not",
+    )
+    # wave 2: batches without the dropped column bind cleanly (no-op
+    # upserts re-asserting current rows — the schema contract is the
+    # point, the oracle pins the values)
+    t.apply_changes(
+        t.read()
+        .filter(F.col("pk") % 11 == 0)
+        .select(
+            F.lit("MODIFY").alias("op"), "pk", "status", "price",
+            F.lit(2).alias("ts"), F.col("pk").alias("seq"),
+        )
+    )
+    return (
+        t.read()
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), dsum("price").alias("total"))
+    )

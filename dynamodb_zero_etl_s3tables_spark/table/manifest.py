@@ -1939,6 +1939,89 @@ class ManagedTable:
         )
         self._write_manifest(m, expected_version=expected)
 
+    def drop_column(self, name: str) -> None:
+        """B4 extension: DROP COLUMN as a metadata-only commit
+        (Iceberg drop-column semantic): the new snapshot references
+        the previous snapshot's data files UNCHANGED with the column
+        removed from the schema — explicit-schema reads simply never
+        load it (parquet column pruning), so a 100 TB drop commits in
+        milliseconds. Time travel to pre-drop versions still shows the
+        column. Same structural constraints as rename_column
+        (unpartitioned copy-on-write current; key/order/partition
+        columns are spec-bound), plus: a column referenced by a
+        generated-column expression cannot be dropped.
+
+        Name-based caveat (documented): re-adding a same-named column
+        later via additive evolution starts from NULLs only for rows
+        written AFTER the re-add commit's rewrite — copy-on-write
+        merges rewrite data so historical values cannot resurrect,
+        but a metadata-only path re-exposing old files under the old
+        name would; this engine never takes that path (evolution adds
+        columns only through a data-writing commit)."""
+        m = self._read_manifest()
+        self._fence_staged(m)
+        expected = m.version
+        snap = m.current
+        if snap is None:
+            raise FileNotFoundError(
+                f"table {self.spec.qualified_name} has no snapshots"
+            )
+        if snap.partitions is not None or snap.delta is not None:
+            raise ValueError(
+                "drop_column requires an unpartitioned copy-on-write "
+                "current snapshot (compact() a MoR chain first)"
+            )
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"unknown column {name!r} (columns: {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        protected = set(self.spec.key_columns) | set(
+            self.spec.order_columns or ()
+        ) | set(self.spec.partition_columns)
+        if name in protected:
+            raise ValueError(
+                f"cannot drop {name!r}: key/order/partition columns are "
+                "bound by the persisted table spec"
+            )
+        for gname, gexpr in self.spec.generated_columns:
+            if gname == name or name in gexpr:
+                raise ValueError(
+                    f"cannot drop {name!r}: referenced by generated "
+                    f"column {gname!r} ({gexpr!r})"
+                )
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        renames = dict(snap.read_renames or {})
+        inv = {cur: fc for fc, cur in renames.items()}
+        renames.pop(inv.get(name, name), None)
+        files = None
+        if snap.files is not None:
+            files = [
+                {
+                    **e,
+                    "stats": {
+                        k: v
+                        for k, v in (e.get("stats") or {}).items()
+                        if k != name
+                    },
+                }
+                for e in snap.files
+            ]
+        m.snapshots.append(
+            Snapshot(
+                version=expected + 1,
+                data_dir=snap.data_dir,
+                committed_at=time.time(),
+                row_count=snap.row_count,
+                schema_json=json.dumps(new_schema.jsonValue()),
+                operation=f"drop-column:{name}",
+                files=files,
+                read_renames=renames or None,
+            )
+        )
+        self._write_manifest(m, expected_version=expected)
+
     def rollback_to(self, version: int) -> None:
         """Roll the table back by committing a NEW snapshot that
         points at ``version``'s (immutable) data — history is

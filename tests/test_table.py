@@ -1424,3 +1424,63 @@ def test_read_as_of_skips_staged(spark, warehouse):
     )
     # a pending WAP stage is newer but must be invisible to as_of
     assert t.read(as_of=time.time() + 1e6).count() == 1
+
+
+# -- drop column (B4 subtractive evolution, metadata-only) ------------------
+
+def _drop_tbl(spark, warehouse, **spec_over):
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(namespace="ns", name="dropcol", key_columns=("pk",), **spec_over)
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5)], "pk long, status string, price double"
+        )
+    )
+    return t
+
+
+def test_drop_column_is_metadata_only_and_time_travels(spark, warehouse):
+    t = _drop_tbl(spark, warehouse)
+    d1 = t._read_manifest().current.data_dir
+    t.drop_column("status")
+    snap = t._read_manifest().current
+    assert snap.data_dir == d1  # no rewrite
+    assert t.read().columns == ["pk", "price"]
+    assert t.read(version=1).columns == ["pk", "status", "price"]  # history intact
+    # merges after the drop bind to the reduced schema
+    t.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 3, 9.5, 1, 1)], "op string, pk long, price double, ts long, seq long"
+        )
+    )
+    assert {r["pk"]: r["price"] for r in t.read().collect()} == {1: 1.5, 2: 2.5, 3: 9.5}
+
+
+def test_drop_column_guards(spark, warehouse):
+    t = _drop_tbl(spark, warehouse)
+    with pytest.raises(ValueError, match="bound by the persisted table spec"):
+        t.drop_column("pk")
+    with pytest.raises(ValueError, match="unknown column"):
+        t.drop_column("nope")
+
+
+def test_drop_column_refuses_generated_dependency(spark, warehouse):
+    t = _drop_tbl(
+        spark,
+        warehouse,
+        generated_columns=(("price_cents", "CAST(ROUND(price * 100) AS BIGINT)"),),
+    )
+    with pytest.raises(ValueError, match="generated"):
+        t.drop_column("price")
+
+
+def test_drop_then_rename_compose(spark, warehouse):
+    t = _drop_tbl(spark, warehouse)
+    t.drop_column("status")
+    t.rename_column("price", "amount")
+    assert t.read().columns == ["pk", "amount"]
+    assert {r["pk"]: r["amount"] for r in t.read().collect()} == {1: 1.5, 2: 2.5}
