@@ -527,9 +527,11 @@ def e02d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIG_ARRAY_SQL = "[" + ", ".join(f"sig_{i}" for i in range(N_HASHES)) + "]"
 
-#: shared candidate-pair prefix (signatures travel with the band rows)
-#: — final SELECTs differ per estimator (e02f full, e76 b-bit)
-_CAND_SQL = (
+#: shared candidate-pair WITH-prefix where signatures travel with the
+#: band rows — final SELECTs differ per estimator (e02f full, e76
+#: b-bit). Distinct from _CAND_SQL above (the complete e02b pair
+#: SELECT that downstream oracles embed as a CTE).
+_SIG_CAND_PREFIX_SQL = (
     _HASHED_CTE
     + f"""
     , sigs AS (
@@ -556,7 +558,7 @@ _CAND_SQL = (
 )
 
 _EST_SQL = (
-    _CAND_SQL
+    _SIG_CAND_PREFIX_SQL
     + f"""
     SELECT doc_a, doc_b,
            ROUND(CAST(len(list_filter(range(1, {N_HASHES} + 1),
@@ -1853,7 +1855,7 @@ def e75_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BBIT_SQL = (
-    _CAND_SQL
+    _SIG_CAND_PREFIX_SQL
     + f"""
     SELECT doc_a, doc_b,
            ROUND(CAST(len(list_filter(range(1, {N_HASHES} + 1),

@@ -209,6 +209,24 @@ FLAGSHIPS = {
         "partial-aggregated (doc, dim) exchange of integer counts — no "
         "vector data, no UDF, dimensionality fixed at 64."
     ),
+    "e77_trained_langid": (
+        "Trained language ID: the learned (lang, token) frequency table "
+        "stays distributed (one count shuffle); classification joins test "
+        "tokens on the token key with the 5-row language totals broadcast; "
+        "the per-doc argmax window ranks 5 candidate rows."
+    ),
+    "e75_cross_corpus_dedup": (
+        "Cross-corpus dedup: candidate pairs come from e02b's single "
+        "bucket-hash shuffle with the occupancy cap applied; corpus "
+        "membership joins the PAIR list (not the corpus), and the "
+        "same-side filter plus per-new-doc aggregate are one exchange."
+    ),
+    "e78_tokenizer_fertility": (
+        "Tokenizer fertility: the corpus collapses to the distinct "
+        "(lang, word) inventory once; all 8 learned merges are codegen "
+        "string projections over that vocabulary frame; the roll-up is "
+        "one language-keyed aggregate of occurrence-weighted integers."
+    ),
 }
 
 
