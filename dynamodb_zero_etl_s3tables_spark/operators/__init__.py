@@ -77,6 +77,7 @@ _GRADE_PRIORITY = [
     "e74_mmr_rerank", "e75_cross_corpus_dedup", "e76_bbit_minhash",
     "d100_udtf_table_argument", "e77_trained_langid",
     "e78_tokenizer_fertility", "c22_drop_column_journey",
+    "e79_dedup_threshold_sweep",
     # ---- graded in r4 (CORRECTNESS_r04.json, 50/50 green) -> tail ----
     "e22_vocab_coverage", "e23_bigram_model", "e06_binary_plumbing",
     "e06b_media_featurize", "e06c_frame_sample", "e06d_media_exact_dedup",

@@ -1931,3 +1931,82 @@ def e76_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_1bit"
         ),
     )
+
+
+_THRESHOLDS = (50, 60, 70, 80, 90)  # percent — exact integer compare vs k/64
+
+
+@query(
+    "e79_dedup_threshold_sweep",
+    oracle=_SIG_CAND_PREFIX_SQL
+    + f""",
+    est AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(range(1, {N_HASHES} + 1),
+                                  i -> sig_a[i] = sig_b[i])) AS BIGINT) AS k
+      FROM cand
+    )
+    SELECT t.thr AS threshold_pct,
+           COUNT(*) FILTER (WHERE e.k * 100 >= t.thr * {N_HASHES}) AS n_pairs,
+           COUNT(DISTINCT CASE WHEN e.k * 100 >= t.thr * {N_HASHES}
+                               THEN GREATEST(e.doc_a, e.doc_b) END)
+             AS n_docs_dropped
+    FROM est e CROSS JOIN (SELECT UNNEST([{", ".join(map(str, _THRESHOLDS))}]) AS thr) t
+    GROUP BY t.thr
+    """,
+)
+def e79_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 tuning surface: THRESHOLD SENSITIVITY of the near-dup gate —
+    for each candidate threshold (50..90% estimated Jaccard), how many
+    candidate pairs survive and how many documents the keep-lowest-id
+    policy would drop. One pass over the e02f agreement counts serves
+    every threshold (a 5-row broadcast explode, NOT five re-scans) —
+    the knob-tuning table a dedup rollout reviews before committing a
+    threshold corpus-wide. Exactness: the comparison is all-integer
+    (k*100 >= thr*64 — no float threshold anywhere), so the
+    cross-engine hash pins every bucket boundary.
+
+    Scale: candidate generation is the audited e02b shape; the sweep
+    adds a bounded x5 row expansion and one grouped aggregate."""
+    sigs = e02_minhash_signatures(spark, sf_dir)
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
+    long_bands = _long_bands(sigs, sig_arr.alias("sig"))
+    buckets = (
+        long_bands.groupBy("band_id", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_sort(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("sig")))
+            ).alias("members"),
+        )
+        .filter((F.col("n") > 1) & (F.col("n") <= LSH_BUCKET_CAP))
+    )
+    est = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (m, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "n -> struct(m.doc_id AS doc_a, n.doc_id AS doc_b, "
+                    "size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), "
+                    "eq -> eq)) AS k))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    thr = F.explode(F.array(*[F.lit(t) for t in _THRESHOLDS])).alias(
+        "threshold_pct"
+    )
+    hit = F.col("k") * 100 >= F.col("threshold_pct") * N_HASHES
+    return (
+        est.select("doc_a", "doc_b", "k", thr)
+        .groupBy("threshold_pct")
+        .agg(
+            F.count(F.when(hit, 1)).alias("n_pairs"),
+            F.countDistinct(
+                F.when(hit, F.greatest("doc_a", "doc_b"))
+            ).alias("n_docs_dropped"),
+        )
+    )
