@@ -1094,6 +1094,10 @@ def h20_table_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     restarted consumer continues from its committed version instead
     of replaying history. This is the reference's continuous
     replication (README.md:12,93) surfaced as a consumable stream.
+    Drains go through ``drain_changelog``: ranged per-version reads
+    under a polling trigger, one microbatch per published version
+    (Trigger.AvailableNow would demote Python sources to a single
+    batch — see table_source.py module docstring).
 
     Scale: a microbatch is one CDC batch — O(batch) rows read from
     the delta dir the writer just produced; the documented upgrade
@@ -1103,6 +1107,7 @@ def h20_table_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
     from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        drain_changelog,
         make_changelog_source,
     )
     from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
@@ -1138,29 +1143,26 @@ def h20_table_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.apply_changes(wave1, strategy="merge-on-read")
 
-    try:
-        spark.dataSource.register(make_changelog_source())
-    except Exception:
-        pass  # already registered in this session
+    # re-registration under the same name silently replaces (verified),
+    # so no exception guard is needed here
+    spark.dataSource.register(make_changelog_source())
+    manifest = str(root / "wh" / "ns" / "orders_cdf" / "manifest.json")
     stream = (
         spark.readStream.format("table_changelog")
-        .option("manifest", str(root / "wh" / "ns" / "orders_cdf" / "manifest.json"))
+        .option("manifest", manifest)
         .option("keys", "pk")
         .load()
     )
 
     def drain() -> int:
-        q = (
-            stream.writeStream.format("parquet")
-            .option("path", str(root / "out"))
-            .option("checkpointLocation", str(root / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
+        batches = drain_changelog(
+            stream, str(root / "out"), str(root / "ckpt"), manifest
         )
-        _drain(q)
+        if batches < 1:
+            raise AssertionError("drain committed no microbatch")
         return spark.read.parquet(str(root / "out")).count()
 
-    n1 = drain()  # bootstrap + wave 1
+    n1 = drain()  # bootstrap + wave 1, one microbatch per version
     wave2 = base.filter(F.col("pk") % 3 == 2).select(
         F.lit("MODIFY").alias("op"), "pk", "status",
         (F.col("price") * 2).alias("price"),

@@ -2,12 +2,15 @@
 Delta CDF / Iceberg incremental-read streaming analog, built on the
 Spark 4 Python DataSource streaming API (SimpleDataSourceStreamReader).
 
-Offsets are manifest VERSIONS: the reader polls ``manifest.json``,
-emits every change row in ``(start, head]`` and advances the offset
-to ``head``; checkpoint recovery replays from the committed version,
-so a restarted stream resumes exactly where it stopped — the
-engine-side realization of the reference's continuous-replication
-promise (README.md:12,93) with the table itself as the source.
+Offsets are manifest VERSIONS: the reader polls ``manifest.json`` and
+emits change rows in ranged, per-version batches — each ``read`` call
+advances the offset by at most ``max_versions_per_batch`` published
+versions (default 1), so a backlog of N commits drains as N
+microbatches instead of one fat batch. Checkpoint recovery replays
+from the committed version, so a restarted stream resumes exactly
+where it stopped — the engine-side realization of the reference's
+continuous-replication promise (README.md:12,93) with the table
+itself as the source.
 
 Emission per version:
 
@@ -24,6 +27,19 @@ Emission per version:
   ``_apply_changes_mor``). ``compact()`` the table AFTER consumers
   pass its version, the same ordering discipline Delta CDF imposes.
 
+Trigger semantics (documented limitation + the supported drain path):
+Spark's ``PythonMicroBatchStream`` implements neither
+``SupportsTriggerAvailableNow`` nor ``SupportsAdmissionControl``
+(verified against the Spark 4.1 jars), so ``Trigger.AvailableNow``
+logs "falling back to single batch" and one ``start()`` processes
+exactly one ``read`` range — with per-version batching that is ONE
+version, not the backlog. The supported drain is
+:func:`drain_changelog`: a default-trigger (continuous-poll) query
+that produces one microbatch per published version and is stopped
+once the checkpoint's committed offset reaches the manifest head at
+drain start. Ranging lives in ``read`` itself because the simple
+reader's prefetch model routes ``latestOffset`` through ``read``.
+
 Scale: the Simple reader materializes each microbatch driver-side —
 correct here because a microbatch is one CDC batch (already
 O(batch), the same rows the writer just shuffled). The documented
@@ -35,6 +51,9 @@ dependency-free (pyarrow only, no second SparkSession inside the
 source)."""
 
 from __future__ import annotations
+
+import json as _json
+import time as _time
 
 #: Spark-type-name -> DDL fragment for the emitted columns (primitive
 #: types the managed-table schema_json can carry; extend as needed).
@@ -53,17 +72,38 @@ _DDL = {
 }
 
 
+def _published_fields(raw: dict) -> list[dict]:
+    """Schema fields of the newest PUBLISHED snapshot. A staged WAP
+    snapshot can carry unpublished schema evolution; binding the
+    stream to it would leak a schema no reader of the table sees, so
+    schema derivation matches the offset logic (staged rows are never
+    emitted either)."""
+    published = [s for s in raw["snapshots"] if not s.get("staged")]
+    if not published:
+        raise ValueError(
+            "changelog source: table has no published snapshot "
+            f"({len(raw['snapshots'])} staged/WAP only)"
+        )
+    newest = max(published, key=lambda s: s["version"])
+    return _json.loads(newest["schema_json"])["fields"]
+
+
+def published_head(manifest_path: str) -> int:
+    """Newest published (non-staged) version — the drain target."""
+    raw = _json.loads(open(manifest_path).read())
+    return max(
+        (s["version"] for s in raw["snapshots"] if not s.get("staged")),
+        default=0,
+    )
+
+
 def changelog_schema_ddl(manifest_path: str) -> str:
     """DDL for the changelog stream of the table at ``manifest_path``:
     ``version bigint, change_op string`` + the table's own columns
-    (from the newest snapshot's schema_json)."""
-    import json
-
-    raw = json.loads(open(manifest_path).read())
-    snaps = raw["snapshots"]
-    fields = json.loads(snaps[-1]["schema_json"])["fields"]
+    (from the newest published snapshot's schema_json)."""
+    raw = _json.loads(open(manifest_path).read())
     cols = []
-    for f in fields:
+    for f in _published_fields(raw):
         t = f["type"]
         if not isinstance(t, str) or t not in _DDL:
             raise TypeError(
@@ -88,11 +128,20 @@ def make_changelog_source():
 
     ddl_map = dict(_DDL)
 
+    def _pub_fields(raw):
+        published = [s for s in raw["snapshots"] if not s.get("staged")]
+        if not published:
+            raise ValueError(
+                "changelog source: table has no published snapshot "
+                f"({len(raw['snapshots'])} staged/WAP only)"
+            )
+        newest = max(published, key=lambda s: s["version"])
+        return json.loads(newest["schema_json"])["fields"]
+
     def _schema_ddl(manifest_path):
         raw = json.loads(open(manifest_path).read())
-        fields = json.loads(raw["snapshots"][-1]["schema_json"])["fields"]
         cols = []
-        for f in fields:
+        for f in _pub_fields(raw):
             t = f["type"]
             if not isinstance(t, str) or t not in ddl_map:
                 raise TypeError(
@@ -111,27 +160,36 @@ def make_changelog_source():
         return out
 
     class _Reader(SimpleDataSourceStreamReader):
-        def __init__(self, manifest_path: str, col_names, key_cols):
+        def __init__(self, manifest_path, col_names, key_cols, max_versions):
             self._manifest = manifest_path
             self._cols = list(col_names)
             self._keys = list(key_cols)
+            self._max_versions = max_versions
 
         # -- offset plumbing --------------------------------------------
         def initialOffset(self):
             return {"v": 0}
 
         def read(self, start):
+            """Ranged batch: advance by at most ``max_versions_per_batch``
+            published versions past ``start`` — the per-version
+            microbatch contract. (The simple reader's prefetch routes
+            latestOffset through here, so self-limiting read IS the
+            ranged-latestOffset implementation.)"""
             raw = json.loads(open(self._manifest).read())
-            head = max(
-                (s["version"] for s in raw["snapshots"] if not s.get("staged")),
-                default=0,
-            )
             v0 = start["v"]
-            if head <= v0:
+            pending = sorted(
+                s["version"]
+                for s in raw["snapshots"]
+                if not s.get("staged") and s["version"] > v0
+            )
+            if not pending:
                 return iter(()), {"v": v0}
+            take = set(pending[: self._max_versions])
+            head = max(take)
             rows = []
             for s in raw["snapshots"]:
-                if s.get("staged") or not (v0 < s["version"] <= head):
+                if s.get("staged") or s["version"] not in take:
                     continue
                 rows.extend(self._emit(s))
             return iter(rows), {"v": head}
@@ -187,14 +245,85 @@ def make_changelog_source():
             return _schema_ddl(self.options["manifest"])
 
         def simpleStreamReader(self, schema):
-            import json as _json
-
             raw = _json.loads(open(self.options["manifest"]).read())
-            fields = _json.loads(raw["snapshots"][-1]["schema_json"])["fields"]
+            fields = _pub_fields(raw)
             return _Reader(
                 self.options["manifest"],
                 [f["name"] for f in fields],
                 [k.strip() for k in self.options["keys"].split(",")],
+                int(self.options.get("max_versions_per_batch", "1")),
             )
 
     return TableChangelogSource
+
+
+def _committed_offset_version(checkpoint: str) -> int:
+    """Newest committed changelog offset in a query checkpoint: the
+    offsets/<id> entry (last line is the source-0 offset json) whose
+    batch id also appears under commits/."""
+    import os
+
+    commits_dir = os.path.join(checkpoint, "commits")
+    offsets_dir = os.path.join(checkpoint, "offsets")
+    if not (os.path.isdir(commits_dir) and os.path.isdir(offsets_dir)):
+        return -1
+    done = [n for n in os.listdir(commits_dir) if n.isdigit()]
+    if not done:
+        return -1
+    latest = max(done, key=int)
+    path = os.path.join(offsets_dir, latest)
+    if not os.path.exists(path):
+        return -1
+    lines = [ln for ln in open(path).read().splitlines() if ln.strip()]
+    try:
+        return int(_json.loads(_json.loads(lines[-1]))["v"])
+    except (ValueError, KeyError, TypeError):
+        # offsets entries are double-encoded json strings; fall back to
+        # the single-encoded form some Spark versions write
+        return int(_json.loads(lines[-1])["v"])
+
+
+def drain_changelog(stream_df, out_path: str, checkpoint: str,
+                    manifest_path: str, timeout_sec: float = 120.0) -> int:
+    """Drain the changelog stream version-by-version: run a
+    default-trigger (continuous poll) query — so each published version
+    becomes its OWN microbatch under the ranged ``read`` — and stop once
+    the checkpoint's committed offset reaches the manifest head observed
+    at drain start. Returns the number of microbatches this drain
+    committed. This replaces ``Trigger.AvailableNow``, which Spark
+    demotes to a single ranged batch for Python sources (see module
+    docstring)."""
+    import os
+
+    target = published_head(manifest_path)
+    before = -1
+    commits_dir = os.path.join(checkpoint, "commits")
+    if os.path.isdir(commits_dir):
+        ids = [n for n in os.listdir(commits_dir) if n.isdigit()]
+        before = max((int(n) for n in ids), default=-1)
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + timeout_sec
+        while _time.monotonic() < deadline:
+            if _committed_offset_version(checkpoint) >= target:
+                break
+            if q.exception() is not None:
+                raise q.exception()
+            _time.sleep(0.1)
+        else:
+            raise TimeoutError(
+                f"changelog drain did not reach version {target} within "
+                f"{timeout_sec}s (at {_committed_offset_version(checkpoint)})"
+            )
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    ids = [n for n in os.listdir(commits_dir) if n.isdigit()]
+    after = max((int(n) for n in ids), default=-1)
+    return after - before

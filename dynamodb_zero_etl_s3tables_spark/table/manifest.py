@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -140,6 +141,16 @@ class Manifest:
         concurrency sequence number (a staged write must still fence
         concurrent committers, exactly like an Iceberg sequence)."""
         return self.snapshots[-1].version if self.snapshots else 0
+
+
+def _expr_references(expr: str, name: str) -> bool:
+    """True iff a SQL expression references ``name`` as a whole
+    identifier. Spark resolves identifiers case-insensitively, so the
+    match is case-insensitive and bound at identifier boundaries
+    (``id`` does not match inside ``doc_id``); backtick-quoted
+    occurrences also match."""
+    pat = r"(?<![A-Za-z0-9_])" + re.escape(name) + r"(?![A-Za-z0-9_])"
+    return re.search(pat, expr, re.IGNORECASE) is not None
 
 
 def _evolve_schema(old: T.StructType, new: T.StructType) -> T.StructType:
@@ -518,15 +529,20 @@ class ManagedTable:
         if sum(x is not None for x in (version, tag, branch, as_of)) > 1:
             raise ValueError("pass at most one of version / tag / branch / as_of")
         if as_of is not None:
-            eligible = [
-                s for s in m.snapshots
-                if not s.staged and s.committed_at <= as_of
-            ]
+            published = [s for s in m.snapshots if not s.staged]
+            eligible = [s for s in published if s.committed_at <= as_of]
             if not eligible:
+                if not published:
+                    raise ValueError(
+                        f"no published snapshot of "
+                        f"{self.spec.qualified_name}: all "
+                        f"{len(m.snapshots)} snapshot(s) are staged (WAP); "
+                        "publish a branch before time travel"
+                    )
                 raise ValueError(
                     f"no snapshot of {self.spec.qualified_name} committed "
                     f"at or before {as_of} (earliest: "
-                    f"{min(s.committed_at for s in m.snapshots if not s.staged)})"
+                    f"{min(s.committed_at for s in published)})"
                 )
             version = max(eligible, key=lambda s: s.version).version
         if tag is not None:
@@ -1986,10 +2002,18 @@ class ManagedTable:
                 "bound by the persisted table spec"
             )
         for gname, gexpr in self.spec.generated_columns:
-            if gname == name or name in gexpr:
+            if gname.lower() == name.lower() or _expr_references(gexpr, name):
                 raise ValueError(
                     f"cannot drop {name!r}: referenced by generated "
                     f"column {gname!r} ({gexpr!r})"
+                )
+        for cexpr in self.spec.check_constraints:
+            if _expr_references(cexpr, name):
+                raise ValueError(
+                    f"cannot drop {name!r}: referenced by check "
+                    f"constraint ({cexpr!r}); constraints are persisted "
+                    "in the table spec and every later write would fail "
+                    "to resolve the column"
                 )
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
         renames = dict(snap.read_renames or {})

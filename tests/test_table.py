@@ -1426,6 +1426,30 @@ def test_read_as_of_skips_staged(spark, warehouse):
     assert t.read(as_of=time.time() + 1e6).count() == 1
 
 
+def test_read_as_of_all_staged_distinct_error(spark, warehouse):
+    """If every snapshot is staged (WAP-only history), as_of must say
+    so explicitly instead of dying in min() over an empty sequence.
+    No write path produces this state today (stage_changes requires a
+    bootstrap), so construct the persisted manifest shape directly —
+    the guard defends against exactly this on-disk state."""
+    import json
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(namespace="ns", name="asof3", key_columns=("pk",))
+    )
+    t.bootstrap(spark.createDataFrame([(1, "a")], "pk long, v string"))
+    mp = f"{warehouse}/ns/asof3/manifest.json"
+    raw = json.loads(open(mp).read())
+    for s in raw["snapshots"]:
+        s["staged"] = True
+    open(mp, "w").write(json.dumps(raw))
+    with pytest.raises(ValueError, match="staged"):
+        t.read(as_of=time.time() + 1e6)
+
+
 # -- drop column (B4 subtractive evolution, metadata-only) ------------------
 
 def _drop_tbl(spark, warehouse, **spec_over):
@@ -1476,6 +1500,55 @@ def test_drop_column_refuses_generated_dependency(spark, warehouse):
     )
     with pytest.raises(ValueError, match="generated"):
         t.drop_column("price")
+
+
+def test_drop_column_refuses_check_constraint_dependency(spark, warehouse):
+    """Dropping a column named in a persisted CHECK constraint would
+    leave the table permanently unwritable (every later commit fails
+    UNRESOLVED_COLUMN evaluating the constraint); refuse upfront."""
+    t = _drop_tbl(spark, warehouse, check_constraints=("price > 0",))
+    with pytest.raises(ValueError, match="check "):
+        t.drop_column("price")
+    t.drop_column("status")  # unreferenced columns still droppable
+    # and the constraint still enforces on later writes
+    t.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 3, 9.5, 1, 1)],
+            "op string, pk long, price double, ts long, seq long",
+        )
+    )
+    assert t.read().columns == ["pk", "price"]
+
+
+def test_drop_column_dependency_guard_identifier_boundaries(spark, warehouse):
+    """Spark resolves identifiers case-insensitively, so 'PRICE * 100'
+    must still block drop_column('price'); conversely 'doc_id' in an
+    expression must NOT block dropping 'id' (whole-identifier match,
+    not substring)."""
+    t = _drop_tbl(
+        spark,
+        warehouse,
+        generated_columns=(("price_cents", "CAST(ROUND(PRICE * 100) AS BIGINT)"),),
+    )
+    with pytest.raises(ValueError, match="generated"):
+        t.drop_column("price")
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    t2 = Catalog(spark, warehouse).create_table(
+        TableSpec(
+            namespace="ns", name="dropcol2", key_columns=("pk",),
+            check_constraints=("doc_id IS NOT NULL",),
+        )
+    )
+    t2.bootstrap(
+        spark.createDataFrame(
+            [(1, 7, 5)], "pk long, doc_id long, id long"
+        )
+    )
+    t2.drop_column("id")  # 'id' inside 'doc_id' is not a reference
+    assert t2.read().columns == ["pk", "doc_id"]
 
 
 def test_drop_then_rename_compose(spark, warehouse):

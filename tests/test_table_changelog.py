@@ -1,12 +1,16 @@
 """Managed-table changelog streaming source (streaming/table_source.py):
-refusal of non-changelog commits, and offset/emission unit behavior
-driven directly against the reader (no stream engine needed)."""
+refusal of non-changelog commits, per-version ranged offsets, staged
+snapshot invisibility (rows AND schema), plus an engine-level drain
+asserting one microbatch per published version and checkpoint resume."""
 
 import pytest
 
 from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
 from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+    changelog_schema_ddl,
+    drain_changelog,
     make_changelog_source,
+    published_head,
 )
 from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
@@ -23,12 +27,15 @@ def _mk(spark, warehouse):
     return t, f"{warehouse}/ns/cdf/manifest.json"
 
 
-def _reader(manifest):
-    src = make_changelog_source()(options={"manifest": manifest, "keys": "pk"})
+def _reader(manifest, max_versions=None):
+    opts = {"manifest": manifest, "keys": "pk"}
+    if max_versions is not None:
+        opts["max_versions_per_batch"] = str(max_versions)
+    src = make_changelog_source()(options=opts)
     return src.simpleStreamReader(src.schema())
 
 
-def test_reader_emits_bootstrap_and_mor_waves(spark, warehouse):
+def test_reader_emits_one_version_per_read(spark, warehouse):
     t, mp = _mk(spark, warehouse)
     t.apply_changes(
         spark.createDataFrame(
@@ -38,17 +45,40 @@ def test_reader_emits_bootstrap_and_mor_waves(spark, warehouse):
         strategy="merge-on-read",
     )
     r = _reader(mp)
-    rows, off = r.read(r.initialOffset())
-    rows = sorted(rows)
-    assert off == {"v": 2}
-    assert (1, "INSERT", 1, "A", 10.0) in rows
-    assert (2, "DELETE", 1, None, None) in rows
-    assert (2, "UPSERT", 3, "C", 30.0) in rows
+    # batch 1: bootstrap only (default max_versions_per_batch=1)
+    rows1, off1 = r.read(r.initialOffset())
+    rows1 = sorted(rows1)
+    assert off1 == {"v": 1}
+    assert rows1 == [(1, "INSERT", 1, "A", 10.0), (1, "INSERT", 2, "B", 20.0)]
+    # batch 2: the merge-on-read wave
+    rows2, off2 = r.read(off1)
+    rows2 = sorted(rows2)
+    assert off2 == {"v": 2}
+    assert (2, "DELETE", 1, None, None) in rows2
+    assert (2, "UPSERT", 3, "C", 30.0) in rows2
     # caught up: nothing more, offset stable
-    again, off2 = r.read(off)
-    assert list(again) == [] and off2 == off
-    # replay between committed offsets returns the same rows
-    assert sorted(r.readBetweenOffsets({"v": 0}, {"v": 2})) == rows
+    again, off3 = r.read(off2)
+    assert list(again) == [] and off3 == off2
+    # replay between committed offsets returns the union
+    assert sorted(r.readBetweenOffsets({"v": 0}, {"v": 2})) == sorted(
+        rows1 + rows2
+    )
+
+
+def test_reader_ranged_batch_cap(spark, warehouse):
+    t, mp = _mk(spark, warehouse)
+    t.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 3, "C", 30.0, 1, 1)],
+            "op string, pk long, status string, price double, ts long, seq long",
+        ),
+        strategy="merge-on-read",
+    )
+    # a wide cap drains the whole backlog in one ranged batch
+    r = _reader(mp, max_versions=10)
+    rows, off = r.read(r.initialOffset())
+    assert off == {"v": 2}
+    assert {v for (v, *_rest) in rows} == {1, 2}
 
 
 def test_reader_refuses_cow_commits_with_clear_error(spark, warehouse):
@@ -59,7 +89,7 @@ def test_reader_refuses_cow_commits_with_clear_error(spark, warehouse):
             "op string, pk long, status string, price double, ts long, seq long",
         )
     )  # copy-on-write merge: no per-row change files
-    r = _reader(mp)
+    r = _reader(mp, max_versions=10)
     with pytest.raises(ValueError, match="merge-on-read"):
         list(r.read(r.initialOffset())[0])
 
@@ -72,12 +102,33 @@ def test_reader_skips_staged_snapshots(spark, warehouse):
             "op string, pk long, status string, price double, ts long, seq long",
         )
     )
-    r = _reader(mp)
+    r = _reader(mp, max_versions=10)
     rows, off = r.read(r.initialOffset())
     # only the published bootstrap is visible; the staged WAP commit
     # must be invisible to changelog consumers until publish
     assert off == {"v": 1}
     assert all(v == 1 for (v, *_rest) in rows)
+
+
+def test_schema_binds_to_published_snapshot_not_staged(spark, warehouse):
+    """A staged WAP commit carrying schema evolution must not leak its
+    unpublished columns into the stream schema (offset logic already
+    skips its rows)."""
+    t, mp = _mk(spark, warehouse)
+    t.stage_changes(
+        spark.createDataFrame(
+            [("MODIFY", 9, "Z", 1.0, "new", 1, 1)],
+            "op string, pk long, status string, price double, "
+            "extra string, ts long, seq long",
+        )
+    )
+    ddl = changelog_schema_ddl(mp)
+    assert "extra" not in ddl
+    assert ddl.startswith("version bigint, change_op string, ")
+    # the reader's emitted column list matches the published schema too
+    r = _reader(mp, max_versions=10)
+    rows, _ = r.read(r.initialOffset())
+    assert all(len(t_) == 2 + 3 for t_ in rows)  # version, op, 3 cols
 
 
 def test_schema_rejects_non_primitive_columns(spark, warehouse):
@@ -92,3 +143,45 @@ def test_schema_rejects_non_primitive_columns(spark, warehouse):
     )
     with pytest.raises(TypeError, match="primitive"):
         src.schema()
+
+
+def test_drain_one_microbatch_per_version_and_resume(spark, warehouse, tmp_path):
+    """Engine-level contract: a 2-commit backlog drains as >=2
+    microbatches (one per published version — not Spark's single-batch
+    AvailableNow fallback), and a later drain resumes from the
+    checkpointed version, appending only the new commit's rows."""
+    t, mp = _mk(spark, warehouse)
+    t.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 3, "C", 30.0, 1, 1)],
+            "op string, pk long, status string, price double, ts long, seq long",
+        ),
+        strategy="merge-on-read",
+    )
+    assert published_head(mp) == 2
+    spark.dataSource.register(make_changelog_source())
+    stream = (
+        spark.readStream.format("table_changelog")
+        .option("manifest", mp)
+        .option("keys", "pk")
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    batches = drain_changelog(stream, out, ckpt, mp)
+    assert batches >= 2, f"2-commit backlog must drain as >=2 microbatches, got {batches}"
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 2 + 1  # bootstrap inserts + one upsert
+
+    # a third commit, then resume from the checkpoint
+    t.apply_changes(
+        spark.createDataFrame(
+            [("REMOVE", 2, None, None, 2, 1)],
+            "op string, pk long, status string, price double, ts long, seq long",
+        ),
+        strategy="merge-on-read",
+    )
+    batches2 = drain_changelog(stream, out, ckpt, mp)
+    assert batches2 >= 1
+    got = spark.read.parquet(out)
+    assert got.count() == n1 + 1
+    assert got.filter("version = 3 and change_op = 'DELETE'").count() == 1
