@@ -64,7 +64,7 @@ _GRADE_PRIORITY = [
     "e77_trained_langid", "e78_tokenizer_fertility",
     "e79_dedup_threshold_sweep", "h20_table_changelog_stream",
     # ---- new in r6 (window positions 21+) ----
-    # (appended as operators land this round)
+    "e06b_media_featurize",  # re-grade: now parses REAL container headers
     # ---- graded in r5 (CORRECTNESS_r05.json, 50/50 green) -> tail ----
     "d88_hypertable_rollup", "h16_chained_window_twin", "e45_dsir_resample",
     "e44_ivf_pq_residual", "d89_countmin_heavy_hitters",
@@ -88,7 +88,7 @@ _GRADE_PRIORITY = [
     "d96_tpch_q2_min_cost_supplier",
     # ---- graded in r4 (CORRECTNESS_r04.json, 50/50 green) -> tail ----
     "e22_vocab_coverage", "e23_bigram_model", "e06_binary_plumbing",
-    "e06b_media_featurize", "e06c_frame_sample", "e06d_media_exact_dedup",
+    "e06c_frame_sample", "e06d_media_exact_dedup",
     "h11_interval_join_twin", "a03_identifier_derivation",
     "a04_sanitize_identifier", "a06_policy_merge", "a07_policy_delete",
     "c05_replication_journey", "e26_minhash_containment",
@@ -113,7 +113,7 @@ _GRADE_PRIORITY = [
     "d29c_median_mode", "d31_window_ranking", "d31b_relative_rank",
     "d32_lag_lead", "d33_running_sum", "d34_range_frame",
     "d35_topk_per_group", "d36_global_sort", "d37_top_k",
-    "d38_limit_no_sort", "d39_union", "d39b_union_distinct", "d40_intersect",
+    "d39_union", "d39b_union_distinct", "d40_intersect",
     "d41_except_all", "d73_rolling_distinct_users", "d42_string_fns",
     "d43_datetime_fns", "d44_math_fns", "d45_array_fns", "d45b_explode",
     "d46_map_fns", "d47_json_fns", "d48_hash_fns", "d48b_hash_native",

@@ -44,13 +44,70 @@ def test_stub_shape_matches_featurizer_schema():
         assert f in d
 
 
-def test_e06b_featurize_rides_stub_payloads(spark):
-    # synthesized payloads are UTF-8 text -> stub path with or without
-    # Pillow; the registered oracle replays exactly this arithmetic
-    rows = M.e06b_media_featurize(spark, SF_DIR).limit(5).collect()
+def test_e06b_featurize_parses_real_headers(spark):
+    # payloads carry genuine PNG/BMP/GIF/WAV headers; the featurizer
+    # must recover the synthesized dimensions FROM THE BYTES
+    rows = M.e06b_media_featurize(spark, SF_DIR).limit(20).collect()
     assert rows
+    kinds = {0: "png", 1: "bmp", 2: "gif", 3: "wav"}
     for r in rows:
-        n = r.payload_bytes
-        assert r.width == 16 + (n % 64)
-        assert r.height == 16 + ((n // 64) % 64)
-        assert r.n_frames == 1 + (n % 7)
+        d = r.doc_id
+        assert r.codec == kinds[d % 4]
+        if r.codec == "wav":
+            assert r.width == 8000 + 100 * (d % 5)
+            assert r.height == 1 + d % 2
+            assert r.n_frames == 100 + d % 50
+        else:
+            assert r.width == 16 + d % 101
+            assert r.height == 16 + d % 67
+            assert r.n_frames == 1
+
+
+# -- parse_media_header: one test per magic type (VERDICT r5 #3) -------------
+
+def test_parse_png_header():
+    hdr = M.synth_media_header(0, 12345)
+    got = M.parse_media_header(hdr + b"trailing body bytes")
+    assert got == {"width": 16 + 12345 % 101, "height": 16 + 12345 % 67,
+                   "n_frames": 1, "ok": True, "codec": "png"}
+    assert len(hdr) == 33
+
+
+def test_parse_bmp_header_including_topdown():
+    import struct
+
+    hdr = M.synth_media_header(1, 7)
+    got = M.parse_media_header(hdr + b"pixels")
+    assert (got["codec"], got["width"], got["height"]) == ("bmp", 23, 23)
+    assert len(hdr) == 54
+    # top-down DIB: negative height stored, magnitude reported
+    neg = bytearray(hdr)
+    neg[22:26] = struct.pack("<i", -23)
+    assert M.parse_media_header(bytes(neg))["height"] == 23
+
+
+def test_parse_gif_header():
+    hdr = M.synth_media_header(2, 42)
+    got = M.parse_media_header(hdr)
+    assert got == {"width": 16 + 42 % 101, "height": 16 + 42 % 67,
+                   "n_frames": 1, "ok": True, "codec": "gif"}
+    assert len(hdr) == 13
+
+
+def test_parse_wav_header_chunk_walk():
+    hdr = M.synth_media_header(3, 103)
+    got = M.parse_media_header(hdr + b"samples and other noise")
+    assert got == {"width": 8000 + 100 * (103 % 5), "height": 1 + 103 % 2,
+                   "n_frames": 100 + 103 % 50, "ok": True, "codec": "wav"}
+    assert len(hdr) == 44
+
+
+def test_parse_rejects_truncated_and_garbage():
+    assert M.parse_media_header(b"") is None
+    assert M.parse_media_header(b"\x89PNG\r\n\x1a\n") is None  # magic only
+    assert M.parse_media_header(b"BMx") is None
+    assert M.parse_media_header(b"RIFF\x00\x00\x00\x00AVI ") is None
+    assert M.parse_media_header(b"plain text payload") is None
+    # and decode_payload degrades to the stub on every one of them
+    for b in (b"", b"BMx", b"plain text payload"):
+        assert M.decode_payload(b)["codec"] == "stub"

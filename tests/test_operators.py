@@ -45,30 +45,36 @@ def test_doc_counts_match_registry():
 
 
 def test_grade_priority_prefix():
-    # Round-5 rotation: the driver grades a 50-query prefix of the
-    # registry; the prefix must LEAD with the 13 queries that had no
-    # driver CORRECTNESS row after r4 (all r4-late additions), then
-    # r5-new operators, then the already-graded tranches. Pins
-    # _GRADE_PRIORITY against accidental registration-order changes.
+    # Round-6 rotation: the driver grades a 50-query prefix of the
+    # registry; the prefix must LEAD with the 3 stale-error rows
+    # (d25/d28 r1 errors since fixed; d38's rows-only record) and the
+    # 17 post-r5-freeze entries that have never had a driver
+    # CORRECTNESS row, then operators new/changed in r6, then the
+    # already-graded tranches. Pins _GRADE_PRIORITY against
+    # accidental registration-order changes.
     from dynamodb_zero_etl_s3tables_spark.operators import _GRADE_PRIORITY
 
     names = list(QUERY_REGISTRY)
     assert names[: len(_GRADE_PRIORITY)] == _GRADE_PRIORITY
     # the tail (names NOT in the priority list) is the fixed set of
-    # 100 queries driver-graded in rounds 1-2; every op added since
-    # must be appended to _GRADE_PRIORITY, so the tail never grows
-    assert len(QUERY_REGISTRY) - len(_GRADE_PRIORITY) == 100
-    # the driver's 50-row window leads with the never-graded 13
+    # queries driver-graded in rounds 1-2 (100, minus d25/d28 pulled
+    # into the r6 window to erase their stale r1 error rows); every op
+    # added since must be appended to _GRADE_PRIORITY, so the tail
+    # never grows
+    assert len(QUERY_REGISTRY) - len(_GRADE_PRIORITY) == 98
+    # the driver's 50-row window leads with the 20 closing entries
     window = _GRADE_PRIORITY[:50]
     for name in (
-        "d88_hypertable_rollup", "d89_countmin_heavy_hitters",
-        "c09_wap_journey", "e44_ivf_pq_residual", "e48_knn_graph",
-        "h16_chained_window_twin", "h17_gated_cdc_sink",
-        "e51_filter_attrition",
+        "d25_approx_count_distinct", "d28_collect_list_set",
+        "d38_limit_no_sort", "c21_generated_columns_journey",
+        "c22_drop_column_journey", "d100_udtf_table_argument",
+        "e70_filtered_ann", "e79_dedup_threshold_sweep",
+        "h20_table_changelog_stream",
+        "e06b_media_featurize",  # r6: real header parsing
     ):
         assert name in window, name
-    assert _GRADE_PRIORITY[0] == "d88_hypertable_rollup"
-    # r3-graded queries stay rotated out of the window
+    assert _GRADE_PRIORITY[0] == "d25_approx_count_distinct"
+    # r5-graded queries stay rotated out of the window
     assert "e20_chunk_dedup" not in window
     # no duplicates, every priority name registered
     assert len(set(_GRADE_PRIORITY)) == len(_GRADE_PRIORITY)
