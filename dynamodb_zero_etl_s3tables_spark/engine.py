@@ -154,7 +154,21 @@ class ZeroEtlEngine:
         the requested (default: current) snapshot first. The view name
         is ``<namespace>_<table>`` — the engine's rendering of the
         reference's three-part ``"s3tablescatalog/bucket"."ns"."t"``
-        (reference README.md:173)."""
+        (reference README.md:173).
+
+        DML statements (``MERGE INTO`` / ``UPDATE`` / ``DELETE FROM``
+        against the managed table — the rest of the Athena/Iceberg
+        SQL surface the reference exposes) are routed onto the
+        snapshot-committing engine verbs by
+        :mod:`..sql_dml` and return a one-row (operation, info)
+        result frame; ``version`` is rejected for DML since writes
+        always target the current snapshot."""
+        from dynamodb_zero_etl_s3tables_spark import sql_dml
+
+        if sql_dml.is_dml(query):
+            if version is not None:
+                raise ValueError("DML statements cannot target a past version")
+            return sql_dml.route_dml(self, query)
         self.catalog.refresh_view(self.spec.qualified_name, version=version)
         return self.catalog.sql(query)
 

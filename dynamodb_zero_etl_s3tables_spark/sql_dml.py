@@ -1,0 +1,388 @@
+"""SQL DML front door for the managed table (SURVEY C1, VERDICT r5
+#4): the reference's user-facing surface is a SQL string over the
+replicated table (reference README.md:173, an Athena query against
+``"s3tablescatalog/bucket"."ns"."t"``) — and on Athena/Iceberg that
+surface includes row-level DML (``MERGE INTO`` / ``UPDATE`` /
+``DELETE``), not just SELECT. Spark's local session can parse these
+verbs but has no writable v2 table to aim them at, so
+``ZeroEtlEngine.sql`` routes recognized DML statements here and this
+module translates them onto the engine's snapshot-committing verbs:
+
+* ``DELETE FROM t WHERE <conj>``        -> ``ManagedTable.delete_where``
+* ``UPDATE t SET a = e, ... WHERE <conj>`` -> ``ManagedTable.update_where``
+* ``MERGE INTO t ... USING s ON ... WHEN ...`` -> ``ManagedTable.merge_into``
+
+The grammar is the intersection of the engine verbs' contracts and
+ANSI DML — deliberately strict, with loud errors naming the supported
+shape, never a silent partial apply:
+
+* DELETE/UPDATE predicates are top-level conjunctions of
+  ``col <op> literal`` with op in ``= < <= > >=`` (exactly
+  ``delete_where``'s pruning-scan ops, so every routed statement
+  keeps the partition-carry fast path).
+* UPDATE assignments are ``col = <sql expr>`` (the expression string
+  passes straight into ``update_where``, evaluated in row scope).
+* MERGE supports ``[AS] alias`` on both sides, a temp-view name or a
+  parenthesized subquery as the source, an equi-conjunction ON
+  clause, ordered ``WHEN MATCHED [AND cond] THEN UPDATE SET ... |
+  DELETE`` clauses, and ``WHEN NOT MATCHED [AND cond] THEN INSERT
+  (cols) VALUES (exprs) | INSERT *`` — the same clause set
+  ``table.merge.merge_into`` implements (first matching clause wins).
+
+Anything else (including DML aimed at a table other than the
+engine's managed table) raises rather than guessing. SELECTs never
+reach this module — ``engine.sql`` only routes statements whose first
+keyword is MERGE/UPDATE/DELETE.
+
+Scale: routing is driver-side string work on one statement; the
+executed plans are exactly the Python-API ones (pruned CoW rewrites
+for DELETE/UPDATE, one equi-shuffle join for MERGE), so the SQL door
+adds zero distributed cost over C1's SELECT surface.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from dynamodb_zero_etl_s3tables_spark.engine import ZeroEtlEngine
+
+_DML_HEAD = re.compile(r"^\s*(MERGE|UPDATE|DELETE)\b", re.IGNORECASE)
+
+#: ops delete_where/update_where accept (their partition-prune set)
+_OPS = ("<=", ">=", "=", "<", ">")
+
+
+def is_dml(statement: str) -> bool:
+    return _DML_HEAD.match(statement) is not None
+
+
+def _split_top(s: str, sep_pattern: str) -> list[str]:
+    """Split on a regex separator at paren/quote depth 0."""
+    parts, depth, last, i = [], 0, 0, 0
+    sep = re.compile(sep_pattern, re.IGNORECASE)
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            j = s.find("'", i + 1)
+            i = len(s) if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = sep.match(s, i)
+            if m:
+                parts.append(s[last:i])
+                i = m.end()
+                last = i
+                continue
+        i += 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_literal(text: str) -> Any:
+    t = text.strip()
+    if t.startswith("'") and t.endswith("'") and len(t) >= 2:
+        return t[1:-1].replace("''", "'")
+    low = t.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(t)
+    except ValueError:
+        pass
+    try:
+        return float(t)
+    except ValueError:
+        raise ValueError(
+            f"unsupported literal {text!r} in DML predicate — the SQL "
+            "DML door accepts numbers, 'strings', and booleans"
+        ) from None
+
+
+def _parse_conjunction(text: str) -> list[tuple[str, str, Any]]:
+    """``col op literal AND ...`` -> delete_where/update_where filters."""
+    filters = []
+    for term in _split_top(text, r"AND\b"):
+        if len(_split_top(term, r"OR\b")) > 1:
+            raise ValueError(
+                f"unsupported predicate {term!r} — OR is outside the routed "
+                "grammar (delete_where/update_where prune on conjunctions); "
+                "use the DataFrame API for disjunctive predicates"
+            )
+        m = re.match(
+            rf"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*({'|'.join(re.escape(o) for o in _OPS)})"
+            r"\s*(.+?)\s*$",
+            term,
+            re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                f"unsupported predicate {term!r} — the SQL DML door routes "
+                "top-level conjunctions of `col <op> literal` with op in "
+                f"{_OPS} (matching the engine's pruning-scan contract); "
+                "use the DataFrame API for richer predicates"
+            )
+        filters.append((m.group(1), m.group(2), _parse_literal(m.group(3))))
+    return filters
+
+
+def _strip_alias(col: str, aliases: tuple[str, ...]) -> str:
+    head, _, tail = col.partition(".")
+    if tail and head.lower() in aliases:
+        return tail
+    return col
+
+
+def _check_target(engine: "ZeroEtlEngine", name: str) -> None:
+    spec = engine.spec
+    accepted = {
+        spec.qualified_name.lower(),
+        spec.qualified_name.replace(".", "_").lower(),
+        spec.name.lower(),
+    }
+    if name.lower().strip("`\"") not in accepted:
+        raise ValueError(
+            f"SQL DML routed to unknown table {name!r}: this engine "
+            f"manages {spec.qualified_name!r} (also addressable as "
+            f"{spec.qualified_name.replace('.', '_')!r} or {spec.name!r})"
+        )
+
+
+def _result_df(engine: "ZeroEtlEngine", op: str, info: dict) -> DataFrame:
+    return engine.spark.createDataFrame(
+        [(op, json.dumps(info, sort_keys=True, default=str))],
+        "operation string, info string",
+    )
+
+
+# -- statement handlers ------------------------------------------------------
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_.`\"]*)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_.`\"]*)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_.`\"]*)"
+    r"(?:\s+AS)?(?:\s+(?!USING\b)([A-Za-z_][A-Za-z0-9_]*))?"
+    r"\s+USING\s+(__SUBQUERY__|[A-Za-z_][A-Za-z0-9_.]*)"
+    r"(?:\s+AS)?(?:\s+(?!ON\b)([A-Za-z_][A-Za-z0-9_]*))?"
+    r"\s+ON\s+(.+?)\s*(WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _lift_subquery(statement: str) -> tuple[str, str | None]:
+    """Replace a parenthesized USING source with the ``__SUBQUERY__``
+    token (balanced-paren scan, so nested parens and quoted strings
+    inside the subquery are safe) and return (statement, sql)."""
+    m = re.search(r"\bUSING\s*\(", statement, re.IGNORECASE)
+    if not m:
+        return statement, None
+    start = m.end() - 1
+    depth, i = 0, start
+    while i < len(statement):
+        c = statement[i]
+        if c == "'":
+            j = statement.find("'", i + 1)
+            i = len(statement) if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                inner = statement[start + 1:i]
+                lifted = statement[: m.end() - 1] + "__SUBQUERY__" + statement[i + 1:]
+                return lifted, inner
+        i += 1
+    raise ValueError("unbalanced parentheses in MERGE USING source")
+
+_WHEN_RE = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+"
+    r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _route_delete(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    _check_target(engine, m.group(1))
+    result = engine.table.delete_where(_parse_conjunction(m.group(2)))
+    return _result_df(engine, "delete", result)
+
+
+def _route_update(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    _check_target(engine, m.group(1))
+    assignments = {}
+    for part in _split_top(m.group(2), r","):
+        am = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$", part, re.DOTALL)
+        if not am:
+            raise ValueError(
+                f"unsupported SET clause {part!r} — expected `col = <sql expr>`"
+            )
+        assignments[am.group(1)] = am.group(2)
+    result = engine.table.update_where(_parse_conjunction(m.group(3)), assignments)
+    return _result_df(engine, "update", result)
+
+
+def _route_merge(
+    engine: "ZeroEtlEngine", m: re.Match, subquery: str | None
+) -> DataFrame:
+    target_name, t_alias, source_text, s_alias, on_text, when_text = m.groups()
+    _check_target(engine, target_name)
+    aliases = ((t_alias or "t").lower(), (s_alias or "s").lower())
+
+    # source: temp view name or parenthesized subquery. merge_into
+    # aliases the frames "t"/"s" internally, so fold the statement's
+    # aliases onto those names in every embedded expression.
+    def fold(expr: str) -> str:
+        out = expr
+        for given, canon in zip(aliases, ("t", "s")):
+            out = re.sub(
+                rf"(?<![A-Za-z0-9_.]){re.escape(given)}\.",
+                f"{canon}.",
+                out,
+                flags=re.IGNORECASE,
+            )
+        return out
+
+    on_pairs = []
+    for term in _split_top(on_text, r"AND\b"):
+        em = re.match(
+            r"^\s*([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*([A-Za-z_][A-Za-z0-9_.]*)\s*$",
+            term,
+        )
+        if not em:
+            raise ValueError(
+                f"unsupported ON term {term!r} — MERGE routing needs an "
+                "equi-conjunction `t.col = s.col AND ...`"
+            )
+        left, right = em.group(1), em.group(2)
+        l_alias = left.partition(".")[0].lower()
+        if l_alias == aliases[1]:  # written source-first: flip
+            left, right = right, left
+        on_pairs.append(
+            (_strip_alias(left, aliases), _strip_alias(right, aliases))
+        )
+
+    # resolve the source only after the ON grammar is validated, so a
+    # malformed statement refuses before touching the catalog
+    if source_text == "__SUBQUERY__":
+        source = engine.spark.sql(subquery)
+    else:
+        source = engine.spark.table(source_text)
+
+    matched: list[tuple[str, Any, dict | None]] = []
+    insert_values: dict | None = None
+    insert_cond = None
+    consumed = 0
+    for wm in _WHEN_RE.finditer(when_text):
+        consumed += 1
+        is_not_matched = bool(wm.group(1))
+        cond = F.expr(fold(wm.group(2))) if wm.group(2) else None
+        action = wm.group(3).strip()
+        if is_not_matched:
+            im = re.match(
+                r"^INSERT\s*(?:\*|\(([^)]*)\)\s*VALUES\s*\((.*)\))\s*$",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not im:
+                raise ValueError(
+                    f"unsupported NOT MATCHED action {action!r} — expected "
+                    "`INSERT (cols) VALUES (exprs)` or `INSERT *`"
+                )
+            if im.group(1) is None:  # INSERT *
+                tcols = set(engine.table.read().columns)
+                insert_values = {
+                    c: F.expr(f"s.{c}") for c in source.columns if c in tcols
+                }
+            else:
+                cols = [c.strip() for c in im.group(1).split(",")]
+                exprs = _split_top(im.group(2), r",")
+                if len(cols) != len(exprs):
+                    raise ValueError(
+                        f"INSERT column/value arity mismatch: {cols} vs {exprs}"
+                    )
+                insert_values = {
+                    _strip_alias(c, aliases): F.expr(fold(e))
+                    for c, e in zip(cols, exprs)
+                }
+            insert_cond = cond
+        elif re.match(r"^DELETE\s*$", action, re.IGNORECASE):
+            matched.append(("delete", cond, None))
+        else:
+            um = re.match(r"^UPDATE\s+SET\s+(.+)$", action, re.IGNORECASE | re.DOTALL)
+            sets = {}
+            for part in _split_top(um.group(1), r","):
+                am = re.match(
+                    r"^\s*([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*$", part, re.DOTALL
+                )
+                if not am:
+                    raise ValueError(
+                        f"unsupported MERGE SET clause {part!r} — expected "
+                        "`[t.]col = <sql expr>`"
+                    )
+                sets[_strip_alias(am.group(1), aliases)] = F.expr(fold(am.group(2)))
+            matched.append(("update", cond, sets))
+    if consumed == 0:
+        raise ValueError(
+            "MERGE statement has no parseable WHEN clause — supported: "
+            "WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE, "
+            "WHEN NOT MATCHED [AND cond] THEN INSERT ..."
+        )
+    engine.table.merge_into(
+        source,
+        on=on_pairs,
+        matched=matched,
+        insert_values=insert_values,
+        insert_cond=insert_cond,
+    )
+    return _result_df(
+        engine,
+        "merge",
+        {
+            "on": on_pairs,
+            "matched_clauses": [k for k, _c, _s in matched],
+            "insert": insert_values is not None,
+        },
+    )
+
+
+def route_dml(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
+    """Dispatch one MERGE/UPDATE/DELETE statement onto the engine's
+    managed-table verbs; returns a one-row (operation, info-json)
+    DataFrame, the engine's analog of a DML result set."""
+    for pattern, handler in (
+        (_DELETE_RE, _route_delete),
+        (_UPDATE_RE, _route_update),
+    ):
+        m = pattern.match(statement)
+        if m:
+            return handler(engine, m)
+    lifted, subquery = _lift_subquery(statement)
+    m = _MERGE_RE.match(lifted)
+    if m:
+        return _route_merge(engine, m, subquery)
+    head = _DML_HEAD.match(statement).group(1).upper()
+    raise ValueError(
+        f"unroutable {head} statement — supported shapes: "
+        "`DELETE FROM t WHERE col op literal [AND ...]`, "
+        "`UPDATE t SET col = expr[, ...] WHERE col op literal [AND ...]`, "
+        "`MERGE INTO t [AS] a USING <view|(subquery)> [AS] b ON a.c = b.c "
+        "[AND ...] WHEN [NOT] MATCHED [AND cond] THEN ...`"
+    )

@@ -1,0 +1,125 @@
+"""SQL DML front door (sql_dml.py): MERGE/UPDATE/DELETE statements
+through ZeroEtlEngine.sql route onto the snapshot-committing verbs
+with the Python API's exact semantics — plus loud refusals for shapes
+outside the routed grammar."""
+
+import pytest
+
+from dynamodb_zero_etl_s3tables_spark import sql_dml
+from dynamodb_zero_etl_s3tables_spark.engine import ZeroEtlEngine
+from dynamodb_zero_etl_s3tables_spark.spec import SourceSpec, TableSpec
+
+
+def _engine(spark, warehouse, name="dml", partitioned=False):
+    eng = ZeroEtlEngine(
+        spark,
+        warehouse,
+        SourceSpec(table_name="src-ddb", key_columns=("pk",), pitr_enabled=True),
+        TableSpec(
+            namespace="ns",
+            name=name,
+            key_columns=("pk",),
+            partition_columns=("status",) if partitioned else (),
+        ),
+    )
+    eng.bootstrap(
+        spark.createDataFrame(
+            [(1, "A", 10.0), (2, "A", 150.0), (3, "B", 20.0), (4, "B", 250.0)],
+            "pk long, status string, price double",
+        )
+    )
+    return eng
+
+
+def test_is_dml_and_select_passthrough(spark, warehouse):
+    eng = _engine(spark, warehouse, "sel")
+    assert sql_dml.is_dml("  DELETE FROM t WHERE a = 1")
+    assert sql_dml.is_dml("merge into t using s on 1=1 when matched then delete")
+    assert not sql_dml.is_dml("SELECT * FROM ns_sel")
+    # SELECT still rides the refreshed view
+    assert eng.sql("SELECT COUNT(*) AS n FROM ns_sel").first().n == 4
+
+
+def test_delete_statement_routes_and_commits(spark, warehouse):
+    eng = _engine(spark, warehouse, "del")
+    res = eng.sql("DELETE FROM ns.del WHERE status = 'A' AND price < 100.0")
+    assert res.first().operation == "delete"
+    assert sorted(r.pk for r in eng.read().collect()) == [2, 3, 4]
+    # the pre-delete snapshot still time-travels
+    assert eng.read(version=1).count() == 4
+
+
+def test_update_statement_routes_and_commits(spark, warehouse):
+    eng = _engine(spark, warehouse, "upd")
+    eng.sql("UPDATE ns.upd SET price = price * 2 WHERE status = 'B'")
+    got = {r.pk: r.price for r in eng.read().collect()}
+    assert got == {1: 10.0, 2: 150.0, 3: 40.0, 4: 500.0}
+
+
+def test_merge_statement_full_clause_set(spark, warehouse):
+    eng = _engine(spark, warehouse, "mrg")
+    eng.spark.createDataFrame(
+        [(2, "Z", 999.0), (3, "Z", 33.0), (9, "N", 90.0)],
+        "pk long, status string, price double",
+    ).createOrReplaceTempView("mrg_src")
+    eng.sql(
+        """
+        MERGE INTO ns.mrg AS tgt USING mrg_src AS src
+        ON tgt.pk = src.pk
+        WHEN MATCHED AND src.price > 500.0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET price = src.price, status = src.status
+        WHEN NOT MATCHED THEN INSERT (pk, status, price)
+            VALUES (src.pk, src.status, src.price)
+        """
+    )
+    got = {r.pk: (r.status, r.price) for r in eng.read().collect()}
+    assert got == {
+        1: ("A", 10.0),     # untouched
+        3: ("Z", 33.0),     # matched update
+        4: ("B", 250.0),    # untouched
+        9: ("N", 90.0),     # not-matched insert
+    }  # pk=2 deleted by the first matched clause
+
+
+def test_merge_subquery_source_and_insert_star(spark, warehouse):
+    eng = _engine(spark, warehouse, "mrg2")
+    eng.sql(
+        """
+        MERGE INTO ns.mrg2 t
+        USING (SELECT 7 AS pk, 'S' AS status, ROUND(1.5, 1) * 10 AS price) s
+        ON t.pk = s.pk
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    assert eng.read().filter("pk = 7").first().price == 15.0
+
+
+def test_dml_refusals_are_loud(spark, warehouse):
+    eng = _engine(spark, warehouse, "bad")
+    with pytest.raises(ValueError, match="unknown table"):
+        eng.sql("DELETE FROM other_table WHERE pk = 1")
+    with pytest.raises(ValueError, match="unsupported predicate"):
+        eng.sql("DELETE FROM ns.bad WHERE pk = 1 OR pk = 2")
+    with pytest.raises(ValueError, match="unsupported predicate"):
+        eng.sql("DELETE FROM ns.bad WHERE price + 1 > 2")
+    with pytest.raises(ValueError, match="unroutable DELETE"):
+        eng.sql("DELETE FROM ns.bad")  # bare truncate: not routed
+    with pytest.raises(ValueError, match="past version"):
+        eng.sql("DELETE FROM ns.bad WHERE pk = 1", version=1)
+    with pytest.raises(ValueError, match="equi-conjunction"):
+        eng.sql(
+            "MERGE INTO ns.bad t USING ns_bad s ON t.pk >= s.pk "
+            "WHEN MATCHED THEN DELETE"
+        )
+    # nothing committed by any refusal
+    assert eng.read().count() == 4 and eng.table.version == 1
+
+
+def test_delete_statement_keeps_partition_pruning(spark, warehouse):
+    eng = _engine(spark, warehouse, "prune", partitioned=True)
+    import json
+
+    res = eng.sql("DELETE FROM ns.prune WHERE status = 'A'").first()
+    info = json.loads(res.info)
+    assert info["partitions_rewritten"] == 1
+    assert info["partitions_carried"] == 1
