@@ -94,3 +94,116 @@ def apply_changes_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -- streaming schema evolution (B4 x H7, VERDICT r5 #5) ---------------------
+
+def read_raw_changelog_stream(
+    spark: SparkSession,
+    directory: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Schema-evolving H1 source: read the change-log NDJSON as raw
+    TEXT lines, deferring ALL schema decisions to per-microbatch
+    inference in :func:`apply_changes_stream_evolving`. A fixed-schema
+    ``read_changelog_stream`` silently drops attributes that first
+    appear mid-stream (the file source binds its column set at
+    ``start()``); the raw form is what lets one continuously-running
+    query pick up new attributes — the ``glue:UpdateTable`` additive
+    contract of the reference integration (reference
+    src/dynamodb-zero-etl-s3tables.ts:110-117) without a restart."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(directory)
+
+
+def _infer_batch(batch_df: DataFrame, target: ManagedTable) -> DataFrame:
+    """Type one microbatch of raw NDJSON lines: merge the batch's
+    observed shape JVM-side (``parse_json`` into VariantType, then the
+    ``schema_of_variant_agg`` aggregate — Spark 4's native
+    schema-union, one bounded driver scalar per batch), expand with
+    ``from_json``, then normalize:
+
+    * columns the target already has cast to the TARGET type (epoch
+      longs -> timestamp ts, int -> long, ...), so a batch can never
+      silently fork an existing column's type;
+    * protocol columns (op/ts/seq) cast per CHANGELOG_EXTRA_FIELDS;
+    * NEW columns keep their inferred type, with JSON decimals
+      surfaced as DOUBLE (variant infers exact DECIMAL(p,s) per
+      batch, which would ratchet precision batch-to-batch; DOUBLE is
+      the stable wire-number type, matching B3's N-decode).
+    """
+    from pyspark.sql import functions as F
+
+    ddl = (
+        batch_df.select(
+            F.schema_of_variant_agg(F.parse_json(F.col("value"))).alias("s")
+        )
+        .first()
+        .s
+    )
+    typed = (
+        batch_df.select(F.from_json("value", ddl.replace("OBJECT<", "STRUCT<")).alias("r"))
+        .select("r.*")
+    )
+    target_types = {}
+    if target.exists():
+        target_types = {f.name: f.dataType for f in target.read().schema.fields}
+    for f in CHANGELOG_EXTRA_FIELDS:
+        target_types.setdefault(f.name, f.dataType)
+    cols = []
+    for f in typed.schema.fields:
+        if f.name in target_types:
+            cols.append(F.col(f.name).cast(target_types[f.name]).alias(f.name))
+        elif isinstance(f.dataType, T.DecimalType):
+            cols.append(F.col(f.name).cast("double").alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return typed.select(cols)
+
+
+def apply_changes_stream_evolving(
+    table: ManagedTable,
+    raw_lines: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    strategy: str = "copy-on-write",
+) -> StreamingQuery:
+    """H7 sink with mid-stream ADDITIVE SCHEMA EVOLUTION: each
+    microbatch is typed by its own inferred (batch-merged) schema and
+    merged via ``apply_changes``, whose B4 ``_evolve_schema`` widening
+    appends never-seen columns to the target — so an attribute that
+    first appears in batch N lands as a new table column during the
+    SAME query run, no restart, exactly the reference's
+    ``glue:UpdateTable`` additive promise. Earlier rows read NULL for
+    the new column (additive evolution); existing columns are pinned
+    to the target's types, so evolution is append-only, never a type
+    fork. Batch parity: a drain equals one big batch merge of the
+    union schema (pytest law, test_streaming.py).
+
+    Scale: inference is one JVM aggregate over the batch (no Python
+    row work, no second file read), and the merge cost is unchanged —
+    the evolving path costs one ``schema_of_variant_agg`` scalar over
+    what ``apply_changes_stream`` already does."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        typed = _infer_batch(batch_df, table)
+        if not table.exists():
+            image_cols = [
+                f for f in typed.schema.fields if f.name not in ("op", "seq")
+            ]
+            empty = table.spark.createDataFrame([], T.StructType(image_cols))
+            table.bootstrap(empty)
+        table.apply_changes(typed, strategy=strategy)
+
+    writer = (
+        raw_lines.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

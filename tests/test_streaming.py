@@ -647,3 +647,58 @@ def test_dedup_within_watermark_survives_batch_split(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+def test_stream_schema_evolution_mid_stream(spark, warehouse, tmp_path):
+    """B4 x H7 (VERDICT r5 #5): an attribute that first appears in a
+    LATER microbatch of one continuously-running query widens the
+    target additively — no restart — and the drained state equals one
+    batch merge over the union schema."""
+    from dynamodb_zero_etl_s3tables_spark.streaming.cdc import (
+        apply_changes_stream_evolving,
+        read_raw_changelog_stream,
+    )
+
+    log_dir = tmp_path / "changelog"
+    batch2_evolved = [dict(r, region=f"r{r['pk'] % 2}") for r in BATCH2]
+    _write_batch(log_dir / "b1.json", BATCH1)           # no `region` yet
+    _write_batch(log_dir / "b2.json", batch2_evolved)   # `region` appears
+
+    table = ManagedTable(
+        spark,
+        warehouse,
+        TableSpec(namespace="ns", name="stream_evolve", key_columns=("pk",),
+                  order_columns=("seq",)),
+    )
+    raw = read_raw_changelog_stream(spark, str(log_dir), max_files_per_trigger=1)
+    q = apply_changes_stream_evolving(table, raw, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert q.lastProgress is not None
+
+    final = table.read()
+    assert "region" in final.columns, "new attribute must widen the table"
+    got = {r.pk: (r.status, r.price, r.region) for r in final.collect()}
+    # rows last written before the attribute existed read NULL (additive)
+    for pk in (3, 4, 5):
+        assert got[pk] == ("new", float(pk), None)
+    # rows from the evolved batch carry the new column
+    assert got[1] == ("upd2", 12.0, "r1")
+    assert got[7] == ("late", 70.0, "r1")
+    assert 2 not in got
+
+    # batch twin: one merge over the union schema reproduces the state
+    evolved_schema = T.StructType(
+        list(changelog_schema(IMAGE_SCHEMA).fields)
+        + [T.StructField("region", T.StringType())]
+    )
+    full_log = spark.read.schema(evolved_schema).json(str(log_dir))
+    empty = spark.createDataFrame(
+        [], T.StructType([f for f in evolved_schema.fields if f.name not in ("op", "seq")])
+    )
+    expected_df = merge_changes(empty, full_log, keys=["pk"], order_cols=["ts", "seq"])
+    expected = {r.pk: (r.status, r.price, r.region) for r in expected_df.collect()}
+    assert got == expected
+
+    # existing columns stay pinned to the target's types (no type fork)
+    assert dict(final.dtypes)["price"] == "double"
+    assert dict(final.dtypes)["pk"] == "bigint"
