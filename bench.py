@@ -79,6 +79,12 @@ HEADLINE = [
     "d97_tpch_q11_important_stock",   # partsupp value agg vs scalar total
     "e75_cross_corpus_dedup",   # e02b pairs x corpus-membership filter
     "e76_bbit_minhash",         # 1-bit signature estimator vs full
+    # r6 additions (subtotal_r5_44_sec closes the window above so
+    # these stay separable in r7+; never remove a query from a frozen
+    # subtotal)
+    "c23_sql_dml_journey",      # SQL-routed DELETE/UPDATE/MERGE lifecycle
+    "h21_schema_evolving_stream",  # mid-stream additive schema evolution
+    "e06b_media_featurize",     # binary header parse via mapInPandas
 ]
 
 #: prefix lengths whose subtotals stay comparable across rounds
@@ -87,6 +93,7 @@ N_R3 = 25
 N_R4 = 31
 N_R5 = 35
 N_R5B = 40
+N_R5C = 44
 
 #: recorded quiet-host calibration probe (SCALE.md "Cross-host
 #: normalization"): 0.924s on the r4 build host at rest, 1.028s on the
@@ -205,6 +212,9 @@ def main() -> None:
                 ),
                 "subtotal_r5_40_sec": round(
                     sum(timings[n] for n in HEADLINE[:N_R5B]), 3
+                ),
+                "subtotal_r5_44_sec": round(
+                    sum(timings[n] for n in HEADLINE[:N_R5C]), 3
                 ),
                 "calibration_sec": cal,
                 "calibration_start_sec": cal_start,

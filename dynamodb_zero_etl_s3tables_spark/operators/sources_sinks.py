@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dynamodb_zero_etl_s3tables_spark.operators.registry import DSUM, dsum, query
+from dynamodb_zero_etl_s3tables_spark.operators.registry import (
+    DSUM,
+    dsum,
+    fan_out,
+    query,
+)
 from dynamodb_zero_etl_s3tables_spark.operators.scratch import scratch_dir, scratch_tag
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load, register_views
 from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
@@ -69,9 +74,12 @@ def d02_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both write and read are partition-parallel; the explicit
     read schema avoids a second inference pass over 100 TB of JSON.
+    ``fan_out`` widens the single-file small-SF scan so the per-row
+    to_json encode and the text write use every core (at real scale
+    the scan already has more splits than cores and it is a no-op).
     """
     out = _scratch(sf_dir, "ddb_export_json")
-    e = load(spark, sf_dir, "events")
+    e = fan_out(load(spark, sf_dir, "events"))
     item = F.to_json(
         F.struct(
             F.struct(

@@ -125,12 +125,40 @@ class RunningExtremesProcessor(StatefulProcessor):
         pass
 
 
+def has_protobuf() -> bool:
+    """transformWithStateInPandas talks to the state store over a
+    protobuf channel (pyspark.sql.streaming.proto imports
+    google.protobuf at runtime); the rest of the engine never needs
+    it. Probed here so callers fail actionably instead of deep inside
+    a Spark worker."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        # find_spec raises (not returns None) when the PARENT package
+        # 'google' itself is absent
+        return False
+
+
 def running_extremes(events: DataFrame) -> DataFrame:
     """Per-user running (count, max(value)) across microbatches via
     the Spark 4 transformWithStateInPandas API. Same state-store
     partitioning/checkpointing guarantees as running_totals; the
     typed-state handle is the forward-compatible surface (ListState /
-    MapState / timers hang off the same handle)."""
+    MapState / timers hang off the same handle).
+
+    Requires ``protobuf`` (see :func:`has_protobuf`). Where it is
+    absent, :func:`running_totals`'s applyInPandasWithState path
+    covers the same running-aggregate law without the dependency."""
+    if not has_protobuf():
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(Spark's state-server channel is protobuf-encoded). Install "
+            "protobuf, or use running_totals() — the "
+            "applyInPandasWithState twin of this operator, which covers "
+            "the same stateful-streaming law with no extra dependency."
+        )
     return events.groupBy("user_id").transformWithStateInPandas(
         RunningExtremesProcessor(),
         outputStructType=RUNNING_EXTREMES_SCHEMA,

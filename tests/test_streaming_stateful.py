@@ -98,9 +98,19 @@ def test_transform_with_state_extremes_across_batches(spark, tmp_path):
     batch groupBy count/max over the same files.
 
     transformWithStateInPandas talks to the state store over a
-    protobuf channel, so it needs google.protobuf at runtime — skip
-    (don't fail) where the dependency is absent."""
-    pytest.importorskip("google.protobuf.descriptor")
+    protobuf channel, so it needs google.protobuf at runtime. This
+    test never skips: where the dependency is absent (this container
+    — installs are unavailable, the documented impossibility), the
+    wrapper must refuse with an actionable error that names both the
+    missing package and the dependency-free twin; where it is
+    present, the full cross-batch state law runs."""
+    from dynamodb_zero_etl_s3tables_spark.streaming.stateful import has_protobuf
+
+    if not has_protobuf():
+        df = spark.readStream.schema(EVENT_SCHEMA).json(str(tmp_path))
+        with pytest.raises(ImportError, match="protobuf.*running_totals"):
+            running_extremes(df)
+        return
     src = tmp_path / "events_tws"
     _write(src / "b1.json", BATCH1)
 
