@@ -2010,3 +2010,148 @@ def e79_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_docs_dropped"),
         )
     )
+
+
+#: exact-substring dedup span length (tokens) — Lee et al. 2022 use 50
+#: BPE tokens at corpus scale; 8 word-tokens keeps the synthetic
+#: corpus (±60-token docs) meaningfully exercised at the same shape.
+SUBSTR_K = 8
+
+#: shared boilerplate planted on every 5th doc so the rewrite always
+#: has real work (web corpora carry exactly this: footers, license
+#: blurbs, nav text duplicated verbatim across pages)
+_BOILERPLATE = (
+    "all rights reserved terms of service apply contact the site "
+    "administrator for takedown requests"
+)
+
+
+@query(
+    "e80_substring_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(LOWER(CASE WHEN doc_id % 5 = 0
+                  THEN text || ' {_BOILERPLATE}' ELSE text END), ' ') AS toks
+      FROM documents
+    ), tn AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t
+    ), sh AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             md5(array_to_string(
+               toks[CAST(i AS INTEGER):CAST(i AS INTEGER) + {SUBSTR_K - 1}],
+               ' ')) AS h
+      FROM tn, UNNEST(range(1, n - {SUBSTR_K} + 2)) AS u(i)
+      WHERE n >= {SUBSTR_K}
+    ), dup AS (
+      SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY h
+      ) WHERE df >= 2
+    ), covered AS (
+      SELECT DISTINCT sh.doc_id, CAST(cp.cpos AS INTEGER) AS cpos
+      FROM sh JOIN dup USING (h),
+           UNNEST(range(sh.pos, sh.pos + {SUBSTR_K})) AS cp(cpos)
+    ), tokpos AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos, toks[CAST(i AS INTEGER)] AS tok
+      FROM tn, UNNEST(range(1, n + 1)) AS u(i)
+    ), cleaned AS (
+      SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS ctext
+      FROM tokpos tp
+      LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.cpos = tp.pos
+      WHERE c.cpos IS NULL
+      GROUP BY tp.doc_id
+    )
+    SELECT tn.doc_id, tn.n AS n_tokens,
+           COALESCE(cv.n_dup, 0) AS n_dup_tokens,
+           ROUND(COALESCE(cv.n_dup, 0) * 1.0 / tn.n, 6) AS dup_frac,
+           md5(COALESCE(cl.ctext, '')) AS cleaned_md5
+    FROM tn
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_dup FROM covered GROUP BY doc_id)
+      cv USING (doc_id)
+    LEFT JOIN cleaned cl USING (doc_id)
+    """,
+)
+def e80_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: EXACT-SUBSTRING dedup with rewrite — the corpus-wide span
+    remover of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): any K-token span occurring verbatim in
+    >= 2 distinct documents is cut from EVERY document, and the doc is
+    kept with the duplicated spans excised (vs e01/e02 which drop
+    whole documents, and e36 which only probes candidate PAIRS). The
+    builder plants a shared boilerplate sentence on every 5th doc —
+    the web-footer case this operator exists for — and the output
+    carries per-doc token counts, duplicated-token fraction, and the
+    md5 of the rewritten text so the oracle hash proves the exact
+    rewrite, not just the counts.
+
+    Plan: tokenize once; K-shingle starts via transform(sequence) +
+    1 explode; shingle DF = one groupBy on the 128-bit span hash
+    (uniform key, no skew); duplicated-span starts come back by hash
+    join (no broadcast — the dup set scales with the corpus);
+    coverage expansion is a bounded K-row explode per dup start;
+    per-doc coverage is a collect_set bounded by the doc's own token
+    count (same order as holding the doc itself); the rewrite is a
+    JVM-side filter-by-index + concat_ws, no Python. At 100 TB:
+    suffix-array exactness at shingle granularity, 2 shuffles
+    (DF + coverage), everything else embarrassingly parallel.
+
+    Reference basis: the reference replicates documents verbatim
+    (README.md:93); this is the curation pass a training pipeline
+    runs on that replica. Span-hash convention shared with e36
+    (llm_dedup.py SPAN_LENGTHS md5 windows)."""
+    d = load(spark, sf_dir, "documents")
+    text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" " + _BOILERPLATE))
+    ).otherwise(F.col("text"))
+    t = fan_out(
+        d.select("doc_id", F.split(F.lower(text), " ").alias("toks"))
+    ).withColumn("n", F.size("toks"))
+
+    k = SUBSTR_K
+    sh = (
+        t.filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice("toks", i, k))).alias("h"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.h")
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    covered = (
+        sh.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("cpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("cpos").alias("cov"))
+    )
+    out = t.join(covered, "doc_id", "left").withColumn(
+        "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    )
+    cleaned = F.concat_ws(
+        " ",
+        F.filter("toks", lambda tok, i: ~F.array_contains("cov", i + 1)),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.size("cov").alias("n_dup_tokens"),
+        F.round(F.size("cov") / F.col("n"), 6).alias("dup_frac"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )

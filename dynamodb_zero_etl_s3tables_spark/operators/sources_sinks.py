@@ -3179,3 +3179,83 @@ def c23_sql_dml_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT status, COUNT(*) AS n, {DSUM('price')} AS total "
         "FROM analytics_orders_sqldml GROUP BY status"
     )
+
+
+@query(
+    "c24_mor_dml_journey",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders
+    ),
+    t1 AS (  -- MoR DELETE: tombstone price < 2000 rows
+      SELECT * FROM t0 WHERE NOT (price < 2000.0)
+    ),
+    t2 AS (  -- MoR UPDATE: 5% bump on open orders
+      SELECT pk, status,
+             CASE WHEN status = 'O' THEN price * 1.05 ELSE price END AS price
+      FROM t1
+    )
+    SELECT status, COUNT(*) AS n, {DSUM('price')} AS total
+    FROM t2 GROUP BY status
+    """,
+)
+def c24_mor_dml_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5/B7/B11 MoR-DML capstone: predicate DELETE and UPDATE as
+    MERGE-ON-READ delta layers — tombstone keys (+ updated images)
+    committed in O(matches), ZERO rewrite of table data, on an
+    UNPARTITIONED table where the CoW verbs would re-copy everything
+    (c19/c20 need a partitioned deletion axis; this path does not).
+    The _checks pin the scale contract mechanically: the bootstrap
+    snapshot's data dir is byte-identical after both DMLs (no
+    rewrite), each commit is a delta layer, time travel still reads
+    the pre-DML state, and compact() folds the layers without
+    changing the answer. The oracle replays both predicates over raw
+    orders.
+
+    At 100 TB this is the Iceberg equality-delete shape: a GDPR or
+    retention delete costs one predicate scan plus the matched keys,
+    not a table rewrite; the folding cost moves to compact(), off the
+    write path, exactly how Delta deletion vectors amortize."""
+    wh = _scratch(sf_dir, "warehouse_c24", wipe=True)
+    t = Catalog(spark, wh).create_table(
+        TableSpec(namespace="analytics", name="orders_mor", key_columns=("pk",))
+    )
+    o = load(spark, sf_dir, "orders")
+    t.bootstrap(
+        o.select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    n_full = t.read().count()
+    base_dir = t._read_manifest().snapshots[0].data_dir
+
+    t.delete_where([("price", "<", 2000.0)], strategy="merge-on-read")
+    t.update_where(
+        [("status", "=", "O")], {"price": "price * 1.05"},
+        strategy="merge-on-read",
+    )
+    m = t._read_manifest()
+    _check(
+        m.snapshots[0].data_dir == base_dir
+        and all(s.delta is not None for s in m.snapshots[1:]),
+        "MoR DML must commit delta layers only, never rewrite the base",
+    )
+    _check(
+        t.read(version=1).count() == n_full,
+        "the pre-DML snapshot must still time-travel to every row",
+    )
+    before = t.read().count()
+    t.compact()
+    _check(
+        t._read_manifest().current.delta is None
+        and t.read().count() == before,
+        "compact must fold the delta layers without changing the answer",
+    )
+    return (
+        t.read()
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), dsum("price").alias("total"))
+    )

@@ -1455,8 +1455,82 @@ class ManagedTable:
         )
         self._write_snapshot(merged, operation="merge", carry_entries=carry)
 
+    @staticmethod
+    def _predicate_from_filters(filters: list[tuple[str, str, Any]]):
+        """Conjunctive Column predicate from scan-op filter triples
+        (validated against ``_PRUNE_OPS``)."""
+        from pyspark.sql import functions as F
+
+        for col, op, _ in filters:
+            if op not in _PRUNE_OPS:
+                raise ValueError(
+                    f"unsupported scan op {op!r} (use one of {_PRUNE_OPS})"
+                )
+        pred = None
+        for col, op, val in filters:
+            c = F.col(col)
+            cond = {
+                "=": c == val, "<": c < val, "<=": c <= val,
+                ">": c > val, ">=": c >= val,
+            }[op]
+            pred = cond if pred is None else (pred & cond)
+        return pred
+
+    def _dml_mor_commit(
+        self,
+        deletes_keys: DataFrame,
+        inserts: DataFrame,
+        operation: str,
+    ) -> int:
+        """Commit a predicate DML as a MERGE-ON-READ delta layer:
+        tombstone keys + replacement images, NO table data read back
+        or rewritten beyond the predicate scan that produced them.
+        Same layer format as ``_apply_changes_mor`` (read path:
+        base ⟕̸ deletes ∪ inserts), so readers, time travel,
+        ``compact()`` folding, and vacuum's ancestor-closure retention
+        all apply unchanged. Returns the tombstoned-key count."""
+        from dynamodb_zero_etl_s3tables_spark.metrics import (
+            CommitMetrics,
+            observe_rows,
+        )
+
+        t0 = time.perf_counter()
+        m = self._read_manifest()
+        snap = m.current
+        self._fence_staged(m)
+        expected = m.version
+        delta_root = self.root / "data" / f"v{expected + 1}-{uuid.uuid4().hex[:8]}"
+        deletes_keys, obs = observe_rows(deletes_keys, name=operation)
+        deletes_keys.write.mode("overwrite").parquet(str(delta_root / "deletes"))
+        inserts.write.mode("overwrite").parquet(str(delta_root / "inserts"))
+        n = int(obs.get["row_count"])
+        m.snapshots.append(
+            Snapshot(
+                version=expected + 1,
+                data_dir=str(delta_root),
+                committed_at=time.time(),
+                row_count=n,
+                schema_json=snap.schema_json,
+                operation=operation,
+                base_version=expected,
+                delta={
+                    "deletes": str(delta_root / "deletes"),
+                    "inserts": str(delta_root / "inserts"),
+                },
+            )
+        )
+        self._write_manifest(m, expected_version=expected)
+        self.last_commit_metrics = CommitMetrics(
+            operation=operation,
+            row_count=n,
+            elapsed_sec=time.perf_counter() - t0,
+        )
+        return n
+
     def delete_where(
-        self, filters: list[tuple[str, str, Any]]
+        self,
+        filters: list[tuple[str, str, Any]],
+        strategy: str = "copy-on-write",
     ) -> dict[str, Any]:
         """Predicate DELETE (Iceberg ``DELETE FROM ... WHERE`` /
         Delta DELETE analog) with copy-on-write FILE PRUNING:
@@ -1467,22 +1541,44 @@ class ManagedTable:
         row whose predicate evaluates NULL is kept (DELETE removes
         only TRUE rows). Unpartitioned tables do a full CoW rewrite
         (the single-dir snapshot layout has no per-file carry;
-        partition your deletion axis if deletes are hot — same
-        constraint Iceberg CoW has before merge-on-read deletes).
+        partition your deletion axis if deletes are hot) — or pass
+        ``strategy="merge-on-read"``: the matching KEYS are committed
+        as a tombstone delta layer (same layer format as MoR merges),
+        cost = one predicate scan + O(matches) write, ZERO rewrite —
+        the Iceberg position/equality-delete analog for hot deletes
+        on unpartitioned or wide-predicate tables. ``compact()``
+        folds the layers later, off the write path.
 
         At 100 TB this is the difference between rewriting the table
-        and rewriting the ~1 partition a retention predicate touches:
-        carried dirs cost zero I/O, and history/time travel keep
-        working because the old snapshot still references every old
-        file. Ops are the scan set (``= < <= > >=``), conjunctive."""
+        and rewriting the ~1 partition a retention predicate touches
+        (CoW), or writing only the matched keys (MoR); history/time
+        travel keep working because the old snapshot still references
+        every old file. Ops are the scan set (``= < <= > >=``),
+        conjunctive."""
         from pyspark.sql import functions as F
 
         filters = list(filters)
-        for col, op, _ in filters:
-            if op not in _PRUNE_OPS:
-                raise ValueError(
-                    f"unsupported scan op {op!r} (use one of {_PRUNE_OPS})"
+        pred = self._predicate_from_filters(filters)
+        keep = ~F.coalesce(pred, F.lit(False))
+        if strategy not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown delete strategy {strategy!r}")
+        if strategy == "merge-on-read":
+            m = self._read_manifest()
+            snap = m.current
+            if snap is None:
+                raise FileNotFoundError(
+                    f"table {self.spec.qualified_name} has no snapshots"
                 )
+            schema = T.StructType.fromJson(json.loads(snap.schema_json))
+            keys = list(self.spec.key_columns)
+            matching = self.read().filter(F.coalesce(pred, F.lit(False))).select(*keys)
+            empty = self.spark.createDataFrame([], schema)
+            n = self._dml_mor_commit(matching, empty, operation="delete-mor")
+            return {
+                "keys_deleted": n,
+                "partitions_rewritten": 0,
+                "partitions_carried": None,
+            }
         m = self._read_manifest()
         snap = m.current
         if snap is None:
@@ -1491,15 +1587,6 @@ class ManagedTable:
             )
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         by_name = {f.name: f for f in schema.fields}
-        pred = None
-        for col, op, val in filters:
-            c = F.col(col)
-            cond = {
-                "=": c == val, "<": c < val, "<=": c <= val,
-                ">": c > val, ">=": c >= val,
-            }[op]
-            pred = cond if pred is None else (pred & cond)
-        keep = ~F.coalesce(pred, F.lit(False))
 
         if snap.partitions is not None:
             def may_match(e: dict[str, Any]) -> bool:
@@ -1529,6 +1616,7 @@ class ManagedTable:
         self,
         filters: list[tuple[str, str, Any]],
         assignments: dict[str, str],
+        strategy: str = "copy-on-write",
     ) -> dict[str, Any]:
         """Predicate UPDATE (Delta ``UPDATE ... WHERE`` / Iceberg
         row-level update analog), sharing delete_where's pruning:
@@ -1536,27 +1624,32 @@ class ManagedTable:
         are rewritten with ``assignments`` (column -> SQL expression,
         evaluated in the row's scope) applied ONLY to rows whose
         predicate is TRUE (NULL/FALSE rows pass through untouched —
-        ANSI). Assignments to partition columns are rejected: a row
-        changing partitions under a pruned rewrite would need the
-        all-partition path (use apply_changes for reshaping writes).
+        ANSI). Assignments to partition columns are rejected under
+        copy-on-write: a row changing partitions under a pruned
+        rewrite would need the all-partition path (use apply_changes
+        for reshaping writes).
+
+        ``strategy="merge-on-read"`` commits the matched rows' keys
+        as tombstones plus their UPDATED images as a delta layer —
+        one predicate scan + O(matches) write, zero rewrite (the MoR
+        read path replaces the old images), with ``compact()``
+        folding layers off the write path.
 
         At 100 TB: a backfill/correction touching one partition's
-        predicate range rewrites that partition only — the update
-        expression runs inside the write job, codegen'd, no extra
-        pass."""
+        predicate range rewrites that partition only (CoW) or writes
+        only the matched rows (MoR) — the update expression runs
+        inside the write job, codegen'd, no extra pass."""
         from pyspark.sql import functions as F
 
+        if strategy not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown update strategy {strategy!r}")
         bad = set(assignments) & set(self.spec.partition_columns)
-        if bad:
+        if bad and strategy == "copy-on-write":
             raise ValueError(
                 f"update_where cannot assign partition columns {sorted(bad)}"
             )
         filters = list(filters)
-        for col, op, _ in filters:
-            if op not in _PRUNE_OPS:
-                raise ValueError(
-                    f"unsupported scan op {op!r} (use one of {_PRUNE_OPS})"
-                )
+        pred = self._predicate_from_filters(filters)
         m = self._read_manifest()
         snap = m.current
         if snap is None:
@@ -1565,15 +1658,24 @@ class ManagedTable:
             )
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         by_name = {f.name: f for f in schema.fields}
-        pred = None
-        for col, op, val in filters:
-            c = F.col(col)
-            cond = {
-                "=": c == val, "<": c < val, "<=": c <= val,
-                ">": c > val, ">=": c >= val,
-            }[op]
-            pred = cond if pred is None else (pred & cond)
         hit = F.coalesce(pred, F.lit(False))
+        if strategy == "merge-on-read":
+            keys = list(self.spec.key_columns)
+            matched = self.read().filter(hit)
+            for col, expr in assignments.items():
+                matched = matched.withColumn(
+                    col, F.expr(expr).cast(by_name[col].dataType)
+                )
+            matched = matched.select(*[f.name for f in schema.fields]).cache()
+            n = self._dml_mor_commit(
+                matched.select(*keys), matched, operation="update-mor"
+            )
+            matched.unpersist()
+            return {
+                "rows_updated": n,
+                "partitions_rewritten": 0,
+                "partitions_carried": None,
+            }
 
         def apply_set(df: DataFrame) -> DataFrame:
             for col, expr in assignments.items():
