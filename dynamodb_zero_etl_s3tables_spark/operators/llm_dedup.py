@@ -246,8 +246,15 @@ def e02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       the aggregate in HashAggregate; min(STRING) would fall back to
       SortAggregate and sort every shingle row.
     """
-    d = load(spark, sf_dir, "documents")
-    sh = _shingle_hashes(d)
+    return minhash_sign(load(spark, sf_dir, "documents"))
+
+
+def minhash_sign(df: DataFrame) -> DataFrame:
+    """e02's signature pipeline over an arbitrary (doc_id, text)
+    frame — the reusable form the incremental (e29) and streaming
+    (h22) dedup paths sign their DELTA batches with, so a signing
+    change cannot fork the batch path from the ingest paths."""
+    sh = _shingle_hashes(df)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % M31).alias(f"sig_{i}")
         for i, (a, b) in enumerate(_AFFINE)

@@ -1300,3 +1300,164 @@ def h21_schema_evolving_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = t.read()
     assert "segment" in out.columns, "mid-stream attribute must widen the table"
     return out.select("pk", "status", "price", "segment")
+
+
+def _h22_oracle() -> str:
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_dedup import (
+        _LONG_BANDS_WITH,
+    )
+
+    return (
+        _LONG_BANDS_WITH
+        + """
+    , waved AS (
+      SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS wave
+      FROM documents
+    ), w1_rej AS (
+      SELECT DISTINCT a.doc_id
+      FROM long_bands a
+      JOIN long_bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket
+       AND b.doc_id < a.doc_id
+      JOIN waved wa ON wa.doc_id = a.doc_id AND wa.wave = 1
+      JOIN waved wb ON wb.doc_id = b.doc_id AND wb.wave = 1
+    ), w1_adm AS (
+      SELECT doc_id FROM waved
+      WHERE wave = 1 AND doc_id NOT IN (SELECT doc_id FROM w1_rej)
+    ), w2_rej AS (
+      SELECT DISTINCT a.doc_id
+      FROM long_bands a
+      JOIN long_bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket
+      JOIN waved wa ON wa.doc_id = a.doc_id AND wa.wave = 2
+      WHERE b.doc_id IN (SELECT doc_id FROM w1_adm)
+         OR (b.doc_id < a.doc_id
+             AND b.doc_id IN (SELECT doc_id FROM waved WHERE wave = 2))
+    )
+    SELECT w.doc_id, w.wave,
+           CASE WHEN w.wave = 1
+                THEN w.doc_id NOT IN (SELECT doc_id FROM w1_rej)
+                ELSE w.doc_id NOT IN (SELECT doc_id FROM w2_rej)
+           END AS admitted
+    FROM waved w
+    """
+    )
+
+
+@query("h22_streaming_dedup_ingest", oracle=_h22_oracle())
+def h22_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 x H7: ONLINE near-dup dedup at ingest — the streaming twin
+    of e29's incremental LSH. Documents arrive in waves on a file
+    stream; each microbatch MinHash-signs ONLY its own docs
+    (minhash_sign — the same pipeline e02/e29 use, one definition),
+    probes the STANDING band index of previously-ADMITTED docs, and
+    admits a doc iff it collides with no admitted standing doc and no
+    smaller doc_id in its own batch (greedy-by-key within batch,
+    standing-first across batches — deterministic, so the oracle can
+    replay admission exactly). Admitted docs extend the index; near
+    -dups never enter it, which is itself the bucket-occupancy
+    control: an admission-deduplicated index holds at most one
+    representative per near-dup cluster per bucket.
+
+    The two waves drain through ONE checkpointed stream (drain, add
+    wave 2, drain again — the restart path), so offsets, the
+    standing-index handoff between batches, and the probe are all
+    inside the hash-match.
+
+    Scale: per-batch cost is O(batch x standing-bucket occupancy) —
+    the e29 bound — and the index is parquet appended per batch (at
+    100 TB: a bucketed table on (band_id, bucket), giving the probe a
+    shuffle-free co-located join; LSH_BUCKET_CAP applies as in e02b
+    if an adversarial corpus defeats the admission control)."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_dedup import (
+        _long_bands,
+        minhash_sign,
+    )
+
+    root = scratch_dir(sf_dir, "h22_ingest")
+    if root.exists():
+        _sh.rmtree(root)
+    src = root / "arrivals"
+    index_dir = str(root / "band_index")
+    admitted_dir = str(root / "admitted")
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(2)).alias("wave"),
+    )
+    d.filter("wave = 1").coalesce(1).write.parquet(str(src / "w1"))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("wave", T.IntegerType()),
+        ]
+    )
+    band_schema = "doc_id long, band_id int, bucket bigint"
+
+    def admit(batch_df, batch_id) -> None:
+        if batch_df.isEmpty():
+            return
+        spark_b = batch_df.sparkSession
+        bands = _long_bands(minhash_sign(batch_df.select("doc_id", "text"))).cache()
+        import os as _os
+
+        if _os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in _os.listdir(index_dir)
+        ):
+            standing = spark_b.read.schema(band_schema).parquet(index_dir)
+        else:
+            standing = spark_b.createDataFrame([], band_schema)
+        rej_standing = (
+            bands.join(standing.select("band_id", "bucket").distinct(),
+                       ["band_id", "bucket"])
+            .select("doc_id")
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        rej_batch = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("b.doc_id") < F.col("a.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_id"))
+        )
+        rejected = rej_standing.union(rej_batch).distinct()
+        admitted = batch_df.select("doc_id", "wave").join(
+            rejected, "doc_id", "left_anti"
+        )
+        bands.join(admitted.select("doc_id"), "doc_id").write.mode(
+            "append"
+        ).parquet(index_dir)
+        admitted.write.mode("append").parquet(admitted_dir)
+        bands.unpersist()
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src / "*"))
+            .writeStream.foreachBatch(admit)
+            .outputMode("update")
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    drain()  # wave 1 against an empty index
+    d.filter("wave = 2").coalesce(1).write.parquet(str(src / "w2"))
+    drain()  # wave 2 resumes from the checkpoint, probes wave 1's index
+
+    adm = spark.read.schema("doc_id long, wave int").parquet(admitted_dir)
+    return d.select("doc_id", "wave").join(
+        adm.select("doc_id", F.lit(True).alias("admitted")), "doc_id", "left"
+    ).select(
+        "doc_id", "wave", F.coalesce("admitted", F.lit(False)).alias("admitted")
+    )

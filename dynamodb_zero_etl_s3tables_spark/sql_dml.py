@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 if TYPE_CHECKING:  # pragma: no cover
     from dynamodb_zero_etl_s3tables_spark.engine import ZeroEtlEngine
 
-_DML_HEAD = re.compile(r"^\s*(MERGE|UPDATE|DELETE)\b", re.IGNORECASE)
+_DML_HEAD = re.compile(r"^\s*(MERGE|UPDATE|DELETE|INSERT)\b", re.IGNORECASE)
 
 #: ops delete_where/update_where accept (their partition-prune set)
 _OPS = ("<=", ">=", "=", "<", ">")
@@ -219,6 +219,66 @@ _WHEN_RE = re.compile(
 )
 
 
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_.`\"]*)"
+    r"(?:\s*\(([^)]*)\))?"
+    r"\s+(VALUES\s+.+|SELECT\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _route_insert(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    """``INSERT INTO t [(cols)] VALUES (...)[, ...] | SELECT ...`` —
+    routed as the keyed PutItem analog: new keys insert, an existing
+    key's image is REPLACED (the managed table is keyed like its
+    DynamoDB source, where PutItem overwrites; append-without-key is
+    not a state this table can represent). Implemented as one
+    merge_into (single equi-join commit)."""
+    target_name, cols_text, body = m.groups()
+    _check_target(engine, target_name)
+    target_cols = engine.table.read().columns
+    if body.upper().startswith("VALUES"):
+        # let Spark's parser handle the literal rows
+        cols = (
+            [c.strip() for c in cols_text.split(",")] if cols_text else target_cols
+        )
+        source = engine.spark.sql(
+            f"SELECT * FROM ({body}) AS v({', '.join(cols)})"
+        )
+    else:
+        source = engine.spark.sql(body)
+        if cols_text:
+            cols = [c.strip() for c in cols_text.split(",")]
+            if len(cols) != len(source.columns):
+                raise ValueError(
+                    f"INSERT column list {cols} does not match SELECT arity "
+                    f"({len(source.columns)})"
+                )
+            source = source.toDF(*cols)
+        else:
+            if len(source.columns) != len(target_cols):
+                raise ValueError(
+                    f"INSERT SELECT arity {len(source.columns)} does not "
+                    f"match table columns {target_cols}; name them with "
+                    "INSERT INTO t (cols) SELECT ..."
+                )
+            source = source.toDF(*target_cols)
+    missing = set(engine.spec.key_columns) - set(source.columns)
+    if missing:
+        raise ValueError(
+            f"INSERT must supply the key columns {sorted(missing)}"
+        )
+    images = {c: F.expr(f"s.{c}") for c in source.columns if c in set(target_cols)}
+    engine.table.merge_into(
+        source,
+        matched=[("update", None, images)],
+        insert_values=images,
+    )
+    return _result_df(
+        engine, "insert", {"rows": source.count(), "columns": sorted(images)}
+    )
+
+
 def _route_delete(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
     _check_target(engine, m.group(1))
     result = engine.table.delete_where(_parse_conjunction(m.group(2)))
@@ -370,6 +430,7 @@ def route_dml(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
     for pattern, handler in (
         (_DELETE_RE, _route_delete),
         (_UPDATE_RE, _route_update),
+        (_INSERT_RE, _route_insert),
     ):
         m = pattern.match(statement)
         if m:
@@ -383,6 +444,7 @@ def route_dml(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
         f"unroutable {head} statement — supported shapes: "
         "`DELETE FROM t WHERE col op literal [AND ...]`, "
         "`UPDATE t SET col = expr[, ...] WHERE col op literal [AND ...]`, "
+        "`INSERT INTO t [(cols)] VALUES (...)[, ...] | SELECT ...`, "
         "`MERGE INTO t [AS] a USING <view|(subquery)> [AS] b ON a.c = b.c "
         "[AND ...] WHEN [NOT] MATCHED [AND cond] THEN ...`"
     )

@@ -123,3 +123,34 @@ def test_delete_statement_keeps_partition_pruning(spark, warehouse):
     info = json.loads(res.info)
     assert info["partitions_rewritten"] == 1
     assert info["partitions_carried"] == 1
+
+
+def test_insert_values_statement(spark, warehouse):
+    eng = _engine(spark, warehouse, "ins")
+    res = eng.sql(
+        "INSERT INTO ns.ins VALUES (9, 'N', 90.0), (2, 'R', 999.0)"
+    )
+    assert res.first().operation == "insert"
+    got = {r.pk: (r.status, r.price) for r in eng.read().collect()}
+    assert got[9] == ("N", 90.0)        # new key inserted
+    assert got[2] == ("R", 999.0)       # existing key replaced (PutItem)
+    assert len(got) == 5
+
+
+def test_insert_column_list_and_select(spark, warehouse):
+    eng = _engine(spark, warehouse, "ins2")
+    eng.sql("INSERT INTO ns.ins2 (pk, price, status) VALUES (10, 1.5, 'Z')")
+    assert {r.pk: r.status for r in eng.read().collect()}[10] == "Z"
+    eng.spark.createDataFrame(
+        [(11, "Q", 7.0)], "pk long, status string, price double"
+    ).createOrReplaceTempView("ins2_src")
+    eng.sql("INSERT INTO ns.ins2 SELECT pk, status, price FROM ins2_src")
+    assert eng.read().filter("pk = 11").first().status == "Q"
+
+
+def test_insert_refusals(spark, warehouse):
+    eng = _engine(spark, warehouse, "ins3")
+    with pytest.raises(ValueError, match="key columns"):
+        eng.sql("INSERT INTO ns.ins3 (status, price) VALUES ('A', 1.0)")
+    with pytest.raises(ValueError, match="arity"):
+        eng.sql("INSERT INTO ns.ins3 SELECT 1, 'a'")
