@@ -253,3 +253,12 @@ def test_d87_fact_scan_has_dynamic_pruning(spark):
     plan = plan_of(spark, "d87_dynamic_partition_pruning")
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "PartitionFilters" in plan
+
+
+def test_e80_substring_dedup_shape(spark):
+    # exact-substring dedup: shingle-DF groupBy stays hashable, the
+    # dup-start probe is an equi hash join, never a cartesian/NL join
+    plan = plan_of(spark, "e80_substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan

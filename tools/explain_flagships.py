@@ -227,6 +227,19 @@ FLAGSHIPS = {
         "string projections over that vocabulary frame; the roll-up is "
         "one language-keyed aggregate of occurrence-weighted integers."
     ),
+    "e80_substring_dedup": (
+        "Exact-substring dedup rewrite (Lee et al.): shingle DF is one "
+        "HashAggregate on a 128-bit span hash; duplicated starts come "
+        "back by equi hash join (no broadcast, no cartesian); coverage "
+        "is a bounded K-row explode; the rewrite is a codegen "
+        "filter-by-index + concat_ws, per-doc state bounded by the doc."
+    ),
+    "c24_mor_dml_journey": (
+        "Merge-on-read predicate DML: DELETE and UPDATE each cost one "
+        "predicate scan plus an O(matches) delta-layer write — the base "
+        "snapshot's files are never rewritten (pinned by _check); "
+        "compact() folds layers off the write path."
+    ),
 }
 
 
