@@ -67,7 +67,7 @@ _GRADE_PRIORITY = [
     "e06b_media_featurize",  # re-grade: now parses REAL container headers
     "c23_sql_dml_journey", "h21_schema_evolving_stream",
     "e80_substring_dedup", "c24_mor_dml_journey",
-    "h22_streaming_dedup_ingest",
+    "h22_streaming_dedup_ingest", "e81_lsh_precision",
     # ---- graded in r5 (CORRECTNESS_r05.json, 50/50 green) -> tail ----
     "d88_hypertable_rollup", "h16_chained_window_twin", "e45_dsir_resample",
     "e44_ivf_pq_residual", "d89_countmin_heavy_hitters",

@@ -2162,3 +2162,113 @@ def e80_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.size("cov") / F.col("n"), 6).alias("dup_frac"),
         F.md5(cleaned).alias("cleaned_md5"),
     )
+
+
+#: exact-Jaccard thresholds (in %) for the candidate-precision sweep
+_PRECISION_THRESHOLDS = (20, 35, 50, 65, 80)
+
+
+@query(
+    "e81_lsh_precision",
+    oracle=_HASHED_CTE
+    + f"""
+    , dfc AS (SELECT h, COUNT(*) AS df FROM hashed GROUP BY h)
+    , keep AS (
+        SELECT hashed.doc_id, hashed.h
+        FROM hashed JOIN dfc ON hashed.h = dfc.h
+        WHERE dfc.df <= {SHINGLE_DF_CAP}
+    )
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id)
+    , inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    , cand AS ({_CAND_SQL})
+    , scored AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(COALESCE(inter.i, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(inter.i, 0)) AS jac
+        FROM cand c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        LEFT JOIN inter ON inter.da = c.doc_a AND inter.db = c.doc_b
+    )
+    SELECT t.threshold_pct,
+           COUNT(*) AS n_cand,
+           COUNT(*) FILTER (jac * 100 >= t.threshold_pct) AS n_precise,
+           CAST(COUNT(*) FILTER (jac * 100 >= t.threshold_pct) AS DOUBLE)
+             / NULLIF(COUNT(*), 0) AS precision
+    FROM scored,
+         (SELECT UNNEST([{", ".join(map(str, _PRECISION_THRESHOLDS))}])
+            AS threshold_pct) t
+    GROUP BY t.threshold_pct
+    """,
+)
+def e81_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 measurement harness: PRECISION of the MinHash-LSH candidate
+    generator — e50's recall answers "what does the banding miss?";
+    this answers "how much verification work do the candidates cost?"
+    Every e02b candidate pair is scored with its EXACT df-capped
+    shingle Jaccard (the e50 inverted-index construction — pairs
+    sharing no kept shingle score 0 via the left join), then a sweep
+    over exact-Jaccard thresholds reports what fraction of candidates
+    are true near-dups at each operating point. Together e50+e81 are
+    the recall/precision pair a corpus team tunes (bands, rows,
+    caps) against before a 100 TB run: low precision means the
+    verify stage (e02c/e24) burns compute on false candidates.
+
+    Scale: candidates and exact scores both ride the same df/bucket
+    capped equi-joins as e50 (no all-pairs anywhere); the sweep is a
+    {len(_PRECISION_THRESHOLDS)}-row explode over the candidate list,
+    grouped once."""
+    cand = e02b_minhash_lsh_pairs(spark, sf_dir)
+    hashed = _shingle_hashes(load(spark, sf_dir, "documents"))
+    dfc = hashed.groupBy("h").agg(F.count("*").alias("df"))
+    keep = hashed.join(
+        dfc.filter(F.col("df") <= SHINGLE_DF_CAP).select("h"), "h"
+    )
+    sizes = keep.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = keep.select(F.col("doc_id").alias("da"), "h")
+    b = keep.select(F.col("doc_id").alias("db"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(
+            inter,
+            (F.col("doc_a") == F.col("da")) & (F.col("doc_b") == F.col("db")),
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+            ).alias("jac"),
+        )
+    )
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in _PRECISION_THRESHOLDS])
+    ).alias("threshold_pct")
+    hit = F.col("jac") * 100 >= F.col("threshold_pct")
+    return (
+        scored.select("jac", thr)
+        .groupBy("threshold_pct")
+        .agg(
+            F.count("*").alias("n_cand"),
+            F.count(F.when(hit, 1)).alias("n_precise"),
+            (
+                F.count(F.when(hit, 1)).cast("double")
+                / F.nullif(F.count("*"), F.lit(0))
+            ).alias("precision"),
+        )
+    )
