@@ -2309,3 +2309,107 @@ def e77_trained_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("true_lang", F.col("cand_lang").alias("pred_lang"))
     )
     return pred.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n"))
+
+
+#: e82 mixing-budget knobs: total budget = BUDGET_X x corpus tokens;
+#: each language repeatable at most NUM/DEN epochs (fractional cap,
+#: kept as exact integers: cap_tokens = NUM * n // DEN) — the
+#: data-constrained regime: the budget wants more tokens than exist
+#: for the small languages
+E82_BUDGET_X = 2
+E82_EPOCH_CAP_NUM = 5
+E82_EPOCH_CAP_DEN = 2
+
+
+@query(
+    "e82_token_budget_epochs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS k FROM tok
+    ), a1 AS (
+      SELECT t.lang, t.n_tokens,
+             ({E82_EPOCH_CAP_NUM} * t.n_tokens) // {E82_EPOCH_CAP_DEN} AS cap,
+             LEAST(({E82_BUDGET_X} * tot.total) // tot.k,
+                   ({E82_EPOCH_CAP_NUM} * t.n_tokens) // {E82_EPOCH_CAP_DEN})
+               AS alloc1,
+             {E82_BUDGET_X} * tot.total AS budget
+      FROM tok t CROSS JOIN tot
+    ), agg AS (
+      SELECT SUM(alloc1) AS sum1, SUM(cap - alloc1) AS totcap FROM a1
+    ), fin AS (
+      SELECT a1.lang, a1.n_tokens, a1.cap,
+             LEAST(
+               a1.alloc1 + CASE WHEN agg.totcap = 0 THEN 0
+                    ELSE ((a1.budget - agg.sum1) * (a1.cap - a1.alloc1))
+                         // agg.totcap END,
+               a1.cap) AS alloc
+      FROM a1 CROSS JOIN agg
+    )
+    SELECT lang, n_tokens,
+           CAST(alloc AS BIGINT) AS alloc_tokens,
+           ROUND(CAST(alloc AS DOUBLE) / n_tokens, 6) AS epochs,
+           alloc = cap AS at_repeat_cap
+    FROM fin
+    """,
+)
+def e82_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/mixing: per-language EPOCH allocation under a global token
+    budget with a repeat cap — the data-constrained-scaling primitive
+    (Muennighoff et al. 2023: when the budget exceeds the unique
+    corpus, small sources repeat up to a cap and the remainder
+    redistributes to the big ones). Policy: UNIFORM target (budget/k
+    per language), clamp at {E82_EPOCH_CAP_NUM}/{E82_EPOCH_CAP_DEN}
+    epochs of each language's unique tokens, redistribute the unspent
+    budget proportional to remaining capacity in ONE round, final
+    clamp (any residual stays unallocated — the regime where the
+    budget cannot be filled at the cap). On this corpus the small
+    languages cap and English absorbs the redistribution — all
+    branches exercised. Every step is exact BIGINT arithmetic (floor
+    divisions), so the allocation hash-matches cross-engine with no
+    float-sum order sensitivity; the only doubles are the final
+    per-language epoch ratios (single divisions).
+
+    Scale: one token-count aggregate over the corpus (the explode-free
+    ``size(split())`` scan e05d uses), then language-level arithmetic
+    on a handful of broadcast-joined rows — at 100 TB the cost is the
+    corpus scan."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    tot = tok.agg(F.sum("n_tokens").alias("total"), F.count("*").alias("k"))
+    cap = F.floor(
+        F.lit(E82_EPOCH_CAP_NUM) * F.col("n_tokens") / F.lit(E82_EPOCH_CAP_DEN)
+    ).cast("long")
+    share = F.floor(F.lit(E82_BUDGET_X) * F.col("total") / F.col("k")).cast("long")
+    a1 = tok.join(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        cap.alias("cap"),
+        F.least(share, cap).alias("alloc1"),
+        (F.lit(E82_BUDGET_X) * F.col("total")).alias("budget"),
+    )
+    agg = a1.agg(
+        F.sum("alloc1").alias("sum1"),
+        F.sum(F.col("cap") - F.col("alloc1")).alias("totcap"),
+    )
+    j = a1.join(F.broadcast(agg))
+    redis = F.when(F.col("totcap") == 0, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("budget") - F.col("sum1"))
+            * (F.col("cap") - F.col("alloc1"))
+            / F.col("totcap")
+        ).cast("long")
+    )
+    alloc = F.least(F.col("alloc1") + redis, F.col("cap"))
+    return j.select(
+        "lang",
+        "n_tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.round(alloc.cast("double") / F.col("n_tokens"), 6).alias("epochs"),
+        (alloc == F.col("cap")).alias("at_repeat_cap"),
+    )
