@@ -85,6 +85,7 @@ HEADLINE = [
     "c23_sql_dml_journey",      # SQL-routed DELETE/UPDATE/MERGE lifecycle
     "h21_schema_evolving_stream",  # mid-stream additive schema evolution
     "e06b_media_featurize",     # binary header parse via mapInPandas
+    "e80_substring_dedup",      # corpus-wide exact-substring rewrite
 ]
 
 #: prefix lengths whose subtotals stay comparable across rounds
