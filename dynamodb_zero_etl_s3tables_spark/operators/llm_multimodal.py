@@ -128,7 +128,11 @@ def parse_media_header(payload: bytes) -> dict | None:
                     "ok": True, "codec": "gif"}
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        # chunk walk: each chunk is 4-byte id + u32 LE size + data
+        # chunk walk: each chunk is 4-byte id + u32 LE size + data.
+        # The `data` chunk is TERMINAL (as in every standard WAV
+        # layout, where it is last): its declared body — and anything
+        # after it — is sample bytes, and scanning on would misparse
+        # audio bytes that happen to spell a chunk id as a new chunk.
         pos, rate, channels, block_align, data_bytes = 12, None, None, None, None
         while pos + 8 <= len(payload):
             cid = payload[pos:pos + 4]
@@ -138,10 +142,11 @@ def parse_media_header(payload: bytes) -> dict | None:
                 (block_align,) = struct.unpack("<H", payload[pos + 20:pos + 22])
             elif cid == b"data":
                 data_bytes = size
+                break
             pos += 8 + size + (size & 1)  # chunks are word-aligned
-        if rate and channels and block_align:
-            frames = (data_bytes or 0) // block_align
-            return {"width": rate, "height": channels, "n_frames": frames,
+        if rate and channels and block_align and data_bytes is not None:
+            return {"width": rate, "height": channels,
+                    "n_frames": data_bytes // block_align,
                     "ok": True, "codec": "wav"}
         return None
     return None

@@ -111,3 +111,14 @@ def test_parse_rejects_truncated_and_garbage():
     # and decode_payload degrades to the stub on every one of them
     for b in (b"", b"BMx", b"plain text payload"):
         assert M.decode_payload(b)["codec"] == "stub"
+
+
+def test_parse_wav_body_containing_chunk_id_words():
+    """Regression (caught by the sf0.1 sweep): the chunk walk must
+    STOP at the terminal `data` chunk — trailing body bytes that
+    happen to spell 'data' or 'fmt ' must never be parsed as chunks."""
+    hdr = M.synth_media_header(3, 4150)
+    body = b"the data slow small filter customer fmt data data " * 8
+    got = M.parse_media_header(hdr + body)
+    assert got["n_frames"] == 100 + 4150 % 50
+    assert got == M.parse_media_header(hdr)  # body never inspected
