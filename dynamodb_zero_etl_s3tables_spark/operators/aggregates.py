@@ -773,3 +773,190 @@ def d89_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.col("true_count")).cast("bigint").alias("overestimate"),
         )
     )
+
+
+#: KMV sketch size (bottom-k minimum hash values per group)
+KMV_K = 128
+#: hash domain: 15 hex digits of md5 -> uniform in [0, 16^15) = [0, 2^60)
+KMV_DOMAIN = 16 ** 15
+
+
+@query(
+    "d101_kmv_set_intersection",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderstatus AS grp,
+             ('0x' || substr(md5('kmv|' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM orders
+    ), sk AS (
+      SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM h
+    ), keep AS (SELECT grp, h FROM sk WHERE rn <= {KMV_K}),
+    kth AS (
+      SELECT grp, MAX(h) AS hk, COUNT(*) AS k FROM keep GROUP BY grp
+    ), est AS (
+      SELECT grp, k, hk,
+             CASE WHEN k < {KMV_K} THEN k
+                  ELSE CAST(FLOOR((k - 1) * CAST({KMV_DOMAIN} AS DOUBLE) / hk)
+                            AS BIGINT) END AS est_distinct
+      FROM kth
+    ), pairs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b,
+             a.est_distinct AS est_a, b.est_distinct AS est_b
+      FROM est a JOIN est b ON a.grp < b.grp
+    ), pool AS (
+      SELECT DISTINCT p.grp_a, p.grp_b, keep.h
+      FROM pairs p JOIN keep ON keep.grp IN (p.grp_a, p.grp_b)
+    ), uni AS (
+      SELECT grp_a, grp_b, h,
+             ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+      FROM pool
+    ), usk AS (SELECT grp_a, grp_b, h FROM uni WHERE rn <= {KMV_K}),
+    ustats AS (
+      SELECT u.grp_a, u.grp_b,
+             MAX(u.h) AS uhk, COUNT(*) AS uk,
+             COUNT(*) FILTER (ka.h IS NOT NULL AND kb.h IS NOT NULL) AS matches
+      FROM usk u
+      LEFT JOIN keep ka ON ka.grp = u.grp_a AND ka.h = u.h
+      LEFT JOIN keep kb ON kb.grp = u.grp_b AND kb.h = u.h
+      GROUP BY u.grp_a, u.grp_b
+    ), exact AS (
+      SELECT p.grp_a, p.grp_b, COUNT(*) AS exact_inter
+      FROM pairs p
+      JOIN (SELECT DISTINCT o_orderstatus AS grp, o_custkey AS cust FROM orders) xa
+        ON xa.grp = p.grp_a
+      JOIN (SELECT DISTINCT o_orderstatus AS grp, o_custkey AS cust FROM orders) xb
+        ON xb.grp = p.grp_b AND xb.cust = xa.cust
+      GROUP BY p.grp_a, p.grp_b
+    )
+    SELECT p.grp_a, p.grp_b,
+           CAST(p.est_a AS BIGINT) AS est_a,
+           CAST(p.est_b AS BIGINT) AS est_b,
+           CAST(CASE WHEN s.uk < {KMV_K} THEN s.uk
+                     ELSE CAST(FLOOR((s.uk - 1) * CAST({KMV_DOMAIN} AS DOUBLE)
+                                     / s.uhk) AS BIGINT) END AS BIGINT)
+             AS est_union,
+           CAST((s.matches * (CASE WHEN s.uk < {KMV_K} THEN s.uk
+                     ELSE CAST(FLOOR((s.uk - 1) * CAST({KMV_DOMAIN} AS DOUBLE)
+                                     / s.uhk) AS BIGINT) END)) // s.uk
+             AS BIGINT) AS est_inter,
+           CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_inter
+    FROM pairs p
+    JOIN ustats s ON s.grp_a = p.grp_a AND s.grp_b = p.grp_b
+    LEFT JOIN exact e ON e.grp_a = p.grp_a AND e.grp_b = p.grp_b
+    """,
+)
+def d101_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D62's missing verb: KMV (bottom-k minimum values) sketches
+    with set-INTERSECTION estimation — the operation HLL cannot
+    express (public sketch: Bar-Yossef et al. 2002 / the theta-sketch
+    intersection shape). Per order status, the sketch is the K
+    smallest md5 hashes of the distinct customer keys; distinct-count
+    estimate is (K-1)·domain/h_K (exact when the group fits in the
+    sketch); pairwise intersections come from the UNION sketch
+    (bottom-K of the two sketches' union) via the match fraction —
+    mergeable state, so sketches combine across partitions, days, or
+    sources without re-reading raw data. All arithmetic is exact
+    BIGINT (floor divisions on md5-derived integers), so estimates
+    hash-match cross-engine. ``exact_inter`` (a real distinct
+    self-join) rides along as evaluation-only ground truth — at
+    100 TB you keep the sketches and drop that column.
+
+    Plan: one distinct + one bottom-K window per group (the window
+    partitions by group — K rows retained each), pair expansion over
+    the GROUP list (3 statuses -> 3 pairs), and all sketch math on
+    K-row frames. The raw table is read twice (sketch + ground
+    truth); a production run reads it once."""
+    o = load(spark, sf_dir, "orders")
+    h = (
+        o.select(
+            F.col("o_orderstatus").alias("grp"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmv|"), F.col("o_custkey").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    keep = (
+        h.withColumn("rn", F.row_number().over(W.partitionBy("grp").orderBy("h")))
+        .filter(F.col("rn") <= KMV_K)
+        .select("grp", "h")
+    )
+    kth = keep.groupBy("grp").agg(F.max("h").alias("hk"), F.count("*").alias("k"))
+    est_expr = F.when(F.col("k") < KMV_K, F.col("k")).otherwise(
+        F.floor(
+            (F.col("k") - 1) * F.lit(float(KMV_DOMAIN)) / F.col("hk")
+        ).cast("long")
+    )
+    est = kth.select("grp", est_expr.alias("est_distinct"))
+    a = est.select(F.col("grp").alias("grp_a"), F.col("est_distinct").alias("est_a"))
+    b = est.select(F.col("grp").alias("grp_b"), F.col("est_distinct").alias("est_b"))
+    pairs = a.join(b, F.col("grp_a") < F.col("grp_b"))
+    pool = (
+        pairs.select("grp_a", "grp_b")
+        .join(
+            keep,
+            (F.col("grp") == F.col("grp_a")) | (F.col("grp") == F.col("grp_b")),
+        )
+        .select("grp_a", "grp_b", "h")
+        .distinct()
+    )
+    usk = (
+        pool.withColumn(
+            "rn", F.row_number().over(W.partitionBy("grp_a", "grp_b").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("grp_a", "grp_b", "h")
+    )
+    ka = keep.select(F.col("grp").alias("grp_a"), F.col("h").alias("h"), F.lit(1).alias("in_a"))
+    kb = keep.select(F.col("grp").alias("grp_b"), F.col("h").alias("h"), F.lit(1).alias("in_b"))
+    ustats = (
+        usk.join(ka, ["grp_a", "h"], "left")
+        .join(kb, ["grp_b", "h"], "left")
+        .groupBy("grp_a", "grp_b")
+        .agg(
+            F.max("h").alias("uhk"),
+            F.count("*").alias("uk"),
+            F.count(F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)).alias("matches"),
+        )
+    )
+    uest = F.when(F.col("uk") < KMV_K, F.col("uk")).otherwise(
+        F.floor(
+            (F.col("uk") - 1) * F.lit(float(KMV_DOMAIN)) / F.col("uhk")
+        ).cast("long")
+    )
+    distinct_gc = o.select(
+        F.col("o_orderstatus").alias("grp"), F.col("o_custkey").alias("cust")
+    ).distinct()
+    xa = distinct_gc.select(F.col("grp").alias("grp_a"), "cust")
+    xb = distinct_gc.select(F.col("grp").alias("grp_b"), "cust")
+    exact = (
+        pairs.select("grp_a", "grp_b")
+        .join(xa, "grp_a")
+        .join(xb, ["grp_b", "cust"])
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return (
+        pairs.join(ustats, ["grp_a", "grp_b"])
+        .join(exact, ["grp_a", "grp_b"], "left")
+        .select(
+            "grp_a",
+            "grp_b",
+            F.col("est_a").cast("long").alias("est_a"),
+            F.col("est_b").cast("long").alias("est_b"),
+            uest.cast("long").alias("est_union"),
+            F.floor(F.col("matches") * uest.cast("long") / F.col("uk"))
+            .cast("long")
+            .alias("est_inter"),
+            F.coalesce(F.col("exact_inter"), F.lit(0)).cast("long").alias("exact_inter"),
+        )
+    )
