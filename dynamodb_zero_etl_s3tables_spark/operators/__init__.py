@@ -69,6 +69,7 @@ _GRADE_PRIORITY = [
     "e80_substring_dedup", "c24_mor_dml_journey",
     "h22_streaming_dedup_ingest", "e81_lsh_precision",
     "e82_token_budget_epochs", "d101_kmv_set_intersection",
+    "h23_streaming_kmv_sketch",
     # ---- graded in r5 (CORRECTNESS_r05.json, 50/50 green) -> tail ----
     "d88_hypertable_rollup", "h16_chained_window_twin", "e45_dsir_resample",
     "e44_ivf_pq_residual", "d89_countmin_heavy_hitters",

@@ -1461,3 +1461,144 @@ def h22_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "wave", F.coalesce("admitted", F.lit(False)).alias("admitted")
     )
+
+
+@query(
+    "h23_streaming_kmv_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderstatus AS grp,
+             ('0x' || substr(md5('kmv|' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM orders
+    ), sk AS (
+      SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM h
+    ), keep AS (SELECT grp, h FROM sk WHERE rn <= 128),
+    kth AS (SELECT grp, MAX(h) AS hk, COUNT(*) AS k FROM keep GROUP BY grp)
+    SELECT grp,
+           CAST(k AS BIGINT) AS sketch_size,
+           CAST(CASE WHEN k < 128 THEN k
+                ELSE CAST(FLOOR((k - 1) * CAST({16 ** 15} AS DOUBLE) / hk)
+                          AS BIGINT) END AS BIGINT) AS est_distinct
+    FROM kth
+    """,
+)
+def h23_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D101 x H7: MERGEABLE-SKETCH maintenance on a stream — the
+    production shape of approximate distinct counting at ingest
+    (Druid/Pinot-style rollup): each microbatch computes its own
+    bottom-K KMV sketch per group and MERGES it into the standing
+    sketch (union -> bottom-K, an associative, lossless-for-the-final
+    -sketch merge). Because bottom-K merge is exactly associative,
+    the drained standing sketch is BYTE-IDENTICAL to the batch sketch
+    over all the data — the merge-invariance law — so the oracle is
+    simply d101's batch estimator, and the hash match proves the
+    streaming merges lost nothing. Two waves drain through one
+    checkpoint (drain, add files, drain — the restart path).
+
+    Scale: per-batch state is K rows per group (the standing sketch
+    is KB-sized however big history gets); the merge is a union of
+    two K-row frames + one bottom-K window; the estimate never
+    touches raw history. At 100 TB this is why you keep sketches:
+    distinct-users-per-status over a year costs one K-row read."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window as _W
+
+    from dynamodb_zero_etl_s3tables_spark.operators.aggregates import (
+        KMV_DOMAIN,
+        KMV_K,
+    )
+
+    root = scratch_dir(sf_dir, "h23_kmv")
+    if root.exists():
+        _sh.rmtree(root)
+    src = root / "arrivals"
+    sketch_dir = str(root / "sketch")
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("grp"),
+        F.col("o_custkey").alias("cust"),
+        (F.col("o_orderkey") % 2).alias("wave"),
+    )
+    o.filter("wave = 0").coalesce(1).write.parquet(str(src / "w1"))
+
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("cust", T.LongType()),
+            T.StructField("wave", T.LongType()),
+        ]
+    )
+    sketch_schema = "grp string, h bigint"
+
+    def merge_sketch(batch_df, batch_id) -> None:
+        if batch_df.isEmpty():
+            return
+        import os as _os
+
+        spark_b = batch_df.sparkSession
+        batch_sk = batch_df.select(
+            "grp",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmv|"), F.col("cust").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        ).distinct()
+        if _os.path.isdir(sketch_dir) and any(
+            f.endswith(".parquet") for f in _os.listdir(sketch_dir)
+        ):
+            standing = spark_b.read.schema(sketch_schema).parquet(sketch_dir)
+            batch_sk = standing.unionByName(batch_sk).distinct()
+        merged = (
+            batch_sk.withColumn(
+                "rn", F.row_number().over(_W.partitionBy("grp").orderBy("h"))
+            )
+            .filter(F.col("rn") <= KMV_K)
+            .select("grp", "h")
+        )
+        # K rows per group: collect-free, tiny, rewritten atomically
+        tmp = sketch_dir + ".tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if _os.path.isdir(sketch_dir):
+            _sh.rmtree(sketch_dir)
+        _os.rename(tmp, sketch_dir)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src / "*"))
+            .writeStream.foreachBatch(merge_sketch)
+            .outputMode("update")
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    drain()  # wave 1 builds the initial sketch
+    o.filter("wave = 1").coalesce(1).write.parquet(str(src / "w2"))
+    drain()  # wave 2 merges into the standing sketch
+
+    keep = spark.read.schema(sketch_schema).parquet(sketch_dir)
+    kth = keep.groupBy("grp").agg(
+        F.max("h").alias("hk"), F.count("*").alias("k")
+    )
+    est = F.when(F.col("k") < KMV_K, F.col("k")).otherwise(
+        F.floor((F.col("k") - 1) * F.lit(float(KMV_DOMAIN)) / F.col("hk")).cast(
+            "long"
+        )
+    )
+    return kth.select(
+        "grp",
+        F.col("k").cast("long").alias("sketch_size"),
+        est.cast("long").alias("est_distinct"),
+    )
