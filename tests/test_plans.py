@@ -154,6 +154,13 @@ def test_registry_wide_plan_sweep(spark):
         "e59_doremi_mixture",       # composes e42's vocab broadcast + two
         #                             1-row broadcasts (reference CE, softmax
         #                             total) over the K-sources frame
+        "e82_token_budget_epochs",  # 1-row total/k broadcast + 1-row
+        #                             redistribution-aggregate broadcast over
+        #                             the K-languages frame
+        "d101_kmv_set_intersection",  # non-equi pair expansion over the
+        #                             3-status estimate frame + the
+        #                             grp IN (a,b) pool join against K-row
+        #                             sketches — both sides group-count sized
     }
     # Window with no partition spec over a bounded (post-limit) input:
     global_window_ok = {
