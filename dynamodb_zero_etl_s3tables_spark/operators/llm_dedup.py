@@ -2089,7 +2089,26 @@ def e80_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the web-footer case this operator exists for — and the output
     carries per-doc token counts, duplicated-token fraction, and the
     md5 of the rewritten text so the oracle hash proves the exact
-    rewrite, not just the counts.
+    rewrite, not just the counts. Pipeline: :func:`substring_dedup`
+    (also fixture-tested against hand-computed excisions).
+
+    Reference basis: the reference replicates documents verbatim
+    (README.md:93); this is the curation pass a training pipeline
+    runs on that replica. Span-hash convention shared with e36
+    (llm_dedup.py SPAN_LENGTHS md5 windows)."""
+    d = load(spark, sf_dir, "documents")
+    text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" " + _BOILERPLATE))
+    ).otherwise(F.col("text"))
+    return substring_dedup(d.select("doc_id", text.alias("text")))
+
+
+def substring_dedup(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Corpus-wide exact-substring dedup over any (doc_id, text)
+    frame: every k-token span verbatim in >= 2 distinct docs is
+    excised from all of them; returns (doc_id, n_tokens,
+    n_dup_tokens, dup_frac, cleaned_md5) where cleaned_md5 hashes the
+    rewritten text.
 
     Plan: tokenize once; K-shingle starts via transform(sequence) +
     1 explode; shingle DF = one groupBy on the 128-bit span hash
@@ -2100,21 +2119,11 @@ def e80_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (same order as holding the doc itself); the rewrite is a
     JVM-side filter-by-index + concat_ws, no Python. At 100 TB:
     suffix-array exactness at shingle granularity, 2 shuffles
-    (DF + coverage), everything else embarrassingly parallel.
-
-    Reference basis: the reference replicates documents verbatim
-    (README.md:93); this is the curation pass a training pipeline
-    runs on that replica. Span-hash convention shared with e36
-    (llm_dedup.py SPAN_LENGTHS md5 windows)."""
-    d = load(spark, sf_dir, "documents")
-    text = F.when(
-        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" " + _BOILERPLATE))
-    ).otherwise(F.col("text"))
+    (DF + coverage), everything else embarrassingly parallel."""
     t = fan_out(
-        d.select("doc_id", F.split(F.lower(text), " ").alias("toks"))
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
     ).withColumn("n", F.size("toks"))
 
-    k = SUBSTR_K
     sh = (
         t.filter(F.col("n") >= k)
         .select(
