@@ -797,8 +797,8 @@ KMV_DOMAIN = 16 ** 15
     ), est AS (
       SELECT grp, k, hk,
              CASE WHEN k < {KMV_K} THEN k
-                  ELSE CAST(FLOOR((k - 1) * CAST({KMV_DOMAIN} AS DOUBLE) / hk)
-                            AS BIGINT) END AS est_distinct
+                  ELSE (((k - 1)::HUGEINT * {KMV_DOMAIN}::HUGEINT)
+                        // hk::HUGEINT)::BIGINT END AS est_distinct
       FROM kth
     ), pairs AS (
       SELECT a.grp AS grp_a, b.grp AS grp_b,
@@ -820,6 +820,12 @@ KMV_DOMAIN = 16 ** 15
       LEFT JOIN keep ka ON ka.grp = u.grp_a AND ka.h = u.h
       LEFT JOIN keep kb ON kb.grp = u.grp_b AND kb.h = u.h
       GROUP BY u.grp_a, u.grp_b
+    ), ustats2 AS (
+      SELECT grp_a, grp_b, uk, matches,
+             CASE WHEN uk < {KMV_K} THEN uk
+                  ELSE (((uk - 1)::HUGEINT * {KMV_DOMAIN}::HUGEINT)
+                        // uhk::HUGEINT)::BIGINT END AS est_union
+      FROM ustats
     ), exact AS (
       SELECT p.grp_a, p.grp_b, COUNT(*) AS exact_inter
       FROM pairs p
@@ -832,17 +838,12 @@ KMV_DOMAIN = 16 ** 15
     SELECT p.grp_a, p.grp_b,
            CAST(p.est_a AS BIGINT) AS est_a,
            CAST(p.est_b AS BIGINT) AS est_b,
-           CAST(CASE WHEN s.uk < {KMV_K} THEN s.uk
-                     ELSE CAST(FLOOR((s.uk - 1) * CAST({KMV_DOMAIN} AS DOUBLE)
-                                     / s.uhk) AS BIGINT) END AS BIGINT)
-             AS est_union,
-           CAST((s.matches * (CASE WHEN s.uk < {KMV_K} THEN s.uk
-                     ELSE CAST(FLOOR((s.uk - 1) * CAST({KMV_DOMAIN} AS DOUBLE)
-                                     / s.uhk) AS BIGINT) END)) // s.uk
-             AS BIGINT) AS est_inter,
+           CAST(s.est_union AS BIGINT) AS est_union,
+           ((s.matches::HUGEINT * s.est_union::HUGEINT)
+            // s.uk::HUGEINT)::BIGINT AS est_inter,
            CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_inter
     FROM pairs p
-    JOIN ustats s ON s.grp_a = p.grp_a AND s.grp_b = p.grp_b
+    JOIN ustats2 s ON s.grp_a = p.grp_a AND s.grp_b = p.grp_b
     LEFT JOIN exact e ON e.grp_a = p.grp_a AND e.grp_b = p.grp_b
     """,
 )
@@ -891,10 +892,14 @@ def d101_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", "h")
     )
     kth = keep.groupBy("grp").agg(F.max("h").alias("hk"), F.count("*").alias("k"))
+    # exact integer floor division on both engines (DECIMAL(38,0) DIV
+    # here, HUGEINT // in the oracle): (k-1)*2^60 exceeds both 2^53
+    # (double mantissa) and 2^63, so double math would be a latent
+    # cross-engine divergence at larger domains (ADVICE r6 #4).
     est_expr = F.when(F.col("k") < KMV_K, F.col("k")).otherwise(
-        F.floor(
-            (F.col("k") - 1) * F.lit(float(KMV_DOMAIN)) / F.col("hk")
-        ).cast("long")
+        F.expr(
+            f"CAST((CAST(k - 1 AS DECIMAL(38,0)) * {KMV_DOMAIN}) DIV hk AS BIGINT)"
+        )
     )
     est = kth.select("grp", est_expr.alias("est_distinct"))
     a = est.select(F.col("grp").alias("grp_a"), F.col("est_distinct").alias("est_a"))
@@ -929,9 +934,9 @@ def d101_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     uest = F.when(F.col("uk") < KMV_K, F.col("uk")).otherwise(
-        F.floor(
-            (F.col("uk") - 1) * F.lit(float(KMV_DOMAIN)) / F.col("uhk")
-        ).cast("long")
+        F.expr(
+            f"CAST((CAST(uk - 1 AS DECIMAL(38,0)) * {KMV_DOMAIN}) DIV uhk AS BIGINT)"
+        )
     )
     distinct_gc = o.select(
         F.col("o_orderstatus").alias("grp"), F.col("o_custkey").alias("cust")
@@ -945,18 +950,19 @@ def d101_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp_a", "grp_b")
         .agg(F.count("*").alias("exact_inter"))
     )
+    ustats2 = ustats.withColumn("est_union", uest.cast("long"))
     return (
-        pairs.join(ustats, ["grp_a", "grp_b"])
+        pairs.join(ustats2, ["grp_a", "grp_b"])
         .join(exact, ["grp_a", "grp_b"], "left")
         .select(
             "grp_a",
             "grp_b",
             F.col("est_a").cast("long").alias("est_a"),
             F.col("est_b").cast("long").alias("est_b"),
-            uest.cast("long").alias("est_union"),
-            F.floor(F.col("matches") * uest.cast("long") / F.col("uk"))
-            .cast("long")
-            .alias("est_inter"),
+            "est_union",
+            F.expr(
+                "CAST((CAST(matches AS DECIMAL(38,0)) * est_union) DIV uk AS BIGINT)"
+            ).alias("est_inter"),
             F.coalesce(F.col("exact_inter"), F.lit(0)).cast("long").alias("exact_inter"),
         )
     )

@@ -2332,9 +2332,11 @@ E82_EPOCH_CAP_DEN = 2
       SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS k FROM tok
     ), a1 AS (
       SELECT t.lang, t.n_tokens,
-             ({E82_EPOCH_CAP_NUM} * t.n_tokens) // {E82_EPOCH_CAP_DEN} AS cap,
-             LEAST(({E82_BUDGET_X} * tot.total) // tot.k,
-                   ({E82_EPOCH_CAP_NUM} * t.n_tokens) // {E82_EPOCH_CAP_DEN})
+             CAST(({E82_EPOCH_CAP_NUM}::HUGEINT * t.n_tokens::HUGEINT)
+                  // {E82_EPOCH_CAP_DEN} AS BIGINT) AS cap,
+             CAST(LEAST(({E82_BUDGET_X}::HUGEINT * tot.total::HUGEINT) // tot.k,
+                   ({E82_EPOCH_CAP_NUM}::HUGEINT * t.n_tokens::HUGEINT)
+                   // {E82_EPOCH_CAP_DEN}) AS BIGINT)
                AS alloc1,
              {E82_BUDGET_X} * tot.total AS budget
       FROM tok t CROSS JOIN tot
@@ -2344,8 +2346,9 @@ E82_EPOCH_CAP_DEN = 2
       SELECT a1.lang, a1.n_tokens, a1.cap,
              LEAST(
                a1.alloc1 + CASE WHEN agg.totcap = 0 THEN 0
-                    ELSE ((a1.budget - agg.sum1) * (a1.cap - a1.alloc1))
-                         // agg.totcap END,
+                    ELSE CAST(((a1.budget - agg.sum1)::HUGEINT
+                               * (a1.cap - a1.alloc1)::HUGEINT)
+                              // agg.totcap::HUGEINT AS BIGINT) END,
                a1.cap) AS alloc
       FROM a1 CROSS JOIN agg
     )
@@ -2382,10 +2385,16 @@ def e82_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).alias("n_tokens")
     )
     tot = tok.agg(F.sum("n_tokens").alias("total"), F.count("*").alias("k"))
-    cap = F.floor(
-        F.lit(E82_EPOCH_CAP_NUM) * F.col("n_tokens") / F.lit(E82_EPOCH_CAP_DEN)
-    ).cast("long")
-    share = F.floor(F.lit(E82_BUDGET_X) * F.col("total") / F.col("k")).cast("long")
+    # exact DECIMAL(38,0) DIV mirroring the oracle's HUGEINT // — at
+    # 100 TB the redistribution product exceeds both 2^53 and 2^63,
+    # so double floor-division would diverge cross-engine (ADVICE r6)
+    cap = F.expr(
+        f"CAST((CAST({E82_EPOCH_CAP_NUM} AS DECIMAL(38,0)) * n_tokens)"
+        f" DIV {E82_EPOCH_CAP_DEN} AS BIGINT)"
+    )
+    share = F.expr(
+        f"CAST((CAST({E82_BUDGET_X} AS DECIMAL(38,0)) * total) DIV k AS BIGINT)"
+    )
     a1 = tok.join(F.broadcast(tot)).select(
         "lang",
         "n_tokens",
@@ -2399,11 +2408,10 @@ def e82_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = a1.join(F.broadcast(agg))
     redis = F.when(F.col("totcap") == 0, F.lit(0)).otherwise(
-        F.floor(
-            (F.col("budget") - F.col("sum1"))
-            * (F.col("cap") - F.col("alloc1"))
-            / F.col("totcap")
-        ).cast("long")
+        F.expr(
+            "CAST((CAST(budget - sum1 AS DECIMAL(38,0)) * (cap - alloc1))"
+            " DIV totcap AS BIGINT)"
+        )
     )
     alloc = F.least(F.col("alloc1") + redis, F.col("cap"))
     return j.select(

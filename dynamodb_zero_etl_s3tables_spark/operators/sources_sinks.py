@@ -3182,6 +3182,109 @@ def c23_sql_dml_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c25_sql_dml_residual_journey",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders
+    ),
+    t1 AS (  -- DELETE ... WHERE pk % 5 = 0 OR price > 400000 (residual)
+      SELECT * FROM t0 WHERE NOT (pk % 5 = 0 OR price > 400000.0)
+    ),
+    t2 AS (  -- UPDATE ... WHERE status = 'O' AND pk % 10 IN (1, 3, 5)
+      SELECT pk, status,
+             CASE WHEN status = 'O' AND (pk % 10) IN (1, 3, 5)
+                  THEN price * 2.0 ELSE price END AS price
+      FROM t1
+    ),
+    t3 AS (  -- DELETE ... WHERE status = 'F' AND price BETWEEN lo AND hi
+      SELECT * FROM t2
+      WHERE NOT (status = 'F' AND price BETWEEN 1000.0 AND 100000.0)
+    )
+    SELECT status, COUNT(*) AS n, {DSUM('price')} AS total
+    FROM t3 GROUP BY status
+    """,
+)
+def c25_sql_dml_residual_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 DML, widened WHERE grammar (VERDICT r6 #3): Athena's DML
+    over the replicated table (reference README.md:170-174) accepts
+    arbitrary predicates — OR, IN lists, BETWEEN, expressions — not
+    just prunable conjunctions. sql_dml now splits a WHERE into
+    prunable ``col op literal`` triples plus a RESIDUAL expression:
+    the triples drive the partition-carry fast path exactly as in
+    c23, the residual rides along as an extra row-scope AND-conjunct
+    (sound: it only shrinks the match set), and a predicate with no
+    prunable conjunct (the OR delete here) degrades loudly-documented
+    to a full-scan rewrite. _checks pin both behaviors: the pure-OR
+    DELETE rewrites every partition, while the mixed UPDATE/DELETE
+    (prunable status triple AND residual IN/BETWEEN) still carry 2 of
+    3 partitions as metadata references.
+
+    Scale: at 100 TB the mixed shape is the one that matters — a
+    retention predicate is usually `partition_col = X AND <messy
+    rest>`, and this path prices it at one partition's rewrite, not
+    a table scan."""
+    from dynamodb_zero_etl_s3tables_spark.engine import ZeroEtlEngine
+    from dynamodb_zero_etl_s3tables_spark.spec import SourceSpec
+
+    wh = _scratch(sf_dir, "warehouse_c25", wipe=True)
+    eng = ZeroEtlEngine(
+        spark,
+        wh,
+        SourceSpec(table_name="orders-ddb", key_columns=("pk",)),
+        TableSpec(
+            namespace="analytics",
+            name="orders_residual",
+            key_columns=("pk",),
+            partition_columns=("status",),
+        ),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    eng.bootstrap(o)
+
+    import json
+
+    res = json.loads(
+        eng.sql(
+            "DELETE FROM analytics.orders_residual "
+            "WHERE pk % 5 = 0 OR price > 400000.0"
+        ).first().info
+    )
+    _check(
+        res["partitions_rewritten"] == 3 and res["partitions_carried"] == 0,
+        f"pure-residual DELETE is a documented full-scan, got {res}",
+    )
+    res = json.loads(
+        eng.sql(
+            "UPDATE analytics.orders_residual SET price = price * 2.0 "
+            "WHERE status = 'O' AND pk % 10 IN (1, 3, 5)"
+        ).first().info
+    )
+    _check(
+        res["partitions_rewritten"] == 1 and res["partitions_carried"] == 2,
+        f"mixed UPDATE must prune on its status triple, got {res}",
+    )
+    res = json.loads(
+        eng.sql(
+            "DELETE FROM analytics.orders_residual "
+            "WHERE status = 'F' AND price BETWEEN 1000.0 AND 100000.0"
+        ).first().info
+    )
+    _check(
+        res["partitions_rewritten"] == 1 and res["partitions_carried"] == 2,
+        f"mixed DELETE must prune on its status triple, got {res}",
+    )
+    return eng.sql(
+        f"SELECT status, COUNT(*) AS n, {DSUM('price')} AS total "
+        "FROM analytics_orders_residual GROUP BY status"
+    )
+
+
+@query(
     "c24_mor_dml_journey",
     oracle=f"""
     WITH t0 AS (

@@ -1478,8 +1478,8 @@ def h22_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT grp,
            CAST(k AS BIGINT) AS sketch_size,
            CAST(CASE WHEN k < 128 THEN k
-                ELSE CAST(FLOOR((k - 1) * CAST({16 ** 15} AS DOUBLE) / hk)
-                          AS BIGINT) END AS BIGINT) AS est_distinct
+                ELSE (((k - 1)::HUGEINT * {16 ** 15}::HUGEINT)
+                      // hk::HUGEINT)::BIGINT END AS BIGINT) AS est_distinct
     FROM kth
     """,
 )
@@ -1592,9 +1592,11 @@ def h23_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     kth = keep.groupBy("grp").agg(
         F.max("h").alias("hk"), F.count("*").alias("k")
     )
+    # exact DECIMAL DIV (matches d101 / its HUGEINT oracle): double
+    # math on (k-1)*2^60 loses bits past the 2^53 mantissa
     est = F.when(F.col("k") < KMV_K, F.col("k")).otherwise(
-        F.floor((F.col("k") - 1) * F.lit(float(KMV_DOMAIN)) / F.col("hk")).cast(
-            "long"
+        F.expr(
+            f"CAST((CAST(k - 1 AS DECIMAL(38,0)) * {KMV_DOMAIN}) DIV hk AS BIGINT)"
         )
     )
     return kth.select(

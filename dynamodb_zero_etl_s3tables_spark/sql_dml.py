@@ -16,10 +16,16 @@ The grammar is the intersection of the engine verbs' contracts and
 ANSI DML — deliberately strict, with loud errors naming the supported
 shape, never a silent partial apply:
 
-* DELETE/UPDATE predicates are top-level conjunctions of
-  ``col <op> literal`` with op in ``= < <= > >=`` (exactly
-  ``delete_where``'s pruning-scan ops, so every routed statement
-  keeps the partition-carry fast path).
+* DELETE/UPDATE predicates: top-level conjuncts of
+  ``col <op> literal`` with op in ``= < <= > >=`` ride
+  ``delete_where``'s pruning-scan fast path; ANY other
+  Spark-parseable row-scope predicate (OR, IN lists, BETWEEN, LIKE,
+  NOT, IS [NOT] NULL, function calls) is carried as a RESIDUAL
+  expression — pruning still uses the prunable conjuncts (sound:
+  extra AND-terms only shrink the match set), and a predicate with
+  no prunable conjunct falls back to a full-scan rewrite.
+  Subqueries in WHERE are refused loudly (they need a join plan,
+  not a row predicate — use MERGE or the DataFrame API).
 * UPDATE assignments are ``col = <sql expr>`` (the expression string
   passes straight into ``update_where``, evaluated in row scope).
 * MERGE supports ``[AS] alias`` on both sides, a temp-view name or a
@@ -88,6 +94,44 @@ def _split_top(s: str, sep_pattern: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+_BETWEEN_RE = re.compile(r"\bBETWEEN\b", re.IGNORECASE)
+_AND_RE = re.compile(r"\bAND\b", re.IGNORECASE)
+
+
+def _split_conjuncts(s: str) -> list[str]:
+    """Split on top-level AND, except the AND that closes a
+    ``[NOT] BETWEEN lo AND hi`` — that one belongs to the term."""
+    parts, depth, last, i, pending_between = [], 0, 0, 0, 0
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            j = s.find("'", i + 1)
+            i = len(s) if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _BETWEEN_RE.match(s, i)
+            if m:
+                pending_between += 1
+                i = m.end()
+                continue
+            m = _AND_RE.match(s, i)
+            if m:
+                if pending_between:
+                    pending_between -= 1
+                else:
+                    parts.append(s[last:i])
+                    last = m.end()
+                i = m.end()
+                continue
+        i += 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _parse_literal(text: str) -> Any:
     t = text.strip()
     if t.startswith("'") and t.endswith("'") and len(t) >= 2:
@@ -108,30 +152,84 @@ def _parse_literal(text: str) -> Any:
         ) from None
 
 
-def _parse_conjunction(text: str) -> list[tuple[str, str, Any]]:
-    """``col op literal AND ...`` -> delete_where/update_where filters."""
-    filters = []
-    for term in _split_top(text, r"AND\b"):
-        if len(_split_top(term, r"OR\b")) > 1:
-            raise ValueError(
-                f"unsupported predicate {term!r} — OR is outside the routed "
-                "grammar (delete_where/update_where prune on conjunctions); "
-                "use the DataFrame API for disjunctive predicates"
-            )
+def _validate_residual(term: str) -> str:
+    """A residual WHERE term must be a Spark-parseable row-scope
+    expression; subqueries are refused (they need a join plan).
+    ``F.expr`` is lazy in Spark 4, so parse eagerly through the
+    active session's SQL parser — the statement must refuse BEFORE
+    any verb starts work, not mid-plan as a ParseException."""
+    if re.search(r"\(\s*SELECT\b", term, re.IGNORECASE):
+        raise ValueError(
+            f"unsupported predicate {term!r} — subqueries in DELETE/UPDATE "
+            "WHERE are outside the routed grammar (a subquery needs a join "
+            "plan, not a row predicate); rewrite as MERGE INTO with the "
+            "subquery as the USING source, or use the DataFrame API"
+        )
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None and hasattr(spark, "_jsparkSession"):
+            spark._jsparkSession.sessionState().sqlParser().parseExpression(term)
+        else:  # Connect-style session: construction is the only check
+            F.expr(term)
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(
+            f"unparseable predicate {term!r} in DML WHERE clause: {exc}"
+        ) from None
+    return term
+
+
+def _parse_predicate(
+    text: str,
+) -> tuple[list[tuple[str, str, Any]], str | None]:
+    """Split a WHERE clause into (prunable filter triples, residual
+    SQL). Top-level conjuncts of ``col op literal`` with op in
+    ``_OPS`` become pruning triples (delete_where/update_where's
+    partition-carry fast path); every other conjunct — and the whole
+    clause when OR appears at top level — is validated through
+    Spark's parser and carried as a residual row-scope expression
+    (full-scan on its own, but sound to combine with pruning from
+    the triples since AND-conjuncts only shrink the match set)."""
+    filters: list[tuple[str, str, Any]] = []
+    residual_terms: list[str] = []
+    if len(_split_top(text, r"\bOR\b")) > 1:
+        # top-level disjunction: nothing prunable, all residual
+        return [], _validate_residual(text.strip())
+    for term in _split_conjuncts(text):
         m = re.match(
             rf"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*({'|'.join(re.escape(o) for o in _OPS)})"
             r"\s*(.+?)\s*$",
             term,
             re.DOTALL,
         )
-        if not m:
-            raise ValueError(
-                f"unsupported predicate {term!r} — the SQL DML door routes "
-                "top-level conjunctions of `col <op> literal` with op in "
-                f"{_OPS} (matching the engine's pruning-scan contract); "
-                "use the DataFrame API for richer predicates"
-            )
-        filters.append((m.group(1), m.group(2), _parse_literal(m.group(3))))
+        lit: Any = None
+        if m:
+            try:
+                lit = _parse_literal(m.group(3))
+            except ValueError:
+                m = None  # e.g. `col = other_col` — residual, not prunable
+        if m:
+            filters.append((m.group(1), m.group(2), lit))
+        else:
+            residual_terms.append(f"({_validate_residual(term)})")
+    residual = " AND ".join(residual_terms) if residual_terms else None
+    return filters, residual
+
+
+def _parse_conjunction(text: str) -> list[tuple[str, str, Any]]:
+    """``col op literal AND ...`` -> delete_where/update_where filters
+    (strict prunable-only form; richer WHEREs go through
+    :func:`_parse_predicate`)."""
+    filters, residual = _parse_predicate(text)
+    if residual is not None:
+        raise ValueError(
+            f"unsupported predicate {residual!r} — this entry point routes "
+            "top-level conjunctions of `col <op> literal` with op in "
+            f"{_OPS} (the engine's pruning-scan contract)"
+        )
     return filters
 
 
@@ -268,7 +366,13 @@ def _route_insert(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
         raise ValueError(
             f"INSERT must supply the key columns {sorted(missing)}"
         )
-    images = {c: F.expr(f"s.{c}") for c in source.columns if c in set(target_cols)}
+    unknown = [c for c in source.columns if c not in set(target_cols)]
+    if unknown:
+        raise ValueError(
+            f"INSERT columns {unknown} are not columns of the target "
+            f"table (has {target_cols}) — refusing a silent partial apply"
+        )
+    images = {c: F.expr(f"s.{c}") for c in source.columns}
     engine.table.merge_into(
         source,
         matched=[("update", None, images)],
@@ -281,7 +385,8 @@ def _route_insert(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
 
 def _route_delete(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
     _check_target(engine, m.group(1))
-    result = engine.table.delete_where(_parse_conjunction(m.group(2)))
+    filters, residual = _parse_predicate(m.group(2))
+    result = engine.table.delete_where(filters, residual_sql=residual)
     return _result_df(engine, "delete", result)
 
 
@@ -295,7 +400,10 @@ def _route_update(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
                 f"unsupported SET clause {part!r} — expected `col = <sql expr>`"
             )
         assignments[am.group(1)] = am.group(2)
-    result = engine.table.update_where(_parse_conjunction(m.group(3)), assignments)
+    filters, residual = _parse_predicate(m.group(3))
+    result = engine.table.update_where(
+        filters, assignments, residual_sql=residual
+    )
     return _result_df(engine, "update", result)
 
 
@@ -305,23 +413,31 @@ def _route_merge(
     target_name, t_alias, source_text, s_alias, on_text, when_text = m.groups()
     _check_target(engine, target_name)
     aliases = ((t_alias or "t").lower(), (s_alias or "s").lower())
+    if aliases[0] == aliases[1]:
+        raise ValueError(
+            f"MERGE target and source share the alias {aliases[0]!r} — "
+            "column references would be ambiguous; use distinct aliases"
+        )
 
     # source: temp view name or parenthesized subquery. merge_into
     # aliases the frames "t"/"s" internally, so fold the statement's
-    # aliases onto those names in every embedded expression.
+    # aliases onto those names in every embedded expression — in ONE
+    # pass (sequential substitution would re-rewrite a target already
+    # folded to "t." when the statement's source alias is literally
+    # "t", silently binding it to the source frame).
+    _alias_to_canon = {aliases[0]: "t", aliases[1]: "s"}
+    _fold_re = re.compile(
+        rf"(?<![A-Za-z0-9_.])({re.escape(aliases[0])}|{re.escape(aliases[1])})\.",
+        re.IGNORECASE,
+    )
+
     def fold(expr: str) -> str:
-        out = expr
-        for given, canon in zip(aliases, ("t", "s")):
-            out = re.sub(
-                rf"(?<![A-Za-z0-9_.]){re.escape(given)}\.",
-                f"{canon}.",
-                out,
-                flags=re.IGNORECASE,
-            )
-        return out
+        return _fold_re.sub(
+            lambda fm: _alias_to_canon[fm.group(1).lower()] + ".", expr
+        )
 
     on_pairs = []
-    for term in _split_top(on_text, r"AND\b"):
+    for term in _split_top(on_text, r"\bAND\b"):
         em = re.match(
             r"^\s*([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*([A-Za-z_][A-Za-z0-9_.]*)\s*$",
             term,

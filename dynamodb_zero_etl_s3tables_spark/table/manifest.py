@@ -1476,6 +1476,27 @@ class ManagedTable:
             pred = cond if pred is None else (pred & cond)
         return pred
 
+    @staticmethod
+    def _combine_predicate(filters, residual_sql):
+        """Full row predicate: the prunable-triple conjunction AND an
+        optional residual SQL expression (arbitrary row-scope grammar
+        — OR / IN / BETWEEN / LIKE / functions). Pruning decisions
+        elsewhere use ONLY the triples, which is sound: the residual
+        is an extra AND-conjunct, so it can only shrink the match
+        set a triple-based prune already over-approximates."""
+        from pyspark.sql import functions as F
+
+        pred = ManagedTable._predicate_from_filters(filters) if filters else None
+        if residual_sql is not None:
+            res = F.expr(residual_sql)
+            pred = res if pred is None else (pred & res)
+        if pred is None:
+            raise ValueError(
+                "predicate DML needs at least one filter triple or a "
+                "residual expression (refusing an implicit full-table hit)"
+            )
+        return pred
+
     def _dml_mor_commit(
         self,
         deletes_keys: DataFrame,
@@ -1531,6 +1552,7 @@ class ManagedTable:
         self,
         filters: list[tuple[str, str, Any]],
         strategy: str = "copy-on-write",
+        residual_sql: str | None = None,
     ) -> dict[str, Any]:
         """Predicate DELETE (Iceberg ``DELETE FROM ... WHERE`` /
         Delta DELETE analog) with copy-on-write FILE PRUNING:
@@ -1554,11 +1576,16 @@ class ManagedTable:
         (CoW), or writing only the matched keys (MoR); history/time
         travel keep working because the old snapshot still references
         every old file. Ops are the scan set (``= < <= > >=``),
-        conjunctive."""
+        conjunctive; ``residual_sql`` carries any richer row-scope
+        predicate (OR / IN / BETWEEN / functions) as an extra
+        AND-conjunct — partition pruning still keys off the triples
+        alone (sound over-approximation), so a residual-only call is
+        a full-scan rewrite, and a mixed call keeps the carry for
+        partitions the triples rule out."""
         from pyspark.sql import functions as F
 
         filters = list(filters)
-        pred = self._predicate_from_filters(filters)
+        pred = self._combine_predicate(filters, residual_sql)
         keep = ~F.coalesce(pred, F.lit(False))
         if strategy not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"unknown delete strategy {strategy!r}")
@@ -1617,6 +1644,7 @@ class ManagedTable:
         filters: list[tuple[str, str, Any]],
         assignments: dict[str, str],
         strategy: str = "copy-on-write",
+        residual_sql: str | None = None,
     ) -> dict[str, Any]:
         """Predicate UPDATE (Delta ``UPDATE ... WHERE`` / Iceberg
         row-level update analog), sharing delete_where's pruning:
@@ -1649,7 +1677,7 @@ class ManagedTable:
                 f"update_where cannot assign partition columns {sorted(bad)}"
             )
         filters = list(filters)
-        pred = self._predicate_from_filters(filters)
+        pred = self._combine_predicate(filters, residual_sql)
         m = self._read_manifest()
         snap = m.current
         if snap is None:
