@@ -343,6 +343,245 @@ def b01b_pitr_export_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b01c_ion_export_bootstrap",
+    oracle="""
+    SELECT 'ORDER#' || o_orderkey AS pk,
+           CAST(o_custkey AS BIGINT) AS custkey,
+           o_orderstatus AS status,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice,
+           CAST(o_orderdate AS VARCHAR) AS orderdate,
+           o_totalprice >= 100000 AS flag,
+           array_to_string(list_sort(list_distinct([o_orderpriority, o_orderstatus])), '|')
+             AS prio_set,
+           CAST(NULL AS VARCHAR) AS missing
+    FROM orders
+    """,
+)
+def b01c_ion_export_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1, the OTHER export wire form (VERDICT r6 #2):
+    ``ExportTableToPointInTime`` emits DYNAMODB_JSON *or* ION
+    (reference src/dynamodb-zero-etl-s3tables.ts:135); this query
+    runs b01b's exact journey with the fixture written as newline-
+    delimited text-Ion (``$ion_1_0 {Item:{...}}`` with the published
+    type mapping — decimals for N, blobs for B, ``$dynamodb_SS``
+    annotations for sets). The reader detects ``outputFormat: ION``
+    in manifest-summary.json, converts each line to the item-map JSON
+    with the dependency-free Ion parser (Arrow-batched pandas UDF,
+    ``functions/ion.py``), and feeds the SAME B3 codec — so this
+    oracle is b01b's oracle verbatim: identical rows through a
+    different wire format, and a hash match proves the Ion parse is
+    lossless.
+
+    Scale: the Ion->JSON conversion is the only Python in the path
+    (one string pass per line, partition-parallel); manifest-driven
+    scan, decode, and commit are b01b's JVM plans unchanged."""
+    import shutil
+
+    from dynamodb_zero_etl_s3tables_spark.functions.ion import (
+        item_json_to_ion_udf,
+    )
+    from dynamodb_zero_etl_s3tables_spark.sources.pitr_export import (
+        av_bool,
+        av_n,
+        av_null,
+        av_s,
+        av_ss,
+        items_to_wire,
+        write_export_fixture,
+    )
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+
+    scratch = scratch_dir(sf_dir, "ion_export")
+    if scratch.exists():
+        shutil.rmtree(scratch)  # idempotent builder (A10)
+    export_root = scratch / "export"
+    warehouse = scratch / "warehouse"
+
+    o = load(spark, sf_dir, "orders")
+    wire = o.select(
+        items_to_wire(
+            {
+                "pk": av_s(F.concat(F.lit("ORDER#"), F.col("o_orderkey"))),
+                "custkey": av_n(F.col("o_custkey")),
+                "status": av_s(F.col("o_orderstatus")),
+                "totalprice": av_n(F.col("o_totalprice").cast("decimal(12,2)")),
+                "orderdate": av_s(F.col("o_orderdate")),
+                "flag": av_bool(F.col("o_totalprice") >= 100000),
+                "prio_set": av_ss(
+                    F.array_sort(
+                        F.array(F.col("o_orderpriority"), F.col("o_orderstatus"))
+                    )
+                ),
+                "missing": av_null(),
+            }
+        ).alias("json_line")
+    )
+    ion_lines = wire.select(item_json_to_ion_udf()(F.col("json_line")))
+    write_export_fixture(
+        ion_lines,
+        str(export_root),
+        export_id="01700000000001-ion-fixture",
+        output_format="ION",
+    )
+
+    t = ManagedTable(
+        spark,
+        str(warehouse),
+        TableSpec(namespace="ingest", name="orders_ion", key_columns=("pk",)),
+    )
+    t.bootstrap_export(
+        str(export_root),
+        fields={
+            "pk": "string",
+            "custkey": "number",
+            "status": "string",
+            "totalprice": "number",
+            "orderdate": "string",
+            "flag": "boolean",
+            "prio_set": "string_set",
+            "missing": "string",
+        },
+    )
+    return t.read().select(
+        "pk",
+        F.col("custkey").cast("bigint").alias("custkey"),
+        "status",
+        F.col("totalprice").cast("double").alias("totalprice"),
+        F.col("orderdate").alias("orderdate"),
+        "flag",
+        F.array_join("prio_set", "|").alias("prio_set"),
+        "missing",
+    )
+
+
+@query(
+    "d90b_merge_evolving",
+    oracle="""
+    WITH t0 AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status,
+             o_totalprice AS price, CAST(o_custkey AS INTEGER) AS custkey
+      FROM orders
+    ),
+    src AS (
+      SELECT o_orderkey AS pk,
+             o_custkey + 3000000000 AS custkey,
+             CAST((o_orderkey % 100) AS DOUBLE) * 0.25 AS discount
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS pk,
+             o_custkey + 3000000000 AS custkey,
+             CAST(((o_orderkey + 100000000) % 100) AS DOUBLE) * 0.25 AS discount
+      FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    kept AS (
+      SELECT t.pk,
+             CASE WHEN s.pk IS NOT NULL THEN 'U' ELSE t.status END AS status,
+             t.price,
+             CAST(CASE WHEN s.pk IS NOT NULL THEN s.custkey
+                       ELSE t.custkey END AS BIGINT) AS custkey,
+             CASE WHEN s.pk IS NOT NULL THEN s.discount
+                  ELSE NULL END AS discount
+      FROM t0 t LEFT JOIN src s ON t.pk = s.pk
+    ),
+    ins AS (
+      SELECT s.pk, 'N' AS status, 0.0 AS price,
+             CAST(s.custkey AS BIGINT) AS custkey, s.discount
+      FROM src s LEFT JOIN t0 t ON s.pk = t.pk WHERE t.pk IS NULL
+    )
+    SELECT pk, status, CAST(price AS DOUBLE) AS price, custkey,
+           CAST(discount AS DOUBLE) AS discount
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    """,
+)
+def d90b_merge_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D90 x B4 (VERDICT r6 #7): MERGE INTO with Delta-style
+    AUTOMATIC SCHEMA EVOLUTION (``mergeSchema``) on a managed table —
+    the source carries a column the target lacks (``discount``,
+    added: NULL on untouched rows) and a WIDER type for an existing
+    one (``custkey`` int -> bigint, the Iceberg promotion), and ONE
+    merge commit both applies the clauses and evolves the manifest
+    schema through the shared B4 gate (h21 proved this on the
+    streaming path; this is the batch verb). Non-promotable changes
+    refuse with SchemaEvolutionError — pinned by
+    ``test_merge_properties.py``. The oracle replays the widened
+    merge in ANSI SQL, so the hash checks evolution semantics, not
+    just the join.
+
+    Scale: identical plan to d90 — one equi-shuffle join + an
+    insert anti-join; the widening is a projection folded into the
+    same pass, and carried partitions are untouched metadata."""
+    import shutil
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+
+    scratch = scratch_dir(sf_dir, "merge_evolving")
+    if scratch.exists():
+        shutil.rmtree(scratch)  # idempotent builder (A10)
+
+    o = load(spark, sf_dir, "orders")
+    t0 = o.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_custkey").cast("int").alias("custkey"),
+    )
+    t = ManagedTable(
+        spark,
+        str(scratch / "warehouse"),
+        TableSpec(namespace="analytics", name="orders_evolving",
+                  key_columns=("pk",)),
+    )
+    t.bootstrap(t0)
+
+    ten = F.col("o_orderkey") % 10
+    src = (
+        o.filter(ten == 0).select(
+            F.col("o_orderkey").alias("pk"),
+            (F.col("o_custkey") + 3000000000).alias("custkey"),
+            ((F.col("o_orderkey") % 100).cast("double") * 0.25).alias("discount"),
+        )
+        .unionAll(
+            o.filter(ten == 3).select(
+                (F.col("o_orderkey") + 100000000).alias("pk"),
+                (F.col("o_custkey") + 3000000000).alias("custkey"),
+                (((F.col("o_orderkey") + 100000000) % 100).cast("double")
+                 * 0.25).alias("discount"),
+            )
+        )
+    )
+    t.merge_into(
+        src,
+        matched=[
+            (
+                "update",
+                None,
+                {
+                    "status": F.lit("U"),
+                    "custkey": F.col("s.custkey"),
+                    "discount": F.col("s.discount"),
+                },
+            ),
+        ],
+        insert_values={
+            "pk": F.col("pk"),
+            "status": F.lit("N"),
+            "price": F.lit(0.0),
+            "custkey": F.col("custkey"),
+            "discount": F.col("discount"),
+        },
+        merge_schema=True,
+    )
+    return t.read().select(
+        "pk", "status",
+        F.col("price").cast("double").alias("price"),
+        F.col("custkey").cast("bigint").alias("custkey"),
+        F.col("discount").cast("double").alias("discount"),
+    )
+
+
+@query(
     "d90_merge_into",
     oracle="""
     WITH src AS (

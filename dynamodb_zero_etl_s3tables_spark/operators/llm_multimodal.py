@@ -4,14 +4,15 @@ payloads + typed metadata structs, with Arrow-batched featurizers.
 Decode is a three-tier dispatch (``decode_payload``):
 
 1. ``parse_media_header`` — a dependency-free pure-Python parser for
-   the PNG / BMP / GIF / WAV container headers (magic bytes + fixed
-   offsets; no pixel/sample decoding, so no codec library needed).
-   Deterministic everywhere, which is why it is tried FIRST — a
-   payload it recognizes gets the same answer with or without Pillow
-   installed.
+   the PNG / BMP / GIF / WAV / JPEG / WebP container headers (magic
+   bytes + fixed offsets, plus the JPEG SOF marker walk and the WebP
+   VP8/VP8L/VP8X chunk scan; no pixel/sample decoding, so no codec
+   library needed). Deterministic everywhere, which is why it is
+   tried FIRST — a payload it recognizes gets the same answer with
+   or without Pillow installed.
 2. Pillow, when importable, for formats the header parser does not
-   cover (JPEG, WebP, TIFF, ...) — ``Image.open`` is lazy, so this
-   too reads only the header.
+   cover (TIFF, HEIC, ...) — ``Image.open`` is lazy, so this too
+   reads only the header.
 3. ``decode_stub`` — the deterministic fake for unrecognizable bytes
    (and the documented behavior in codec-less containers).
 
@@ -82,6 +83,8 @@ def e06_binary_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: JPEG SOFn frame-header markers (C0-CF minus DHT C4 / JPG C8 / DAC CC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 
 def parse_media_header(payload: bytes) -> dict | None:
@@ -103,6 +106,14 @@ def parse_media_header(payload: bytes) -> dict | None:
       divided by block-align gives the sample-frame count. Audio maps
       onto the image-shaped dict as width=sample_rate,
       height=channels, n_frames=sample frames.
+    - JPEG (r7, closing the last E6 partial): ``FF D8`` SOI, then a
+      marker-segment walk to the first SOFn frame header, whose
+      payload is precision u8 + height u16 + width u16 big-endian.
+      Covers baseline (SOF0), progressive (SOF2), and the other SOFn.
+    - WebP (r7): ``RIFF``+``WEBP``; dims from whichever bitstream
+      chunk appears — lossy ``VP8 `` (14-bit u16le after the
+      9D 01 2A start code), lossless ``VP8L`` (packed 14-bit-minus-1
+      fields), extended ``VP8X`` (24-bit-minus-1 canvas dims).
 
     Returns None for anything unrecognized or truncated — callers
     fall through to Pillow / the stub. Reads at most the first ~64
@@ -126,6 +137,71 @@ def parse_media_header(payload: bytes) -> dict | None:
         if w and h:
             return {"width": w, "height": h, "n_frames": 1,
                     "ok": True, "codec": "gif"}
+        return None
+    if payload[:2] == b"\xff\xd8":
+        # JPEG (ITU T.81): marker stream after SOI. Every SOFn frame
+        # header (C0-CF minus C4 DHT / C8 JPG-ext / CC DAC) carries
+        # [len u16][precision u8][height u16][width u16] big-endian.
+        # Walk segments (skipping standalone RSTn/TEM markers, which
+        # have no length field) until a SOF answers; stop at SOS/EOI
+        # — past SOS is entropy-coded data, not markers.
+        pos, n = 2, len(payload)
+        while pos + 2 <= n:
+            if payload[pos] != 0xFF:
+                return None  # malformed marker stream
+            marker = payload[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                pos += 2  # standalone: TEM / RSTn / (stray) SOI
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+                return None
+            if pos + 4 > n:
+                return None
+            (seg_len,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if pos + 9 > n:
+                    return None
+                h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+                if w and h:
+                    return {"width": w, "height": h, "n_frames": 1,
+                            "ok": True, "codec": "jpeg"}
+                return None
+            pos += 2 + seg_len
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # WebP (RIFF container): dimensions live in whichever of the
+        # three bitstream chunks appears — 'VP8 ' (lossy: 14-bit
+        # width/height u16le after the 9D 01 2A start code), 'VP8L'
+        # (lossless: 14-bit-1 fields packed after the 0x2F
+        # signature), 'VP8X' (extended: 24-bit-1 canvas dims).
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            data = payload[pos + 8:pos + 8 + size]
+            if cid == b"VP8 " and len(data) >= 10:
+                if data[3:6] == b"\x9d\x01\x2a":
+                    w = struct.unpack("<H", data[6:8])[0] & 0x3FFF
+                    h = struct.unpack("<H", data[8:10])[0] & 0x3FFF
+                    if w and h:
+                        return {"width": w, "height": h, "n_frames": 1,
+                                "ok": True, "codec": "webp"}
+                return None
+            if cid == b"VP8L" and len(data) >= 5 and data[0] == 0x2F:
+                (bits,) = struct.unpack("<I", data[1:5])
+                return {"width": (bits & 0x3FFF) + 1,
+                        "height": ((bits >> 14) & 0x3FFF) + 1,
+                        "n_frames": 1, "ok": True, "codec": "webp"}
+            if cid == b"VP8X" and len(data) >= 10:
+                return {"width": 1 + int.from_bytes(data[4:7], "little"),
+                        "height": 1 + int.from_bytes(data[7:10], "little"),
+                        "n_frames": 1, "ok": True, "codec": "webp"}
+            pos += 8 + size + (size & 1)
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # chunk walk: each chunk is 4-byte id + u32 LE size + data.
@@ -154,8 +230,9 @@ def parse_media_header(payload: bytes) -> dict | None:
 
 def synth_media_header(kind: int, doc_id: int) -> bytes:
     """Deterministic real container header for ``kind`` (0=png 1=bmp
-    2=gif 3=wav), dimensioned by pure doc_id arithmetic so a SQL
-    oracle can replay the expected parse without touching bytes:
+    2=gif 3=wav 4=jpeg 5=webp), dimensioned by pure doc_id arithmetic
+    so a SQL oracle can replay the expected parse without touching
+    bytes:
 
     - images: width = 16 + doc_id % 101, height = 16 + doc_id % 67
     - wav: rate = 8000 + 100*(doc_id % 5), channels = 1 + doc_id % 2,
@@ -163,12 +240,29 @@ def synth_media_header(kind: int, doc_id: int) -> bytes:
       block_align = 2*channels and data size = frames*block_align)
 
     Header lengths are format constants: png 33, bmp 54, gif 13,
-    wav 44. PNG CRCs are zeroed — the parser (and lazy Pillow opens)
-    read dimensions without validating CRCs; a full decoder would
-    reject these, which is fine: they are header fixtures, not
-    renderable media."""
+    wav 44, jpeg 39 (SOI + JFIF APP0 + SOF0), webp 30 (RIFF + lossy
+    VP8 keyframe header). PNG CRCs are zeroed — the parser (and lazy
+    Pillow opens) read dimensions without validating CRCs; a full
+    decoder would reject these, which is fine: they are header
+    fixtures, not renderable media."""
     w = 16 + doc_id % 101
     h = 16 + doc_id % 67
+    if kind == 4:  # JPEG: SOI + JFIF APP0(18) + SOF0(19)
+        app0 = (
+            b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+        )
+        sof0 = (
+            b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+            + struct.pack(">HH", h, w)
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        )
+        return b"\xff\xd8" + app0 + sof0
+    if kind == 5:  # WebP: RIFF + one lossy VP8 chunk (frame tag +
+        # 9D 01 2A start code + 14-bit dims)
+        vp8 = b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        chunk = b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
     if kind == 0:  # PNG: magic + IHDR(len,type,13B data,crc)
         ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
         return _PNG_MAGIC + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\0\0\0\0"
@@ -200,14 +294,15 @@ def _synth_payload_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
     header is meaningful to the parser; the body stands in for pixel/
     sample data and keeps payload sizes realistic."""
     return pd.Series(
-        synth_media_header(int(i) % 4, int(i)) + t.encode("utf-8")
+        synth_media_header(int(i) % 6, int(i)) + t.encode("utf-8")
         for i, t in zip(doc_id, text)
     )
 
 
 def media_table_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media table whose payloads carry REAL container headers (PNG/
-    BMP/GIF/WAV round-robin by doc_id % 4) ahead of the text body —
+    BMP/GIF/WAV/JPEG/WebP round-robin by doc_id % 6) ahead of the
+    text body —
     so header-parsing featurizers exercise genuine binary layouts.
     ``media_table`` (bare UTF-8 payloads) remains for content-hash
     and byte-length operators whose oracles hash the raw text."""
@@ -301,14 +396,16 @@ def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     WITH m AS (
       SELECT doc_id,
              octet_length(encode(text)) AS tn,
-             CAST(doc_id % 4 AS INTEGER) AS kind
+             CAST(doc_id % 6 AS INTEGER) AS kind
       FROM documents
     ), p AS (
       SELECT doc_id,
              CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                       WHEN 2 THEN 'gif' ELSE 'wav' END AS codec,
+                       WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                       WHEN 4 THEN 'jpeg' ELSE 'webp' END AS codec,
              CAST(CASE kind WHEN 0 THEN 33 WHEN 1 THEN 54
-                            WHEN 2 THEN 13 ELSE 44 END + tn AS INTEGER)
+                            WHEN 2 THEN 13 WHEN 3 THEN 44
+                            WHEN 4 THEN 39 ELSE 30 END + tn AS INTEGER)
                AS payload_bytes,
              CAST(CASE WHEN kind = 3 THEN 8000 + 100 * (doc_id % 5)
                        ELSE 16 + (doc_id % 101) END AS INTEGER) AS width,
@@ -326,8 +423,9 @@ def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def e06b_media_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6: Arrow-batched media featurization via mapInPandas — real
     binary header parsing (PNG IHDR, BMP BITMAPINFOHEADER, GIF
-    logical screen, WAV fmt/data chunks) over payloads carrying
-    genuine container headers. The Spark side extracts dimensions
+    logical screen, WAV fmt/data chunks, JPEG SOFn marker walk, WebP
+    VP8 bitstream chunks) over payloads carrying genuine container
+    headers. The Spark side extracts dimensions
     FROM THE BYTES (``parse_media_header``); the oracle replays the
     synthesizer's dimension arithmetic in SQL, so a hash match proves
     parse(synth(dims)) == dims per format. At 100 TB the featurizer

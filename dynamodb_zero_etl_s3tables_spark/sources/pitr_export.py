@@ -7,6 +7,8 @@ grants at src/dynamodb-zero-etl-s3tables.ts:135) lands in S3 as::
         manifest-summary.json        # one JSON object: totals + pointers
         manifest-files.json          # NDJSON: one entry per data shard
         data/<shard>.json.gz         # gzipped NDJSON of {"Item": {...}}
+                                     # (or .ion.gz text-Ion when the
+                                     # export chose outputFormat=ION)
 
 This module implements both sides of that contract:
 
@@ -97,9 +99,12 @@ def write_export_fixture(
     export_id: str,
     table_arn: str = "arn:aws:dynamodb:local:000000000000:table/fixture",
     shards: int = 4,
+    output_format: str = "DYNAMODB_JSON",
 ) -> str:
     """Write ``df_wire`` (single string column of ``{"Item":...}``
-    lines) as a PITR-shaped export under
+    lines — or, with ``output_format="ION"``, text-Ion lines the
+    caller produced via :func:`..functions.ion.item_json_to_ion_udf`)
+    as a PITR-shaped export under
     ``export_root/AWSDynamoDB/<export_id>/``. Returns the export dir.
 
     Shard writing is fully distributed (``repartition(shards)`` +
@@ -144,7 +149,7 @@ def write_export_fixture(
         "exportTime": "2020-06-30T00:00:00.000Z",
         "startTime": "2020-06-30T00:00:00.000Z",
         "endTime": "2020-06-30T00:00:00.000Z",
-        "outputFormat": "DYNAMODB_JSON",
+        "outputFormat": output_format,
         "itemCount": sum(e["itemCount"] for e in entries),
         "manifestFilesS3Key": str(
             (export_dir / "manifest-files.json").relative_to(Path(export_root))
@@ -180,9 +185,9 @@ def find_export_dir(export_root: str, export_id: str | None = None) -> Path:
 def read_manifest(export_dir: Path) -> tuple[dict, list[dict]]:
     summary = json.loads((export_dir / "manifest-summary.json").read_text())
     fmt = summary.get("outputFormat", "DYNAMODB_JSON")
-    if fmt != "DYNAMODB_JSON":
+    if fmt not in ("DYNAMODB_JSON", "ION"):
         raise ExportManifestError(
-            f"unsupported outputFormat {fmt!r} (only DYNAMODB_JSON)"
+            f"unsupported outputFormat {fmt!r} (DYNAMODB_JSON or ION)"
         )
     files_path = export_dir / "manifest-files.json"
     if not files_path.exists():
@@ -210,6 +215,13 @@ def read_export(
     extra count action and raises :class:`ExportManifestError` on a
     mismatch with ``manifest-summary.json`` — the integrity check a
     bootstrap should run once before committing the snapshot.
+
+    Both export formats route here: ``outputFormat`` in the summary
+    selects the line conversion — DYNAMODB_JSON lines feed the B3
+    codec directly (JVM get_json_object), ION lines are converted to
+    the same item-map JSON by the Arrow-batched Ion parser
+    (:mod:`..functions.ion`) first. Everything after the item-map
+    extraction is one shared path.
     """
     export_dir = find_export_dir(export_root, export_id)
     summary, entries = read_manifest(export_dir)
@@ -225,9 +237,19 @@ def read_export(
     if not paths:
         raise ExportManifestError(f"manifest lists no data files in {export_dir}")
     raw = spark.read.text(paths)
-    with_item = raw.select(
-        F.get_json_object(F.col("value"), "$.Item").alias("__raw_item")
-    ).filter(F.col("__raw_item").isNotNull())
+    if summary.get("outputFormat", "DYNAMODB_JSON") == "ION":
+        from dynamodb_zero_etl_s3tables_spark.functions.ion import (
+            ion_lines_to_item_json_udf,
+        )
+
+        conv = ion_lines_to_item_json_udf()
+        with_item = raw.select(conv(F.col("value")).alias("__raw_item")).filter(
+            F.col("__raw_item").isNotNull()
+        )
+    else:
+        with_item = raw.select(
+            F.get_json_object(F.col("value"), "$.Item").alias("__raw_item")
+        ).filter(F.col("__raw_item").isNotNull())
     decoded = decode_item_column(with_item, "__raw_item", fields, depth)
     if validate_counts:
         expected = int(summary.get("itemCount", -1))

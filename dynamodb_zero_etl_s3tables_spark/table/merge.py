@@ -136,6 +136,7 @@ def merge_into(
     matched: Sequence[tuple[str, object, dict | None]] = (),
     insert_values: dict | None = None,
     insert_cond=None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """General conditional merge — the Delta/Iceberg ``MERGE INTO``
     surface (public SQL semantics; the reference's managed tables get
@@ -154,6 +155,16 @@ def merge_into(
     join columns — a target row matched by several source rows would
     make the update ambiguous.
 
+    ``merge_schema=True`` is Delta's ``mergeSchema`` MERGE semantics
+    (VERDICT r6 #7): source columns absent from the target are ADDED
+    (NULL on untouched rows — the same additive union
+    ``merge_changes`` applies on the CDC path), and overlapping
+    columns may widen along the Iceberg promotion chain
+    (int->bigint, float->double). Any other type change raises
+    :class:`SchemaEvolutionError` — never a silent coercion. With
+    the default ``False``, set/insert expressions can only assign
+    existing target columns (the strict Delta default).
+
     Scale: ONE equi-shuffle join of target x source resolves every
     matched clause (conditions and set-expressions are row-local
     projections — no per-clause passes over the target), and the
@@ -161,6 +172,37 @@ def merge_into(
     the same join-shaped cost as the CDC merge; at 100 TB the join
     broadcasts or co-partitions exactly as b05 does.
     """
+    if merge_schema:
+        tgt_types = {f.name: f.dataType for f in target.schema.fields}
+        for f in source.schema.fields:
+            prev = tgt_types.get(f.name)
+            if prev is None:
+                target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+            elif prev != f.dataType:
+                w = wider(prev, f.dataType)
+                if w is None:
+                    raise SchemaEvolutionError(
+                        f"type conflict for column {f.name!r} under "
+                        f"mergeSchema: {prev.simpleString()} -> "
+                        f"{f.dataType.simpleString()} is not an Iceberg "
+                        "promotion"
+                    )
+                if prev != w:
+                    target = target.withColumn(f.name, F.col(f.name).cast(w))
+    known = {f.name for f in target.schema.fields}
+    assigned_cols: set[str] = set()
+    for _kind, _cond, sets in matched:
+        if sets:
+            assigned_cols |= set(sets)
+    if insert_values:
+        assigned_cols |= set(insert_values)
+    unknown = sorted(assigned_cols - known)
+    if unknown:
+        raise SchemaEvolutionError(
+            f"MERGE assigns columns not on the target: {unknown} — "
+            "pass merge_schema=True to add source columns (Delta "
+            "mergeSchema semantics), or fix the column name"
+        )
     t = target.alias("t")
     s = source.withColumn("__matched", F.lit(True)).alias("s")
     join_cond = None

@@ -79,3 +79,46 @@ def test_merge_matches_reference_model(spark, batch):
     rev = spark.createDataFrame([Row(**c) for c in reversed(batch)])
     merged_rev = merge_changes(base, rev, keys=["pk"], order_cols=("seq",))
     assert {r.pk: r.val for r in merged_rev.collect()} == expected
+
+
+def test_merge_schema_evolution_and_refusals(spark):
+    """mergeSchema MERGE (VERDICT r6 #7): additive columns + Iceberg
+    widenings evolve; everything else refuses loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dynamodb_zero_etl_s3tables_spark.table.merge import (
+        SchemaEvolutionError,
+        merge_into,
+    )
+
+    target = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0)], "pk long, v int, price double"
+    )
+    source = spark.createDataFrame(
+        [(2, 3000000000, 0.5), (9, 3000000001, 0.25)],
+        "pk long, v long, discount double",
+    )
+    sets = {"v": F.col("s.v"), "discount": F.col("s.discount")}
+    ins = {"pk": F.col("pk"), "v": F.col("v"), "discount": F.col("discount")}
+
+    # strict default: assigning an unknown column refuses, names it
+    with pytest.raises(SchemaEvolutionError, match="discount.*merge_schema"):
+        merge_into(target, source, [("pk", "pk")],
+                   matched=[("update", None, sets)], insert_values=ins)
+
+    out = merge_into(target, source, [("pk", "pk")],
+                     matched=[("update", None, sets)], insert_values=ins,
+                     merge_schema=True)
+    rows = {r.pk: r for r in out.collect()}
+    assert dict(out.dtypes)["v"] == "bigint"          # int -> bigint widened
+    assert rows[1].discount is None                   # added col NULL on untouched
+    assert rows[2].v == 3000000000 and rows[2].discount == 0.5
+    assert rows[9].price is None and rows[9].discount == 0.25
+
+    # non-promotable overlap (double -> string) refuses
+    bad = spark.createDataFrame([(2, "cheap")], "pk long, price string")
+    with pytest.raises(SchemaEvolutionError, match="type conflict.*price"):
+        merge_into(target, bad, [("pk", "pk")],
+                   matched=[("update", None, {"price": F.col("s.price")})],
+                   merge_schema=True)

@@ -45,14 +45,16 @@ def test_stub_shape_matches_featurizer_schema():
 
 
 def test_e06b_featurize_parses_real_headers(spark):
-    # payloads carry genuine PNG/BMP/GIF/WAV headers; the featurizer
-    # must recover the synthesized dimensions FROM THE BYTES
-    rows = M.e06b_media_featurize(spark, SF_DIR).limit(20).collect()
+    # payloads carry genuine PNG/BMP/GIF/WAV/JPEG/WebP headers; the
+    # featurizer must recover the synthesized dimensions FROM THE
+    # BYTES — including JPEG/WebP WITHOUT Pillow (r7, E6 closed)
+    rows = M.e06b_media_featurize(spark, SF_DIR).limit(30).collect()
     assert rows
-    kinds = {0: "png", 1: "bmp", 2: "gif", 3: "wav"}
+    kinds = {0: "png", 1: "bmp", 2: "gif", 3: "wav", 4: "jpeg", 5: "webp"}
+    assert {r.codec for r in rows} >= {"jpeg", "webp"}
     for r in rows:
         d = r.doc_id
-        assert r.codec == kinds[d % 4]
+        assert r.codec == kinds[d % 6]
         if r.codec == "wav":
             assert r.width == 8000 + 100 * (d % 5)
             assert r.height == 1 + d % 2
@@ -100,6 +102,65 @@ def test_parse_wav_header_chunk_walk():
     assert got == {"width": 8000 + 100 * (103 % 5), "height": 1 + 103 % 2,
                    "n_frames": 100 + 103 % 50, "ok": True, "codec": "wav"}
     assert len(hdr) == 44
+
+
+def test_parse_jpeg_sof_marker_walk():
+    """JPEG dims without Pillow (VERDICT r6 #1): SOI -> segment walk
+    -> SOFn frame header, big-endian height then width."""
+    import struct
+
+    hdr = M.synth_media_header(4, 12345)
+    assert len(hdr) == 39
+    got = M.parse_media_header(hdr + b"entropy-coded body bytes \xff\xd9")
+    assert got == {"width": 16 + 12345 % 101, "height": 16 + 12345 % 67,
+                   "n_frames": 1, "ok": True, "codec": "jpeg"}
+
+    # progressive (SOF2) and extra APPn/COM segments before the frame
+    app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    sof2 = (b"\xff\xc2" + struct.pack(">H", 11) + bytes([8])
+            + struct.pack(">HH", 480, 640) + bytes([1, 1, 0x11, 0]))
+    got = M.parse_media_header(b"\xff\xd8" + app1 + com + sof2)
+    assert (got["codec"], got["width"], got["height"]) == ("jpeg", 640, 480)
+
+    # DHT (C4) is NOT a frame header and must be skipped, not parsed
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x01\x02"
+    got = M.parse_media_header(b"\xff\xd8" + dht + sof2)
+    assert (got["width"], got["height"]) == (640, 480)
+
+    # SOS before any SOF -> dims unavailable -> None (stub downstream)
+    sos = b"\xff\xda" + struct.pack(">H", 3) + b"\x00"
+    assert M.parse_media_header(b"\xff\xd8" + app1 + sos) is None
+    # truncated mid-segment -> None
+    assert M.parse_media_header(b"\xff\xd8\xff\xc0\x00") is None
+
+
+def test_parse_webp_all_three_chunk_forms():
+    import struct
+
+    hdr = M.synth_media_header(5, 77)
+    assert len(hdr) == 30
+    got = M.parse_media_header(hdr + b"vp8 frame data")
+    assert got == {"width": 16 + 77 % 101, "height": 16 + 77 % 67,
+                   "n_frames": 1, "ok": True, "codec": "webp"}
+
+    def riff(chunk: bytes) -> bytes:
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    # VP8L lossless: 0x2F signature then packed (w-1 | (h-1)<<14)
+    bits = (640 - 1) | ((480 - 1) << 14)
+    vp8l = b"\x2f" + struct.pack("<I", bits)
+    got = M.parse_media_header(riff(b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l))
+    assert (got["codec"], got["width"], got["height"]) == ("webp", 640, 480)
+
+    # VP8X extended: 24-bit canvas dims minus one
+    vp8x = bytes([0x10]) + b"\x00\x00\x00" + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    got = M.parse_media_header(riff(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x))
+    assert (got["width"], got["height"]) == (640, 480)
+
+    # lossy chunk without the 9D 01 2A start code -> None
+    bad = b"\x00\x00\x00\xff\xff\xff\x00\x00\x00\x00"
+    assert M.parse_media_header(riff(b"VP8 " + struct.pack("<I", len(bad)) + bad)) is None
 
 
 def test_parse_rejects_truncated_and_garbage():
