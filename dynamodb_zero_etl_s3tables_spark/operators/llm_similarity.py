@@ -364,12 +364,57 @@ def bucket_col(planes_t: list[list[int]]) -> Column:
     return bucket
 
 
+def buckets_udf(planes: list[list[list[int]]]):
+    """Arrow-batched kernel computing EVERY table's bucket for a
+    vector in one pass: returns a pandas_udf mapping ``embedding`` ->
+    ``array<int>`` of length n_tables.
+
+    Why a pandas UDF here when the rest of the module is fold
+    expressions: a code table is 16-128 dense ±1 projections per row,
+    and Catalyst evaluates higher-order-function lambdas
+    INTERPRETED, per element — ~1.2 s of fixed cost per query even on
+    a few hundred rows (measured r7), and per-row cost that numpy
+    beats by ~100x at scale. The kernel accumulates dim-by-dim in
+    float64 (``acc += x[:, i] * W[i]``), so each projection's
+    summation ORDER is exactly the left-to-right fold of
+    :func:`bucket_col` and of the DuckDB oracle's ``list_reduce`` —
+    bucket signs stay bit-identical across all three."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    n_tables, n_planes = len(planes), len(planes[0])
+    # W[i] = per-dim weight row over all (table, plane) projections
+    w = np.array(
+        [
+            [planes[t][j][i] for t in range(n_tables) for j in range(n_planes)]
+            for i in range(DIM)
+        ],
+        dtype=np.float64,
+    )
+    shifts = np.array([1 << j for j in range(n_planes)], dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()), F.PandasUDFType.SCALAR)
+    def _buckets(emb):
+        x = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, DIM)
+        acc = np.zeros((x.shape[0], n_tables * n_planes), dtype=np.float64)
+        for i in range(DIM):  # left-to-right per projection, vectorized over rows
+            acc += x[:, i : i + 1] * w[i]
+        signs = (acc > 0).reshape(x.shape[0], n_tables, n_planes)
+        out = (signs * shifts).sum(axis=2).astype(np.int32)  # (n, n_tables)
+        return pd.Series(list(out))
+
+    return _buckets
+
+
 def codes_long(df: DataFrame, planes: list[list[list[int]]], extra: list[str]) -> DataFrame:
-    """One row per (vector, table): vec_id, *extra, tbl, bucket."""
+    """One row per (vector, table): vec_id, *extra, tbl, bucket —
+    buckets from the vectorized kernel (:func:`buckets_udf`),
+    bit-identical to the :func:`bucket_col` expression fold."""
     return df.select(
         "vec_id",
         *extra,
-        F.posexplode(F.array(*[bucket_col(pt) for pt in planes])).alias("tbl", "bucket"),
+        F.posexplode(buckets_udf(planes)(F.col("embedding"))).alias("tbl", "bucket"),
     )
 
 
@@ -434,9 +479,7 @@ def e03d_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     than IVF centroids (e03b) can be refreshed. On a corpus with no
     true near-dups this correctly returns (near-)zero rows — e03e is
     the recall harness that quantifies the trade-off."""
-    # hyperplane codes cost N_TABLES x N_PLANES x DIM mults per row --
-    # spread the narrow embeddings scan before the projection
-    e = fan_out(load(spark, sf_dir, "embeddings"))
+    e = load(spark, sf_dir, "embeddings")
     codes = codes_long(e, _E03D_PLANES, ["label"])
     x, y = codes.alias("x"), codes.alias("y")
     cand = (
@@ -502,11 +545,7 @@ def e03e_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     population rate — a sample estimates it — and the full-corpus
     exact join is exactly the quadratic cost the ANN path exists to
     avoid; sampling keeps the harness viable at any SF."""
-    # hyperplane codes cost N_TABLES x N_PLANES x DIM mults per row --
-    # spread the narrow embeddings scan before the projection
-    e = fan_out(
-        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
-    )
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
     # Hard misuse guard: the exact side below is quadratic by design.
     # limit(cap+1) makes the probe cheap (scan stops at cap+1 rows)
     # while still distinguishing "within bound" from "over bound".
@@ -595,9 +634,11 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str, label_pred, threshold: floa
     the corpus."""
     e = load(spark, sf_dir, "embeddings")
     base = e.filter(label_pred) if label_pred is not None else e
-    # hyperplane codes + exact rescoring are per-row CPU — spread a
-    # narrow scan across the cluster first (no-op at real scale)
-    base = fan_out(base)
+    # No fan_out here (r7): the code projections moved to the
+    # vectorized Arrow kernel (buckets_udf), so per-row cost no longer
+    # justifies a repartition of a narrow scan — at real scale the
+    # scan has more splits than cores anyway, and at bench scale the
+    # extra shuffle + 32-task stages cost ~0.5 s for nothing.
     codes = codes_long(base, _NEARDUP_PLANES_TBL, ["label"])
     x, y = codes.alias("x"), codes.alias("y")
     cpairs = (
@@ -1691,7 +1732,7 @@ def e48_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision count, not N^2); the mutuality check is a self
     equi-join on the directed edge key. Determinism: cosine is the
     rounded left-to-right fold; ranks tie-break on dst."""
-    e = fan_out(load(spark, sf_dir, "embeddings"))
+    e = load(spark, sf_dir, "embeddings")
     # three consumers (cap agg, both self-join sides) would each
     # recompute the per-vector plane folds — pin the codes once
     codes = codes_long(e, _E48_PLANES, []).localCheckpoint(eager=True)
@@ -1766,7 +1807,7 @@ def knn_overflow_buckets(spark: SparkSession, sf_dir: str) -> int:
     KNN_BUCKET_CAP and were dropped before pair expansion. Nonzero
     means the graph is missing edges inside degenerate cells — the
     deliberate O(cap^2) bound, made visible instead of silent."""
-    e = fan_out(load(spark, sf_dir, "embeddings"))
+    e = load(spark, sf_dir, "embeddings")
     return (
         codes_long(e, _E48_PLANES, [])
         .groupBy("tbl", "bucket")
