@@ -86,6 +86,10 @@ HEADLINE = [
     "h21_schema_evolving_stream",  # mid-stream additive schema evolution
     "e06b_media_featurize",     # binary header parse via mapInPandas
     "e80_substring_dedup",      # corpus-wide exact-substring rewrite
+    # r7 additions (subtotal_r6_48_sec closes the window above so
+    # these stay separable in r8+)
+    "d90b_merge_evolving",      # MERGE with automatic schema evolution
+    "h24_streaming_index_maintenance",  # changelog-driven IVF-PQ upkeep
 ]
 
 #: prefix lengths whose subtotals stay comparable across rounds
@@ -95,6 +99,7 @@ N_R4 = 31
 N_R5 = 35
 N_R5B = 40
 N_R5C = 44
+N_R6 = 48
 
 #: recorded quiet-host calibration probe (SCALE.md "Cross-host
 #: normalization"): 0.924s on the r4 build host at rest, 1.028s on the
@@ -216,6 +221,9 @@ def main() -> None:
                 ),
                 "subtotal_r5_44_sec": round(
                     sum(timings[n] for n in HEADLINE[:N_R5C]), 3
+                ),
+                "subtotal_r6_48_sec": round(
+                    sum(timings[n] for n in HEADLINE[:N_R6]), 3
                 ),
                 "calibration_sec": cal,
                 "calibration_start_sec": cal_start,

@@ -1817,9 +1817,10 @@ def knn_overflow_buckets(spark: SparkSession, sf_dir: str) -> int:
     )
 
 
-@query(
-    "e52_incremental_ivfpq",
-    oracle=f"""
+#: e52's full-re-encode oracle, shared verbatim by h24 (the STREAMED
+#: maintenance loop): both must equal a from-scratch re-encode of the
+#: post-CDC corpus under the same frozen artifacts.
+E52_ORACLE = f"""
     WITH standing AS (
       SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 <> 3
     ),
@@ -1920,8 +1921,10 @@ def knn_overflow_buckets(spark: SparkSession, sf_dir: str) -> int:
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
                                        ORDER BY d2, cid) AS rn FROM fdists)
     WHERE rn = 1
-    """,
-)
+    """
+
+
+@query("e52_incremental_ivfpq", oracle=E52_ORACLE)
 def e52_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 serving-index MAINTENANCE: incremental IVF-PQ update off a
     CDC batch — the reference's continuous-replication promise

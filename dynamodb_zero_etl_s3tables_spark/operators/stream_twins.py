@@ -1604,3 +1604,205 @@ def h23_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("sketch_size"),
         est.cast("long").alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# h24: continuous vector-index maintenance off the table changelog
+# ---------------------------------------------------------------------------
+
+from dynamodb_zero_etl_s3tables_spark.operators.llm_similarity import (  # noqa: E402
+    E52_ORACLE,
+)
+
+
+@query("h24_streaming_index_maintenance", oracle=E52_ORACLE)
+def h24_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H20 x E52 (VERDICT r6 #8): CONTINUOUS index maintenance — the
+    production "index follows the table" loop. The vector corpus
+    lives in a managed table; its CHANGELOG STREAM (h20's Python
+    DataSource over manifest versions) drives a ``foreachBatch``
+    consumer that maintains an IVF-PQ codes index against FROZEN
+    artifacts (codebook + coarse centroids, trained once from the
+    standing corpus and materialized so microbatches READ them, never
+    retrain):
+
+    - the bootstrap version's INSERT rows index with cell = their
+      stored label (indexing-time assignment), src='standing';
+    - each CDC version's UPSERT rows re-encode delta-only — argmin
+      coarse cell over the frozen centroids + PQ codes against the
+      frozen codebook — src='delta';
+    - DELETE rows tombstone the key out of the index.
+
+    The consumer is idempotent per microbatch (output dir keyed on
+    batch_id, overwritten on replay — the restart contract), and the
+    final index is last-batch-wins per vec_id minus tombstones.
+
+    THE ORACLE IS E52's, VERBATIM: a full from-scratch re-encode of
+    the post-CDC corpus under the same frozen artifacts. The hash
+    match proves the streamed loop — bootstrap indexing + two
+    incremental waves through one checkpoint — lands on exactly the
+    state a rebuild would, which is the law that makes minute-cadence
+    index refresh trustworthy at 100 TB (delta-sized work per batch,
+    rebuild-identical result).
+
+    Scale: each microbatch is one CDC commit — encode cost is
+    O(batch) with the codebook/centroids broadcast from KB-sized
+    parquet; the index log appends O(batch) rows per version; the
+    reconstruction is one window over the log (production: compact
+    the log the same way the table compacts its delta chain)."""
+    import shutil as _sh
+
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_similarity import (
+        _DEC,
+        _pq_encode,
+        _pq_seed,
+        _sub_d2,
+        _train_pq_codebook,
+        PQ_M,
+        PQ_SUB,
+    )
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        drain_changelog,
+        make_changelog_source,
+    )
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    root = scratch_dir(sf_dir, "h24_index")
+    if root.exists():
+        _sh.rmtree(root)
+    root.mkdir(parents=True)
+
+    e = load(spark, sf_dir, "embeddings")
+    ten = F.col("vec_id") % 10
+    standing = e.filter(ten != 3)
+    label_t = dict(e.dtypes)["label"]
+
+    subvecs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB),
+    )
+
+    # ---- frozen artifacts: trained ONCE, materialized for consumers
+    cb_path, cent_path = str(root / "codebook"), str(root / "centroids")
+    seed = _pq_seed(standing.select("vec_id", "embedding"), subvecs)
+    ssub = standing.select("vec_id", F.posexplode(subvecs).alias("m", "svec"))
+    _train_pq_codebook(ssub, seed).write.parquet(cb_path)
+    (
+        standing.select("label", F.posexplode("embedding").alias("j", "x"))
+        .groupBy("label", "j")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cvecfull")
+        )
+        .write.parquet(cent_path)
+    )
+
+    # ---- the table: bootstrap + two CDC waves (merge-on-read, so the
+    # delta layer IS the changelog)
+    t = Catalog(spark, str(root / "wh")).create_table(
+        TableSpec(namespace="ml", name="vectors", key_columns=("vec_id",))
+    )
+    t.bootstrap(standing.select("vec_id", "label", "embedding"))
+    wave1 = e.filter(ten == 3).select(  # brand-new vectors
+        F.lit("MODIFY").alias("op"), "vec_id", "label", "embedding",
+        F.lit(1).alias("ts"), F.col("vec_id").alias("seq"),
+    )
+    t.apply_changes(wave1, strategy="merge-on-read")
+    wave2 = (
+        e.filter(ten == 4).select(  # re-embedded vectors
+            F.lit("MODIFY").alias("op"), "vec_id", "label",
+            F.reverse("embedding").alias("embedding"),
+            F.lit(2).alias("ts"), F.col("vec_id").alias("seq"),
+        )
+        .unionByName(
+            e.filter(ten == 7).select(  # retracted vectors
+                F.lit("REMOVE").alias("op"), "vec_id",
+                F.lit(None).cast(label_t).alias("label"),
+                F.lit(None).cast("array<float>").alias("embedding"),
+                F.lit(2).alias("ts"), F.col("vec_id").alias("seq"),
+            )
+        )
+    )
+    t.apply_changes(wave2, strategy="merge-on-read")
+
+    # ---- the consumer: delta-sized encode per microbatch
+    log_dir = str(root / "index_log")
+
+    def maintain(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        bs = batch.sparkSession
+        cb = bs.read.parquet(cb_path)
+        cents = bs.read.parquet(cent_path)
+        ins = batch.filter(F.col("change_op") == "INSERT").select(
+            "vec_id", F.col("label").alias("cell"), "embedding",
+            F.lit("standing").alias("src"),
+        )
+        mods = batch.filter(F.col("change_op") == "UPSERT").select(
+            "vec_id", "embedding"
+        )
+        wcell = W.partitionBy("vec_id").orderBy("d2", "label")
+        dcell = (
+            mods.crossJoin(F.broadcast(cents))
+            .withColumn("d2", _sub_d2(F.col("embedding"), F.col("cvecfull")))
+            .withColumn("rn", F.row_number().over(wcell))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("label").alias("cell"))
+        )
+        enc_in = ins.unionByName(
+            mods.join(dcell, "vec_id").select(
+                "vec_id", "cell", "embedding", F.lit("delta").alias("src")
+            )
+        )
+        codes = _pq_encode(
+            enc_in.select("vec_id", F.posexplode(subvecs).alias("m", "svec")),
+            cb,
+            ["vec_id"],
+        ).join(enc_in.select("vec_id", "cell", "src"), "vec_id")
+        dels = batch.filter(F.col("change_op") == "DELETE").select(
+            "vec_id",
+            F.lit(None).cast(label_t).alias("cell"),
+            F.lit(None).cast("int").alias("m"),
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(None).cast("string").alias("src"),
+        )
+        (
+            codes.select("vec_id", "cell", "m", "cid", "src")
+            .withColumn("alive", F.lit(True))
+            .unionByName(dels.withColumn("alive", F.lit(False)))
+            .write.mode("overwrite")  # idempotent on microbatch replay
+            .parquet(f"{log_dir}/batch={batch_id}")
+        )
+
+    spark.dataSource.register(make_changelog_source())
+    manifest = str(root / "wh" / "ml" / "vectors" / "manifest.json")
+    stream = (
+        spark.readStream.format("table_changelog")
+        .option("manifest", manifest)
+        .option("keys", "vec_id")
+        .load()
+    )
+    n = drain_changelog(
+        stream, str(root / "unused"), str(root / "ckpt"), manifest,
+        foreach_batch=maintain,
+    )
+    if n < 3:  # bootstrap + 2 CDC versions, one microbatch each
+        raise AssertionError(f"expected >=3 index-maintenance batches, got {n}")
+
+    # ---- final index: last-batch-wins per key, tombstones drop
+    log = spark.read.parquet(log_dir)  # `batch` = partition col from dir
+    latest = log.withColumn(
+        "maxb", F.max("batch").over(W.partitionBy("vec_id"))
+    ).filter(F.col("batch") == F.col("maxb"))
+    return latest.filter(F.col("alive")).select("vec_id", "cell", "m", "cid", "src")

@@ -97,20 +97,35 @@ def published_head(manifest_path: str) -> int:
     )
 
 
+def _col_ddl(name: str, t, ddl_map: dict) -> str:
+    """DDL fragment for one changelog column: primitives from the
+    type map, plus arrays of primitives (``array<float>`` embedding
+    columns — r7, the vector-index maintenance stream h24). Anything
+    deeper (structs, nested arrays, maps) refuses loudly: the simple
+    reader emits driver-side python rows, and only flat lists survive
+    the arrow->pylist->pickle round trip with value fidelity we can
+    vouch for."""
+    if isinstance(t, str) and t in ddl_map:
+        return f"{name} {ddl_map[t]}"
+    if (
+        isinstance(t, dict)
+        and t.get("type") == "array"
+        and isinstance(t.get("elementType"), str)
+        and t["elementType"] in ddl_map
+    ):
+        return f"{name} array<{ddl_map[t['elementType']]}>"
+    raise TypeError(
+        f"changelog source supports primitive and array-of-primitive "
+        f"columns only; {name!r} has type {t!r}"
+    )
+
+
 def changelog_schema_ddl(manifest_path: str) -> str:
     """DDL for the changelog stream of the table at ``manifest_path``:
     ``version bigint, change_op string`` + the table's own columns
     (from the newest published snapshot's schema_json)."""
     raw = _json.loads(open(manifest_path).read())
-    cols = []
-    for f in _published_fields(raw):
-        t = f["type"]
-        if not isinstance(t, str) or t not in _DDL:
-            raise TypeError(
-                f"changelog source supports primitive columns only; "
-                f"{f['name']!r} has type {t!r}"
-            )
-        cols.append(f"{f['name']} {_DDL[t]}")
+    cols = [_col_ddl(f["name"], f["type"], _DDL) for f in _published_fields(raw)]
     return "version bigint, change_op string, " + ", ".join(cols)
 
 
@@ -139,16 +154,27 @@ def make_changelog_source():
         return json.loads(newest["schema_json"])["fields"]
 
     def _schema_ddl(manifest_path):
+        # closure twin of module-level _col_ddl/changelog_schema_ddl
+        # (this factory ships by value into the python runner process)
         raw = json.loads(open(manifest_path).read())
         cols = []
         for f in _pub_fields(raw):
-            t = f["type"]
-            if not isinstance(t, str) or t not in ddl_map:
+            name, t = f["name"], f["type"]
+            if isinstance(t, str) and t in ddl_map:
+                cols.append(f"{name} {ddl_map[t]}")
+            elif (
+                isinstance(t, dict)
+                and t.get("type") == "array"
+                and isinstance(t.get("elementType"), str)
+                and t["elementType"] in ddl_map
+            ):
+                cols.append(f"{name} array<{ddl_map[t['elementType']]}>")
+            else:
                 raise TypeError(
-                    f"changelog source supports primitive columns only; "
-                    f"{f['name']!r} has type {t!r}"
+                    f"changelog source supports primitive and "
+                    f"array-of-primitive columns only; {name!r} has "
+                    f"type {t!r}"
                 )
-            cols.append(f"{f['name']} {ddl_map[t]}")
         return "version bigint, change_op string, " + ", ".join(cols)
 
     def _read_rows(dir_path):
@@ -284,7 +310,8 @@ def _committed_offset_version(checkpoint: str) -> int:
 
 
 def drain_changelog(stream_df, out_path: str, checkpoint: str,
-                    manifest_path: str, timeout_sec: float = 120.0) -> int:
+                    manifest_path: str, timeout_sec: float = 120.0,
+                    foreach_batch=None) -> int:
     """Drain the changelog stream version-by-version: run a
     default-trigger (continuous poll) query — so each published version
     becomes its OWN microbatch under the ranged ``read`` — and stop once
@@ -292,7 +319,13 @@ def drain_changelog(stream_df, out_path: str, checkpoint: str,
     at drain start. Returns the number of microbatches this drain
     committed. This replaces ``Trigger.AvailableNow``, which Spark
     demotes to a single ranged batch for Python sources (see module
-    docstring)."""
+    docstring).
+
+    With ``foreach_batch`` (a ``(DataFrame, batch_id) -> None``
+    callable), the sink is ``foreachBatch`` instead of the parquet
+    writer at ``out_path`` (which is then ignored) — the consumer owns
+    its own idempotent output keyed on batch_id, e.g. the vector-index
+    maintenance loop (h24)."""
     import os
 
     target = published_head(manifest_path)
@@ -301,9 +334,13 @@ def drain_changelog(stream_df, out_path: str, checkpoint: str,
     if os.path.isdir(commits_dir):
         ids = [n for n in os.listdir(commits_dir) if n.isdigit()]
         before = max((int(n) for n in ids), default=-1)
+    writer = stream_df.writeStream
+    if foreach_batch is not None:
+        writer = writer.foreachBatch(foreach_batch)
+    else:
+        writer = writer.format("parquet").option("path", out_path)
     q = (
-        stream_df.writeStream.format("parquet")
-        .option("path", out_path)
+        writer
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime="0 seconds")
         .start()

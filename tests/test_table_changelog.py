@@ -131,7 +131,9 @@ def test_schema_binds_to_published_snapshot_not_staged(spark, warehouse):
     assert all(len(t_) == 2 + 3 for t_ in rows)  # version, op, 3 cols
 
 
-def test_schema_rejects_non_primitive_columns(spark, warehouse):
+def test_schema_accepts_primitive_arrays_rejects_nested(spark, warehouse):
+    # arrays of primitives stream (r7: embedding columns for the h24
+    # index-maintenance loop) ...
     t = Catalog(spark, warehouse).create_table(
         TableSpec(namespace="ns", name="arr", key_columns=("pk",))
     )
@@ -141,8 +143,22 @@ def test_schema_rejects_non_primitive_columns(spark, warehouse):
     src = make_changelog_source()(
         options={"manifest": f"{warehouse}/ns/arr/manifest.json", "keys": "pk"}
     )
+    assert "vec array<double>" in src.schema()
+
+    # ... but nested arrays / structs still refuse loudly
+    t2 = Catalog(spark, warehouse).create_table(
+        TableSpec(namespace="ns", name="nested", key_columns=("pk",))
+    )
+    t2.bootstrap(
+        spark.createDataFrame(
+            [(1, [[1.0]])], "pk long, mat array<array<double>>"
+        )
+    )
+    src2 = make_changelog_source()(
+        options={"manifest": f"{warehouse}/ns/nested/manifest.json", "keys": "pk"}
+    )
     with pytest.raises(TypeError, match="primitive"):
-        src.schema()
+        src2.schema()
 
 
 def test_drain_one_microbatch_per_version_and_resume(spark, warehouse, tmp_path):
