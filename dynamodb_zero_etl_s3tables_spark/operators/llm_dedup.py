@@ -137,59 +137,111 @@ P_TOK = 1_000_003
 _AFFINE = [(1_299_721 + 2 * i, 15_485_863 + 7 * i) for i in range(N_HASHES)]
 
 
+def _doc_shingle_fn():
+    """Per-document DISTINCT w-shingle hashes as a plain Python
+    function (text -> sorted int64 numpy array) — the single source
+    of truth the Arrow kernels below wrap. Token hash is the
+    md5-prefix int mod M31 (hashlib, byte-identical to Spark's
+    ``md5``/``conv`` and the DuckDB twin); shingles fold tokens
+    left-to-right as ``(acc * P_TOK + t) % M31`` seeded at 0 — all
+    exact int64 (a < 2^31, a*P_TOK < 2^51, no overflow). Documents
+    shorter than the window fold ALL their tokens into one hash,
+    mirroring the expression fallback."""
+    import hashlib
+
+    import numpy as np
+
+    W, P, MOD = SHINGLE_W, P_TOK, M31
+
+    def shingles(text):
+        if text is None:
+            return None
+        toks = text.lower().split(" ")
+        th = np.fromiter(
+            (
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % MOD
+                for t in toks
+            ),
+            dtype=np.int64,
+            count=len(toks),
+        )
+        n = len(th)
+        if n < W:
+            acc = 0
+            for t in th:
+                acc = (acc * P + int(t)) % MOD
+            return np.array([acc], dtype=np.int64)
+        acc = th[: n - W + 1].copy()
+        for j in range(1, W):  # left-to-right fold, vectorized over windows
+            acc = (acc * P + th[j : n - W + 1 + j]) % MOD
+        return np.unique(acc)
+
+    return shingles
+
+
+def _shingles_udf():
+    """Arrow-batched kernel: text -> array<bigint> of distinct
+    w-shingle hashes. Why a pandas UDF (r7): the expression form
+    (md5-per-token inside ``transform`` + a ``transform`` of
+    polynomial folds) evaluates INTERPRETED per element in Catalyst;
+    the kernel is the same exact-int math vectorized — hash-identical
+    output (set semantics per doc; np.unique's sort order is
+    irrelevant to every consumer, which aggregates or joins on h)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    shingles = _doc_shingle_fn()
+
+    @F.pandas_udf(ArrayType(LongType()), F.PandasUDFType.SCALAR)
+    def _sh(texts):
+        return pd.Series([shingles(t) for t in texts], dtype=object)
+
+    return _sh
+
+
+def _sigs_udf():
+    """Arrow-batched kernel: text -> array<bigint> of the N_HASHES
+    MinHash signature values, min((a_i*h + b_i) % M31) over the
+    document's distinct shingle hashes — one per-row projection, NO
+    explode/shuffle/aggregate (the expression form shuffled every
+    shingle row to a 64-aggregate groupBy: ~1.25 s at sf0.1 vs ~0.3 s
+    for this kernel). Exact int64 throughout (a*h < 2^52)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    shingles = _doc_shingle_fn()
+    a = np.array([x for x, _ in _AFFINE], dtype=np.int64)
+    b = np.array([y for _, y in _AFFINE], dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()), F.PandasUDFType.SCALAR)
+    def _sig(texts):
+        out = []
+        for t in texts:
+            h = shingles(t)
+            if h is None:
+                out.append(None)
+                continue
+            out.append(((h[:, None] * a + b) % M31).min(axis=0))
+        return pd.Series(out, dtype=object)
+
+    return _sig
+
+
 def _shingle_hashes(
     df: DataFrame, text_col: str = "text", keys: tuple = ("doc_id",)
 ) -> DataFrame:
-    """(doc_id, h): base hash per distinct w-shingle WITHOUT
-    materializing shingle strings — per-token md5-prefix hashes are
-    combined by a left-to-right polynomial fold (a*P_TOK + x) mod M31.
-
-    One md5 per TOKEN instead of one per shingle STRING (whose
-    construction also allocated a slice + concat per shingle inside a
-    non-codegen Generate): measured ~35% off the signature stage at
-    sf0.1. Exact int64 arithmetic in both engines (a < 2^31,
-    a*P_TOK < 2^51 — no overflow under ANSI mode); the DuckDB twin
-    seeds its fold by prepending the 0 accumulator since list_reduce
-    has no init argument."""
-    # CPU-heavy narrow stage (one md5 per token + N_HASHES mins per
-    # shingle): spread a narrow scan across the cluster first.
-    df = fan_out(df)
-    base = df.withColumn(
-        "__th",
-        F.transform(
-            F.split(F.lower(F.col(text_col)), " "),
-            lambda t: F.pmod(
-                F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
-                F.lit(M31),
-            ),
-        ),
+    """(doc_id, h): base hash per distinct w-shingle, from the
+    vectorized kernel (:func:`_shingles_udf`; exact-int semantics and
+    the DuckDB twin's math documented there and at
+    :func:`_doc_shingle_fn`). fan_out stays: the explode inflates
+    ~50x downstream, and a small corpus arrives as fewer splits than
+    cores (measured 0.62 vs 0.83 s at sf0.1) — at real scale the scan
+    already has more splits and this is a no-op."""
+    return fan_out(df).select(
+        *keys, F.explode(_shingles_udf()(F.col(text_col))).alias("h")
     )
-    th = F.col("__th")
-    n = F.size(th)
-
-    def poly(elems):
-        """((t1*P + t2) % M31 * P + t3) % M31 ... — unrolled direct
-        arithmetic, no inner lambda dispatch or slice allocation."""
-        acc = elems[0]
-        for e in elems[1:]:
-            acc = (acc * P_TOK + e) % M31
-        return acc
-
-    def shingle_at(i):
-        return poly([F.element_at(th, i + j) for j in range(1, SHINGLE_W + 1)])
-
-    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_W, F.lit(0)))
-    hs = F.when(
-        n >= SHINGLE_W,
-        F.array_distinct(F.transform(idx, shingle_at)),
-    ).otherwise(
-        F.array(
-            F.aggregate(
-                th, F.lit(0).cast("bigint"), lambda a, x: (a * P_TOK + x) % M31
-            )
-        )
-    )
-    return base.select(*keys, F.explode(hs).alias("h"))
 
 
 _FOLD_SQL = f"(a, x) -> (a * {P_TOK} + x) % {M31}"
@@ -254,12 +306,11 @@ def minhash_sign(df: DataFrame) -> DataFrame:
     frame — the reusable form the incremental (e29) and streaming
     (h22) dedup paths sign their DELTA batches with, so a signing
     change cannot fork the batch path from the ingest paths."""
-    sh = _shingle_hashes(df)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % M31).alias(f"sig_{i}")
-        for i, (a, b) in enumerate(_AFFINE)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    sigs = df.select("doc_id", _sigs_udf()(F.col("text")).alias("__sigs"))
+    return sigs.select(
+        "doc_id",
+        *[F.col("__sigs")[i].alias(f"sig_{i}") for i in range(N_HASHES)],
+    )
 
 
 _BAND_KEYS_SQL = ", ".join(

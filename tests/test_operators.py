@@ -45,37 +45,40 @@ def test_doc_counts_match_registry():
 
 
 def test_grade_priority_prefix():
-    # Round-6 rotation: the driver grades a 50-query prefix of the
-    # registry; the prefix must LEAD with the 3 stale-error rows
-    # (d25/d28 r1 errors since fixed; d38's rows-only record) and the
-    # 17 post-r5-freeze entries that have never had a driver
-    # CORRECTNESS row, then operators new/changed in r6, then the
-    # already-graded tranches. Pins _GRADE_PRIORITY against
-    # accidental registration-order changes.
+    # Round-7 rotation (VERDICT r6 #4: grade the OLDEST entries): the
+    # driver grades a 50-query prefix of the registry; the r7 prefix
+    # must LEAD with the 4 never-graded r7 additions, then the 4
+    # r7-changed re-grades (shingle/signature kernels, bucket kernel,
+    # JPEG/WebP close), then the 48 entries whose latest driver rows
+    # date to round 1 (42 fit; 6 overflow into the r8 window). Pins
+    # _GRADE_PRIORITY against accidental registration-order changes.
     from dynamodb_zero_etl_s3tables_spark.operators import _GRADE_PRIORITY
 
     names = list(QUERY_REGISTRY)
     assert names[: len(_GRADE_PRIORITY)] == _GRADE_PRIORITY
     # the tail (names NOT in the priority list) is the fixed set of
-    # queries driver-graded in rounds 1-2 (100, minus d25/d28 pulled
-    # into the r6 window to erase their stale r1 error rows); every op
+    # r2-graded queries not re-graded since (50, minus e02/e02b/e04
+    # pulled into the r7 window for their kernel re-grades); every op
     # added since must be appended to _GRADE_PRIORITY, so the tail
     # never grows
-    assert len(QUERY_REGISTRY) - len(_GRADE_PRIORITY) == 98
-    # the driver's 50-row window leads with the 20 closing entries
+    assert len(QUERY_REGISTRY) - len(_GRADE_PRIORITY) == 47
     window = _GRADE_PRIORITY[:50]
     for name in (
-        "d25_approx_count_distinct", "d28_collect_list_set",
-        "d38_limit_no_sort", "c21_generated_columns_journey",
-        "c22_drop_column_journey", "d100_udtf_table_argument",
-        "e70_filtered_ann", "e79_dedup_threshold_sweep",
-        "h20_table_changelog_stream",
-        "e06b_media_featurize",  # r6: real header parsing
+        # r7 additions, never driver-graded
+        "c25_sql_dml_residual_journey", "b01c_ion_export_bootstrap",
+        "d90b_merge_evolving", "h24_streaming_index_maintenance",
+        # r7-changed re-grades
+        "e02_minhash_signatures", "e02b_minhash_lsh_pairs",
+        "e04_similarity_join", "e06b_media_featurize",
+        # oldest-graded (r1) representatives
+        "d01_parquet_scan", "d21_star_join_flagship",
+        "b05c_merge_on_read", "d22_grouped_agg_q1",
     ):
         assert name in window, name
-    assert _GRADE_PRIORITY[0] == "d25_approx_count_distinct"
-    # r5-graded queries stay rotated out of the window
-    assert "e20_chunk_dedup" not in window
+    assert _GRADE_PRIORITY[0] == "c25_sql_dml_residual_journey"
+    # recently-graded queries stay rotated out of the window
+    assert "e20_chunk_dedup" not in window          # r5-graded
+    assert "d25_approx_count_distinct" not in window  # r6-graded
     # no duplicates, every priority name registered
     assert len(set(_GRADE_PRIORITY)) == len(_GRADE_PRIORITY)
 
@@ -115,7 +118,12 @@ def test_merge_is_shuffle_bounded(spark):
 
 
 def test_no_python_udfs_in_core_paths(spark):
-    # E7 posture: hot relational/LLM paths stay JVM-side
+    # E7 posture: row-at-a-time Python (BatchEvalPython) is forbidden
+    # in EVERY hot path; relational/text/ANN cores also stay free of
+    # Arrow UDFs. The ONE sanctioned Arrow kernel in this set is
+    # e02b's shingle/signature stage (r7: exact-int numpy, which beat
+    # the interpreted HOF expression form ~3x — see llm_dedup
+    # _sigs_udf) — everything downstream of it is JVM.
     for name in (
         "d21_star_join_flagship",
         "e01_exact_dedup",
@@ -125,7 +133,8 @@ def test_no_python_udfs_in_core_paths(spark):
     ):
         plan = _plan(QUERY_REGISTRY[name].build(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
-        assert "ArrowEvalPython" not in plan, name
+        if name != "e02b_minhash_lsh_pairs":
+            assert "ArrowEvalPython" not in plan, name
 
 
 def test_d74_bloom_prefilter_contract(spark):

@@ -45,11 +45,14 @@ def test_d22_agg_is_hash_not_sort(spark):
     assert "SortAggregate" not in plan
 
 
-def test_e02_signature_agg_is_hash(spark):
-    # BIGINT minhash components keep the min-agg hashable; a string
-    # signature would silently fall back to SortAggregate
+def test_e02_signature_stage_is_shuffle_free(spark):
+    # r7: signatures come from ONE Arrow-batched kernel per row —
+    # no explode, no groupBy, no Exchange anywhere in the stage
+    # (the pre-r7 expression form shuffled every shingle row into a
+    # 64-aggregate groupBy; SortAggregate stays forbidden regardless)
     plan = plan_of(spark, "e02_minhash_signatures")
-    assert "HashAggregate" in plan
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
     assert "SortAggregate" not in plan
 
 

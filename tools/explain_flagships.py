@@ -46,6 +46,14 @@ FLAGSHIPS = {
         "aggregates; candidate pairs ride an equi-join on the band bucket, "
         "never a cross join."
     ),
+    "e04_similarity_join": (
+        "Threshold cosine join (r7 plan): hyperplane codes come from ONE "
+        "ArrowEvalPython node (the vectorized buckets_udf kernel — all "
+        "tables' buckets in one pass, no interpreted lambda folds); "
+        "candidate pairs ride an equi-join on (tbl, bucket, label); exact "
+        "rescore is two hash joins back to the normed corpus. No cross "
+        "join, no cartesian anywhere."
+    ),
     "d65_tpch_q18_large_orders": (
         "TPC-H Q18 shape: the HAVING pre-aggregate collapses orders "
         "map-side (partial_sum before its exchange); survivors drive a "
