@@ -252,6 +252,15 @@ def read_export(
         ).filter(F.col("__raw_item").isNotNull())
     decoded = decode_item_column(with_item, "__raw_item", fields, depth)
     if validate_counts:
+        if summary.get("outputFormat", "DYNAMODB_JSON") == "ION":
+            # the count action below + the caller's snapshot write
+            # would each re-run the Python Ion parse (the one
+            # expensive stage of this path); checkpoint lazily so the
+            # decode is computed ONCE and both actions reuse it.
+            # Bounded: a bootstrap export is read exactly once, and
+            # the checkpoint is the same data volume the snapshot
+            # write is about to materialize anyway.
+            decoded = decoded.localCheckpoint(eager=False)
         expected = int(summary.get("itemCount", -1))
         got = decoded.count()
         if expected >= 0 and got != expected:
