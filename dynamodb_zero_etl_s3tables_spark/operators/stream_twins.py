@@ -1057,9 +1057,9 @@ def h19_drift_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "h20_table_changelog_stream",
-    oracle="""
+#: h20's relational restatement of the changelog — shared verbatim by
+#: h25 (the partitioned-reader drain): both readers owe the SAME rows.
+H20_ORACLE = """
     WITH base AS (
       SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
       FROM orders
@@ -1074,8 +1074,10 @@ def h19_drift_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base WHERE pk % 6 = 0
     UNION ALL
     SELECT 3, 'UPSERT', pk, status, price * 2 FROM base WHERE pk % 3 = 2
-    """,
-)
+    """
+
+
+@query("h20_table_changelog_stream", oracle=H20_ORACLE)
 def h20_table_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H-family capstone: the MANAGED TABLE ITSELF as a streaming
     SOURCE — Delta CDF / Iceberg incremental-read streaming analog on
@@ -1806,3 +1808,89 @@ def h24_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         "maxb", F.max("batch").over(W.partitionBy("vec_id"))
     ).filter(F.col("batch") == F.col("maxb"))
     return latest.filter(F.col("alive")).select("vec_id", "cell", "m", "cid", "src")
+
+
+@query("h25_partitioned_changelog_drain", oracle=H20_ORACLE)
+def h25_partitioned_changelog_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H20's documented scale upgrade, landed (r7): the changelog as a
+    PARTITIONED Python DataSource (``DataSourceStreamReader`` +
+    ``InputPartition`` per data/delta file) — EXECUTORS read the
+    parquet, nothing is materialized driver-side, and a multi-commit
+    backlog drains as ONE microbatch whose files load in parallel
+    (the catch-up/throughput mode; the simple reader stays the
+    per-version-cadence mode). Same offsets, same emission semantics,
+    same CoW refusal — and THE SAME ORACLE as h20, verbatim: the two
+    readers owe byte-identical changelog rows for the same table
+    history, which is exactly what the hash match proves.
+
+    Scale: this is the reader you run when a consumer fell behind by
+    a thousand commits on a 100 TB table — partition count tracks the
+    delta-file population, each task reads one file, DELETE
+    suppression joins only the version's (key-only, small) upsert
+    files executor-side."""
+    import shutil as _sh
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        drain_changelog,
+        make_partitioned_changelog_source,
+    )
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    root = scratch_dir(sf_dir, "h25_cdf_part")
+    if root.exists():
+        _sh.rmtree(root)
+    root.mkdir(parents=True)
+
+    t = Catalog(spark, str(root / "wh")).create_table(
+        TableSpec(namespace="ns", name="orders_cdf", key_columns=("pk",))
+    )
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    # the FULL history commits BEFORE the drain — the backlog shape
+    t.bootstrap(base.filter(F.col("pk") % 3 == 0))
+    wave1 = (
+        base.filter(F.col("pk") % 3 == 1)
+        .select(
+            F.lit("MODIFY").alias("op"), "pk", "status", "price",
+            F.lit(1).alias("ts"), F.col("pk").alias("seq"),
+        )
+        .unionByName(
+            base.filter(F.col("pk") % 6 == 0).select(
+                F.lit("REMOVE").alias("op"), "pk",
+                F.lit(None).cast("string").alias("status"),
+                F.lit(None).cast("double").alias("price"),
+                F.lit(1).alias("ts"), F.col("pk").alias("seq"),
+            )
+        )
+    )
+    t.apply_changes(wave1, strategy="merge-on-read")
+    wave2 = base.filter(F.col("pk") % 3 == 2).select(
+        F.lit("MODIFY").alias("op"), "pk", "status",
+        (F.col("price") * 2).alias("price"),
+        F.lit(2).alias("ts"), F.col("pk").alias("seq"),
+    )
+    t.apply_changes(wave2, strategy="merge-on-read")
+
+    spark.dataSource.register(make_partitioned_changelog_source())
+    manifest = str(root / "wh" / "ns" / "orders_cdf" / "manifest.json")
+    stream = (
+        spark.readStream.format("table_changelog_part")
+        .option("manifest", manifest)
+        .option("keys", "pk")
+        .load()
+    )
+    batches = drain_changelog(
+        stream, str(root / "out"), str(root / "ckpt"), manifest
+    )
+    if batches != 1:
+        raise AssertionError(
+            f"partitioned reader must drain the 3-version backlog as ONE "
+            f"fat microbatch, got {batches}"
+        )
+    return spark.read.parquet(str(root / "out")).select(
+        "version", "change_op", "pk", "status", "price"
+    )

@@ -364,3 +364,181 @@ def drain_changelog(stream_df, out_path: str, checkpoint: str,
     ids = [n for n in os.listdir(commits_dir) if n.isdigit()]
     after = max((int(n) for n in ids), default=-1)
     return after - before
+
+
+def make_partitioned_changelog_source():
+    """Factory for the PARTITIONED changelog source — the documented
+    fat-batch upgrade of :func:`make_changelog_source` (same offsets,
+    same emission semantics, same refusals): a
+    ``DataSourceStreamReader`` whose ``partitions()`` returns one
+    ``InputPartition`` per data/delta FILE, so EXECUTORS read the
+    parquet (d94-style per-file fan-out) instead of the simple
+    reader's driver-side materialization.
+
+    Trigger/batching contract (deliberately different from the simple
+    reader): ``latestOffset`` returns the manifest HEAD, so a backlog
+    of N commits drains as ONE microbatch whose files load in
+    parallel across the cluster — maximum throughput for catch-up.
+    The simple reader remains the per-version-cadence choice (one
+    microbatch per commit, driver-rate batches). Pick by registering
+    the source you want: ``table_changelog`` vs
+    ``table_changelog_part``.
+
+    DELETE partitions carry their version's inserts files and filter
+    out tombstones that also have a new image — the same
+    suppressed-delete rule as the simple reader, computed
+    executor-side from the (key-columns-only, small) delta files.
+
+    Everything the class touches lives inside this closure
+    (cloudpickle ships it by value into the python runner process —
+    same pattern as make_changelog_source)."""
+    import glob
+    import json
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    ddl_map = dict(_DDL)
+
+    def _pub_fields(raw):
+        published = [s for s in raw["snapshots"] if not s.get("staged")]
+        if not published:
+            raise ValueError(
+                "changelog source: table has no published snapshot "
+                f"({len(raw['snapshots'])} staged/WAP only)"
+            )
+        newest = max(published, key=lambda s: s["version"])
+        return json.loads(newest["schema_json"])["fields"]
+
+    def _schema_ddl(manifest_path):
+        raw = json.loads(open(manifest_path).read())
+        cols = []
+        for f in _pub_fields(raw):
+            name, t = f["name"], f["type"]
+            if isinstance(t, str) and t in ddl_map:
+                cols.append(f"{name} {ddl_map[t]}")
+            elif (
+                isinstance(t, dict)
+                and t.get("type") == "array"
+                and isinstance(t.get("elementType"), str)
+                and t["elementType"] in ddl_map
+            ):
+                cols.append(f"{name} array<{ddl_map[t['elementType']]}>")
+            else:
+                raise TypeError(
+                    f"changelog source supports primitive and "
+                    f"array-of-primitive columns only; {name!r} has "
+                    f"type {t!r}"
+                )
+        return "version bigint, change_op string, " + ", ".join(cols)
+
+    @dataclass
+    class _FilePart(InputPartition):
+        version: int
+        change_op: str  # INSERT | UPSERT | DELETE
+        path: str  # parquet file this partition reads ("" = no-op)
+        sibling_inserts: tuple  # DELETE only: the version's upsert files
+        cols: tuple
+        keys: tuple
+
+    class _Reader(DataSourceStreamReader):
+        def __init__(self, manifest_path, col_names, key_cols):
+            self._manifest = manifest_path
+            self._cols = tuple(col_names)
+            self._keys = tuple(key_cols)
+
+        def initialOffset(self):
+            return {"v": 0}
+
+        def latestOffset(self):
+            raw = json.loads(open(self._manifest).read())
+            head = max(
+                (s["version"] for s in raw["snapshots"] if not s.get("staged")),
+                default=0,
+            )
+            return {"v": head}
+
+        def partitions(self, start, end):
+            raw = json.loads(open(self._manifest).read())
+            parts = []
+            for s in raw["snapshots"]:
+                if s.get("staged") or not (start["v"] < s["version"] <= end["v"]):
+                    continue
+                v, op = s["version"], s["operation"]
+                if op in ("bootstrap", "bootstrap-export", "overwrite"):
+                    for f in sorted(glob.glob(f"{s['data_dir']}/*.parquet")):
+                        parts.append(
+                            _FilePart(v, "INSERT", f, (), self._cols, self._keys)
+                        )
+                elif op == "merge-mor":
+                    ins = tuple(
+                        sorted(glob.glob(f"{s['delta']['inserts']}/*.parquet"))
+                    )
+                    for f in ins:
+                        parts.append(
+                            _FilePart(v, "UPSERT", f, (), self._cols, self._keys)
+                        )
+                    for f in sorted(glob.glob(f"{s['delta']['deletes']}/*.parquet")):
+                        parts.append(
+                            _FilePart(v, "DELETE", f, ins, self._cols, self._keys)
+                        )
+                else:
+                    raise ValueError(
+                        f"changelog source: snapshot v{v} is {op!r}; only "
+                        "bootstrap/overwrite and merge-on-read CDC commits "
+                        "carry per-row change files. Run compaction/CoW "
+                        "maintenance after consumers pass this version, or "
+                        "switch the CDC cadence to strategy='merge-on-read'."
+                    )
+            # the engine expects >= 1 partition per planned batch
+            return parts or [_FilePart(0, "NONE", "", (), self._cols, self._keys)]
+
+        def read(self, partition):
+            if not partition.path:
+                return
+            import pyarrow.parquet as pq
+
+            rows = pq.read_table(partition.path).to_pylist()
+            if partition.change_op == "DELETE":
+                up_keys = set()
+                for f in partition.sibling_inserts:
+                    tbl = pq.read_table(f, columns=list(partition.keys))
+                    for r in tbl.to_pylist():
+                        up_keys.add(tuple(r[k] for k in partition.keys))
+                rows = [
+                    r
+                    for r in rows
+                    if tuple(r[k] for k in partition.keys) not in up_keys
+                ]
+            for r in rows:
+                yield (
+                    partition.version,
+                    partition.change_op,
+                    *[r.get(c) for c in partition.cols],
+                )
+
+        def commit(self, end):
+            pass
+
+    class PartitionedTableChangelogSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "table_changelog_part"
+
+        def schema(self):
+            return _schema_ddl(self.options["manifest"])
+
+        def streamReader(self, schema):
+            raw = json.loads(open(self.options["manifest"]).read())
+            fields = _pub_fields(raw)
+            return _Reader(
+                self.options["manifest"],
+                [f["name"] for f in fields],
+                [k.strip() for k in self.options["keys"].split(",")],
+            )
+
+    return PartitionedTableChangelogSource

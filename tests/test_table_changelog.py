@@ -201,3 +201,77 @@ def test_drain_one_microbatch_per_version_and_resume(spark, warehouse, tmp_path)
     got = spark.read.parquet(out)
     assert got.count() == n1 + 1
     assert got.filter("version = 3 and change_op = 'DELETE'").count() == 1
+
+
+# -- partitioned reader (r7, the fat-batch upgrade) --------------------------
+
+def test_partitioned_reader_per_file_parts_and_delete_suppression(
+    spark, warehouse
+):
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        make_partitioned_changelog_source,
+    )
+
+    t, mp = _mk(spark, warehouse)
+    # wave: pk=2 gets a new image AND a tombstone (suppressed delete),
+    # pk=1 a bare tombstone (emitted), pk=3 a fresh upsert
+    t.apply_changes(
+        spark.createDataFrame(
+            [
+                ("MODIFY", 2, "B2", 21.0, 1, 1),
+                ("MODIFY", 3, "C", 30.0, 1, 2),
+                ("REMOVE", 1, None, None, 1, 3),
+                ("REMOVE", 2, None, None, 1, 0),
+            ],
+            "op string, pk long, status string, price double, ts long, seq long",
+        ),
+        strategy="merge-on-read",
+    )
+    src = make_partitioned_changelog_source()(
+        options={"manifest": mp, "keys": "pk"}
+    )
+    r = src.streamReader(None)
+    assert r.initialOffset() == {"v": 0}
+    head = r.latestOffset()
+    assert head == {"v": 2}
+    parts = r.partitions({"v": 0}, head)
+    # at least one INSERT (bootstrap file), one UPSERT, one DELETE part
+    roles = {p.change_op for p in parts}
+    assert roles == {"INSERT", "UPSERT", "DELETE"}
+    # every partition names exactly one parquet file
+    assert all(p.path.endswith(".parquet") for p in parts)
+    rows = [row for p in parts for row in r.read(p)]
+    by_op = {}
+    for row in rows:
+        by_op.setdefault(row[1], []).append(row)
+    assert {x[2] for x in by_op["INSERT"]} == {1, 2}      # bootstrap rows
+    assert {x[2] for x in by_op["UPSERT"]} == {2, 3}      # new images
+    assert {x[2] for x in by_op["DELETE"]} == {1}         # pk=2 suppressed
+    assert by_op["DELETE"][0][3] is None                  # non-key cols null
+    # version ranging: a (1, 2] range excludes the bootstrap
+    parts2 = r.partitions({"v": 1}, {"v": 2})
+    assert {p.change_op for p in parts2} == {"UPSERT", "DELETE"}
+    # empty range -> the no-op placeholder partition, which yields nothing
+    parts3 = r.partitions({"v": 2}, {"v": 2})
+    assert len(parts3) == 1 and list(r.read(parts3[0])) == []
+
+
+def test_partitioned_reader_refuses_cow_commits(spark, warehouse):
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        make_partitioned_changelog_source,
+    )
+
+    t, mp = _mk(spark, warehouse)
+    t.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 3, "C", 30.0, 1, 1)],
+            "op string, pk long, status string, price double, ts long, seq long",
+        ),
+        strategy="copy-on-write",
+    )
+    src = make_partitioned_changelog_source()(
+        options={"manifest": mp, "keys": "pk"}
+    )
+    r = src.streamReader(None)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        r.partitions({"v": 0}, r.latestOffset())
