@@ -169,6 +169,12 @@ class ZeroEtlEngine:
             if version is not None:
                 raise ValueError("DML statements cannot target a past version")
             return sql_dml.route_dml(self, query)
+        if sql_dml.is_utility(query):
+            if version is not None:
+                raise ValueError(
+                    "DDL/utility statements cannot target a past version"
+                )
+            return sql_dml.route_utility(self, query)
         self.catalog.refresh_view(self.spec.qualified_name, version=version)
         return self.catalog.sql(query)
 

@@ -352,18 +352,36 @@ def ion_to_item_json(line: str) -> str | None:
     return json.dumps(item["M"])
 
 
-def _ion_escape(s: str) -> str:
+def _ion_escape(s: str, quote: str = '"') -> str:
+    """Escape a string body for the given quote character: the quote,
+    backslash, and EVERY control char (so an embedded newline can
+    never break the one-document-per-line NDJSON framing — pinned by
+    the hypothesis roundtrip law)."""
     out = []
     for ch in s:
         if ch == "\\":
             out.append("\\\\")
-        elif ch == '"':
-            out.append('\\"')
+        elif ch == quote:
+            out.append("\\" + quote)
         elif ord(ch) < 0x20:
             out.append(f"\\x{ord(ch):02x}")
         else:
             out.append(ch)
     return "".join(out)
+
+
+def _num_ion(text) -> str:
+    """Canonical Ion decimal text for an N value — the SAME plain
+    no-exponent form :meth:`_Parser._parse_number` emits, so the
+    roundtrip is byte-stable for ANY valid N input (e.g. ``0E-8``
+    normalizes to ``0.00000000`` on both sides; pinned by the
+    hypothesis roundtrip law). Also keeps the wire in Ion's DECIMAL
+    space: passing raw ``...E...`` text through would mint an Ion
+    FLOAT, a different type."""
+    try:
+        return format(Decimal(str(text)), "f")
+    except ArithmeticError as exc:
+        raise ValueError(f"invalid N value {text!r}: {exc}") from None
 
 
 def _encode_av(av: dict) -> str:
@@ -372,7 +390,7 @@ def _encode_av(av: dict) -> str:
     if "S" in av:
         return f'"{_ion_escape(av["S"])}"'
     if "N" in av:
-        return str(av["N"])  # int or decimal literal, both valid Ion
+        return _num_ion(av["N"])
     if "BOOL" in av:
         return "true" if av["BOOL"] else "false"
     if "NULL" in av:
@@ -383,7 +401,7 @@ def _encode_av(av: dict) -> str:
         return "$dynamodb_SS::[" + ",".join(
             f'"{_ion_escape(s)}"' for s in av["SS"]) + "]"
     if "NS" in av:
-        return "$dynamodb_NS::[" + ",".join(str(x) for x in av["NS"]) + "]"
+        return "$dynamodb_NS::[" + ",".join(_num_ion(x) for x in av["NS"]) + "]"
     if "BS" in av:
         return "$dynamodb_BS::[" + ",".join(
             "{{" + b + "}}" for b in av["BS"]) + "]"
@@ -397,7 +415,7 @@ def _encode_av(av: dict) -> str:
 def _encode_field_name(name: str) -> str:
     if _SYMBOL_RE.fullmatch(name):
         return name
-    return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return "'" + _ion_escape(name, quote="'") + "'"
 
 
 def _encode_struct(m: dict) -> str:

@@ -3362,3 +3362,98 @@ def c24_mor_dml_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n"), dsum("price").alias("total"))
     )
+
+
+@query(
+    "c26_sql_ddl_journey",
+    oracle="""
+    SELECT o_orderkey AS pk,
+           o_orderstatus AS status,
+           o_totalprice AS price,
+           CASE WHEN o_totalprice >= 100000 THEN 'big' ELSE 'small' END AS tier,
+           CAST(NULL AS VARCHAR) AS note
+    FROM orders
+    """,
+)
+def c26_sql_ddl_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 DDL capstone (r7): the Athena surface over the replicated
+    table also carries table-maintenance SQL. This journey drives
+    schema evolution and maintenance ENTIRELY through
+    ``ZeroEtlEngine.sql`` strings — ADD COLUMNS (metadata-only,
+    NULL-backed), an UPDATE filling the new column, RENAME COLUMN,
+    DROP COLUMN, the RESURRECT-GUARD refusal (re-adding a dropped
+    name before a rewrite must fail: carried files still hold its
+    values), OPTIMIZE (bin-pack compaction, which physically clears
+    the dropped column), the now-legal re-add, VACUUM, and DESCRIBE
+    HISTORY (asserted against the exact commit sequence). The oracle
+    replays the surviving schema + values in ANSI SQL.
+
+    Scale: every ALTER is an O(manifest) commit — on a 100 TB table
+    add/rename/drop land in milliseconds with zero rewrite (the
+    Iceberg metadata-evolution semantic); the one data-moving step is
+    the explicit OPTIMIZE, exactly as on Athena/Iceberg."""
+    import json
+
+    from dynamodb_zero_etl_s3tables_spark.engine import ZeroEtlEngine
+    from dynamodb_zero_etl_s3tables_spark.spec import SourceSpec
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import (
+        SchemaEvolutionError,
+    )
+
+    wh = _scratch(sf_dir, "warehouse_c26", wipe=True)
+    eng = ZeroEtlEngine(
+        spark,
+        wh,
+        SourceSpec(table_name="orders-ddb", key_columns=("pk",)),
+        TableSpec(namespace="analytics", name="orders_sqlddl",
+                  key_columns=("pk",)),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    eng.bootstrap(o)
+    t = "analytics.orders_sqlddl"
+
+    res = json.loads(
+        eng.sql(f"ALTER TABLE {t} ADD COLUMNS (segment string, note string)")
+        .first().info
+    )
+    _check(res["columns"] == {"segment": "string", "note": "string"}, str(res))
+    eng.sql(
+        f"UPDATE {t} SET segment = CASE WHEN price >= 100000.0 THEN 'big' "
+        "ELSE 'small' END WHERE price >= 0.0"
+    )
+    eng.sql(f"ALTER TABLE {t} RENAME COLUMN segment TO tier")
+    eng.sql(f"ALTER TABLE {t} DROP COLUMN note")
+
+    # resurrect guard: the carried files still hold note's values
+    try:
+        eng.sql(f"ALTER TABLE {t} ADD COLUMNS (note string)")
+        _check(False, "re-adding a dropped column must refuse before a rewrite")
+    except SchemaEvolutionError as exc:
+        _check("compact()" in str(exc), f"refusal must say how to proceed: {exc}")
+
+    res = json.loads(
+        eng.sql(f"OPTIMIZE {t} REWRITE DATA USING BIN_PACK").first().info
+    )
+    _check(res.get("files_after", 1) >= 1, str(res))
+    eng.sql(f"ALTER TABLE {t} ADD COLUMNS (note string)")  # legal post-rewrite
+    eng.sql(f"VACUUM {t}")
+
+    hist = eng.sql(f"DESCRIBE HISTORY {t}")
+    ops = [r.operation for r in hist.orderBy("version").collect()]
+    _check(
+        ops[0] == "bootstrap"
+        and ops[1] == "add-columns:segment,note"
+        and ops[2].startswith("update")
+        and ops[3] == "rename-column:segment->tier"
+        and ops[4] == "drop-column:note"
+        and ops[5] == "compact"
+        and ops[6] == "add-columns:note",
+        f"history must record the DDL journey, got {ops}",
+    )
+    return eng.sql(
+        "SELECT pk, status, price, tier, note FROM analytics_orders_sqlddl"
+    )

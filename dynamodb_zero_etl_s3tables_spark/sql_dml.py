@@ -564,3 +564,125 @@ def route_dml(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
         "`MERGE INTO t [AS] a USING <view|(subquery)> [AS] b ON a.c = b.c "
         "[AND ...] WHEN [NOT] MATCHED [AND cond] THEN ...`"
     )
+
+
+# -- DDL / utility statements (r7) -------------------------------------------
+# The Athena surface over the replicated table also carries table-
+# maintenance SQL: ALTER TABLE schema evolution, OPTIMIZE (compaction),
+# VACUUM (unreferenced-file removal — the reference's
+# UnreferencedFileRemoval maintenance toggle, test.ts:249-253), and a
+# history listing. Routed onto the engine verbs with the same strict-
+# grammar / loud-refusal discipline as the DML above.
+
+_UTILITY_HEAD = re.compile(
+    r"^\s*(ALTER|OPTIMIZE|VACUUM|DESCRIBE)\b", re.IGNORECASE
+)
+
+_TBL = r"([A-Za-z_][A-Za-z0-9_.`\"]*)"
+_IDENT = r"([A-Za-z_][A-Za-z0-9_]*)"
+
+_ALTER_ADD_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_RENAME_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+RENAME\s+COLUMN\s+{_IDENT}\s+TO\s+{_IDENT}\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_TBL}\s+DROP\s+COLUMN\s+{_IDENT}\s*;?\s*$",
+    re.IGNORECASE,
+)
+_OPTIMIZE_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+{_TBL}(\s+REWRITE\s+DATA\s+USING\s+BIN_PACK)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(rf"^\s*VACUUM\s+{_TBL}\s*;?\s*$", re.IGNORECASE)
+_HISTORY_RE = re.compile(
+    rf"^\s*DESCRIBE\s+HISTORY\s+{_TBL}\s*;?\s*$", re.IGNORECASE
+)
+
+
+def is_utility(statement: str) -> bool:
+    return _UTILITY_HEAD.match(statement) is not None
+
+
+def _route_alter_add(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    _check_target(engine, m.group(1))
+    columns: dict[str, str] = {}
+    for part in _split_top(m.group(2), r","):
+        cm = re.match(rf"^\s*{_IDENT}\s+(.+?)\s*$", part, re.DOTALL)
+        if not cm:
+            raise ValueError(
+                f"unsupported column spec {part!r} — expected `name TYPE`"
+            )
+        columns[cm.group(1)] = cm.group(2)
+    engine.table.add_columns(columns)
+    return _result_df(engine, "alter-add-columns", {"columns": columns})
+
+
+def _route_alter_rename(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    _check_target(engine, m.group(1))
+    engine.table.rename_column(m.group(2), m.group(3))
+    return _result_df(
+        engine, "alter-rename-column", {"from": m.group(2), "to": m.group(3)}
+    )
+
+
+def _route_alter_drop(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    _check_target(engine, m.group(1))
+    engine.table.drop_column(m.group(2))
+    return _result_df(engine, "alter-drop-column", {"column": m.group(2)})
+
+
+def _route_optimize(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    _check_target(engine, m.group(1))
+    return _result_df(engine, "optimize", engine.compact())
+
+
+def _route_vacuum(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    _check_target(engine, m.group(1))
+    return _result_df(engine, "vacuum", engine.vacuum())
+
+
+def _route_history(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    _check_target(engine, m.group(1))
+    rows = [
+        (
+            s.version,
+            s.operation,
+            float(s.committed_at),
+            s.row_count,
+            bool(s.staged),
+        )
+        for s in engine.table.history()
+    ]
+    return engine.spark.createDataFrame(
+        rows,
+        "version long, operation string, committed_at double, "
+        "row_count long, staged boolean",
+    )
+
+
+def route_utility(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
+    """Route one DDL/utility statement onto the engine verbs. Loud
+    refusal for anything outside the grammar above."""
+    for pattern, handler in (
+        (_ALTER_ADD_RE, _route_alter_add),
+        (_ALTER_RENAME_RE, _route_alter_rename),
+        (_ALTER_DROP_RE, _route_alter_drop),
+        (_OPTIMIZE_RE, _route_optimize),
+        (_VACUUM_RE, _route_vacuum),
+        (_HISTORY_RE, _route_history),
+    ):
+        m = pattern.match(statement)
+        if m:
+            return handler(engine, m)
+    raise ValueError(
+        "unsupported DDL/utility statement — the routed grammar is: "
+        "ALTER TABLE t ADD COLUMNS (name TYPE, ...) | "
+        "ALTER TABLE t RENAME COLUMN a TO b | "
+        "ALTER TABLE t DROP COLUMN c | "
+        "OPTIMIZE t [REWRITE DATA USING BIN_PACK] | VACUUM t | "
+        "DESCRIBE HISTORY t"
+    )

@@ -95,6 +95,12 @@ class Snapshot:
     #: as provenance — history shows which commits arrived via which
     #: branch, the Iceberg snapshot-summary `branch` property analog.
     ref: str | None = None
+    #: names dropped by a metadata-only drop_column whose values are
+    #: STILL physically present in this snapshot's carried data files
+    #: (cleared by any data-writing commit, which rewrites from the
+    #: read frame). add_columns refuses these names: a metadata-only
+    #: re-add would resurrect the dropped values (drop_column caveat).
+    dropped_columns: list[str] | None = None
     #: column renames (Iceberg field-ID name-mapping analog): maps the
     #: column name AS STORED IN THIS SNAPSHOT'S DATA FILES to its
     #: current name in ``schema_json``. Set by metadata-only
@@ -1996,6 +2002,74 @@ class ManagedTable:
         clone._write_manifest(m2, expected_version=0)
         return clone
 
+    def add_columns(self, columns: dict[str, str]) -> None:
+        """B4 extension: ADD COLUMNS as a metadata-only commit — the
+        Iceberg add-column semantic (SQL ``ALTER TABLE ... ADD
+        COLUMNS``). New fields append to the schema as nullable DDL
+        types; the new snapshot references the previous snapshot's
+        data files UNCHANGED — an explicit-schema parquet read
+        surfaces NULL for columns the files lack, so a 100 TB add
+        commits in milliseconds with zero rewrite. Later writes
+        materialize real values.
+
+        Refusals: existing names; key/order/partition collisions are
+        subsumed by the existence check (those always exist); and
+        names still listed in the snapshot's ``dropped_columns`` — a
+        metadata-only re-add of a dropped name would resurrect the
+        dropped values out of the carried files (the drop_column
+        caveat); ``compact()`` first to physically clear them. Same
+        structural constraint as rename/drop (unpartitioned
+        copy-on-write current) — on a MoR chain the additive path is
+        a data-writing merge, which evolves schema through the shared
+        B4 gate already."""
+        m = self._read_manifest()
+        self._fence_staged(m)
+        expected = m.version
+        snap = m.current
+        if snap is None:
+            raise FileNotFoundError(
+                f"table {self.spec.qualified_name} has no snapshots"
+            )
+        if snap.partitions is not None or snap.delta is not None:
+            raise ValueError(
+                "add_columns requires an unpartitioned copy-on-write "
+                "current snapshot (compact() a MoR chain first)"
+            )
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        names = {f.name for f in schema.fields}
+        new_fields = []
+        for name, ddl in columns.items():
+            if name in names:
+                raise SchemaEvolutionError(f"column {name!r} already exists")
+            if name in (snap.dropped_columns or ()):
+                raise SchemaEvolutionError(
+                    f"column {name!r} was dropped but its values are still "
+                    "physically present in carried data files — a "
+                    "metadata-only re-add would resurrect them; compact() "
+                    "before re-adding the name"
+                )
+            try:
+                dt = T.DataType.fromDDL(ddl)
+            except Exception as exc:
+                raise ValueError(f"bad type {ddl!r} for column {name!r}: {exc}")
+            new_fields.append(T.StructField(name, dt, True))
+        m.snapshots.append(
+            Snapshot(
+                version=expected + 1,
+                data_dir=snap.data_dir,
+                committed_at=time.time(),
+                row_count=snap.row_count,
+                schema_json=json.dumps(
+                    T.StructType(list(schema.fields) + new_fields).jsonValue()
+                ),
+                operation="add-columns:" + ",".join(columns),
+                files=snap.files,  # carried; new columns have no stats
+                read_renames=snap.read_renames,
+                dropped_columns=snap.dropped_columns,
+            )
+        )
+        self._write_manifest(m, expected_version=expected)
+
     def rename_column(self, old: str, new: str) -> None:
         """B4 extension: COLUMN RENAME as a metadata-only commit — the
         Iceberg field-ID rename semantic (rename without rewrite)
@@ -2086,6 +2160,7 @@ class ManagedTable:
                 operation=f"rename-column:{old}->{new}",
                 files=files,
                 read_renames=renames or None,
+                dropped_columns=snap.dropped_columns,
             )
         )
         self._write_manifest(m, expected_version=expected)
@@ -2177,6 +2252,9 @@ class ManagedTable:
                 operation=f"drop-column:{name}",
                 files=files,
                 read_renames=renames or None,
+                dropped_columns=sorted(
+                    set(snap.dropped_columns or ()) | {name}
+                ),
             )
         )
         self._write_manifest(m, expected_version=expected)

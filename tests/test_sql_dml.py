@@ -231,3 +231,53 @@ def test_insert_refusals(spark, warehouse):
         eng.sql("INSERT INTO ns.ins3 (status, price) VALUES ('A', 1.0)")
     with pytest.raises(ValueError, match="arity"):
         eng.sql("INSERT INTO ns.ins3 SELECT 1, 'a'")
+
+
+# -- DDL / utility routing (r7) ----------------------------------------------
+
+def test_utility_router_refusals(spark, warehouse):
+    import pytest
+
+    from dynamodb_zero_etl_s3tables_spark import sql_dml
+
+    engine = _engine(spark, warehouse, name="util")
+    assert sql_dml.is_utility("ALTER TABLE t ADD COLUMNS (x int)")
+    assert sql_dml.is_utility("vacuum t")
+    assert not sql_dml.is_utility("SELECT 1")
+    # outside the grammar: loud refusal naming the supported shapes
+    with pytest.raises(ValueError, match="ALTER TABLE t ADD COLUMNS"):
+        sql_dml.route_utility(engine, "ALTER TABLE t SET TBLPROPERTIES (a=1)")
+    # wrong target table
+    with pytest.raises(ValueError, match="unknown table"):
+        sql_dml.route_utility(engine, "VACUUM someone_elses_table")
+
+
+def test_add_columns_metadata_only_and_resurrect_guard(spark, warehouse):
+    import pytest
+
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import (
+        SchemaEvolutionError,
+    )
+
+    t = _engine(spark, warehouse, name="addcols").table
+    v0 = t.version
+    t.add_columns({"flag": "boolean", "score": "double"})
+    assert t.version == v0 + 1
+    out = t.read()
+    assert dict(out.dtypes)["score"] == "double"
+    assert out.filter("flag IS NOT NULL OR score IS NOT NULL").count() == 0
+    # metadata-only: the add commit references the SAME data dir
+    hist = t.history()
+    assert hist[-1].data_dir == hist[-2].data_dir
+    # refusals: existing name, bad type
+    with pytest.raises(SchemaEvolutionError, match="already exists"):
+        t.add_columns({"flag": "string"})
+    with pytest.raises(ValueError, match="bad type"):
+        t.add_columns({"x": "not_a_type"})
+    # drop then re-add: refused until a rewrite clears the files
+    t.drop_column("flag")
+    with pytest.raises(SchemaEvolutionError, match="compact"):
+        t.add_columns({"flag": "boolean"})
+    t.compact()
+    t.add_columns({"flag": "boolean"})  # legal now
+    assert t.read().filter("flag IS NOT NULL").count() == 0
