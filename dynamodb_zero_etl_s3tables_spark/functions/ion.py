@@ -53,6 +53,7 @@ _SET_ANNOTATIONS = {
 
 _SYMBOL_RE = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*")
 _WS_RE = re.compile(r"[ \t\r\n]*")
+_TS_RE = re.compile(r"\d{4}-\d{2}")
 _NUMBER_RE = re.compile(r"[+-]?\d+(?:\.\d*)?(?:[dDeE][+-]?\d+)?")
 
 _STR_ESCAPES = {
@@ -181,7 +182,9 @@ class _Parser:
             raise self.error("Ion s-expressions are outside the export subset")
         if c and (c.isdigit() or c in "+-"):
             # a timestamp also starts with a digit: detect yyyy-mm-dd
-            if re.match(r"\d{4}-\d{2}", self.s[self.i:]):
+            # (positional match — slicing the tail here is O(n) per
+            # number and turned number-heavy lines quadratic)
+            if _TS_RE.match(self.s, self.i):
                 raise self.error(
                     "Ion timestamps are outside the export subset "
                     "(DynamoDB has no native timestamp type)"

@@ -290,7 +290,7 @@ def synth_media_header(kind: int, doc_id: int) -> bytes:
 @F.pandas_udf(T.BinaryType())
 def _synth_payload_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
     """Arrow-batched payload synthesizer: real format header (by
-    doc_id % 4) + the document text as trailing body bytes. Only the
+    doc_id % 6) + the document text as trailing body bytes. Only the
     header is meaningful to the parser; the body stands in for pixel/
     sample data and keeps payload sizes realistic."""
     return pd.Series(

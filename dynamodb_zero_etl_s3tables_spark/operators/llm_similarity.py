@@ -394,15 +394,29 @@ def buckets_udf(planes: list[list[list[int]]]):
     )
     shifts = np.array([1 << j for j in range(n_planes)], dtype=np.int64)
 
+    zeros = np.zeros(n_tables, dtype=np.int32)
+
     @F.pandas_udf(ArrayType(IntegerType()), F.PandasUDFType.SCALAR)
     def _buckets(emb):
-        x = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, DIM)
+        vals = emb.to_numpy()
+        # NULL embeddings bucket to 0 per table — the expression fold's
+        # behavior (NULL projection -> when(NULL > 0) -> otherwise 0),
+        # preserved so a null row degrades identically instead of
+        # crashing the task inside np.vstack
+        mask = np.array([v is not None for v in vals])
+        if not mask.any():
+            return pd.Series([zeros] * len(vals))
+        x = np.vstack(vals[mask]).astype(np.float64)  # (n_valid, DIM)
         acc = np.zeros((x.shape[0], n_tables * n_planes), dtype=np.float64)
         for i in range(DIM):  # left-to-right per projection, vectorized over rows
             acc += x[:, i : i + 1] * w[i]
         signs = (acc > 0).reshape(x.shape[0], n_tables, n_planes)
-        out = (signs * shifts).sum(axis=2).astype(np.int32)  # (n, n_tables)
-        return pd.Series(list(out))
+        codes = (signs * shifts).sum(axis=2).astype(np.int32)  # (n_valid, T)
+        out, j = [], 0
+        for ok in mask:
+            out.append(codes[j] if ok else zeros)
+            j += ok
+        return pd.Series(out)
 
     return _buckets
 

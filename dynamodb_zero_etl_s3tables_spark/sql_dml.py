@@ -158,7 +158,10 @@ def _validate_residual(term: str) -> str:
     ``F.expr`` is lazy in Spark 4, so parse eagerly through the
     active session's SQL parser — the statement must refuse BEFORE
     any verb starts work, not mid-plan as a ParseException."""
-    if re.search(r"\(\s*SELECT\b", term, re.IGNORECASE):
+    # quote-aware probe: '(select' inside a string literal is data,
+    # not a subquery ("WHERE note = 'see (select one)'" is legal)
+    unquoted = re.sub(r"'(?:[^']|'')*'", "''", term)
+    if re.search(r"\(\s*SELECT\b", unquoted, re.IGNORECASE):
         raise ValueError(
             f"unsupported predicate {term!r} — subqueries in DELETE/UPDATE "
             "WHERE are outside the routed grammar (a subquery needs a join "
@@ -503,6 +506,11 @@ def _route_merge(
             matched.append(("delete", cond, None))
         else:
             um = re.match(r"^UPDATE\s+SET\s+(.+)$", action, re.IGNORECASE | re.DOTALL)
+            if not um:
+                raise ValueError(
+                    f"unsupported WHEN MATCHED action {action!r} — "
+                    "supported: UPDATE SET col = expr, ... | DELETE"
+                )
             sets = {}
             for part in _split_top(um.group(1), r","):
                 am = re.match(
@@ -574,8 +582,15 @@ def route_dml(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
 # history listing. Routed onto the engine verbs with the same strict-
 # grammar / loud-refusal discipline as the DML above.
 
+#: only the routed shapes are intercepted — a plain ``DESCRIBE t`` /
+#: ``DESCRIBE EXTENDED t`` keeps flowing to Spark SQL over the view
+#: (it worked before the DDL door existed and must keep working).
+#: ``ALTER TABLE`` is always intercepted: it targets the managed
+#: table, and an unsupported ALTER form should refuse loudly here
+#: rather than fail opaquely against a temp view.
 _UTILITY_HEAD = re.compile(
-    r"^\s*(ALTER|OPTIMIZE|VACUUM|DESCRIBE)\b", re.IGNORECASE
+    r"^\s*(ALTER\s+TABLE|OPTIMIZE|VACUUM|DESCRIBE\s+HISTORY)\b",
+    re.IGNORECASE,
 )
 
 _TBL = r"([A-Za-z_][A-Za-z0-9_.`\"]*)"
@@ -607,14 +622,36 @@ def is_utility(statement: str) -> bool:
     return _UTILITY_HEAD.match(statement) is not None
 
 
+def _split_col_specs(text: str) -> list[str]:
+    """Split a column-spec list on commas at paren AND angle-bracket
+    depth 0 (``m map<string,int>`` / ``d decimal(10,2)`` are one
+    spec)."""
+    parts, depth, last = [], 0, 0
+    for i, c in enumerate(text):
+        if c in "(<":
+            depth += 1
+        elif c in ")>":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(text[last:i])
+            last = i + 1
+    parts.append(text[last:])
+    return parts
+
+
 def _route_alter_add(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
     _check_target(engine, m.group(1))
     columns: dict[str, str] = {}
-    for part in _split_top(m.group(2), r","):
+    for part in _split_col_specs(m.group(2)):
         cm = re.match(rf"^\s*{_IDENT}\s+(.+?)\s*$", part, re.DOTALL)
         if not cm:
             raise ValueError(
                 f"unsupported column spec {part!r} — expected `name TYPE`"
+            )
+        if cm.group(1) in columns:
+            raise ValueError(
+                f"duplicate column {cm.group(1)!r} in ADD COLUMNS — "
+                "refusing a silent last-wins apply"
             )
         columns[cm.group(1)] = cm.group(2)
     engine.table.add_columns(columns)

@@ -72,22 +72,6 @@ _DDL = {
 }
 
 
-def _published_fields(raw: dict) -> list[dict]:
-    """Schema fields of the newest PUBLISHED snapshot. A staged WAP
-    snapshot can carry unpublished schema evolution; binding the
-    stream to it would leak a schema no reader of the table sees, so
-    schema derivation matches the offset logic (staged rows are never
-    emitted either)."""
-    published = [s for s in raw["snapshots"] if not s.get("staged")]
-    if not published:
-        raise ValueError(
-            "changelog source: table has no published snapshot "
-            f"({len(raw['snapshots'])} staged/WAP only)"
-        )
-    newest = max(published, key=lambda s: s["version"])
-    return _json.loads(newest["schema_json"])["fields"]
-
-
 def published_head(manifest_path: str) -> int:
     """Newest published (non-staged) version — the drain target."""
     raw = _json.loads(open(manifest_path).read())
@@ -97,53 +81,32 @@ def published_head(manifest_path: str) -> int:
     )
 
 
-def _col_ddl(name: str, t, ddl_map: dict) -> str:
-    """DDL fragment for one changelog column: primitives from the
-    type map, plus arrays of primitives (``array<float>`` embedding
-    columns — r7, the vector-index maintenance stream h24). Anything
-    deeper (structs, nested arrays, maps) refuses loudly: the simple
-    reader emits driver-side python rows, and only flat lists survive
-    the arrow->pylist->pickle round trip with value fidelity we can
-    vouch for."""
-    if isinstance(t, str) and t in ddl_map:
-        return f"{name} {ddl_map[t]}"
-    if (
-        isinstance(t, dict)
-        and t.get("type") == "array"
-        and isinstance(t.get("elementType"), str)
-        and t["elementType"] in ddl_map
-    ):
-        return f"{name} array<{ddl_map[t['elementType']]}>"
-    raise TypeError(
-        f"changelog source supports primitive and array-of-primitive "
-        f"columns only; {name!r} has type {t!r}"
-    )
-
-
 def changelog_schema_ddl(manifest_path: str) -> str:
     """DDL for the changelog stream of the table at ``manifest_path``:
     ``version bigint, change_op string`` + the table's own columns
-    (from the newest published snapshot's schema_json)."""
-    raw = _json.loads(open(manifest_path).read())
-    cols = [_col_ddl(f["name"], f["type"], _DDL) for f in _published_fields(raw)]
-    return "version bigint, change_op string, " + ", ".join(cols)
+    (from the newest published snapshot's schema_json). Primitive and
+    array-of-primitive columns only — anything deeper refuses loudly
+    (the readers emit python rows; only flat lists survive the
+    arrow->pylist->pickle round trip with vouchable fidelity)."""
+    return _schema_closures(_DDL)[1](manifest_path)
 
 
-def make_changelog_source():
-    """Factory returning the DataSource class. Everything the class
-    touches is defined INSIDE this closure (cloudpickle then ships it
-    by value): the streaming engine pickles the source into a python
-    runner process that does not have this repo on sys.path — a
-    module-global reference would die with ModuleNotFoundError there
-    (same lazy pattern as d94's DdbExportDataSource)."""
-    import glob
+def _schema_closures(ddl_map: dict):
+    """Build the (pub_fields, schema_ddl) helper pair BOTH source
+    factories close over. Defined at module level but returning inner
+    functions: cloudpickle serializes non-importable inner functions
+    BY VALUE (qualname `..<locals>..`), so the python runner process
+    — which does not have this repo on sys.path — still gets working
+    copies, while the schema rules live in exactly one place (the r7
+    array-of-primitives widening previously had to be hand-synced
+    across three copies)."""
     import json
 
-    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
-
-    ddl_map = dict(_DDL)
-
-    def _pub_fields(raw):
+    def pub_fields(raw):
+        # newest PUBLISHED snapshot only: a staged WAP snapshot can
+        # carry unpublished schema evolution; binding the stream to it
+        # would leak a schema no reader of the table sees (staged rows
+        # are never emitted either)
         published = [s for s in raw["snapshots"] if not s.get("staged")]
         if not published:
             raise ValueError(
@@ -153,12 +116,10 @@ def make_changelog_source():
         newest = max(published, key=lambda s: s["version"])
         return json.loads(newest["schema_json"])["fields"]
 
-    def _schema_ddl(manifest_path):
-        # closure twin of module-level _col_ddl/changelog_schema_ddl
-        # (this factory ships by value into the python runner process)
+    def schema_ddl(manifest_path):
         raw = json.loads(open(manifest_path).read())
         cols = []
-        for f in _pub_fields(raw):
+        for f in pub_fields(raw):
             name, t = f["name"], f["type"]
             if isinstance(t, str) and t in ddl_map:
                 cols.append(f"{name} {ddl_map[t]}")
@@ -176,6 +137,24 @@ def make_changelog_source():
                     f"type {t!r}"
                 )
         return "version bigint, change_op string, " + ", ".join(cols)
+
+    return pub_fields, schema_ddl
+
+
+def make_changelog_source():
+    """Factory returning the DataSource class. Everything the class
+    touches is defined inside this closure or built by
+    :func:`_schema_closures` (cloudpickle ships both by value): the
+    streaming engine pickles the source into a python runner process
+    that does not have this repo on sys.path — a module-global
+    reference would die with ModuleNotFoundError there (same lazy
+    pattern as d94's DdbExportDataSource)."""
+    import glob
+    import json
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    _pub_fields, _schema_ddl = _schema_closures(dict(_DDL))
 
     def _read_rows(dir_path):
         import pyarrow.parquet as pq
@@ -402,39 +381,7 @@ def make_partitioned_changelog_source():
         InputPartition,
     )
 
-    ddl_map = dict(_DDL)
-
-    def _pub_fields(raw):
-        published = [s for s in raw["snapshots"] if not s.get("staged")]
-        if not published:
-            raise ValueError(
-                "changelog source: table has no published snapshot "
-                f"({len(raw['snapshots'])} staged/WAP only)"
-            )
-        newest = max(published, key=lambda s: s["version"])
-        return json.loads(newest["schema_json"])["fields"]
-
-    def _schema_ddl(manifest_path):
-        raw = json.loads(open(manifest_path).read())
-        cols = []
-        for f in _pub_fields(raw):
-            name, t = f["name"], f["type"]
-            if isinstance(t, str) and t in ddl_map:
-                cols.append(f"{name} {ddl_map[t]}")
-            elif (
-                isinstance(t, dict)
-                and t.get("type") == "array"
-                and isinstance(t.get("elementType"), str)
-                and t["elementType"] in ddl_map
-            ):
-                cols.append(f"{name} array<{ddl_map[t['elementType']]}>")
-            else:
-                raise TypeError(
-                    f"changelog source supports primitive and "
-                    f"array-of-primitive columns only; {name!r} has "
-                    f"type {t!r}"
-                )
-        return "version bigint, change_op string, " + ", ".join(cols)
+    _pub_fields, _schema_ddl = _schema_closures(dict(_DDL))
 
     @dataclass
     class _FilePart(InputPartition):

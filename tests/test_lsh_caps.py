@@ -201,3 +201,24 @@ def test_knn_graph_bucket_cap_binds(spark, hot_bucket_embeddings_dir, monkeypatc
     assert any(r.src >= 100 and r.dst >= 100 for r in got), (
         "recall lost on the capped remainder"
     )
+
+
+def test_buckets_udf_null_embedding_degrades_like_the_fold(spark):
+    """r7 review finding: a NULL embedding must bucket to 0 per table
+    (the expression fold's when(NULL > 0) -> otherwise 0 behavior),
+    not crash the Arrow kernel task."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_similarity import (
+        _NEARDUP_PLANES_TBL,
+        codes_long,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64, 0), (2, None, 0), (3, [-0.5] * 64, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = codes_long(df, _NEARDUP_PLANES_TBL, ["label"]).collect()
+    assert len(rows) == 3 * len(_NEARDUP_PLANES_TBL)
+    null_buckets = {r.bucket for r in rows if r.vec_id == 2}
+    assert null_buckets == {0}

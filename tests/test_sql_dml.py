@@ -281,3 +281,46 @@ def test_add_columns_metadata_only_and_resurrect_guard(spark, warehouse):
     t.compact()
     t.add_columns({"flag": "boolean"})  # legal now
     assert t.read().filter("flag IS NOT NULL").count() == 0
+
+
+def test_review_r7_regressions(spark, warehouse):
+    """Pins the r7 code-review findings: DESCRIBE passthrough, angle-
+    bracket column types, duplicate-name refusal, quoted '(select'
+    residuals, and the MERGE bad-action loud error."""
+    import pytest
+
+    from dynamodb_zero_etl_s3tables_spark import sql_dml
+
+    engine = _engine(spark, warehouse, name="rev7")
+    # plain DESCRIBE is NOT intercepted — it keeps flowing to Spark SQL
+    assert not sql_dml.is_utility("DESCRIBE ns_rev7")
+    assert not sql_dml.is_utility("DESCRIBE EXTENDED ns_rev7")
+    assert engine.sql("DESCRIBE ns_rev7").count() >= 3
+    # angle-bracket types survive the ADD COLUMNS split
+    engine.sql("ALTER TABLE ns.rev7 ADD COLUMNS (m map<string,int>, "
+               "d decimal(10,2))")
+    dt = dict(engine.table.read().dtypes)
+    assert dt["m"] == "map<string,int>" and dt["d"] == "decimal(10,2)"
+    # duplicate names refuse instead of silent last-wins
+    with pytest.raises(ValueError, match="duplicate column"):
+        engine.sql("ALTER TABLE ns.rev7 ADD COLUMNS (x int, x string)")
+    # '(select' inside a string literal is data, not a subquery
+    res = engine.sql(
+        "DELETE FROM ns.rev7 WHERE status = 'see (select one) above'"
+    )
+    assert res.first().operation == "delete"
+    with pytest.raises(ValueError, match="subqueries"):
+        engine.sql("DELETE FROM ns.rev7 WHERE pk IN (SELECT 1)")
+    # MERGE action outside the grammar refuses loudly, not AttributeError
+    spark.createDataFrame([(1, "A", 1.0)],
+                          "pk long, status string, price double"
+                          ).createOrReplaceTempView("rev7_src")
+    # INSERT under WHEN MATCHED hits the action validator (was an
+    # AttributeError crash); UPDATE-without-SET never parses a clause
+    # — both must be loud ValueErrors
+    with pytest.raises(ValueError, match="WHEN MATCHED action"):
+        engine.sql("MERGE INTO ns.rev7 t USING rev7_src s ON t.pk = s.pk "
+                   "WHEN MATCHED THEN INSERT (pk) VALUES (s.pk)")
+    with pytest.raises(ValueError, match="no parseable WHEN clause"):
+        engine.sql("MERGE INTO ns.rev7 t USING rev7_src s ON t.pk = s.pk "
+                   "WHEN MATCHED THEN UPDATE price = 1")
