@@ -324,3 +324,62 @@ def test_review_r7_regressions(spark, warehouse):
     with pytest.raises(ValueError, match="no parseable WHEN clause"):
         engine.sql("MERGE INTO ns.rev7 t USING rev7_src s ON t.pk = s.pk "
                    "WHEN MATCHED THEN UPDATE price = 1")
+
+
+# -- property-based WHERE-grammar law (hypothesis, r7) ------------------------
+# For ANY predicate in the routed grammar, `DELETE FROM t WHERE P`
+# through the SQL door must leave exactly the rows Spark's own
+# evaluation keeps under ANSI DELETE semantics (NULL-predicate rows
+# SURVIVE). Column names deliberately end in AND/OR substrings
+# (operand, major) to pin the identifier-boundary splitter fix.
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_FUZZ_ATOMS = st.sampled_from([
+    "pk < 3", "pk >= 2", "price = 150.0", "price > 100.0",
+    "status = 'A'", "status <> 'B'", "operand <= 5", "major = 1",
+    "price IS NULL", "price IS NOT NULL", "status IN ('A', 'X')",
+    "pk BETWEEN 2 AND 3", "status LIKE 'A%'", "NOT (pk = 1)",
+    "price + operand > 100.0", "pk % 2 = 0",
+    "status = 'see (select one)'",
+])
+_FUZZ_PRED = st.recursive(
+    _FUZZ_ATOMS,
+    lambda c: st.builds(
+        lambda a, op, b: f"({a}) {op} ({b})",
+        c, st.sampled_from(["AND", "OR"]), c,
+    ),
+    max_leaves=4,
+)
+
+
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=_FUZZ_PRED)
+def test_delete_router_matches_spark_semantics(spark, pred):
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    eng = ZeroEtlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="sqlfuzz_"),
+        SourceSpec(table_name="fz-ddb", key_columns=("pk",)),
+        TableSpec(namespace="ns", name="fz", key_columns=("pk",)),
+    )
+    rows = [
+        (1, "A", 10.0, 1, 0), (2, "A", 150.0, 7, 1), (3, "B", None, 2, 0),
+        (4, "B", 250.0, 9, 1), (5, "X", 100.0, 4, 2), (6, "AB", None, 5, 1),
+    ]
+    schema = "pk long, status string, price double, operand long, major long"
+    base = spark.createDataFrame(rows, schema)
+    eng.bootstrap(base)
+    expected = sorted(
+        map(tuple, base.filter(~F2.coalesce(F2.expr(pred), F2.lit(False))).collect())
+    )
+    eng.sql(f"DELETE FROM ns.fz WHERE {pred}")
+    got = sorted(map(tuple, eng.table.read().collect()))
+    assert got == expected, f"predicate {pred!r}: {got} != {expected}"
