@@ -49,11 +49,12 @@ from dynamodb_zero_etl_s3tables_spark.operators import sources_sinks  # noqa: E4
 # move newly-graded names to the tail and promote anything newly added.
 _GRADE_PRIORITY = [
     # ---- round-7 window head (VERDICT r6 #4: rotate the OLDEST grades).
-    # Positions 1-6: the six r7 additions (never driver-graded).
+    # Positions 1-7: the seven r7 additions (never driver-graded).
     "c25_sql_dml_residual_journey", "b01c_ion_export_bootstrap",
     "d90b_merge_evolving", "h24_streaming_index_maintenance",
     "h25_partitioned_changelog_drain", "c26_sql_ddl_journey",
-    # Positions 7-10: re-grades whose implementations changed in r7 —
+    "c27_sql_ctas_journey",
+    # Positions 8-11: re-grades whose implementations changed in r7 —
     # the vectorized shingle/signature kernels (e02/e02b), the
     # hyperplane-bucket kernel + fan_out removal (e04), and the
     # JPEG/WebP header close (e06b). All hash-matched locally at
@@ -61,7 +62,7 @@ _GRADE_PRIORITY = [
     # signed proof.
     "e02_minhash_signatures", "e02b_minhash_lsh_pairs",
     "e04_similarity_join", "e06b_media_featurize",
-    # Positions 11-50 (+ the rest overflowing into the r8 window): the 48
+    # Positions 12-50 (+ the rest overflowing into the r8 window): the 48
     # entries whose latest driver rows date to ROUND 1 — the oldest
     # grades on the books (relational/source/aggregate core). The
     # code under them was refactored repeatedly since r1 (fan_out,

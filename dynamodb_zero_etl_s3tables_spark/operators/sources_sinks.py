@@ -3457,3 +3457,85 @@ def c26_sql_ddl_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT pk, status, price, tier, note FROM analytics_orders_sqlddl"
     )
+
+
+@query(
+    "c27_sql_ctas_journey",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus AS status, o_totalprice AS price
+      FROM orders
+    )
+    SELECT status,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM base
+    GROUP BY status
+    """,
+)
+def c27_sql_ctas_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 CTAS (r7): ``CREATE TABLE ... PRIMARY KEY (...) AS SELECT``
+    through the SQL door — the Athena CTAS verb rendered for keyed
+    managed tables. The journey bootstraps the replica, derives a
+    per-status summary table FROM A SQL STRING over the replica's
+    view, proves the new table is a first-class managed table (its
+    own view, DESCRIBE HISTORY shows the bootstrap, a second CTAS
+    under the same name refuses), and returns the summary read back
+    through the catalog. Oracle replays the CTAS SELECT in ANSI SQL.
+
+    Scale: CTAS costs exactly its SELECT (ordinary Catalyst plan:
+    partial-agg before one exchange here) + one snapshot commit; the
+    new table has the full manifest surface (time travel, DML,
+    maintenance) from birth."""
+    import json
+
+    from dynamodb_zero_etl_s3tables_spark.engine import ZeroEtlEngine
+    from dynamodb_zero_etl_s3tables_spark.spec import SourceSpec
+
+    wh = _scratch(sf_dir, "warehouse_c27", wipe=True)
+    eng = ZeroEtlEngine(
+        spark,
+        wh,
+        SourceSpec(table_name="orders-ddb", key_columns=("pk",)),
+        TableSpec(namespace="analytics", name="orders_ctas",
+                  key_columns=("pk",)),
+    )
+    eng.bootstrap(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    res = json.loads(
+        eng.sql(
+            """
+            CREATE TABLE analytics.status_summary PRIMARY KEY (status) AS
+            SELECT status,
+                   COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+                     AS total_price
+            FROM analytics_orders_ctas
+            GROUP BY status
+            """
+        ).first().info
+    )
+    _check(res["keys"] == ["status"] and res["rows"] >= 1, str(res))
+    # the new table is a first-class citizen of the catalog
+    summary = eng.catalog.table("analytics.status_summary")
+    _check(
+        [s.operation for s in summary.history()] == ["bootstrap"],
+        "CTAS must commit exactly one bootstrap snapshot",
+    )
+    try:  # CTAS never overwrites
+        eng.sql(
+            "CREATE TABLE analytics.status_summary PRIMARY KEY (status) AS "
+            "SELECT 1 AS status"
+        )
+        _check(False, "re-CTAS under an existing name must refuse")
+    except ValueError as exc:
+        _check("already exists" in str(exc), str(exc))
+    return spark.sql(
+        "SELECT status, n_orders, total_price FROM analytics_status_summary"
+    )

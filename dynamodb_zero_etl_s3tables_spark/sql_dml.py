@@ -589,7 +589,7 @@ def route_dml(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
 #: table, and an unsupported ALTER form should refuse loudly here
 #: rather than fail opaquely against a temp view.
 _UTILITY_HEAD = re.compile(
-    r"^\s*(ALTER\s+TABLE|OPTIMIZE|VACUUM|DESCRIBE\s+HISTORY)\b",
+    r"^\s*(ALTER\s+TABLE|OPTIMIZE|VACUUM|DESCRIBE\s+HISTORY|CREATE\s+TABLE)\b",
     re.IGNORECASE,
 )
 
@@ -711,6 +711,7 @@ def route_utility(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
         (_OPTIMIZE_RE, _route_optimize),
         (_VACUUM_RE, _route_vacuum),
         (_HISTORY_RE, _route_history),
+        (_CTAS_RE, _route_ctas),
     ):
         m = pattern.match(statement)
         if m:
@@ -721,5 +722,56 @@ def route_utility(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
         "ALTER TABLE t RENAME COLUMN a TO b | "
         "ALTER TABLE t DROP COLUMN c | "
         "OPTIMIZE t [REWRITE DATA USING BIN_PACK] | VACUUM t | "
-        "DESCRIBE HISTORY t"
+        "DESCRIBE HISTORY t | "
+        "CREATE TABLE ns.name PRIMARY KEY (k, ...) AS <select>"
+    )
+
+
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+PRIMARY\s+KEY\s*\(([^)]+)\)\s+AS\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _route_ctas(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    """``CREATE TABLE ns.name PRIMARY KEY (k, ...) AS <select>`` —
+    the Athena/Iceberg CTAS verb, rendered for this engine's keyed
+    tables: every managed table is the replica of a keyed DynamoDB
+    source, so the key columns are part of the definition (the same
+    A1 explicit-name discipline as the pipeline spec; plain Iceberg
+    CTAS has no key concept to borrow). The SELECT runs over the
+    catalog's registered views (the managed table's view included,
+    freshly refreshed); the result bootstraps a NEW managed table in
+    the same warehouse, immediately queryable through its own view.
+
+    Scale: the SELECT is an ordinary Catalyst plan; the bootstrap is
+    one snapshot commit of its result — CTAS costs exactly what the
+    query costs, and the new table gets the full manifest surface
+    (time travel, DML, maintenance) from birth."""
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+
+    ns, name, keys_text, select = m.groups()
+    keys = tuple(k.strip() for k in keys_text.split(","))
+    engine.catalog.refresh_view(engine.spec.qualified_name)
+    df = engine.spark.sql(select)
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(
+            f"CTAS PRIMARY KEY columns {missing} are not in the SELECT "
+            f"result (columns: {df.columns})"
+        )
+    t = engine.catalog.create_table(
+        TableSpec(namespace=ns, name=name, key_columns=keys)
+    )
+    if t.exists():
+        raise ValueError(
+            f"CREATE TABLE: {ns}.{name} already exists "
+            "(CTAS never overwrites; DROP or pick a new name)"
+        )
+    t.bootstrap(df)
+    engine.catalog.refresh_view(f"{ns}.{name}")
+    return _result_df(
+        engine, "create-table-as",
+        {"table": f"{ns}.{name}", "keys": list(keys), "rows": t.read().count()},
     )
