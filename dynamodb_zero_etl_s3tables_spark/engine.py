@@ -176,6 +176,12 @@ class ZeroEtlEngine:
                 )
             return sql_dml.route_utility(self, query)
         self.catalog.refresh_view(self.spec.qualified_name, version=version)
+        if sql_dml.has_time_travel(query):
+            # SELECT-level `FROM t VERSION AS OF n` / `TIMESTAMP AS OF
+            # ts` (B10 through the SQL door): each travel clause binds
+            # a dedicated snapshot view, then the statement runs as
+            # ordinary Spark SQL
+            query = sql_dml.rewrite_time_travel(self, query)
         return self.catalog.sql(query)
 
     def read(self, version: int | None = None) -> DataFrame:

@@ -296,18 +296,38 @@ class _Parser:
                     parts.append(_STR_ESCAPES[e])
                     self.i += 1
                 elif e == "x":
-                    parts.append(chr(int(self.s[self.i + 1: self.i + 3], 16)))
-                    self.i += 3
+                    parts.append(self._hex_escape("x", 2))
                 elif e == "u":
-                    parts.append(chr(int(self.s[self.i + 1: self.i + 5], 16)))
-                    self.i += 5
+                    parts.append(self._hex_escape("u", 4))
                 elif e == "U":
-                    parts.append(chr(int(self.s[self.i + 1: self.i + 9], 16)))
-                    self.i += 9
+                    parts.append(self._hex_escape("U", 8))
                 elif e == "\n":
                     self.i += 1  # escaped newline: continuation
                 else:
                     raise self.error(f"unsupported string escape \\{e}")
+
+    def _hex_escape(self, kind: str, width: int) -> str:
+        """Decode ``\\x??`` / ``\\u????`` / ``\\U????????`` at the
+        current escape position, VALIDATING digit count and hex-ness
+        first — a truncated or malformed escape must raise
+        :class:`IonParseError` with offset context (the module's
+        loud-error contract), never a bare ValueError from ``int()``
+        or a silent short-slice parse."""
+        digits = self.s[self.i + 1: self.i + 1 + width]
+        if len(digits) != width or any(
+            c not in "0123456789abcdefABCDEF" for c in digits
+        ):
+            raise self.error(
+                f"malformed \\{kind} escape (need {width} hex digits, "
+                f"got {digits!r})"
+            )
+        self.i += 1 + width
+        try:
+            return chr(int(digits, 16))
+        except (ValueError, OverflowError):  # \U beyond U+10FFFF
+            raise self.error(
+                f"\\{kind} escape {digits!r} is not a valid codepoint"
+            ) from None
 
     def _parse_blob(self) -> str:
         self.expect("{{")
@@ -454,4 +474,10 @@ def item_json_to_ion_udf():
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    return F.pandas_udf(lambda lines: lines.map(item_json_to_ion), T.StringType())
+    # na_action='ignore': a NULL wire line maps to a NULL Ion line
+    # (mirrors the ion->json direction's `if s else None` guard)
+    # instead of crashing the Arrow task inside json.loads(None)
+    return F.pandas_udf(
+        lambda lines: lines.map(item_json_to_ion, na_action="ignore"),
+        T.StringType(),
+    )

@@ -306,7 +306,14 @@ def minhash_sign(df: DataFrame) -> DataFrame:
     frame — the reusable form the incremental (e29) and streaming
     (h22) dedup paths sign their DELTA batches with, so a signing
     change cannot fork the batch path from the ingest paths."""
-    sigs = df.select("doc_id", _sigs_udf()(F.col("text")).alias("__sigs"))
+    # NULL-text docs produce NO signature row — the pre-r7 contract
+    # (the expression form's explode of a null shingle array emitted
+    # no rows). Without this filter the kernel's NULL sig arrays
+    # would survive as 64 NULL sig_i columns and LSH banding would
+    # bucket every null-text doc together as spurious candidates.
+    sigs = df.filter(F.col("text").isNotNull()).select(
+        "doc_id", _sigs_udf()(F.col("text")).alias("__sigs")
+    )
     return sigs.select(
         "doc_id",
         *[F.col("__sigs")[i].alias(f"sig_{i}") for i in range(N_HASHES)],

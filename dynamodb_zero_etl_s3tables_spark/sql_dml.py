@@ -314,7 +314,7 @@ def _lift_subquery(statement: str) -> tuple[str, str | None]:
     raise ValueError("unbalanced parentheses in MERGE USING source")
 
 _WHEN_RE = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+"
+    r"WHEN\s+(NOT\s+)?MATCHED\s*(BY\s+(?:SOURCE|TARGET)\s*)?(?:AND\s+(.+?))?\s*THEN\s+"
     r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -410,6 +410,32 @@ def _route_update(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
     return _result_df(engine, "update", result)
 
 
+def _parse_matched_action(action: str, aliases, fold) -> tuple[str, dict | None]:
+    """Parse the UPDATE SET/DELETE action shared by WHEN MATCHED and
+    WHEN NOT MATCHED BY SOURCE clauses -> ("update", sets)|("delete", None)."""
+    if re.match(r"^DELETE\s*$", action, re.IGNORECASE):
+        return ("delete", None)
+    um = re.match(r"^UPDATE\s+SET\s+(.+)$", action, re.IGNORECASE | re.DOTALL)
+    if not um:
+        raise ValueError(
+            f"unsupported WHEN MATCHED action {action!r} (same grammar "
+            "for NOT MATCHED BY SOURCE) — "
+            "supported: UPDATE SET col = expr, ... | DELETE"
+        )
+    sets = {}
+    for part in _split_top(um.group(1), r","):
+        am = re.match(
+            r"^\s*([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*$", part, re.DOTALL
+        )
+        if not am:
+            raise ValueError(
+                f"unsupported MERGE SET clause {part!r} — expected "
+                "`[t.]col = <sql expr>`"
+            )
+        sets[_strip_alias(am.group(1), aliases)] = F.expr(fold(am.group(2)))
+    return ("update", sets)
+
+
 def _route_merge(
     engine: "ZeroEtlEngine", m: re.Match, subquery: str | None
 ) -> DataFrame:
@@ -466,14 +492,33 @@ def _route_merge(
         source = engine.spark.table(source_text)
 
     matched: list[tuple[str, Any, dict | None]] = []
+    not_matched_by_source: list[tuple[str, Any, dict | None]] = []
     insert_values: dict | None = None
     insert_cond = None
     consumed = 0
     for wm in _WHEN_RE.finditer(when_text):
         consumed += 1
         is_not_matched = bool(wm.group(1))
-        cond = F.expr(fold(wm.group(2))) if wm.group(2) else None
-        action = wm.group(3).strip()
+        by = (wm.group(2) or "").upper()
+        cond = F.expr(fold(wm.group(3))) if wm.group(3) else None
+        action = wm.group(4).strip()
+        if "SOURCE" in by:
+            # WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE — the
+            # third Delta clause family: target rows the source does
+            # not mention. Conditions/sets are target-scope only.
+            if not is_not_matched:
+                raise ValueError(
+                    "MATCHED BY SOURCE is not a MERGE clause — did you "
+                    "mean WHEN NOT MATCHED BY SOURCE?"
+                )
+            clause = _parse_matched_action(action, aliases, fold)
+            not_matched_by_source.append((clause[0], cond, clause[1]))
+            continue
+        if by and not is_not_matched:
+            raise ValueError(
+                "WHEN MATCHED takes no BY qualifier (BY TARGET only "
+                "qualifies NOT MATCHED)"
+            )
         if is_not_matched:
             im = re.match(
                 r"^INSERT\s*(?:\*|\(([^)]*)\)\s*VALUES\s*\((.*)\))\s*$",
@@ -502,27 +547,9 @@ def _route_merge(
                     for c, e in zip(cols, exprs)
                 }
             insert_cond = cond
-        elif re.match(r"^DELETE\s*$", action, re.IGNORECASE):
-            matched.append(("delete", cond, None))
         else:
-            um = re.match(r"^UPDATE\s+SET\s+(.+)$", action, re.IGNORECASE | re.DOTALL)
-            if not um:
-                raise ValueError(
-                    f"unsupported WHEN MATCHED action {action!r} — "
-                    "supported: UPDATE SET col = expr, ... | DELETE"
-                )
-            sets = {}
-            for part in _split_top(um.group(1), r","):
-                am = re.match(
-                    r"^\s*([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*$", part, re.DOTALL
-                )
-                if not am:
-                    raise ValueError(
-                        f"unsupported MERGE SET clause {part!r} — expected "
-                        "`[t.]col = <sql expr>`"
-                    )
-                sets[_strip_alias(am.group(1), aliases)] = F.expr(fold(am.group(2)))
-            matched.append(("update", cond, sets))
+            clause = _parse_matched_action(action, aliases, fold)
+            matched.append((clause[0], cond, clause[1]))
     if consumed == 0:
         raise ValueError(
             "MERGE statement has no parseable WHEN clause — supported: "
@@ -535,6 +562,7 @@ def _route_merge(
         matched=matched,
         insert_values=insert_values,
         insert_cond=insert_cond,
+        not_matched_by_source=not_matched_by_source,
     )
     return _result_df(
         engine,
@@ -542,6 +570,9 @@ def _route_merge(
         {
             "on": on_pairs,
             "matched_clauses": [k for k, _c, _s in matched],
+            "not_matched_by_source_clauses": [
+                k for k, _c, _s in not_matched_by_source
+            ],
             "insert": insert_values is not None,
         },
     )
@@ -574,6 +605,90 @@ def route_dml(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
     )
 
 
+# -- SELECT time travel (r8) --------------------------------------------------
+
+_TIME_TRAVEL_RE = re.compile(
+    r"\b(FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_.]*)\s+"
+    r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|[0-9][0-9.\-]*)",
+    re.IGNORECASE,
+)
+
+
+def _resolve_travel_table(engine: "ZeroEtlEngine", name: str):
+    """Map a FROM-clause name (qualified ``ns.t``, view ``ns_t``, or
+    the managed table's bare name) to its (ManagedTable, view_name)."""
+    cat = engine.catalog
+    if "." in name:
+        return cat.table(name), cat.view_name(name)
+    if name.lower() == engine.spec.name.lower():
+        q = engine.spec.qualified_name
+        return cat.table(q), cat.view_name(q)
+    for ns in cat.list_namespaces():
+        for t in cat.list_tables(ns):
+            q = f"{ns}.{t}"
+            if cat.view_name(q).lower() == name.lower():
+                return cat.table(q), cat.view_name(q)
+    raise ValueError(
+        f"time travel references unknown table {name!r} — use the "
+        "qualified ns.table name or the registered ns_table view name"
+    )
+
+
+def rewrite_time_travel(engine: "ZeroEtlEngine", query: str) -> str:
+    """``SELECT ... FROM t VERSION AS OF n`` / ``TIMESTAMP AS OF ts``
+    through the SQL door (the Athena/Iceberg ``FOR VERSION AS OF`` /
+    Delta time-travel SELECT surface, over the engine's B10 snapshot
+    reads): each travel clause registers the requested snapshot as a
+    dedicated temp view and the clause is rewritten to that view, so
+    the rest of the statement stays ordinary Spark SQL. ``TIMESTAMP
+    AS OF`` accepts a numeric unix epoch or an ISO-8601 string
+    (interpreted UTC — the session timezone the engine pins).
+
+    Scale: registering the view is O(manifest) metadata; the travel
+    read itself is the same pruned snapshot scan read(version=) does
+    — no extra distributed work over a current-version SELECT."""
+
+    def _sub(m: re.Match) -> str:
+        kw, name, kind, literal = m.groups()
+        t, _view = _resolve_travel_table(engine, name)
+        if kind.upper() == "VERSION":
+            try:
+                version = int(literal.strip("'"))
+            except ValueError:
+                raise ValueError(
+                    f"VERSION AS OF needs an integer version, got {literal!r}"
+                ) from None
+            frame = t.read(version=version)
+            travel_view = f"{_view}__v{version}"
+        else:
+            raw = literal.strip("'")
+            try:
+                as_of = float(raw)
+            except ValueError:
+                from datetime import datetime, timezone
+
+                try:
+                    dt = datetime.fromisoformat(raw)
+                except ValueError:
+                    raise ValueError(
+                        f"TIMESTAMP AS OF needs a unix epoch or ISO-8601 "
+                        f"timestamp, got {literal!r}"
+                    ) from None
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                as_of = dt.timestamp()
+            frame = t.read(as_of=as_of)
+            travel_view = f"{_view}__asof_{str(as_of).replace('.', '_').replace('-', 'm')}"
+        frame.createOrReplaceTempView(travel_view)
+        return f"{kw} {travel_view}"
+
+    return _TIME_TRAVEL_RE.sub(_sub, query)
+
+
+def has_time_travel(query: str) -> bool:
+    return _TIME_TRAVEL_RE.search(query) is not None
+
+
 # -- DDL / utility statements (r7) -------------------------------------------
 # The Athena surface over the replicated table also carries table-
 # maintenance SQL: ALTER TABLE schema evolution, OPTIMIZE (compaction),
@@ -585,13 +700,22 @@ def route_dml(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
 #: only the routed shapes are intercepted — a plain ``DESCRIBE t`` /
 #: ``DESCRIBE EXTENDED t`` keeps flowing to Spark SQL over the view
 #: (it worked before the DDL door existed and must keep working).
-#: ``ALTER TABLE`` is always intercepted: it targets the managed
-#: table, and an unsupported ALTER form should refuse loudly here
-#: rather than fail opaquely against a temp view.
+#: ``ALTER TABLE`` / ``DROP TABLE`` are always intercepted: they
+#: target the managed table, and an unsupported form should refuse
+#: loudly here rather than fail opaquely against a temp view.
+#: ``CREATE TABLE`` is intercepted ONLY in the routed CTAS shape —
+#: the statement must carry a ``PRIMARY KEY`` clause (checked in
+#: :func:`is_utility`); plain Spark SQL CREATE TABLE statements keep
+#: flowing to ``spark.sql`` untouched (ADVICE r7 #3: they worked
+#: before the DDL door existed and must keep working).
 _UTILITY_HEAD = re.compile(
-    r"^\s*(ALTER\s+TABLE|OPTIMIZE|VACUUM|DESCRIBE\s+HISTORY|CREATE\s+TABLE)\b",
+    r"^\s*(ALTER\s+TABLE|OPTIMIZE|VACUUM|DESCRIBE\s+HISTORY|CREATE\s+TABLE"
+    r"|DROP\s+TABLE|SHOW\s+TABLES|SHOW\s+NAMESPACES)\b",
     re.IGNORECASE,
 )
+
+_PRIMARY_KEY_RE = re.compile(r"\bPRIMARY\s+KEY\b", re.IGNORECASE)
+_CREATE_HEAD_RE = re.compile(r"^\s*CREATE\s+TABLE\b", re.IGNORECASE)
 
 _TBL = r"([A-Za-z_][A-Za-z0-9_.`\"]*)"
 _IDENT = r"([A-Za-z_][A-Za-z0-9_]*)"
@@ -616,10 +740,25 @@ _VACUUM_RE = re.compile(rf"^\s*VACUUM\s+{_TBL}\s*;?\s*$", re.IGNORECASE)
 _HISTORY_RE = re.compile(
     rf"^\s*DESCRIBE\s+HISTORY\s+{_TBL}\s*;?\s*$", re.IGNORECASE
 )
+_DROP_TABLE_RE = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?{_TBL}\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_TABLES_RE = re.compile(
+    rf"^\s*SHOW\s+TABLES(?:\s+IN\s+{_IDENT})?\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_NAMESPACES_RE = re.compile(
+    r"^\s*SHOW\s+NAMESPACES\s*;?\s*$", re.IGNORECASE
+)
 
 
 def is_utility(statement: str) -> bool:
-    return _UTILITY_HEAD.match(statement) is not None
+    if _UTILITY_HEAD.match(statement) is None:
+        return False
+    if _CREATE_HEAD_RE.match(statement):
+        # only the keyed-CTAS shape is ours; plain CREATE TABLE flows
+        # on to Spark SQL (see _UTILITY_HEAD note)
+        return _PRIMARY_KEY_RE.search(statement) is not None
+    return True
 
 
 def _split_col_specs(text: str) -> list[str]:
@@ -712,6 +851,9 @@ def route_utility(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
         (_VACUUM_RE, _route_vacuum),
         (_HISTORY_RE, _route_history),
         (_CTAS_RE, _route_ctas),
+        (_DROP_TABLE_RE, _route_drop_table),
+        (_SHOW_TABLES_RE, _route_show_tables),
+        (_SHOW_NAMESPACES_RE, _route_show_namespaces),
     ):
         m = pattern.match(statement)
         if m:
@@ -723,7 +865,54 @@ def route_utility(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
         "ALTER TABLE t DROP COLUMN c | "
         "OPTIMIZE t [REWRITE DATA USING BIN_PACK] | VACUUM t | "
         "DESCRIBE HISTORY t | "
-        "CREATE TABLE ns.name PRIMARY KEY (k, ...) AS <select>"
+        "CREATE TABLE ns.name PRIMARY KEY (k, ...) AS <select> | "
+        "DROP TABLE [IF EXISTS] ns.name | SHOW TABLES [IN ns] | "
+        "SHOW NAMESPACES"
+    )
+
+
+def _route_drop_table(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    """``DROP TABLE [IF EXISTS] ns.name`` — the teardown half of the
+    lifecycle the reference provisions (CreateNamespace/CreateTable
+    grants, reference src/dynamodb-zero-etl-s3tables.ts:92,98; Athena
+    over the replicated table supports DROP symmetrically). Routed to
+    :meth:`Catalog.drop_table`, inheriting its staged-WAP refusal —
+    SQL has no force bypass; publish or rollback the audit first."""
+    if_exists, name = m.group(1), m.group(2).strip("`\"")
+    if "." not in name:
+        name = f"{engine.spec.namespace}.{name}"
+    try:
+        info = engine.catalog.drop_table(name)
+    except KeyError:
+        if if_exists:
+            return _result_df(
+                engine, "drop-table", {"table": name, "skipped": "not found"}
+            )
+        raise ValueError(
+            f"DROP TABLE: unknown table {name!r} (use IF EXISTS to "
+            "make missing tables a no-op)"
+        ) from None
+    return _result_df(engine, "drop-table", info)
+
+
+def _route_show_tables(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    """``SHOW TABLES [IN ns]`` off the durable catalog (warehouse
+    directory listing — metadata-scale, no data read)."""
+    namespaces = [m.group(1)] if m.group(1) else engine.catalog.list_namespaces()
+    rows = [
+        (ns, t)
+        for ns in namespaces
+        for t in engine.catalog.list_tables(ns)
+    ]
+    return engine.spark.createDataFrame(
+        rows, "namespace string, tableName string"
+    )
+
+
+def _route_show_namespaces(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    return engine.spark.createDataFrame(
+        [(ns,) for ns in engine.catalog.list_namespaces()],
+        "namespace string",
     )
 
 
@@ -761,14 +950,21 @@ def _route_ctas(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
             f"CTAS PRIMARY KEY columns {missing} are not in the SELECT "
             f"result (columns: {df.columns})"
         )
-    t = engine.catalog.create_table(
-        TableSpec(namespace=ns, name=name, key_columns=keys)
-    )
-    if t.exists():
+    # probe existence BEFORE registering: Catalog.create_table
+    # unconditionally replaces the in-memory handle, so a refused
+    # re-CTAS with different PRIMARY KEY columns would otherwise
+    # leave the catalog carrying the wrong key_columns for the rest
+    # of the session (ADVICE r7 #1)
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+
+    spec = TableSpec(namespace=ns, name=name, key_columns=keys)
+    spec.validate()
+    if ManagedTable(engine.spark, engine.catalog.warehouse, spec).exists():
         raise ValueError(
             f"CREATE TABLE: {ns}.{name} already exists "
             "(CTAS never overwrites; DROP or pick a new name)"
         )
+    t = engine.catalog.create_table(spec)
     t.bootstrap(df)
     engine.catalog.refresh_view(f"{ns}.{name}")
     return _result_df(

@@ -60,6 +60,40 @@ class Catalog:
         self._tables[qualified_name] = t
         return t
 
+    def drop_table(self, qualified_name: str, force: bool = False) -> dict:
+        """Drop a managed table: deregister the catalog handle and its
+        temp view, and remove the table directory — manifest plus every
+        retained snapshot's data in one teardown (dropping the table IS
+        the retention decision; there is no per-snapshot vacuum to
+        honor once the manifest that defines retention is gone).
+
+        REFUSES when the manifest holds STAGED (WAP) snapshots unless
+        ``force=True``: a drop would silently discard unpublished,
+        unreviewed commits mid-audit — the same protective posture as
+        CTAS-never-overwrites. Completes the lifecycle symmetry of the
+        reference's table provisioning (CreateTable/CreateNamespace
+        grants, reference src/dynamodb-zero-etl-s3tables.ts:92,98):
+        create-on-first-write gets a matching teardown.
+
+        Scale: O(manifest) metadata read + a recursive delete of the
+        table prefix — no table data is ever read."""
+        import shutil
+
+        t = self.table(qualified_name)  # raises KeyError when unknown
+        staged = []
+        if t.exists():
+            staged = [s.version for s in t._read_manifest().snapshots if s.staged]
+        if staged and not force:
+            raise RuntimeError(
+                f"DROP TABLE {qualified_name}: {len(staged)} staged (WAP) "
+                f"snapshot(s) pending publish ({staged}) — publish or "
+                "rollback the audit first, or pass force=True to discard"
+            )
+        self.spark.catalog.dropTempView(self.view_name(qualified_name))
+        shutil.rmtree(t.root, ignore_errors=True)
+        del self._tables[qualified_name]
+        return {"table": qualified_name, "staged_discarded": len(staged)}
+
     def list_tables(self, namespace: str) -> list[str]:
         ns_dir = Path(self.warehouse) / namespace
         if not ns_dir.exists():

@@ -1331,16 +1331,20 @@ class ManagedTable:
         insert_values: dict | None = None,
         insert_cond=None,
         merge_schema: bool = False,
+        not_matched_by_source: list = (),
     ) -> None:
         """General conditional merge commit — the ``MERGE INTO`` verb
         (Delta/Iceberg SQL surface) over this table: ordered
         WHEN MATCHED [AND cond] THEN UPDATE/DELETE clauses plus an
-        optional WHEN NOT MATCHED THEN INSERT, applied in one
-        copy-on-write snapshot. ``on`` defaults to the table's key
-        columns joined to same-named source columns.
-        ``merge_schema=True`` enables Delta-style automatic schema
-        evolution (additive columns + Iceberg widenings; the manifest
-        schema evolves with the commit via the shared B4 gate).
+        optional WHEN NOT MATCHED THEN INSERT, plus ordered
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE clauses (the
+        third Delta clause family, over target rows the source does
+        not mention), applied in one copy-on-write snapshot. ``on``
+        defaults to the table's key columns joined to same-named
+        source columns. ``merge_schema=True`` enables Delta-style
+        automatic schema evolution (additive columns + Iceberg
+        widenings; the manifest schema evolves with the commit via
+        the shared B4 gate).
         Semantics and scale notes: :func:`..merge.merge_into`."""
         from dynamodb_zero_etl_s3tables_spark.table.merge import merge_into
 
@@ -1348,6 +1352,7 @@ class ManagedTable:
         merged = merge_into(
             self.read(), source, pairs, matched, insert_values, insert_cond,
             merge_schema=merge_schema,
+            not_matched_by_source=not_matched_by_source,
         )
         self._write_snapshot(merged, operation="merge-into")
 

@@ -137,6 +137,7 @@ def merge_into(
     insert_values: dict | None = None,
     insert_cond=None,
     merge_schema: bool = False,
+    not_matched_by_source: Sequence[tuple[str, object, dict | None]] = (),
 ) -> DataFrame:
     """General conditional merge — the Delta/Iceberg ``MERGE INTO``
     surface (public SQL semantics; the reference's managed tables get
@@ -150,6 +151,13 @@ def merge_into(
     * ``insert_values``: ``{target_col: Column}`` images for source
       rows matching no target row (``WHEN NOT MATCHED THEN INSERT``),
       gated by ``insert_cond``; ``None`` disables inserts.
+    * ``not_matched_by_source``: ORDERED clauses in the same shape as
+      ``matched``, applied to TARGET rows with no source match — the
+      third Delta clause (``WHEN NOT MATCHED BY SOURCE THEN UPDATE
+      SET ... | DELETE``). Conditions and set expressions may
+      reference target (``t.``) columns only — there is no source row
+      on these branches. Same first-match-wins discipline; a row
+      winning no clause carries through unchanged.
 
     Caller contract (same as Delta): ``source`` must be unique on its
     join columns — a target row matched by several source rows would
@@ -191,7 +199,7 @@ def merge_into(
                     target = target.withColumn(f.name, F.col(f.name).cast(w))
     known = {f.name for f in target.schema.fields}
     assigned_cols: set[str] = set()
-    for _kind, _cond, sets in matched:
+    for _kind, _cond, sets in (*matched, *not_matched_by_source):
         if sets:
             assigned_cols |= set(sets)
     if insert_values:
@@ -212,23 +220,33 @@ def merge_into(
     j = t.join(s, join_cond, "left")
     is_matched = F.col("s.__matched").isNotNull()
 
+    # matched clauses fire on matched rows, not-matched-by-source
+    # clauses on unmatched target rows — DISJOINT row sets, so one
+    # combined ordered clause list resolves both families in the same
+    # single pass (still one join, zero extra scans)
+    clauses = [(kind, cond, sets, True) for kind, cond, sets in matched] + [
+        (kind, cond, sets, False) for kind, cond, sets in not_matched_by_source
+    ]
     # winning clause index per row: 0 = no clause (carry unchanged)
     idx = F.lit(0)
     assigned = F.lit(False)
-    for i, (kind, cond, _sets) in enumerate(matched, start=1):
+    for i, (kind, cond, _sets, on_match) in enumerate(clauses, start=1):
         if kind not in ("update", "delete"):
             raise ValueError(f"unknown matched clause kind {kind!r}")
-        hit = is_matched if cond is None else (is_matched & cond)
+        base = is_matched if on_match else ~is_matched
+        hit = base if cond is None else (base & cond)
         idx = F.when(~assigned & hit, F.lit(i)).otherwise(idx)
         assigned = assigned | hit
     j = j.withColumn("__clause", idx)
 
-    delete_ids = [i for i, (k, _c, _s2) in enumerate(matched, 1) if k == "delete"]
+    delete_ids = [
+        i for i, (k, _c, _s2, _m) in enumerate(clauses, 1) if k == "delete"
+    ]
     kept = j.filter(~F.col("__clause").isin(delete_ids)) if delete_ids else j
     out_cols = []
     for f in target.schema.fields:
         expr = F.col(f"t.{f.name}")
-        for i, (kind, _cond, sets) in enumerate(matched, start=1):
+        for i, (kind, _cond, sets, _m) in enumerate(clauses, start=1):
             if kind == "update" and sets and f.name in sets:
                 expr = F.when(
                     F.col("__clause") == i, sets[f.name].cast(f.dataType)

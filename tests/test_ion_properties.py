@@ -73,3 +73,44 @@ def test_ion_roundtrip_is_stable(item):
         json.dumps({"Item": json.loads(ion.ion_to_item_json(line1))})
     )
     assert line1 == line2
+
+
+def test_malformed_hex_escapes_raise_ion_parse_error():
+    """ADVICE r7 #4: truncated/malformed \\x, \\u, \\U escapes must
+    raise IonParseError with offset context, never a bare ValueError
+    or a silent short-slice parse."""
+    import pytest
+
+    from dynamodb_zero_etl_s3tables_spark.functions.ion import (
+        IonParseError,
+        ion_to_item_json,
+    )
+
+    for bad in (
+        '$ion_1_0 {Item:{s:{S:"\\xZZ"}}}',     # non-hex digits
+        '$ion_1_0 {Item:{s:{S:"\\x4"}}}',       # truncated (quote eats width)
+        '$ion_1_0 {Item:{s:{S:"\\uBEEZ"}}}',   # non-hex in \\u
+        '$ion_1_0 {Item:{s:{S:"\\UFFFFFFFF"}}}',  # beyond U+10FFFF
+    ):
+        with pytest.raises(IonParseError):
+            ion_to_item_json(bad)
+    # the happy path still decodes
+    ok = ion_to_item_json('$ion_1_0 {Item:{s:{S:"\\x41\\u0042"}}}')
+    assert '"AB"' in ok
+
+
+def test_item_json_to_ion_udf_null_passthrough(spark):
+    """ADVICE r7 #5: a NULL wire line maps to NULL (not a TypeError
+    inside the Arrow task)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_zero_etl_s3tables_spark.functions.ion import (
+        item_json_to_ion_udf,
+    )
+
+    df = spark.createDataFrame(
+        [('{"Item": {"pk": {"N": "1"}}}',), (None,)], "line string"
+    )
+    rows = df.select(item_json_to_ion_udf()(F.col("line")).alias("ion")).collect()
+    assert rows[0].ion.startswith("$ion_1_0")
+    assert rows[1].ion is None

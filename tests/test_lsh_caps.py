@@ -222,3 +222,20 @@ def test_buckets_udf_null_embedding_degrades_like_the_fold(spark):
     assert len(rows) == 3 * len(_NEARDUP_PLANES_TBL)
     null_buckets = {r.bucket for r in rows if r.vec_id == 2}
     assert null_buckets == {0}
+
+
+def test_minhash_sign_drops_null_text_docs(spark):
+    """ADVICE r7 #2: NULL-text docs produce NO signature row (the
+    pre-r7 explode contract) — they must not survive as all-NULL
+    signatures that LSH banding would bucket together."""
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_dedup import (
+        minhash_sign,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = minhash_sign(df).collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert all(v is not None for v in rows[0][1:])

@@ -383,3 +383,140 @@ def test_delete_router_matches_spark_semantics(spark, pred):
     eng.sql(f"DELETE FROM ns.fz WHERE {pred}")
     got = sorted(map(tuple, eng.table.read().collect()))
     assert got == expected, f"predicate {pred!r}: {got} != {expected}"
+
+
+# -- r8: MERGE NOT MATCHED BY SOURCE, SQL time travel, DROP/SHOW --------------
+
+
+def test_merge_not_matched_by_source(spark, warehouse):
+    """The third Delta clause family: target rows the source does not
+    mention take ordered UPDATE/DELETE clauses, first match wins."""
+    eng = _engine(spark, warehouse, "nmbs")
+    spark.createDataFrame(
+        [(1, "A", 99.0), (5, "C", 55.0)], "pk long, status string, price double"
+    ).createOrReplaceTempView("nmbs_src")
+    res = eng.sql(
+        "MERGE INTO ns.nmbs t USING nmbs_src s ON t.pk = s.pk "
+        "WHEN MATCHED THEN UPDATE SET price = s.price "
+        "WHEN NOT MATCHED THEN INSERT (pk, status, price) "
+        "VALUES (s.pk, s.status, s.price) "
+        "WHEN NOT MATCHED BY SOURCE AND t.status = 'B' THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET price = 0.0"
+    )
+    import json
+
+    info = json.loads(res.first().info)
+    assert info["not_matched_by_source_clauses"] == ["delete", "update"]
+    got = {r.pk: (r.status, r.price) for r in eng.read().collect()}
+    # pk1 matched-updated; pk2 (A, unmatched) zeroed; pk3/pk4 (B) deleted;
+    # pk5 inserted
+    assert got == {1: ("A", 99.0), 2: ("A", 0.0), 5: ("C", 55.0)}
+
+
+def test_merge_by_source_grammar_refusals(spark, warehouse):
+    eng = _engine(spark, warehouse, "nmbsref")
+    spark.createDataFrame([(1, "A", 1.0)], "pk long, status string, price double"
+                          ).createOrReplaceTempView("nmbsref_src")
+    with pytest.raises(ValueError, match="NOT MATCHED BY SOURCE"):
+        eng.sql("MERGE INTO ns.nmbsref t USING nmbsref_src s ON t.pk = s.pk "
+                "WHEN MATCHED BY SOURCE THEN DELETE")
+    # NMBS INSERT is nonsense (no source row to insert from)
+    with pytest.raises(ValueError, match="WHEN MATCHED action"):
+        eng.sql("MERGE INTO ns.nmbsref t USING nmbsref_src s ON t.pk = s.pk "
+                "WHEN NOT MATCHED BY SOURCE THEN INSERT (pk) VALUES (1)")
+
+
+def test_sql_time_travel_select(spark, warehouse):
+    eng = _engine(spark, warehouse, "tt")
+    eng.sql("UPDATE ns.tt SET price = price * 10 WHERE price >= 0.0")
+    # current view sees v2, VERSION AS OF 1 sees the bootstrap
+    cur = eng.sql("SELECT SUM(price) AS s FROM ns_tt").first().s
+    old = eng.sql("SELECT SUM(price) AS s FROM ns_tt VERSION AS OF 1").first().s
+    assert cur == old * 10
+    # join of two versions of the SAME table in one statement
+    both = eng.sql(
+        "SELECT a.pk, a.price AS now, b.price AS was "
+        "FROM ns_tt a JOIN ns_tt VERSION AS OF 1 b ON a.pk = b.pk"
+    ).collect()
+    assert all(r.now == r.was * 10 for r in both)
+    # TIMESTAMP AS OF: epoch far in the future resolves to the head
+    now_rows = eng.sql(
+        "SELECT COUNT(*) AS n FROM ns_tt TIMESTAMP AS OF 32503680000"
+    ).first().n
+    assert now_rows == 4
+    with pytest.raises(ValueError, match="VERSION AS OF needs an integer"):
+        eng.sql("SELECT * FROM ns_tt VERSION AS OF 'one'")
+    with pytest.raises(ValueError, match="unknown table"):
+        eng.sql("SELECT * FROM nope VERSION AS OF 1")
+
+
+def test_drop_table_and_show(spark, warehouse):
+    eng = _engine(spark, warehouse, "lifec")
+    assert [r.namespace for r in eng.sql("SHOW NAMESPACES").collect()] == ["ns"]
+    shown = [(r.namespace, r.tableName) for r in eng.sql("SHOW TABLES").collect()]
+    assert ("ns", "lifec") in shown
+    # create a second table via CTAS, then drop it through SQL
+    eng.sql("CREATE TABLE ns.lifec2 PRIMARY KEY (pk) AS "
+            "SELECT pk, price FROM ns_lifec")
+    assert ("ns", "lifec2") in [
+        (r.namespace, r.tableName) for r in eng.sql("SHOW TABLES IN ns").collect()
+    ]
+    res = eng.sql("DROP TABLE ns.lifec2")
+    assert res.first().operation == "drop-table"
+    assert ("ns", "lifec2") not in [
+        (r.namespace, r.tableName) for r in eng.sql("SHOW TABLES").collect()
+    ]
+    # recreate under the same name: CTAS must no longer refuse
+    eng.sql("CREATE TABLE ns.lifec2 PRIMARY KEY (pk) AS "
+            "SELECT pk, status FROM ns_lifec")
+    assert eng.catalog.table("ns.lifec2").read().count() == 4
+    # IF EXISTS is a no-op on missing tables; bare DROP refuses
+    assert eng.sql("DROP TABLE IF EXISTS ns.ghost").first().operation == "drop-table"
+    with pytest.raises(ValueError, match="unknown table"):
+        eng.sql("DROP TABLE ns.ghost")
+
+
+def test_drop_table_refuses_staged_wap(spark, warehouse):
+    """Dropping a table with unpublished WAP commits must refuse —
+    the audit gate owns those snapshots, not the teardown path."""
+    eng = _engine(spark, warehouse, "wapdrop")
+    from pyspark.sql import functions as F2
+
+    changes = eng.read().limit(1).select(
+        F2.lit("MODIFY").alias("op"), "pk", "status",
+        F2.lit(1.0).alias("price"),
+        F2.lit(1).alias("ts"), F2.lit(1).alias("seq"),
+    )
+    staged_v = eng.table.stage_changes(changes)
+    with pytest.raises(RuntimeError, match="staged"):
+        eng.sql("DROP TABLE ns.wapdrop")
+    # publish clears the gate; drop then succeeds
+    eng.table.publish(staged_v)
+    assert eng.sql("DROP TABLE ns.wapdrop").first().operation == "drop-table"
+
+
+def test_plain_create_table_flows_to_spark_sql(spark, warehouse):
+    """ADVICE r7 #3: CREATE TABLE without a PRIMARY KEY clause is NOT
+    intercepted by the DDL door — it keeps flowing to spark.sql."""
+    assert not sql_dml.is_utility("CREATE TABLE plain_tbl (a INT) USING parquet")
+    assert sql_dml.is_utility(
+        "CREATE TABLE ns.x PRIMARY KEY (a) AS SELECT 1 AS a")
+    eng = _engine(spark, warehouse, "plainct")
+    eng.sql("CREATE TABLE IF NOT EXISTS spark_catalog.default.plain_ct "
+            "(a INT) USING parquet")
+    try:
+        assert spark.catalog.tableExists("spark_catalog.default.plain_ct")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spark_catalog.default.plain_ct")
+
+
+def test_ctas_refusal_keeps_catalog_handle_intact(spark, warehouse):
+    """ADVICE r7 #1: a refused re-CTAS (different PRIMARY KEY) must not
+    clobber the in-memory catalog handle's key_columns."""
+    eng = _engine(spark, warehouse, "ctaskeys")
+    eng.sql("CREATE TABLE ns.keyed PRIMARY KEY (pk) AS "
+            "SELECT pk, status FROM ns_ctaskeys")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE TABLE ns.keyed PRIMARY KEY (status) AS "
+                "SELECT status FROM ns_ctaskeys")
+    assert eng.catalog.table("ns.keyed").spec.key_columns == ("pk",)
