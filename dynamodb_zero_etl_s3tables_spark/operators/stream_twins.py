@@ -1741,12 +1741,18 @@ def h24_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     # ---- the consumer: delta-sized encode per microbatch
     log_dir = str(root / "index_log")
 
+    # frozen-by-contract artifacts, read ONCE and cached across every
+    # microbatch (VERDICT r7 #7): re-reading the KB-sized codebook and
+    # centroid parquet per batch was pure per-batch overhead. cache()
+    # + materialize so each microbatch's joins start from the
+    # in-memory copy instead of re-planning the scan.
+    cb = spark.read.parquet(cb_path).cache()
+    cents = spark.read.parquet(cent_path).cache()
+    cb.count(), cents.count()
+
     def maintain(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        bs = batch.sparkSession
-        cb = bs.read.parquet(cb_path)
-        cents = bs.read.parquet(cent_path)
         ins = batch.filter(F.col("change_op") == "INSERT").select(
             "vec_id", F.col("label").alias("cell"), "embedding",
             F.lit("standing").alias("src"),
@@ -1801,6 +1807,8 @@ def h24_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     )
     if n < 3:  # bootstrap + 2 CDC versions, one microbatch each
         raise AssertionError(f"expected >=3 index-maintenance batches, got {n}")
+    cb.unpersist()
+    cents.unpersist()
 
     # ---- final index: last-batch-wins per key, tombstones drop
     log = spark.read.parquet(log_dir)  # `batch` = partition col from dir
