@@ -81,17 +81,39 @@ def test_reader_ranged_batch_cap(spark, warehouse):
     assert {v for (v, *_rest) in rows} == {1, 2}
 
 
-def test_reader_refuses_cow_commits_with_clear_error(spark, warehouse):
+_COW_WAVE = [
+    ("MODIFY", 3, "C", 30.0, 1, 1),   # new key        -> INSERT
+    ("MODIFY", 1, "A", 99.0, 1, 2),   # changed image  -> UPSERT
+    ("REMOVE", 2, None, None, 1, 3),  # gone key       -> DELETE
+]
+_COW_DIFF_EXPECTED = {
+    (2, "INSERT", 3, "C", 30.0),
+    (2, "UPSERT", 1, "A", 99.0),
+    (2, "DELETE", 2, None, None),
+}
+
+
+def test_reader_diffs_cow_commits(spark, warehouse):
+    """r8 (VERDICT r7 #2): a copy-on-write merge version emits the
+    keyed snapshot diff vs the previous published version — the
+    read_changes semantics, not a refusal."""
     t, mp = _mk(spark, warehouse)
     t.apply_changes(
         spark.createDataFrame(
-            [("MODIFY", 3, "C", 30.0, 1, 1)],
+            _COW_WAVE,
             "op string, pk long, status string, price double, ts long, seq long",
         )
-    )  # copy-on-write merge: no per-row change files
+    )  # copy-on-write merge: no per-row change files -> diff fallback
     r = _reader(mp, max_versions=10)
-    with pytest.raises(ValueError, match="merge-on-read"):
-        list(r.read(r.initialOffset())[0])
+    rows, off = r.read(r.initialOffset())
+    rows = list(rows)
+    assert off == {"v": 2}
+    v2 = {t_ for t_ in rows if t_[0] == 2}
+    assert v2 == _COW_DIFF_EXPECTED
+    # an identical-image CoW rewrite diffs to zero rows
+    t.compact()
+    rows2 = list(r.readBetweenOffsets({"v": 2}, {"v": 3}))
+    assert rows2 == []
 
 
 def test_reader_skips_staged_snapshots(spark, warehouse):
@@ -256,7 +278,10 @@ def test_partitioned_reader_per_file_parts_and_delete_suppression(
     assert len(parts3) == 1 and list(r.read(parts3[0])) == []
 
 
-def test_partitioned_reader_refuses_cow_commits(spark, warehouse):
+def test_partitioned_reader_diffs_cow_commits(spark, warehouse):
+    """The partitioned reader plans ONE COW_DIFF partition per CoW
+    version and its read() yields the same diff as the simple reader
+    (executor-side, off the driver)."""
     from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
         make_partitioned_changelog_source,
     )
@@ -264,7 +289,7 @@ def test_partitioned_reader_refuses_cow_commits(spark, warehouse):
     t, mp = _mk(spark, warehouse)
     t.apply_changes(
         spark.createDataFrame(
-            [("MODIFY", 3, "C", 30.0, 1, 1)],
+            _COW_WAVE,
             "op string, pk long, status string, price double, ts long, seq long",
         ),
         strategy="copy-on-write",
@@ -273,5 +298,32 @@ def test_partitioned_reader_refuses_cow_commits(spark, warehouse):
         options={"manifest": mp, "keys": "pk"}
     )
     r = src.streamReader(None)
+    parts = r.partitions({"v": 0}, r.latestOffset())
+    cow = [p for p in parts if p.change_op == "COW_DIFF"]
+    assert len(cow) == 1 and cow[0].version == 2
+    assert set(r.read(cow[0])) == _COW_DIFF_EXPECTED
+
+
+def test_cow_diff_refuses_partitioned_tables(spark, warehouse):
+    """Pruned CoW merges on PARTITIONED tables carry untouched
+    partition dirs forward — the reader-side diff refuses loudly."""
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(
+            namespace="ns", name="cdfp", key_columns=("pk",),
+            partition_columns=("status",),
+        )
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, "A", 10.0), (2, "B", 20.0)], "pk long, status string, price double"
+        )
+    )
+    t.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 1, "A", 99.0, 1, 1)],
+            "op string, pk long, status string, price double, ts long, seq long",
+        )
+    )
+    r = _reader(f"{warehouse}/ns/cdfp/manifest.json", max_versions=10)
     with pytest.raises(ValueError, match="merge-on-read"):
-        r.partitions({"v": 0}, r.latestOffset())
+        list(r.readBetweenOffsets({"v": 1}, {"v": 2}))
