@@ -90,6 +90,10 @@ HEADLINE = [
     # these stay separable in r8+)
     "d90b_merge_evolving",      # MERGE with automatic schema evolution
     "h24_streaming_index_maintenance",  # changelog-driven IVF-PQ upkeep
+    # r8 additions (subtotal_r7_50_sec closes the window above so
+    # these stay separable in r9+)
+    "h26_cow_changelog_stream",  # CoW snapshot-diff changelog drain
+    "c29_sql_nmbs_time_travel_journey",  # 3-clause MERGE + travel join
 ]
 
 #: prefix lengths whose subtotals stay comparable across rounds
@@ -100,6 +104,7 @@ N_R5 = 35
 N_R5B = 40
 N_R5C = 44
 N_R6 = 48
+N_R7 = 50
 
 #: recorded quiet-host calibration probe (SCALE.md "Cross-host
 #: normalization"): 0.924s on the r4 build host at rest, 1.028s on the
@@ -224,6 +229,23 @@ def main() -> None:
                 ),
                 "subtotal_r6_48_sec": round(
                     sum(timings[n] for n in HEADLINE[:N_R6]), 3
+                ),
+                "subtotal_r7_50_sec": round(
+                    sum(timings[n] for n in HEADLINE[:N_R7]), 3
+                ),
+                # calibration-normalized twins (VERDICT r7 #5): wall
+                # times divided by host_speed_factor, i.e. projected
+                # onto the quiet r4 reference host — gate regression
+                # analysis on THESE when load_contaminated is true
+                # (valid whenever calibration_stable holds; see the
+                # stable/contaminated comment above)
+                "normalized": {
+                    n: round(t / speed_factor, 3) for n, t in timings.items()
+                },
+                "normalized_total_sec": round(total / speed_factor, 3),
+                "normalized_subtotal_original20_sec": round(
+                    sum(timings[n] for n in HEADLINE[:N_ORIGINAL]) / speed_factor,
+                    3,
                 ),
                 "calibration_sec": cal,
                 "calibration_start_sec": cal_start,

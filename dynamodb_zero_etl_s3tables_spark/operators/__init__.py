@@ -48,123 +48,310 @@ from dynamodb_zero_etl_s3tables_spark.operators import sources_sinks  # noqa: E4
 # driver-verified at least once. Rotation bookkeeping: after each round,
 # move newly-graded names to the tail and promote anything newly added.
 _GRADE_PRIORITY = [
-    # ---- round-7 window head (VERDICT r6 #4: rotate the OLDEST grades).
-    # Positions 1-7: the seven r7 additions (never driver-graded).
-    "c25_sql_dml_residual_journey", "b01c_ion_export_bootstrap",
-    "d90b_merge_evolving", "h24_streaming_index_maintenance",
-    "h25_partitioned_changelog_drain", "c26_sql_ddl_journey",
+    # ---- round-8 window (VERDICT r7 #1: burn down the stale-grade
+    # backlog; grade code the round it ships). Positions 1-3: the three
+    # r8 additions (h26 CoW changelog stream, c28 lifecycle, c29
+    # NMBS-merge + SQL time travel — never driver-graded).
+    # Positions 4-14: re-signs for entries whose implementation changed
+    # THIS round — e38 (dedup rewritten to hash-agg + semi join), h24
+    # (artifact caching), h20/h25 (changelog readers grew the CoW diff
+    # fallback), c23-c27 (sql_dml routing/grammar refactors), d90/d90b
+    # (merge.py clause engine extended) — so no driver-signed grade
+    # predates the code it certifies.
+    # Positions 15-25: the r01/r02-graded entries whose MinHash /
+    # hyperplane kernels were rewritten in r7 (the verdict's top
+    # rotation priority: e02c-e02h, e03 family).
+    # Positions 26-50: the oldest remaining r01/r02 grades (B-family
+    # ingest, H-family streaming twins, D2x aggregates, e01/e05/e07).
+    # After this window 20 stale entries remain (e05b-e05f, e08-e19
+    # tail) — they fill the r9 head; every other entry then carries a
+    # grade no older than r03.
+    "h26_cow_changelog_stream",
+    "c28_sql_lifecycle_journey",
+    "c29_sql_nmbs_time_travel_journey",
+    "e38_training_export",
+    "h24_streaming_index_maintenance",
+    "h20_table_changelog_stream",
+    "h25_partitioned_changelog_drain",
+    "c23_sql_dml_journey",
+    "c24_mor_dml_journey",
+    "c25_sql_dml_residual_journey",
+    "c26_sql_ddl_journey",
     "c27_sql_ctas_journey",
-    # Positions 8-11: re-grades whose implementations changed in r7 —
-    # the vectorized shingle/signature kernels (e02/e02b), the
-    # hyperplane-bucket kernel + fan_out removal (e04), and the
-    # JPEG/WebP header close (e06b). All hash-matched locally at
-    # sf0.01 (and the kernels also at sf0.1); the driver row is the
-    # signed proof.
-    "e02_minhash_signatures", "e02b_minhash_lsh_pairs",
-    "e04_similarity_join", "e06b_media_featurize",
-    # Positions 12-50 (+ the rest overflowing into the r8 window): the 48
-    # entries whose latest driver rows date to ROUND 1 — the oldest
-    # grades on the books (relational/source/aggregate core). The
-    # code under them was refactored repeatedly since r1 (fan_out,
-    # decimal casts, tune()); local sweeps stay green every round,
-    # and this re-signs the record.
-    "d01_parquet_scan", "d06_project_compute", "d07_filter_boolean",
-    "d08_predicates", "d09_null_semantics", "d10_case_when",
-    "d11_distinct", "d12_join_inner", "d13_join_outer",
-    "d13b_join_full_outer", "d14_join_semi", "d15_join_anti",
-    "d16_join_broadcast_star", "d17_join_theta", "d18_cross_join",
-    "d19_range_join", "d20_asof_join", "d21_star_join_flagship",
-    "d61_correlated_subqueries", "d02_json_scan", "d03_csv_scan",
-    "d04_partitioned_sink", "d05_inmemory_source", "c01_sql_entry",
-    "c02_catalog_roundtrip", "b10_time_travel", "b04_schema_evolution",
-    "d26c_grouping_sets", "c03_dataframe_api", "b05b_partitioned_merge",
-    "d02b_corrupt_tolerant_scan", "b11b_compaction", "b12b_stats_pruned_scan",
-    "b10b_incremental_read", "b12c_zorder_scan", "b05c_merge_on_read",
-    "c04_engine_facade", "d03b_orc_roundtrip", "d22_grouped_agg_q1",
-    "d23_global_agg", "d24_count_distinct", "d26_rollup",
-    "d26b_cube", "d27_conditional_agg", "d29_stats_agg",
-    "d29b_percentile", "d30_latest_per_key", "e07_salted_agg",
-    # ---- graded in r6 (CORRECTNESS_r06.json, 49 green + d38
-    # rows-only by design) -> tail ----
-    "d25_approx_count_distinct", "d28_collect_list_set",
-    "d38_limit_no_sort",
-    "c21_generated_columns_journey", "c22_drop_column_journey",
-    "d97_tpch_q11_important_stock", "d98_tpch_q16_supplier_part_counts",
-    "d99_tpch_q20_excess_stock", "d100_udtf_table_argument",
-    "e70_filtered_ann", "e71_soft_dedup_weights",
-    "e72_temperature_mixture", "e73_feature_hash_embed",
-    "e74_mmr_rerank", "e75_cross_corpus_dedup", "e76_bbit_minhash",
-    "e77_trained_langid", "e78_tokenizer_fertility",
-    "e79_dedup_threshold_sweep", "h20_table_changelog_stream",
-    # ---- new in r6 (window positions 21+) ----
-    "c23_sql_dml_journey", "h21_schema_evolving_stream",
-    "e80_substring_dedup", "c24_mor_dml_journey",
-    "h22_streaming_dedup_ingest", "e81_lsh_precision",
-    "e82_token_budget_epochs", "d101_kmv_set_intersection",
-    "h23_streaming_kmv_sketch",
-    # ---- graded in r5 (CORRECTNESS_r05.json, 50/50 green) -> tail ----
-    "d88_hypertable_rollup", "h16_chained_window_twin", "e45_dsir_resample",
-    "e44_ivf_pq_residual", "d89_countmin_heavy_hitters",
-    "e46_linear_quality_model", "c09_wap_journey", "e47_ccnet_lm_partition",
-    "e48_knn_graph", "h17_gated_cdc_sink", "e49_cluster_balanced_sample",
-    "e50_lsh_dedup_recall", "e51_filter_attrition",
-    "e52_incremental_ivfpq", "e53_kneser_ney_score", "d90_merge_into",
-    "e54_source_drift_psi", "e55_source_minhash_sketch",
-    "c10_partition_evolution_journey", "d91_interval_grid_join",
-    "c11_snapshot_tag_journey", "c12_branch_journey",
-    "c13_replication_audit", "d92_compaction_plan", "d53c_map_in_arrow",
-    "d94_python_datasource", "e56_split_leakage_audit", "c14_rename_journey",
-    "e57_winnowing_fingerprints", "c15_shallow_clone_journey",
-    "e58_blockwise_int4", "h19_drift_gated_ingest", "e59_doremi_mixture",
-    "e60_incontext_packing", "e61_matryoshka_recall", "e62_hybrid_rrf",
-    "c16_bloom_skip_journey", "c17_constraint_gate_journey",
-    "e63_zipf_slope", "c18_zorder_compact_journey", "e64_knn_pagerank",
-    "c19_delete_where_journey", "c20_update_where_journey",
-    "e65_kcenter_coreset", "e66_stratified_split", "e67_bpe_training",
-    "e68_sliding_chunks", "e69_best_of_cluster", "d95_analytic_completeness",
+    "d90_merge_into",
+    "d90b_merge_evolving",
+    "e02c_ngram_jaccard",
+    "e02d_simhash",
+    "e02e_embedding_neardup",
+    "e02f_minhash_estimate",
+    "e02g_lsh_cluster_reps",
+    "e02h_dedup_components",
+    "e03_cosine_topk",
+    "e03b_ann_ivf",
+    "e03c_cosine_topk_vectorized",
+    "e03d_ann_hyperplane_lsh",
+    "e03e_lsh_recall",
+    "b01_bootstrap_snapshot",
+    "b01b_pitr_export_bootstrap",
+    "b03_attrvalue_decode",
+    "b05_cdc_upsert_merge",
+    "b06_inbatch_dedup",
+    "b07_delete_propagation",
+    "h02_watermark_twin",
+    "h03_tumbling_window",
+    "h04_sliding_window",
+    "h05_session_window",
+    "h06_stream_dedup_twin",
+    "h07_stream_merge_sink",
+    "h09_stream_static_join",
+    "h10_corpus_ingest_gate",
+    "d23_global_agg",
+    "d24_count_distinct",
+    "d26_rollup",
+    "d26b_cube",
+    "d27_conditional_agg",
+    "d29_stats_agg",
+    "d29b_percentile",
+    "d30_latest_per_key",
+    "e01_exact_dedup",
+    "e05_tfidf",
+    "e07_salted_agg",
+    "e16_dedup_pipeline",
+    "e24_editdist_verify",
+    "e17_label_centroids",
+    "e05b_langid",
+    "e05c_quality_score",
+    "e05d_token_count",
+    "e05e_fingerprint",
+    "e05f_rolling_hash",
+    "e08_deterministic_split",
+    "e09_sequence_packing",
+    "e10_quality_filter_chain",
+    "e11_pii_redaction",
+    "e08b_stratified_sample",
+    "e10b_repetition_score",
+    "e13_contamination",
+    "e14_unigram_surprisal",
+    "e15_mixture_rebalance",
+    "e12_length_histogram",
+    "e18_bm25_retrieval",
+    "e19_corpus_report",
+    "d29c_median_mode",
+    "d31_window_ranking",
+    "d31b_relative_rank",
+    "d32_lag_lead",
+    "d33_running_sum",
+    "d34_range_frame",
+    "d35_topk_per_group",
+    "d36_global_sort",
+    "d37_top_k",
+    "d39_union",
+    "d39b_union_distinct",
+    "d40_intersect",
+    "d41_except_all",
+    "d73_rolling_distinct_users",
+    "d42_string_fns",
+    "d43_datetime_fns",
+    "d44_math_fns",
+    "d45_array_fns",
+    "d45b_explode",
+    "d46_map_fns",
+    "d47_json_fns",
+    "d48_hash_fns",
+    "d48b_hash_native",
+    "d49_scalar_python_udf",
+    "d50_pandas_udf_scalar",
+    "d51_pandas_udf_grouped_agg",
+    "d52_apply_in_pandas",
+    "d53_map_in_pandas",
+    "d53b_python_udtf",
+    "d54_pivot",
+    "d55_unpivot",
+    "d57_funnel",
+    "d58_cohort_retention",
+    "d59_tpch_q3_shipping_priority",
+    "d60_tpch_q10_returned_items",
+    "d62_hll_mergeable_distinct",
+    "d63_kll_quantile_sketch",
+    "d64_tpch_q5_local_supplier_volume",
+    "d65_tpch_q18_large_orders",
+    "d66_timeseries_gapfill",
+    "d67_tpch_q4_order_priority",
+    "d68_tpch_q12_priority_by_status",
+    "d69_tpch_q14_promo_revenue",
+    "d70_tpch_q19_disjunctive_join",
+    "d71_tpch_q21_waiting_supplier",
+    "d72_tpch_q22_idle_customers",
+    "e20_chunk_dedup",
+    "e21_kmeans_refine",
+    "e25_semdedup",
+    "e22_vocab_coverage",
+    "e23_bigram_model",
+    "e06_binary_plumbing",
+    "e06c_frame_sample",
+    "e06d_media_exact_dedup",
+    "h11_interval_join_twin",
+    "a03_identifier_derivation",
+    "a04_sanitize_identifier",
+    "a06_policy_merge",
+    "a07_policy_delete",
+    "c05_replication_journey",
+    "e26_minhash_containment",
+    "e27_dsir_importance",
+    "e28_embedding_covariance",
+    "d74_bloom_semi_join",
+    "d75_salted_skew_join",
+    "e29_incremental_lsh",
+    "h12_interval_left_join_twin",
+    "e30_embedding_quantize",
+    "c06_corpus_curation_journey",
+    "c07_snapshot_metadata",
+    "d76_variant_semistructured",
+    "d77_scd2_history",
+    "e31_dup_graph_degree",
+    "d78_recursive_hierarchy",
+    "d79_tpch_q6_forecast_revenue",
+    "d80_tpch_q7_nation_volume",
+    "d81_tpch_q8_market_share",
+    "d82_tpch_q13_customer_distribution",
+    "d83_tpch_q15_top_supplier",
+    "d84_tpch_q17_small_quantity_revenue",
+    "e32_bpe_pair_counts",
+    "e33_ngram_novelty",
+    "h13_dedup_within_watermark_twin",
+    "d86_bucketed_join",
+    "d87_dynamic_partition_pruning",
+    "h14_stateful_totals_twin",
+    "e34_pca_power_iteration",
+    "e35_cluster_keywords",
+    "e36_common_span_probe",
+    "e37_pq_adc_topk",
+    "c08_incremental_view_maintenance",
+    "e39_source_overlap_matrix",
+    "e40_ivf_pq_topk",
+    "e41_neardup_training_export",
+    "e42_bigram_perplexity_filter",
+    "e43_hard_negatives",
+    "h15_session_window_twin",
+    "c11_snapshot_tag_journey",
+    "c12_branch_journey",
+    "c13_replication_audit",
+    "d92_compaction_plan",
+    "d53c_map_in_arrow",
+    "d94_python_datasource",
+    "e56_split_leakage_audit",
+    "c14_rename_journey",
+    "e57_winnowing_fingerprints",
+    "c15_shallow_clone_journey",
+    "e58_blockwise_int4",
+    "h19_drift_gated_ingest",
+    "e59_doremi_mixture",
+    "e60_incontext_packing",
+    "e61_matryoshka_recall",
+    "e62_hybrid_rrf",
+    "c16_bloom_skip_journey",
+    "c17_constraint_gate_journey",
+    "e63_zipf_slope",
+    "c18_zorder_compact_journey",
+    "e64_knn_pagerank",
+    "c19_delete_where_journey",
+    "c20_update_where_journey",
+    "e65_kcenter_coreset",
+    "e66_stratified_split",
+    "e67_bpe_training",
+    "e68_sliding_chunks",
+    "e69_best_of_cluster",
+    "d95_analytic_completeness",
     "d96_tpch_q2_min_cost_supplier",
-    # ---- graded in r4 (CORRECTNESS_r04.json, 50/50 green) -> tail ----
-    "e22_vocab_coverage", "e23_bigram_model", "e06_binary_plumbing",
-    "e06c_frame_sample", "e06d_media_exact_dedup",
-    "h11_interval_join_twin", "a03_identifier_derivation",
-    "a04_sanitize_identifier", "a06_policy_merge", "a07_policy_delete",
-    "c05_replication_journey", "e26_minhash_containment",
-    "e27_dsir_importance", "e28_embedding_covariance", "d74_bloom_semi_join",
-    "d75_salted_skew_join", "e29_incremental_lsh",
-    "h12_interval_left_join_twin", "e30_embedding_quantize",
-    "c06_corpus_curation_journey", "c07_snapshot_metadata",
-    "d76_variant_semistructured", "d77_scd2_history", "e31_dup_graph_degree",
-    "d78_recursive_hierarchy", "d79_tpch_q6_forecast_revenue",
-    "d80_tpch_q7_nation_volume", "d81_tpch_q8_market_share",
-    "d82_tpch_q13_customer_distribution", "d83_tpch_q15_top_supplier",
-    "d84_tpch_q17_small_quantity_revenue", "e32_bpe_pair_counts",
-    "e33_ngram_novelty", "h13_dedup_within_watermark_twin",
-    "d86_bucketed_join", "d87_dynamic_partition_pruning",
-    "h14_stateful_totals_twin", "e34_pca_power_iteration",
-    "e35_cluster_keywords", "e36_common_span_probe", "e37_pq_adc_topk",
-    "e38_training_export", "c08_incremental_view_maintenance",
-    "e39_source_overlap_matrix", "e40_ivf_pq_topk",
-    "e41_neardup_training_export", "e42_bigram_perplexity_filter",
-    "e43_hard_negatives", "h15_session_window_twin",
-    # ---- graded in r3 (CORRECTNESS_r03.json, 50/50 green) -> tail ----
-    "d29c_median_mode", "d31_window_ranking", "d31b_relative_rank",
-    "d32_lag_lead", "d33_running_sum", "d34_range_frame",
-    "d35_topk_per_group", "d36_global_sort", "d37_top_k",
-    "d39_union", "d39b_union_distinct", "d40_intersect",
-    "d41_except_all", "d73_rolling_distinct_users", "d42_string_fns",
-    "d43_datetime_fns", "d44_math_fns", "d45_array_fns", "d45b_explode",
-    "d46_map_fns", "d47_json_fns", "d48_hash_fns", "d48b_hash_native",
-    "d49_scalar_python_udf", "d50_pandas_udf_scalar",
-    "d51_pandas_udf_grouped_agg", "d52_apply_in_pandas", "d53_map_in_pandas",
-    "d53b_python_udtf", "d54_pivot", "d55_unpivot", "d57_funnel",
-    "d58_cohort_retention", "d59_tpch_q3_shipping_priority",
-    "d60_tpch_q10_returned_items", "d62_hll_mergeable_distinct",
-    "d63_kll_quantile_sketch", "d64_tpch_q5_local_supplier_volume",
-    "d65_tpch_q18_large_orders", "d66_timeseries_gapfill",
-    "d67_tpch_q4_order_priority", "d68_tpch_q12_priority_by_status",
-    "d69_tpch_q14_promo_revenue", "d70_tpch_q19_disjunctive_join",
-    "d71_tpch_q21_waiting_supplier", "d72_tpch_q22_idle_customers",
-    "e20_chunk_dedup", "e21_kmeans_refine", "e25_semdedup",
+    "d25_approx_count_distinct",
+    "d28_collect_list_set",
+    "d38_limit_no_sort",
+    "c21_generated_columns_journey",
+    "c22_drop_column_journey",
+    "d97_tpch_q11_important_stock",
+    "d98_tpch_q16_supplier_part_counts",
+    "d99_tpch_q20_excess_stock",
+    "d100_udtf_table_argument",
+    "e70_filtered_ann",
+    "e71_soft_dedup_weights",
+    "e72_temperature_mixture",
+    "e73_feature_hash_embed",
+    "e74_mmr_rerank",
+    "e75_cross_corpus_dedup",
+    "e76_bbit_minhash",
+    "e77_trained_langid",
+    "e78_tokenizer_fertility",
+    "e79_dedup_threshold_sweep",
+    "h21_schema_evolving_stream",
+    "e80_substring_dedup",
+    "h22_streaming_dedup_ingest",
+    "e81_lsh_precision",
+    "e82_token_budget_epochs",
+    "d101_kmv_set_intersection",
+    "h23_streaming_kmv_sketch",
+    "d88_hypertable_rollup",
+    "h16_chained_window_twin",
+    "e45_dsir_resample",
+    "e44_ivf_pq_residual",
+    "d89_countmin_heavy_hitters",
+    "e46_linear_quality_model",
+    "c09_wap_journey",
+    "e47_ccnet_lm_partition",
+    "e48_knn_graph",
+    "h17_gated_cdc_sink",
+    "e49_cluster_balanced_sample",
+    "e50_lsh_dedup_recall",
+    "e51_filter_attrition",
+    "e52_incremental_ivfpq",
+    "e53_kneser_ney_score",
+    "e54_source_drift_psi",
+    "e55_source_minhash_sketch",
+    "c10_partition_evolution_journey",
+    "d91_interval_grid_join",
+    "b01c_ion_export_bootstrap",
+    "e02_minhash_signatures",
+    "e02b_minhash_lsh_pairs",
+    "e04_similarity_join",
+    "e06b_media_featurize",
+    "d01_parquet_scan",
+    "d06_project_compute",
+    "d07_filter_boolean",
+    "d08_predicates",
+    "d09_null_semantics",
+    "d10_case_when",
+    "d11_distinct",
+    "d12_join_inner",
+    "d13_join_outer",
+    "d13b_join_full_outer",
+    "d14_join_semi",
+    "d15_join_anti",
+    "d16_join_broadcast_star",
+    "d17_join_theta",
+    "d18_cross_join",
+    "d19_range_join",
+    "d20_asof_join",
+    "d21_star_join_flagship",
+    "d61_correlated_subqueries",
+    "d02_json_scan",
+    "d03_csv_scan",
+    "d04_partitioned_sink",
+    "d05_inmemory_source",
+    "c01_sql_entry",
+    "c02_catalog_roundtrip",
+    "b10_time_travel",
+    "b04_schema_evolution",
+    "d26c_grouping_sets",
+    "c03_dataframe_api",
+    "b05b_partitioned_merge",
+    "d02b_corrupt_tolerant_scan",
+    "b11b_compaction",
+    "b12b_stats_pruned_scan",
+    "b10b_incremental_read",
+    "b12c_zorder_scan",
+    "b05c_merge_on_read",
+    "c04_engine_facade",
+    "d03b_orc_roundtrip",
+    "d22_grouped_agg_q1",
 ]
 
 

@@ -31,6 +31,7 @@ import hashlib
 import json
 import os
 import re
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -50,6 +51,28 @@ from dynamodb_zero_etl_s3tables_spark.table.merge import (
 
 class CommitConflictError(RuntimeError):
     """Raised when the manifest version moved under us (A8)."""
+
+
+#: per-manifest-path commit locks (r8, VERDICT r7 #8): the optimistic
+#: check in ``_write_manifest`` is read-compare-swap — without mutual
+#: exclusion two INTERLEAVED writers could both pass the compare and
+#: both swap, the second silently clobbering the first (exactly the
+#: lost-update the Lambda's PolicyHashCondition exists to prevent,
+#: reference lambda/catalog-policy-handler.js:60,68). A process-wide
+#: lock per manifest path makes check+swap atomic for in-process
+#: writers (Spark local / one driver); an ``flock`` on a sidecar .lock
+#: file extends the same guarantee to concurrent DRIVER PROCESSES on a
+#: shared warehouse. Lock scope is the metadata pointer only — data
+#: files are written before the lock is taken, so writers overlap on
+#: all distributed work and serialize for microseconds at the swap,
+#: the same contention profile as Iceberg's metadata-location CAS.
+_COMMIT_LOCKS: dict[str, threading.Lock] = {}
+_COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+def _commit_lock(path: str) -> threading.Lock:
+    with _COMMIT_LOCKS_GUARD:
+        return _COMMIT_LOCKS.setdefault(path, threading.Lock())
 
 
 class ConstraintViolationError(RuntimeError):
@@ -481,8 +504,28 @@ class ManagedTable:
         )
 
     def _write_manifest(self, m: Manifest, expected_version: int) -> None:
-        """B9+A8: atomic pointer swap with optimistic version check."""
+        """B9+A8: atomic pointer swap with optimistic version check.
+        The check+swap pair runs under the per-manifest commit lock
+        (in-process) AND an flock on a sidecar file (cross-process) —
+        see ``_commit_lock``: compare-and-swap without mutual
+        exclusion admits a lost update between two interleaved
+        writers that both read the same current version."""
         self.root.mkdir(parents=True, exist_ok=True)
+        with _commit_lock(str(self.manifest_path)):
+            lock_path = self.manifest_path.with_suffix(".lock")
+            lock_f = open(lock_path, "a")
+            try:
+                try:
+                    import fcntl
+
+                    fcntl.flock(lock_f, fcntl.LOCK_EX)
+                except ImportError:  # non-POSIX: in-process lock only
+                    pass
+                self._checked_swap(m, expected_version)
+            finally:
+                lock_f.close()  # closing releases any flock held
+
+    def _checked_swap(self, m: Manifest, expected_version: int) -> None:
         current = self._read_manifest().version
         if current != expected_version:
             raise CommitConflictError(

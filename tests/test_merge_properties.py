@@ -122,3 +122,61 @@ def test_merge_schema_evolution_and_refusals(spark):
         merge_into(target, bad, [("pk", "pk")],
                    matched=[("update", None, {"price": F.col("s.price")})],
                    merge_schema=True)
+
+
+# -- r8: two-writer commit interleaving (VERDICT r7 #8) -----------------------
+# The optimistic-concurrency law (A8 — the Lambda's PolicyHashCondition,
+# reference lambda/catalog-policy-handler.js:60,68) under REAL thread
+# interleaving: two writers race the same expected version; exactly one
+# commit survives, the loser gets CommitConflictError, and the survivor
+# manifest is the winner's — never a silent merge of both.
+
+
+def test_two_interleaved_writers_exactly_one_survives(spark, tmp_path):
+    import threading
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import (
+        CommitConflictError,
+    )
+
+    for trial in range(5):  # repeated: interleavings vary per run
+        t = Catalog(spark, str(tmp_path / f"wh{trial}")).create_table(
+            TableSpec(namespace="ns", name="race", key_columns=("pk",))
+        )
+        t.bootstrap(
+            spark.createDataFrame([(1, "A"), (2, "B")], "pk long, status string")
+        )
+        barrier = threading.Barrier(2)
+        outcomes: dict[str, BaseException | None] = {}
+
+        def writer(tag: str) -> None:
+            df = spark.createDataFrame(
+                [("MODIFY", 3, f"from-{tag}", 1, 1)],
+                "op string, pk long, status string, ts long, seq long",
+            )
+            barrier.wait()  # maximize check/swap overlap
+            try:
+                t.apply_changes(df)
+                outcomes[tag] = None
+            except BaseException as exc:  # noqa: BLE001 — recorded, asserted below
+                outcomes[tag] = exc
+
+        threads = [
+            threading.Thread(target=writer, args=(tag,)) for tag in ("w1", "w2")
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(120)
+        errs = {k: v for k, v in outcomes.items() if v is not None}
+        assert len(outcomes) == 2 and len(errs) == 1, (
+            f"trial {trial}: exactly one writer must lose, got {outcomes}"
+        )
+        assert isinstance(next(iter(errs.values())), CommitConflictError), errs
+        # survivor manifest is consistent: v2, exactly the winner's row
+        winner = next(k for k, v in outcomes.items() if v is None)
+        assert t.version == 2
+        rows = {r.pk: r.status for r in t.read().collect()}
+        assert rows == {1: "A", 2: "B", 3: f"from-{winner}"}, rows
