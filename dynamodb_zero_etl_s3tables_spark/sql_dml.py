@@ -347,7 +347,7 @@ def _route_insert(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
             f"SELECT * FROM ({body}) AS v({', '.join(cols)})"
         )
     else:
-        source = engine.spark.sql(body)
+        source = engine.spark.sql(rewrite_time_travel(engine, body))
         if cols_text:
             cols = [c.strip() for c in cols_text.split(",")]
             if len(cols) != len(source.columns):
@@ -487,7 +487,7 @@ def _route_merge(
     # resolve the source only after the ON grammar is validated, so a
     # malformed statement refuses before touching the catalog
     if source_text == "__SUBQUERY__":
-        source = engine.spark.sql(subquery)
+        source = engine.spark.sql(rewrite_time_travel(engine, subquery))
     else:
         source = engine.spark.table(source_text)
 
@@ -943,7 +943,7 @@ def _route_ctas(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
     ns, name, keys_text, select = m.groups()
     keys = tuple(k.strip() for k in keys_text.split(","))
     engine.catalog.refresh_view(engine.spec.qualified_name)
-    df = engine.spark.sql(select)
+    df = engine.spark.sql(rewrite_time_travel(engine, select))
     missing = [k for k in keys if k not in df.columns]
     if missing:
         raise ValueError(
