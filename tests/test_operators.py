@@ -45,40 +45,41 @@ def test_doc_counts_match_registry():
 
 
 def test_grade_priority_prefix():
-    # Round-7 rotation (VERDICT r6 #4: grade the OLDEST entries): the
-    # driver grades a 50-query prefix of the registry; the r7 prefix
-    # must LEAD with the 4 never-graded r7 additions, then the 4
-    # r7-changed re-grades (shingle/signature kernels, bucket kernel,
-    # JPEG/WebP close), then the 48 entries whose latest driver rows
-    # date to round 1 (42 fit; 6 overflow into the r8 window). Pins
-    # _GRADE_PRIORITY against accidental registration-order changes.
+    # Round-8 rotation (VERDICT r7 #1: burn down the stale-grade
+    # backlog): the driver grades a 50-query prefix of the registry.
+    # The r8 prefix leads with the 3 never-graded r8 additions, then
+    # 11 re-signs for code rewritten THIS round (e38 dedup rework,
+    # h24 caching, h20/h25 CoW-diff readers, c23-c27 sql_dml
+    # refactors, d90/d90b merge-engine extension), then the 11
+    # kernel-rewritten r01/r02-graded entries (e02c-e02h + e03
+    # family, the verdict's top rotation priority), then 25 more of
+    # the oldest grades. As of r8, _GRADE_PRIORITY covers the WHOLE
+    # registry (tail ordered stale-first, then ascending grade age).
     from dynamodb_zero_etl_s3tables_spark.operators import _GRADE_PRIORITY
 
     names = list(QUERY_REGISTRY)
-    assert names[: len(_GRADE_PRIORITY)] == _GRADE_PRIORITY
-    # the tail (names NOT in the priority list) is the fixed set of
-    # r2-graded queries not re-graded since (50, minus e02/e02b/e04
-    # pulled into the r7 window for their kernel re-grades); every op
-    # added since must be appended to _GRADE_PRIORITY, so the tail
-    # never grows
-    assert len(QUERY_REGISTRY) - len(_GRADE_PRIORITY) == 47
+    assert names == _GRADE_PRIORITY
     window = _GRADE_PRIORITY[:50]
     for name in (
-        # r7 additions, never driver-graded
-        "c25_sql_dml_residual_journey", "b01c_ion_export_bootstrap",
-        "d90b_merge_evolving", "h24_streaming_index_maintenance",
-        # r7-changed re-grades
-        "e02_minhash_signatures", "e02b_minhash_lsh_pairs",
-        "e04_similarity_join", "e06b_media_featurize",
-        # oldest-graded (r1) representatives
-        "d01_parquet_scan", "d21_star_join_flagship",
-        "b05c_merge_on_read", "d22_grouped_agg_q1",
+        # r8 additions, never driver-graded
+        "h26_cow_changelog_stream", "c28_sql_lifecycle_journey",
+        "c29_sql_nmbs_time_travel_journey",
+        # r8-changed re-signs
+        "e38_training_export", "h24_streaming_index_maintenance",
+        "h20_table_changelog_stream", "c27_sql_ctas_journey",
+        "d90_merge_into",
+        # kernel-rewritten stale grades (r7 verdict's top priority)
+        "e02c_ngram_jaccard", "e03_cosine_topk",
+        # oldest remaining r01/r02 grades
+        "b01_bootstrap_snapshot", "h02_watermark_twin",
+        "d23_global_agg", "e01_exact_dedup",
     ):
         assert name in window, name
-    assert _GRADE_PRIORITY[0] == "c25_sql_dml_residual_journey"
+    assert _GRADE_PRIORITY[0] == "h26_cow_changelog_stream"
     # recently-graded queries stay rotated out of the window
     assert "e20_chunk_dedup" not in window          # r5-graded
     assert "d25_approx_count_distinct" not in window  # r6-graded
+    assert "d01_parquet_scan" not in window          # r7-graded
     # no duplicates, every priority name registered
     assert len(set(_GRADE_PRIORITY)) == len(_GRADE_PRIORITY)
 
