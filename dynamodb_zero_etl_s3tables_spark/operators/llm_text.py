@@ -1093,14 +1093,24 @@ def e38_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats are one partial-aggregated pass over the read-back. Nothing
     holds state on the driver."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_split_export(
+        spark, exact_dedup_survivors(d), sf_dir, "e38_export"
+    )
+
+
+def exact_dedup_survivors(d: DataFrame) -> DataFrame:
+    """Exact-dedup survivor rows (keep lowest doc_id per content
+    hash) in the r8 plan shape — keeper ids via min(doc_id)
+    HashAggregate over (md5, doc_id) pairs, survivors via LEFT SEMI
+    join on doc_id (plan shape pinned by tests/test_plans.py::
+    test_e38_dedup_stage_shape; rationale in e38's docstring)."""
     keepers = (
         d.select(F.md5("text").alias("__h"), "doc_id")
         .groupBy("__h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    dedup = d.join(keepers, "doc_id", "left_semi")
-    return quality_split_export(spark, dedup, sf_dir, "e38_export")
+    return d.join(keepers, "doc_id", "left_semi")
 
 
 def quality_split_export(

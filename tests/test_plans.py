@@ -272,3 +272,31 @@ def test_e80_substring_dedup_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_e38_dedup_stage_shape(spark):
+    # r8 (VERDICT r7 #6): exact-dedup keeper ids come from a
+    # min(doc_id) HASH aggregate over (md5, doc_id) projections —
+    # partial agg before the only exchange, full text never enters
+    # it — and survivors return via LEFT SEMI join (broadcast at this
+    # scale). min_by(struct)/first(text) would demote to the
+    # forbidden SortAggregate.
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_text import (
+        exact_dedup_survivors,
+    )
+    from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    plan = (
+        exact_dedup_survivors(d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan and "partial_min" in plan
+    assert "LeftSemi" in plan
+    # the keeper exchange partitions on the content hash and its
+    # upstream partial aggregate outputs only (__h, min) — the text
+    # column never rides this shuffle
+    assert "Exchange hashpartitioning(__h" in plan
+    partial_out = plan.split("partial_min")[1].splitlines()[0]
+    assert "text" not in partial_out  # output=[__h#x, min#xL]
