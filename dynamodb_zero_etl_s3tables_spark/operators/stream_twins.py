@@ -1827,7 +1827,7 @@ def h25_partitioned_changelog_drain(spark: SparkSession, sf_dir: str) -> DataFra
     backlog drains as ONE microbatch whose files load in parallel
     (the catch-up/throughput mode; the simple reader stays the
     per-version-cadence mode). Same offsets, same emission semantics,
-    same CoW refusal — and THE SAME ORACLE as h20, verbatim: the two
+    same CoW diff fallback (h26) — and THE SAME ORACLE as h20, verbatim: the two
     readers owe byte-identical changelog rows for the same table
     history, which is exactly what the hash match proves.
 
