@@ -1103,7 +1103,13 @@ def exact_dedup_survivors(d: DataFrame) -> DataFrame:
     hash) in the r8 plan shape — keeper ids via min(doc_id)
     HashAggregate over (md5, doc_id) pairs, survivors via LEFT SEMI
     join on doc_id (plan shape pinned by tests/test_plans.py::
-    test_e38_dedup_stage_shape; rationale in e38's docstring)."""
+    test_e38_dedup_stage_shape; rationale in e38's docstring).
+
+    PRECONDITION: ``doc_id`` is unique (it is the documents table's
+    primary key). The semi join recovers survivors BY ID, so a
+    duplicated doc_id would keep every row bearing a keeper id where
+    the pre-r8 row_number form kept exactly one — callers feeding
+    non-keyed frames should dedup ids first."""
     keepers = (
         d.select(F.md5("text").alias("__h"), "doc_id")
         .groupBy("__h")

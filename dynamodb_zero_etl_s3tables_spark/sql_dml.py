@@ -550,11 +550,26 @@ def _route_merge(
         else:
             clause = _parse_matched_action(action, aliases, fold)
             matched.append((clause[0], cond, clause[1]))
-    if consumed == 0:
+    # EVERY clause must parse, not just one: finditer silently skips a
+    # malformed clause (e.g. `BY SOURCES` typo) as long as some other
+    # clause matched — committing a merge WITHOUT it would be a silent
+    # partial apply, the exact failure mode the loud-refusal grammar
+    # exists to prevent (r8 self-review).
+    n_heads = len(
+        re.findall(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", when_text, re.IGNORECASE)
+    )
+    if consumed == 0 or consumed != n_heads:
+        what = (
+            "no parseable WHEN clause"
+            if consumed == 0
+            else f"{n_heads} WHEN clause(s) but only {consumed} parse"
+        )
         raise ValueError(
-            "MERGE statement has no parseable WHEN clause — supported: "
+            f"MERGE statement has {what} — supported: "
             "WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE, "
-            "WHEN NOT MATCHED [AND cond] THEN INSERT ..."
+            "WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT ..., "
+            "WHEN NOT MATCHED BY SOURCE [AND cond] THEN "
+            "UPDATE SET ... | DELETE"
         )
     engine.table.merge_into(
         source,
@@ -614,6 +629,34 @@ _TIME_TRAVEL_RE = re.compile(
 )
 
 
+def _mask_literals(query: str) -> str:
+    """Same-length copy of ``query`` with the CONTENT of every
+    single-quoted SQL string blanked ('' escapes honored) — travel-
+    clause detection/rewrite runs on the mask, so literal content
+    ("WHERE note = '... FROM x VERSION AS OF 1'" is data, not a
+    clause) can never match, while a genuine clause whose version
+    literal is itself quoted (``VERSION AS OF 'one'`` -> loud
+    integer refusal) still aligns positionally with the original
+    (r8 self-review)."""
+    out, i, n = list(query), 0, len(query)
+    while i < n:
+        if query[i] == "'":
+            j = i + 1
+            while j < n:
+                if query[j] == "'":
+                    if j + 1 < n and query[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = "\x00"
+            i = j + 1
+            continue
+        i += 1
+    return "".join(out)
+
+
 def _resolve_travel_table(engine: "ZeroEtlEngine", name: str):
     """Map a FROM-clause name (qualified ``ns.t``, view ``ns_t``, or
     the managed table's bare name) to its (ManagedTable, view_name)."""
@@ -648,8 +691,8 @@ def rewrite_time_travel(engine: "ZeroEtlEngine", query: str) -> str:
     read itself is the same pruned snapshot scan read(version=) does
     — no extra distributed work over a current-version SELECT."""
 
-    def _sub(m: re.Match) -> str:
-        kw, name, kind, literal = m.groups()
+    def _sub(m: re.Match, literal: str) -> str:
+        kw, name, kind = m.group(1), m.group(2), m.group(3)
         t, _view = _resolve_travel_table(engine, name)
         if kind.upper() == "VERSION":
             try:
@@ -682,11 +725,21 @@ def rewrite_time_travel(engine: "ZeroEtlEngine", query: str) -> str:
         frame.createOrReplaceTempView(travel_view)
         return f"{kw} {travel_view}"
 
-    return _TIME_TRAVEL_RE.sub(_sub, query)
+    # match on the literal-masked copy (same length, so spans align),
+    # substitute into the original — the version literal itself is
+    # read from the ORIGINAL by span (it may be quoted)
+    out, last = [], 0
+    for m in _TIME_TRAVEL_RE.finditer(_mask_literals(query)):
+        literal = query[m.start(4):m.end(4)]
+        out.append(query[last:m.start()])
+        out.append(_sub(m, literal))
+        last = m.end()
+    out.append(query[last:])
+    return "".join(out)
 
 
 def has_time_travel(query: str) -> bool:
-    return _TIME_TRAVEL_RE.search(query) is not None
+    return _TIME_TRAVEL_RE.search(_mask_literals(query)) is not None
 
 
 # -- DDL / utility statements (r7) -------------------------------------------
@@ -758,6 +811,22 @@ def is_utility(statement: str) -> bool:
         # only the keyed-CTAS shape is ours; plain CREATE TABLE flows
         # on to Spark SQL (see _UTILITY_HEAD note)
         return _PRIMARY_KEY_RE.search(statement) is not None
+    if re.match(r"^\s*DROP\s+TABLE\b", statement, re.IGNORECASE):
+        # ours: 1/2-part names (the managed ns.table addressing). A
+        # 3-part catalog.db.table targets Spark's own catalog and
+        # keeps flowing to spark.sql (r8 self-review: routing it here
+        # made `DROP TABLE IF EXISTS spark_catalog.default.x` a
+        # silent no-op on a real Spark table).
+        m = _DROP_TABLE_RE.match(statement)
+        return bool(m) and m.group(2).strip("`\"").count(".") <= 1
+    if re.match(r"^\s*SHOW\b", statement, re.IGNORECASE):
+        # ours: the exact routed shapes only — `SHOW TABLES [IN ns]` /
+        # `SHOW NAMESPACES`. Variants Spark SQL itself supports
+        # (LIKE patterns, dotted IN catalog.db) keep flowing.
+        return bool(
+            _SHOW_TABLES_RE.match(statement)
+            or _SHOW_NAMESPACES_RE.match(statement)
+        )
     return True
 
 

@@ -148,8 +148,8 @@ def _schema_closures(ddl_map: dict):
 
 
 def _cow_closures():
-    """Build the (resolve_state, diff_changes) helper pair BOTH source
-    factories close over (same by-value cloudpickle pattern as
+    """Build the (_rows, resolve_state, diff_changes) helper triple
+    BOTH source factories close over (same by-value cloudpickle pattern as
     :func:`_schema_closures`) — the CoW changelog FALLBACK (r8,
     VERDICT r7 #2): copy-on-write commits (``merge`` /
     ``merge-into`` / ``delete-where`` / ``update-where`` / ``compact``
@@ -187,11 +187,18 @@ def _cow_closures():
             out.extend(pq.read_table(f).to_pylist())
         return out
 
-    def resolve_state(raw, version, keys):
+    def resolve_state(raw, version, keys, cache=None):
         """key tuple -> row image at published ``version``: newest
         full-rewrite snapshot <= version, plus merge-mor deltas after
         it (LWW, tombstones drop) — the reader-side restatement of
-        ManagedTable.read(version)'s MoR resolution."""
+        ManagedTable.read(version)'s MoR resolution.
+
+        ``cache`` is an optional ``(cached_version, state_dict)`` from
+        an earlier resolve: when cached_version <= version, the walk
+        starts there and only applies commits in
+        ``(cached_version, version]`` — so a backlog of V sequential
+        CoW diffs rolls the state forward in O(total changes) instead
+        of re-reading the base V times (r8 self-review)."""
         pub = sorted(
             (
                 s
@@ -202,32 +209,52 @@ def _cow_closures():
         )
         if not pub:
             return {}
-        base_i = max(
-            (i for i, s in enumerate(pub) if s["operation"] != "merge-mor"),
-            default=0,
-        )
-        state = {}
-        for r in _rows(pub[base_i]["data_dir"]):
-            state[tuple(r.get(k) for k in keys)] = r
-        for s in pub[base_i + 1:]:
-            for r in _rows(s["delta"]["deletes"]):
-                state.pop(tuple(r.get(k) for k in keys), None)
-            for r in _rows(s["delta"]["inserts"]):
+        if cache is not None and cache[0] <= version:
+            state = dict(cache[1])
+            tail = [s for s in pub if s["version"] > cache[0]]
+        else:
+            base_i = max(
+                (i for i, s in enumerate(pub) if s["operation"] != "merge-mor"),
+                default=None,
+            )
+            if base_i is None:
+                # every retained snapshot <= version is a merge-mor
+                # delta: the full-rewrite base was vacuumed. Refuse
+                # loudly (the table-side _materialize does the same)
+                # — a silent empty base would emit spurious INSERTs
+                # and miss DELETEs downstream.
+                raise ValueError(
+                    f"changelog source: no full-rewrite snapshot "
+                    f"<= v{version} is retained (vacuumed too "
+                    "aggressively?) — cannot resolve the pre-image "
+                    "for a copy-on-write diff"
+                )
+            state = {}
+            for r in _rows(pub[base_i]["data_dir"]):
                 state[tuple(r.get(k) for k in keys)] = r
+            tail = pub[base_i + 1:]
+        for s in tail:
+            if s["operation"] == "merge-mor":
+                for r in _rows(s["delta"]["deletes"]):
+                    state.pop(tuple(r.get(k) for k in keys), None)
+                for r in _rows(s["delta"]["inserts"]):
+                    state[tuple(r.get(k) for k in keys)] = r
+            else:
+                # full rewrite supersedes the rolled state entirely
+                state = {}
+                for r in _rows(s["data_dir"]):
+                    state[tuple(r.get(k) for k in keys)] = r
         return state
 
-    def diff_changes(raw, snap, keys, cols):
-        """[(change_op, row)] for a full-rewrite snapshot: keyed diff
-        vs the previous published version. DELETE rows carry keys
-        only (non-key columns null), matching the merge-mor path."""
+    def diff_changes(raw, snap, keys, cols, cache=None):
+        """([(change_op, row)], new_cache) for a full-rewrite
+        snapshot: keyed diff vs the previous published version.
+        DELETE rows carry keys only (non-key columns null), matching
+        the merge-mor path. ``new_cache`` is ``(snap_version,
+        state_dict)`` — feed it back as ``cache`` on the NEXT
+        version's diff to roll the state forward instead of
+        re-resolving from the base (resolve_state docstring)."""
         v = snap["version"]
-        prev = [
-            s["version"]
-            for s in raw["snapshots"]
-            if not s.get("staged") and s["version"] < v
-        ]
-        old = resolve_state(raw, max(prev), keys) if prev else {}
-        out = []
         if snap.get("partitions"):
             raise ValueError(
                 f"changelog source: snapshot v{v} is a PARTITIONED "
@@ -236,20 +263,28 @@ def _cow_closures():
                 "cannot resolve. Use strategy='merge-on-read' for "
                 "partitioned streaming tables."
             )
+        prev = [
+            s["version"]
+            for s in raw["snapshots"]
+            if not s.get("staged") and s["version"] < v
+        ]
+        old = resolve_state(raw, max(prev), keys, cache=cache) if prev else {}
+        out, new_state, gone = [], {}, dict(old)
         for r in _rows(snap["data_dir"]):
             k = tuple(r.get(c) for c in keys)
-            o = old.pop(k, None)
+            new_state[k] = r
+            o = gone.pop(k, None)
             if o is None:
                 out.append(("INSERT", r))
             elif any(o.get(c) != r.get(c) for c in cols):
                 out.append(("UPSERT", r))
-        for k, o in old.items():
+        for k, o in gone.items():
             out.append(
                 ("DELETE", {c: (o.get(c) if c in keys else None) for c in cols})
             )
-        return out
+        return out, (v, new_state)
 
-    return resolve_state, diff_changes
+    return _rows, resolve_state, diff_changes
 
 
 def make_changelog_source():
@@ -266,15 +301,9 @@ def make_changelog_source():
     from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
     _pub_fields, _schema_ddl = _schema_closures(dict(_DDL))
-    _resolve_state, _diff_changes = _cow_closures()
-
-    def _read_rows(dir_path):
-        import pyarrow.parquet as pq
-
-        out = []
-        for f in sorted(glob.glob(f"{dir_path}/*.parquet")):
-            out.extend(pq.read_table(f).to_pylist())
-        return out
+    # _read_rows shared with the diff helpers — ONE dir-reader
+    # implementation for the whole module (r8 self-review)
+    _read_rows, _resolve_state, _diff_changes = _cow_closures()
 
     class _Reader(SimpleDataSourceStreamReader):
         def __init__(self, manifest_path, col_names, key_cols, max_versions):
@@ -282,6 +311,8 @@ def make_changelog_source():
             self._cols = list(col_names)
             self._keys = list(key_cols)
             self._max_versions = max_versions
+            #: (version, state) of the last CoW diff — rolls forward
+            self._cow_cache = None
 
         # -- offset plumbing --------------------------------------------
         def initialOffset(self):
@@ -344,11 +375,16 @@ def make_changelog_source():
                 ]
             # copy-on-write fallback (r8): keyed snapshot diff vs the
             # previous published version (semantics + scale posture:
-            # _cow_closures docstring). Maintenance commits diff empty.
-            return [
-                self._tuple(v, change_op, r)
-                for change_op, r in _diff_changes(raw, snap, self._keys, self._cols)
-            ]
+            # _cow_closures docstring). Maintenance commits diff
+            # empty. The rolled-forward state is cached on the reader
+            # so a backlog of V CoW versions costs O(total changes),
+            # not V re-reads of the base (cache is ignored whenever
+            # it is ahead of the requested version, e.g. checkpoint
+            # replays through readBetweenOffsets).
+            changes, self._cow_cache = _diff_changes(
+                raw, snap, self._keys, self._cols, cache=self._cow_cache
+            )
+            return [self._tuple(v, change_op, r) for change_op, r in changes]
 
         def _tuple(self, version, change_op, row):
             return (version, change_op, *[row.get(c) for c in self._cols])
@@ -494,7 +530,7 @@ def make_partitioned_changelog_source():
     )
 
     _pub_fields, _schema_ddl = _schema_closures(dict(_DDL))
-    _resolve_state, _diff_changes = _cow_closures()
+    _read_rows, _resolve_state, _diff_changes = _cow_closures()
 
     @dataclass
     class _FilePart(InputPartition):
@@ -574,9 +610,10 @@ def make_partitioned_changelog_source():
                     for s in raw["snapshots"]
                     if s["version"] == partition.version
                 )
-                for change_op, r in _diff_changes(
+                changes, _state = _diff_changes(
                     raw, snap, list(partition.keys), list(partition.cols)
-                ):
+                )
+                for change_op, r in changes:
                     yield (
                         partition.version,
                         change_op,

@@ -234,7 +234,17 @@ def merge_into(
         if kind not in ("update", "delete"):
             raise ValueError(f"unknown matched clause kind {kind!r}")
         base = is_matched if on_match else ~is_matched
-        hit = base if cond is None else (base & cond)
+        # NULL-evaluating conditions act as FALSE and FALL THROUGH to
+        # the next clause (Delta/ANSI semantics). Without the coalesce,
+        # three-valued logic poisons the chain: `assigned | NULL` is
+        # NULL and `~NULL & hit` is never true, so one NULL condition
+        # would silently disable every later clause on that row —
+        # including an unconditional fallback (r8 self-review).
+        hit = (
+            base
+            if cond is None
+            else (base & F.coalesce(cond.cast("boolean"), F.lit(False)))
+        )
         idx = F.when(~assigned & hit, F.lit(i)).otherwise(idx)
         assigned = assigned | hit
     j = j.withColumn("__clause", idx)

@@ -520,3 +520,85 @@ def test_ctas_refusal_keeps_catalog_handle_intact(spark, warehouse):
         eng.sql("CREATE TABLE ns.keyed PRIMARY KEY (status) AS "
                 "SELECT status FROM ns_ctaskeys")
     assert eng.catalog.table("ns.keyed").spec.key_columns == ("pk",)
+
+
+# -- r8 self-review regressions ----------------------------------------------
+
+
+def test_merge_null_condition_falls_through(spark, warehouse):
+    """A clause condition evaluating NULL acts as FALSE and falls
+    through to the next clause (Delta/ANSI), instead of three-valued
+    logic silently disabling every later clause on that row."""
+    eng = _engine(spark, warehouse, "nullcond")
+    # make pk 4's status NULL, then run an NMBS chain with a
+    # status-conditional DELETE and an unconditional fallback UPDATE
+    eng.table.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 4, None, 250.0, 1, 1)],
+            "op string, pk long, status string, price double, ts long, seq long",
+        )
+    )
+    spark.createDataFrame([(1, 99.0)], "pk long, price double"
+                          ).createOrReplaceTempView("nullcond_src")
+    eng.sql(
+        "MERGE INTO ns.nullcond t USING nullcond_src s ON t.pk = s.pk "
+        "WHEN MATCHED THEN UPDATE SET price = s.price "
+        "WHEN NOT MATCHED BY SOURCE AND t.status = 'B' THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET price = 0.0"
+    )
+    got = {r.pk: r.price for r in eng.read().collect()}
+    # pk4 (status NULL): the conditional DELETE's cond is NULL ->
+    # falls through to the unconditional UPDATE -> price 0.0
+    assert got == {1: 99.0, 2: 0.0, 4: 0.0}
+
+
+def test_merge_refuses_partially_parsed_when_clauses(spark, warehouse):
+    """Every WHEN clause must parse: a typo'd clause must refuse the
+    whole statement, never commit a merge without it."""
+    eng = _engine(spark, warehouse, "partial")
+    spark.createDataFrame([(1, "A", 1.0)], "pk long, status string, price double"
+                          ).createOrReplaceTempView("partial_src")
+    with pytest.raises(ValueError, match="2 WHEN clause"):
+        eng.sql(
+            "MERGE INTO ns.partial t USING partial_src s ON t.pk = s.pk "
+            "WHEN MATCHED THEN UPDATE SET price = s.price "
+            "WHEN NOT MATCHED BY SOURCES THEN DELETE"  # typo: SOURCES
+        )
+    # nothing committed
+    assert eng.table.version == 1
+
+
+def test_time_travel_ignores_string_literals(spark, warehouse):
+    eng = _engine(spark, warehouse, "ttlit")
+    # literal content must not be treated as a travel clause
+    assert not sql_dml.has_time_travel(
+        "SELECT * FROM ns_ttlit WHERE status = 'x FROM y VERSION AS OF 1'"
+    )
+    rows = eng.sql(
+        "SELECT COUNT(*) AS n FROM ns_ttlit "
+        "WHERE status <> 'copied FROM audit VERSION AS OF 3'"
+    ).first()
+    assert rows.n == 4
+    # and a real clause NEXT TO a literal still rewrites
+    assert sql_dml.has_time_travel(
+        "SELECT * FROM ns_ttlit VERSION AS OF 1 WHERE status <> 'FROM x'"
+    )
+
+
+def test_spark_native_drop_and_show_flow_through(spark, warehouse):
+    """3-part DROP TABLE and SHOW variants Spark itself supports are
+    NOT intercepted (r8 self-review: routing them to the managed
+    catalog made real drops silent no-ops)."""
+    assert not sql_dml.is_utility("DROP TABLE IF EXISTS spark_catalog.default.x")
+    assert not sql_dml.is_utility("SHOW TABLES LIKE 'foo*'")
+    assert not sql_dml.is_utility("SHOW TABLES IN spark_catalog.default")
+    assert sql_dml.is_utility("DROP TABLE ns.t")
+    assert sql_dml.is_utility("DROP TABLE IF EXISTS t2")
+    assert sql_dml.is_utility("SHOW TABLES IN ns")
+    assert sql_dml.is_utility("SHOW NAMESPACES")
+    # end-to-end: a real Spark-catalog table drops through eng.sql
+    eng = _engine(spark, warehouse, "nativedrop")
+    spark.sql("CREATE TABLE IF NOT EXISTS spark_catalog.default.nat_drop "
+              "(a INT) USING parquet")
+    eng.sql("DROP TABLE IF EXISTS spark_catalog.default.nat_drop")
+    assert not spark.catalog.tableExists("spark_catalog.default.nat_drop")
