@@ -327,3 +327,73 @@ def test_cow_diff_refuses_partitioned_tables(spark, warehouse):
     r = _reader(f"{warehouse}/ns/cdfp/manifest.json", max_versions=10)
     with pytest.raises(ValueError, match="merge-on-read"):
         list(r.readBetweenOffsets({"v": 1}, {"v": 2}))
+
+
+def test_cow_diff_refuses_vacuumed_base(tmp_path):
+    """r8 self-review: when every retained snapshot <= the pre-image
+    version is a merge-mor delta (full-rewrite base vacuumed), the
+    diff must refuse loudly — a silent empty base would emit spurious
+    INSERTs and miss DELETEs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        _cow_closures,
+    )
+
+    _rows, resolve_state, diff_changes = _cow_closures()
+    # synthetic manifest: v2 is merge-mor (base v1 vacuumed away),
+    # v3 is a CoW rewrite
+    ins = tmp_path / "v2" / "inserts"; ins.mkdir(parents=True)
+    dels = tmp_path / "v2" / "deletes"; dels.mkdir(parents=True)
+    pq.write_table(pa.table({"pk": [1], "x": [10]}), ins / "a.parquet")
+    pq.write_table(pa.table({"pk": [9]}), dels / "a.parquet")
+    v3 = tmp_path / "v3"; v3.mkdir()
+    pq.write_table(pa.table({"pk": [1], "x": [11]}), v3 / "a.parquet")
+    raw = {"snapshots": [
+        {"version": 2, "operation": "merge-mor",
+         "delta": {"inserts": str(ins), "deletes": str(dels)}},
+        {"version": 3, "operation": "merge", "data_dir": str(v3)},
+    ]}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="vacuumed too"):
+        diff_changes(raw, raw["snapshots"][1], ["pk"], ["pk", "x"])
+
+
+def test_cow_diff_state_cache_rolls_forward(tmp_path):
+    """A cached (version, state) pair short-circuits re-resolution:
+    the next version's diff starts from it and applies only newer
+    commits — and produces the same answer as a cold resolve."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        _cow_closures,
+    )
+
+    _rows, resolve_state, diff_changes = _cow_closures()
+    v1 = tmp_path / "v1"; v1.mkdir()
+    pq.write_table(pa.table({"pk": [1, 2], "x": [10, 20]}), v1 / "a.parquet")
+    v2 = tmp_path / "v2"; v2.mkdir()
+    pq.write_table(pa.table({"pk": [1, 3], "x": [11, 30]}), v2 / "a.parquet")
+    v3 = tmp_path / "v3"; v3.mkdir()
+    pq.write_table(pa.table({"pk": [1, 3], "x": [12, 30]}), v3 / "a.parquet")
+    raw = {"snapshots": [
+        {"version": 1, "operation": "bootstrap", "data_dir": str(v1)},
+        {"version": 2, "operation": "merge", "data_dir": str(v2)},
+        {"version": 3, "operation": "merge", "data_dir": str(v3)},
+    ]}
+    cold2, cache2 = diff_changes(raw, raw["snapshots"][1], ["pk"], ["pk", "x"])
+    assert cache2[0] == 2
+    warm3, cache3 = diff_changes(
+        raw, raw["snapshots"][2], ["pk"], ["pk", "x"], cache=cache2
+    )
+    cold3, _ = diff_changes(raw, raw["snapshots"][2], ["pk"], ["pk", "x"])
+    assert sorted(map(str, warm3)) == sorted(map(str, cold3))
+    assert {op for op, _r in warm3} == {"UPSERT"}  # only pk1 changed
+    # a cache AHEAD of the requested version is ignored (replay path)
+    replay2, _ = diff_changes(
+        raw, raw["snapshots"][1], ["pk"], ["pk", "x"], cache=cache3
+    )
+    assert sorted(map(str, replay2)) == sorted(map(str, cold2))
