@@ -397,3 +397,82 @@ def test_cow_diff_state_cache_rolls_forward(tmp_path):
         raw, raw["snapshots"][1], ["pk"], ["pk", "x"], cache=cache3
     )
     assert sorted(map(str, replay2)) == sorted(map(str, cold2))
+
+
+# -- property law: reader-side CoW diff == ManagedTable.read_changes ----------
+# The r8 fallback restates read_changes (full-outer-join keyed diff)
+# over pyarrow row dicts. The two implementations must agree on
+# ARBITRARY change sequences, not just the golden fixtures: same keys
+# per op class, same surviving images (op vocabulary mapping:
+# INSERT<->INSERT, MODIFY<->UPSERT, REMOVE<->DELETE-with-null-nonkeys).
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_wave_st = st.lists(
+    st.tuples(
+        st.sampled_from(["MODIFY", "REMOVE"]),
+        st.integers(min_value=0, max_value=7),          # pk
+        st.one_of(st.none(), st.sampled_from(["A", "B"])),  # status
+        st.one_of(st.none(), st.floats(min_value=0, max_value=9,
+                                       allow_nan=False).map(lambda x: round(x, 1))),
+    ),
+    min_size=1, max_size=6,
+    unique_by=lambda c: c[1],  # one change per key: LWW ties are b06's law
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(wave=_wave_st)
+def test_cow_diff_matches_read_changes(spark, wave):
+    import json as _j
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        _cow_closures,
+    )
+
+    wh = tempfile.mkdtemp(prefix="cowlaw_")
+    t = Catalog(spark, wh).create_table(
+        TableSpec(namespace="ns", name="law", key_columns=("pk",))
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(k, "A", float(k)) for k in range(0, 8, 2)],
+            "pk long, status string, price double",
+        )
+    )
+    t.apply_changes(  # copy-on-write
+        spark.createDataFrame(
+            [(op, pk, s, p, 1, i) for i, (op, pk, s, p) in enumerate(wave)],
+            "op string, pk long, status string, price double, ts long, seq long",
+        )
+    )
+    # reference: the batch-side keyed diff
+    ref = {
+        (r.op, r.pk): (r.status, r.price)
+        for r in t.read_changes(1, 2).collect()
+    }
+    # reader-side diff
+    _rows, _resolve, diff = _cow_closures()
+    raw = _j.loads(open(f"{wh}/ns/law/manifest.json").read())
+    changes, _cache = diff(
+        raw, raw["snapshots"][1], ["pk"], ["pk", "status", "price"]
+    )
+    got = {}
+    for op, r in changes:
+        got[({"INSERT": "INSERT", "UPSERT": "MODIFY", "DELETE": "REMOVE"}[op],
+             r["pk"])] = (r.get("status"), r.get("price"))
+    # REMOVE: read_changes carries the OLD image, the stream carries
+    # null non-keys — compare keys-only for that class
+    assert {k for k in ref} == {k for k in got}
+    for k, v in ref.items():
+        if k[0] != "REMOVE":
+            assert got[k] == v, (k, got[k], v)
+        else:
+            assert got[k] == (None, None)
