@@ -1801,14 +1801,21 @@ def h24_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         .option("keys", "vec_id")
         .load()
     )
-    n = drain_changelog(
-        stream, str(root / "unused"), str(root / "ckpt"), manifest,
-        foreach_batch=maintain,
-    )
-    if n < 3:  # bootstrap + 2 CDC versions, one microbatch each
-        raise AssertionError(f"expected >=3 index-maintenance batches, got {n}")
-    cb.unpersist()
-    cents.unpersist()
+    try:
+        n = drain_changelog(
+            stream, str(root / "unused"), str(root / "ckpt"), manifest,
+            foreach_batch=maintain,
+        )
+        if n < 3:  # bootstrap + 2 CDC versions, one microbatch each
+            raise AssertionError(
+                f"expected >=3 index-maintenance batches, got {n}"
+            )
+    finally:
+        # unpersist on EVERY path — a failed drain must not leave the
+        # two frames pinned in the block manager of the long-lived
+        # bench/driver session
+        cb.unpersist()
+        cents.unpersist()
 
     # ---- final index: last-batch-wins per key, tombstones drop
     log = spark.read.parquet(log_dir)  # `batch` = partition col from dir

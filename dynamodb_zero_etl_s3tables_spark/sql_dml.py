@@ -68,6 +68,42 @@ def is_dml(statement: str) -> bool:
     return _DML_HEAD.match(statement) is not None
 
 
+class _MaskedMatch:
+    """``re.Match`` facade built by matching a pattern against the
+    literal-masked copy of a statement (:func:`_mask_literals`, same
+    length so spans align) whose ``group()`` reads the ORIGINAL text
+    by span — grammar keywords (WHERE / WHEN MATCHED / SET / ...) can
+    never fire inside a quoted string literal, while every extracted
+    fragment keeps its literal content intact (r8 review: `UPDATE t
+    SET note = 'x WHERE y' WHERE pk = 1` split the SET clause at the
+    literal's WHERE)."""
+
+    def __init__(self, m: "re.Match", original: str):
+        self._m = m
+        self.string = original
+
+    def group(self, i: int = 0):
+        s, e = self._m.span(i)
+        return None if s == -1 else self.string[s:e]
+
+    def groups(self):
+        return tuple(self.group(i) for i in range(1, self._m.re.groups + 1))
+
+    def span(self, i: int = 0):
+        return self._m.span(i)
+
+    def start(self, i: int = 0):
+        return self._m.start(i)
+
+    def end(self, i: int = 0):
+        return self._m.end(i)
+
+
+def _match_masked(pattern: "re.Pattern", text: str):
+    m = pattern.match(_mask_literals(text))
+    return _MaskedMatch(m, text) if m else None
+
+
 def _split_top(s: str, sep_pattern: str) -> list[str]:
     """Split on a regex separator at paren/quote depth 0."""
     parts, depth, last, i = [], 0, 0, 0
@@ -461,9 +497,17 @@ def _route_merge(
     )
 
     def fold(expr: str) -> str:
-        return _fold_re.sub(
-            lambda fm: _alias_to_canon[fm.group(1).lower()] + ".", expr
-        )
+        # literal-aware: match alias prefixes on the masked copy and
+        # splice from the original, so `s.` inside a quoted string
+        # ('see s.parker') is data, not an alias reference
+        masked = _mask_literals(expr)
+        out, last = [], 0
+        for fm in _fold_re.finditer(masked):
+            out.append(expr[last:fm.start()])
+            out.append(_alias_to_canon[fm.group(1).lower()] + ".")
+            last = fm.end()
+        out.append(expr[last:])
+        return "".join(out)
 
     on_pairs = []
     for term in _split_top(on_text, r"\bAND\b"):
@@ -496,12 +540,20 @@ def _route_merge(
     insert_values: dict | None = None
     insert_cond = None
     consumed = 0
-    for wm in _WHEN_RE.finditer(when_text):
+    # WHEN-clause splitting runs on the literal-masked copy (spans
+    # slice the original): a SET expression whose string literal
+    # contains 'WHEN MATCHED' must not truncate the clause or
+    # inflate the head count (r8 review)
+    masked_when = _mask_literals(when_text)
+    for wm in _WHEN_RE.finditer(masked_when):
         consumed += 1
         is_not_matched = bool(wm.group(1))
         by = (wm.group(2) or "").upper()
-        cond = F.expr(fold(wm.group(3))) if wm.group(3) else None
-        action = wm.group(4).strip()
+        cond_text = (
+            when_text[wm.start(3):wm.end(3)] if wm.start(3) != -1 else None
+        )
+        cond = F.expr(fold(cond_text)) if cond_text else None
+        action = when_text[wm.start(4):wm.end(4)].strip()
         if "SOURCE" in by:
             # WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE — the
             # third Delta clause family: target rows the source does
@@ -556,7 +608,7 @@ def _route_merge(
     # partial apply, the exact failure mode the loud-refusal grammar
     # exists to prevent (r8 self-review).
     n_heads = len(
-        re.findall(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", when_text, re.IGNORECASE)
+        re.findall(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", masked_when, re.IGNORECASE)
     )
     if consumed == 0 or consumed != n_heads:
         what = (
@@ -597,16 +649,19 @@ def route_dml(engine: "ZeroEtlEngine", statement: str) -> DataFrame:
     """Dispatch one MERGE/UPDATE/DELETE statement onto the engine's
     managed-table verbs; returns a one-row (operation, info-json)
     DataFrame, the engine's analog of a DML result set."""
+    # statement shapes match against the literal-masked copy (groups
+    # slice the original by span): a WHERE/SET/VALUES keyword inside a
+    # quoted literal is data, not grammar (r8 review)
     for pattern, handler in (
         (_DELETE_RE, _route_delete),
         (_UPDATE_RE, _route_update),
         (_INSERT_RE, _route_insert),
     ):
-        m = pattern.match(statement)
+        m = _match_masked(pattern, statement)
         if m:
             return handler(engine, m)
     lifted, subquery = _lift_subquery(statement)
-    m = _MERGE_RE.match(lifted)
+    m = _match_masked(_MERGE_RE, lifted)
     if m:
         return _route_merge(engine, m, subquery)
     head = _DML_HEAD.match(statement).group(1).upper()
@@ -946,13 +1001,32 @@ def _route_drop_table(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
     grants, reference src/dynamodb-zero-etl-s3tables.ts:92,98; Athena
     over the replicated table supports DROP symmetrically). Routed to
     :meth:`Catalog.drop_table`, inheriting its staged-WAP refusal —
-    SQL has no force bypass; publish or rollback the audit first."""
-    if_exists, name = m.group(1), m.group(2).strip("`\"")
+    SQL has no force bypass; publish or rollback the audit first.
+
+    A name that is NOT a managed table but IS known to Spark's own
+    catalog (a real table or temp view under its 1/2-part name)
+    delegates the statement to ``spark.sql`` — without the fallback,
+    ``DROP TABLE IF EXISTS default.scratch`` would report a
+    successful skip while the Spark table survives (r8 review: the
+    same silent-no-op class the 3-part exemption fixed)."""
+    if_exists, raw_name = m.group(1), m.group(2).strip("`\"")
+    name = raw_name
     if "." not in name:
         name = f"{engine.spec.namespace}.{name}"
     try:
         info = engine.catalog.drop_table(name)
     except KeyError:
+        try:
+            spark_has = engine.spark.catalog.tableExists(raw_name)
+        except Exception:
+            spark_has = False
+        if spark_has:
+            engine.spark.sql(m.string)
+            return _result_df(
+                engine,
+                "drop-table",
+                {"table": raw_name, "delegated": "spark catalog"},
+            )
         if if_exists:
             return _result_df(
                 engine, "drop-table", {"table": name, "skipped": "not found"}

@@ -16,12 +16,16 @@ Emission per version:
 
 - ``bootstrap`` / ``bootstrap-export``: every row of the snapshot's
   data dir as ``change_op = 'INSERT'``.
-- ``merge-mor``: the delta layer IS the changelog — upsert images
+- any DELTA-LAYER commit (``merge-mor``, plus the predicate-DML
+  ``delete-mor`` / ``update-mor`` that share its layer shape —
+  detected by the snapshot's ``delta`` dict, not the operation
+  name): the delta layer IS the changelog — upsert images
   (``inserts/``) as ``'UPSERT'``, tombstoned keys that have no new
   image as ``'DELETE'`` (non-key columns null).
 - anything else (copy-on-write ``merge`` / ``merge-into`` /
-  ``overwrite`` / ``delete-where`` / ``update-where`` / ``compact`` /
-  ``zorder``): the KEYED SNAPSHOT DIFF against the previous published
+  ``overwrite`` / ``delete`` / ``update`` / ``compact`` /
+  ``zorder`` / metadata-only schema commits): the KEYED SNAPSHOT
+  DIFF against the previous published
   version (r8 fallback, :func:`_cow_closures`) — INSERT for new keys,
   UPSERT for changed images, DELETE (keys only) for gone keys, the
   ``ManagedTable.read_changes`` semantics restated reader-side. This
@@ -31,7 +35,13 @@ Emission per version:
   diff is O(table) where merge-on-read is O(batch) — merge-on-read
   stays the documented production cadence; partitioned CoW tables
   refuse (pruned merges carry partition dirs the reader-side diff
-  cannot resolve).
+  cannot resolve). Full-snapshot reads apply the snapshot's
+  ``read_renames`` mapping, so a diff across an ALTER TABLE RENAME
+  COLUMN boundary agrees with ``read_changes`` (name-based
+  semantics: the rename version itself diffs as an O(table) UPSERT
+  wave, exactly as the batch API reports it; versions emitted
+  BEFORE a later rename carry NULL for the renamed column, the
+  same additive alignment ``read_changes`` applies).
 
 Trigger semantics (documented limitation + the supported drain path):
 Spark's ``PythonMicroBatchStream`` implements neither
@@ -187,6 +197,28 @@ def _cow_closures():
             out.extend(pq.read_table(f).to_pylist())
         return out
 
+    def snap_rows(snap):
+        """Full-snapshot rows under the snapshot's CURRENT column
+        names: raw parquet dicts with the snapshot's ``read_renames``
+        (file-name -> current-name, the metadata-only rename mapping)
+        applied — without it, a CoW diff across a rename boundary
+        would compare the renamed column against None and emit an
+        O(table) wave of spurious UPSERTs that ``read_changes`` (which
+        reads through ``_apply_read_renames``) does not report."""
+        if snap.get("partitions"):
+            # flat glob would silently miss partition subdirs
+            raise ValueError(
+                f"changelog source: snapshot v{snap['version']} is "
+                "partitioned — reader-side state resolution handles "
+                "single-dir snapshots only (use merge-on-read for "
+                "partitioned streaming tables)"
+            )
+        ren = snap.get("read_renames") or {}
+        rows = _rows(snap["data_dir"])
+        if ren:
+            rows = [{ren.get(c, c): v for c, v in r.items()} for r in rows]
+        return rows
+
     def resolve_state(raw, version, keys, cache=None):
         """key tuple -> row image at published ``version``: newest
         full-rewrite snapshot <= version, plus merge-mor deltas after
@@ -213,13 +245,19 @@ def _cow_closures():
             state = dict(cache[1])
             tail = [s for s in pub if s["version"] > cache[0]]
         else:
+            # a delta-layer snapshot (merge-mor / delete-mor /
+            # update-mor — anything carrying a `delta` dict) is NOT a
+            # valid base: its data_dir is the delta root, whose
+            # parquet lives in deletes/ + inserts/ subdirs. Detect by
+            # shape, not operation name, so every MoR-format commit
+            # walks the delta path.
             base_i = max(
-                (i for i, s in enumerate(pub) if s["operation"] != "merge-mor"),
+                (i for i, s in enumerate(pub) if not s.get("delta")),
                 default=None,
             )
             if base_i is None:
-                # every retained snapshot <= version is a merge-mor
-                # delta: the full-rewrite base was vacuumed. Refuse
+                # every retained snapshot <= version is a delta
+                # layer: the full-rewrite base was vacuumed. Refuse
                 # loudly (the table-side _materialize does the same)
                 # — a silent empty base would emit spurious INSERTs
                 # and miss DELETEs downstream.
@@ -230,11 +268,11 @@ def _cow_closures():
                     "for a copy-on-write diff"
                 )
             state = {}
-            for r in _rows(pub[base_i]["data_dir"]):
+            for r in snap_rows(pub[base_i]):
                 state[tuple(r.get(k) for k in keys)] = r
             tail = pub[base_i + 1:]
         for s in tail:
-            if s["operation"] == "merge-mor":
+            if s.get("delta"):
                 for r in _rows(s["delta"]["deletes"]):
                     state.pop(tuple(r.get(k) for k in keys), None)
                 for r in _rows(s["delta"]["inserts"]):
@@ -242,7 +280,7 @@ def _cow_closures():
             else:
                 # full rewrite supersedes the rolled state entirely
                 state = {}
-                for r in _rows(s["data_dir"]):
+                for r in snap_rows(s):
                     state[tuple(r.get(k) for k in keys)] = r
         return state
 
@@ -270,7 +308,7 @@ def _cow_closures():
         ]
         old = resolve_state(raw, max(prev), keys, cache=cache) if prev else {}
         out, new_state, gone = [], {}, dict(old)
-        for r in _rows(snap["data_dir"]):
+        for r in snap_rows(snap):
             k = tuple(r.get(c) for c in keys)
             new_state[k] = r
             o = gone.pop(k, None)
@@ -284,7 +322,7 @@ def _cow_closures():
             )
         return out, (v, new_state)
 
-    return _rows, resolve_state, diff_changes
+    return _rows, snap_rows, resolve_state, diff_changes
 
 
 def make_changelog_source():
@@ -303,7 +341,7 @@ def make_changelog_source():
     _pub_fields, _schema_ddl = _schema_closures(dict(_DDL))
     # _read_rows shared with the diff helpers — ONE dir-reader
     # implementation for the whole module (r8 self-review)
-    _read_rows, _resolve_state, _diff_changes = _cow_closures()
+    _read_rows, _snap_rows, _resolve_state, _diff_changes = _cow_closures()
 
     class _Reader(SimpleDataSourceStreamReader):
         def __init__(self, manifest_path, col_names, key_cols, max_versions):
@@ -360,9 +398,16 @@ def make_changelog_source():
             if op in ("bootstrap", "bootstrap-export"):
                 return [
                     self._tuple(v, "INSERT", r)
-                    for r in _read_rows(snap["data_dir"])
+                    for r in _snap_rows(snap)
                 ]
-            if op == "merge-mor":
+            if snap.get("delta"):
+                # ANY MoR-format delta layer: merge-mor plus the
+                # predicate-DML commits (delete-mor / update-mor) that
+                # share its layer shape — detected by the `delta`
+                # dict, not the operation name, so a delete-mor never
+                # falls into the CoW diff (whose flat glob over the
+                # delta root would read zero rows and emit a DELETE
+                # for every live key).
                 ups = _read_rows(snap["delta"]["inserts"])
                 up_keys = {tuple(r[k] for k in self._keys) for r in ups}
                 dels = [
@@ -530,7 +575,7 @@ def make_partitioned_changelog_source():
     )
 
     _pub_fields, _schema_ddl = _schema_closures(dict(_DDL))
-    _read_rows, _resolve_state, _diff_changes = _cow_closures()
+    _read_rows, _snap_rows, _resolve_state, _diff_changes = _cow_closures()
 
     @dataclass
     class _FilePart(InputPartition):
@@ -571,7 +616,11 @@ def make_partitioned_changelog_source():
                         parts.append(
                             _FilePart(v, "INSERT", f, (), self._cols, self._keys)
                         )
-                elif op == "merge-mor":
+                elif s.get("delta"):
+                    # merge-mor AND the delete-mor/update-mor
+                    # predicate-DML commits (same layer shape —
+                    # detect by the delta dict, see the simple
+                    # reader's _emit)
                     ins = tuple(
                         sorted(glob.glob(f"{s['delta']['inserts']}/*.parquet"))
                     )

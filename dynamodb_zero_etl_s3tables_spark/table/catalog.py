@@ -89,8 +89,14 @@ class Catalog:
                 f"snapshot(s) pending publish ({staged}) — publish or "
                 "rollback the audit first, or pass force=True to discard"
             )
+        # delete FIRST and loudly: if the recursive delete fails the
+        # handle and view stay registered, so SHOW TABLES / the
+        # catalog keep agreeing with what is actually on disk (a
+        # swallowed error here reported success while manifest.json
+        # survived, leaving a name that lists but cannot be re-created)
+        if Path(t.root).exists():
+            shutil.rmtree(t.root)
         self.spark.catalog.dropTempView(self.view_name(qualified_name))
-        shutil.rmtree(t.root, ignore_errors=True)
         del self._tables[qualified_name]
         return {"table": qualified_name, "staged_discarded": len(staged)}
 

@@ -602,3 +602,67 @@ def test_spark_native_drop_and_show_flow_through(spark, warehouse):
               "(a INT) USING parquet")
     eng.sql("DROP TABLE IF EXISTS spark_catalog.default.nat_drop")
     assert not spark.catalog.tableExists("spark_catalog.default.nat_drop")
+
+
+def test_merge_literal_containing_when_matched(spark, warehouse):
+    """r8 review: WHEN-clause splitting runs on the literal-masked
+    statement — 'WHEN MATCHED' inside a SET string literal must not
+    truncate the clause or inflate the head count."""
+    eng = _engine(spark, warehouse, "lit1")
+    spark.createDataFrame([(1,)], "pk long").createOrReplaceTempView("lit1_src")
+    eng.sql(
+        "MERGE INTO ns.lit1 t USING lit1_src s ON t.pk = s.pk "
+        "WHEN MATCHED THEN UPDATE SET status = 'WHEN MATCHED wins'"
+    )
+    got = {r.pk: r.status for r in eng.read().collect()}
+    assert got[1] == "WHEN MATCHED wins"
+    assert got[2] == "A"
+
+
+def test_merge_literal_alias_prefix_not_folded(spark, warehouse):
+    """Alias folding must skip string literals: 's.' inside a quoted
+    value is data, not a source-frame reference."""
+    eng = _engine(spark, warehouse, "lit2")
+    spark.createDataFrame([(1,)], "pk long").createOrReplaceTempView("lit2_src")
+    eng.sql(
+        "MERGE INTO ns.lit2 t USING lit2_src s ON t.pk = s.pk "
+        "WHEN MATCHED THEN UPDATE SET status = 'by s. parker'"
+    )
+    assert {r.status for r in eng.read().filter("pk = 1").collect()} == {
+        "by s. parker"
+    }
+
+
+def test_update_literal_containing_where(spark, warehouse):
+    """UPDATE statement shape matches on the masked copy: a SET
+    literal containing ' WHERE ' must not split the clause there."""
+    eng = _engine(spark, warehouse, "lit3")
+    eng.sql("UPDATE ns.lit3 SET status = 'x WHERE y' WHERE pk = 1")
+    got = {r.pk: r.status for r in eng.read().collect()}
+    assert got[1] == "x WHERE y"
+    assert got[2] == "A"
+
+
+def test_drop_table_delegates_to_spark_catalog(spark, warehouse):
+    """r8 review: DROP TABLE [IF EXISTS] naming a real Spark-catalog
+    table (1/2-part) must delegate to spark.sql, not report a
+    successful skip while the table survives."""
+    import json as _json
+
+    eng = _engine(spark, warehouse, "dropdel")
+    spark.sql("DROP TABLE IF EXISTS scratch_drop_r8")
+    spark.sql("CREATE TABLE scratch_drop_r8 (a int) USING parquet")
+    try:
+        assert spark.catalog.tableExists("scratch_drop_r8")
+        res = eng.sql("DROP TABLE IF EXISTS scratch_drop_r8")
+        info = _json.loads(res.first().info)
+        assert info.get("delegated") == "spark catalog"
+        assert not spark.catalog.tableExists("scratch_drop_r8")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS scratch_drop_r8")
+    # a name unknown to BOTH catalogs still skips under IF EXISTS...
+    res = eng.sql("DROP TABLE IF EXISTS no_such_table_r8")
+    assert "skipped" in res.first().info
+    # ...and refuses loudly without it
+    with pytest.raises(ValueError, match="unknown table"):
+        eng.sql("DROP TABLE no_such_table_r8")

@@ -341,7 +341,7 @@ def test_cow_diff_refuses_vacuumed_base(tmp_path):
         _cow_closures,
     )
 
-    _rows, resolve_state, diff_changes = _cow_closures()
+    _rows, _snap_rows, resolve_state, diff_changes = _cow_closures()
     # synthetic manifest: v2 is merge-mor (base v1 vacuumed away),
     # v3 is a CoW rewrite
     ins = tmp_path / "v2" / "inserts"; ins.mkdir(parents=True)
@@ -372,7 +372,7 @@ def test_cow_diff_state_cache_rolls_forward(tmp_path):
         _cow_closures,
     )
 
-    _rows, resolve_state, diff_changes = _cow_closures()
+    _rows, _snap_rows, resolve_state, diff_changes = _cow_closures()
     v1 = tmp_path / "v1"; v1.mkdir()
     pq.write_table(pa.table({"pk": [1, 2], "x": [10, 20]}), v1 / "a.parquet")
     v2 = tmp_path / "v2"; v2.mkdir()
@@ -459,7 +459,7 @@ def test_cow_diff_matches_read_changes(spark, wave):
         for r in t.read_changes(1, 2).collect()
     }
     # reader-side diff
-    _rows, _resolve, diff = _cow_closures()
+    _rows, _snap_rows, _resolve, diff = _cow_closures()
     raw = _j.loads(open(f"{wh}/ns/law/manifest.json").read())
     changes, _cache = diff(
         raw, raw["snapshots"][1], ["pk"], ["pk", "status", "price"]
@@ -476,3 +476,143 @@ def test_cow_diff_matches_read_changes(spark, wave):
             assert got[k] == v, (k, got[k], v)
         else:
             assert got[k] == (None, None)
+
+
+def test_reader_emits_mor_predicate_dml_as_delta(spark, warehouse):
+    """r8 review: delete-mor/update-mor snapshots share merge-mor's
+    delta-layer shape and must walk the delta path — falling into the
+    CoW diff (whose flat glob over the delta root reads zero rows)
+    emitted a DELETE for every live key."""
+    t, mp = _mk(spark, warehouse)
+    # v2: predicate DELETE as a tombstone layer (matches pk=2 only)
+    t.delete_where([("price", ">", 15.0)], strategy="merge-on-read")
+    # v3: predicate UPDATE as a delta layer (touches pk=1 only)
+    t.update_where(
+        [("pk", "=", 1)], {"price": "price + 1"}, strategy="merge-on-read"
+    )
+    r = _reader(mp, max_versions=10)
+    rows, off = r.read(r.initialOffset())
+    rows = sorted(rows)
+    assert off == {"v": 3}
+    v2 = [x for x in rows if x[0] == 2]
+    assert v2 == [(2, "DELETE", 2, None, None)]  # NOT every live key
+    v3 = [x for x in rows if x[0] == 3]
+    assert v3 == [(3, "UPSERT", 1, "A", 11.0)]
+    # the same two versions through the partitioned reader
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        make_partitioned_changelog_source,
+    )
+
+    src = make_partitioned_changelog_source()(
+        options={"manifest": mp, "keys": "pk"}
+    )
+    pr = src.streamReader(None)
+    parts = pr.partitions({"v": 1}, {"v": 3})
+    assert all(p.change_op != "COW_DIFF" for p in parts)
+    got = sorted(row for p in parts for row in pr.read(p))
+    assert got == v2 + v3
+    # a MoR delta version is also a valid state step for a later CoW
+    # diff (base -> delta -> delta -> compact diffs to zero rows)
+    t.compact()
+    assert list(r.readBetweenOffsets({"v": 3}, {"v": 4})) == []
+
+
+def test_cow_diff_applies_read_renames(spark, warehouse):
+    """r8 review: the reader-side diff must read full snapshots
+    through the snapshot's read_renames mapping, or the first CoW
+    commit after ALTER TABLE RENAME COLUMN emits a spurious UPSERT
+    for every unchanged row (and disagrees with read_changes)."""
+    t, mp = _mk(spark, warehouse)
+    t.rename_column("price", "amount")  # v2: metadata-only commit
+    t.apply_changes(  # v3: copy-on-write merge touching pk=1 only
+        spark.createDataFrame(
+            [("MODIFY", 1, "A", 99.0, 1, 1)],
+            "op string, pk long, status string, amount double, ts long, seq long",
+        )
+    )
+    r = _reader(mp, max_versions=10)
+    rows = sorted(r.read(r.initialOffset())[0])
+    # the rename version itself: an all-UPSERT wave under the new
+    # name — exactly what read_changes reports (name-based alignment)
+    v2 = [x for x in rows if x[0] == 2]
+    assert sorted(v2) == [(2, "UPSERT", 1, "A", 10.0), (2, "UPSERT", 2, "B", 20.0)]
+    assert {row.op for row in t.read_changes(1, 2).collect()} == {"MODIFY"}
+    # the post-rename CoW merge: ONLY the touched row, no spurious wave
+    v3 = [x for x in rows if x[0] == 3]
+    assert v3 == [(3, "UPSERT", 1, "A", 99.0)]
+    batch = {(row.op, row.pk) for row in t.read_changes(2, 3).collect()}
+    assert batch == {("MODIFY", 1)}
+
+
+_ops_st = st.lists(
+    st.tuples(
+        st.sampled_from(["cow", "mor", "delmor", "updmor", "compact"]),
+        st.integers(min_value=0, max_value=9),  # seed: which keys the op hits
+    ),
+    min_size=2, max_size=4,
+)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops_st)
+def test_changelog_replay_reconstructs_table(spark, ops):
+    """Integrity law for the WHOLE changelog contract (r8): draining
+    the stream across an arbitrary interleaving of copy-on-write
+    merges, merge-on-read merges, predicate DML delta layers
+    (delete-mor / update-mor) and compaction, then replaying the
+    emitted changes key-by-key, must reconstruct exactly the table's
+    current state — the round-trip every downstream CDC consumer
+    depends on. (The r8 review found delete-mor/update-mor versions
+    corrupting into all-key DELETE waves; this law pins every op
+    class at once.)"""
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="replaylaw_")
+    t = Catalog(spark, wh).create_table(
+        TableSpec(namespace="ns", name="rp", key_columns=("pk",))
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(k, "A", float(10 * k)) for k in range(6)],
+            "pk long, status string, price double",
+        )
+    )
+    wave_schema = (
+        "op string, pk long, status string, price double, ts long, seq long"
+    )
+    for i, (kind, seed) in enumerate(ops):
+        if kind in ("cow", "mor"):
+            wave = [
+                ("MODIFY", (seed + j) % 8, "B", float(seed + j), 1, j)
+                for j in range(2)
+            ] + [("REMOVE", (seed + 5) % 8, None, None, 1, 9)]
+            t.apply_changes(
+                spark.createDataFrame(wave, wave_schema),
+                strategy="merge-on-read" if kind == "mor" else "copy-on-write",
+            )
+        elif kind == "delmor":
+            t.delete_where(
+                [("pk", "=", seed % 8)], strategy="merge-on-read"
+            )
+        elif kind == "updmor":
+            t.update_where(
+                [("pk", "<", seed % 8)], {"price": "price + 1"},
+                strategy="merge-on-read",
+            )
+        else:
+            t.compact()
+    mp = f"{wh}/ns/rp/manifest.json"
+    r = _reader(mp, max_versions=100)
+    rows, off = r.read(r.initialOffset())
+    assert off == {"v": published_head(mp)}
+    state = {}
+    for (v, op, pk, status, price) in sorted(rows, key=lambda x: x[0]):
+        if op == "DELETE":
+            state.pop(pk, None)
+        else:
+            state[pk] = (status, price)
+    expected = {row.pk: (row.status, row.price) for row in t.read().collect()}
+    assert state == expected, (ops, state, expected)
