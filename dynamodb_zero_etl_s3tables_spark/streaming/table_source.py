@@ -33,9 +33,13 @@ Emission per version:
   copy-on-write strategy; data-preserving maintenance (compact /
   z-order) diffs to zero rows, i.e. is changelog-transparent. The
   diff is O(table) where merge-on-read is O(batch) — merge-on-read
-  stays the documented production cadence; partitioned CoW tables
-  refuse (pruned merges carry partition dirs the reader-side diff
-  cannot resolve). Full-snapshot reads apply the snapshot's
+  stays the documented production cadence. PARTITIONED snapshots
+  read per manifest entry with the entry's typed partition values
+  re-attached (the values live in dir names, not the files), so
+  partitioned tables stream too — bootstrap, MoR deltas, and even
+  pruned CoW merges (the entries list carries untouched dirs by
+  reference, which is exactly the file set the diff needs).
+  Full-snapshot reads apply the snapshot's
   ``read_renames`` mapping, so a diff across an ALTER TABLE RENAME
   COLUMN boundary agrees with ``read_changes`` (name-based
   semantics: the rename version itself diffs as an O(table) UPSERT
@@ -137,15 +141,24 @@ def _schema_closures(ddl_map: dict):
         cols = []
         for f in pub_fields(raw):
             name, t = f["name"], f["type"]
+            if name in ("version", "change_op"):
+                # the stream prepends its own metadata columns; a
+                # same-named table column would produce a duplicate-
+                # field schema that misbinds silently downstream
+                raise ValueError(
+                    f"changelog source: table column {name!r} collides "
+                    "with the stream's metadata column of the same "
+                    "name — rename it before streaming"
+                )
             if isinstance(t, str) and t in ddl_map:
-                cols.append(f"{name} {ddl_map[t]}")
+                cols.append(f"`{name}` {ddl_map[t]}")
             elif (
                 isinstance(t, dict)
                 and t.get("type") == "array"
                 and isinstance(t.get("elementType"), str)
                 and t["elementType"] in ddl_map
             ):
-                cols.append(f"{name} array<{ddl_map[t['elementType']]}>")
+                cols.append(f"`{name}` array<{ddl_map[t['elementType']]}>")
             else:
                 raise TypeError(
                     f"changelog source supports primitive and "
@@ -154,7 +167,31 @@ def _schema_closures(ddl_map: dict):
                 )
         return "version bigint, change_op string, " + ", ".join(cols)
 
-    return pub_fields, schema_ddl
+    def resolve_keys(raw, keys_option):
+        """Key columns for a changelog reader: the manifest's
+        persisted ``key_columns`` are AUTHORITATIVE (a wrong key list
+        would make the keyed diff emit garbage change waves with no
+        error); an explicit ``keys`` option is accepted only when it
+        matches, and required only for legacy manifests that predate
+        the persisted field."""
+        authoritative = [str(k) for k in (raw.get("key_columns") or [])]
+        if keys_option:
+            keys = [k.strip() for k in keys_option.split(",")]
+            if authoritative and keys != authoritative:
+                raise ValueError(
+                    f"changelog source: keys option {keys} does not "
+                    "match the table's persisted key_columns "
+                    f"{authoritative}"
+                )
+            return keys
+        if not authoritative:
+            raise ValueError(
+                "changelog source: manifest carries no key_columns "
+                "(legacy table?) — pass keys=col[,col...] explicitly"
+            )
+        return authoritative
+
+    return pub_fields, schema_ddl, resolve_keys
 
 
 def _cow_closures():
@@ -197,6 +234,30 @@ def _cow_closures():
             out.extend(pq.read_table(f).to_pylist())
         return out
 
+    def coerce_part(raw_val, type_name):
+        """Partition values live in the manifest as hive dir-name
+        strings; coerce back to the schema type so the reader-side
+        rows carry the same typed values the table read attaches
+        (``_coerce_partition_value`` restated dependency-free)."""
+        if raw_val is None:
+            return None
+        if type_name in ("long", "integer", "short", "byte"):
+            return int(raw_val)
+        if type_name in ("double", "float"):
+            return float(raw_val)
+        if type_name == "boolean":
+            return raw_val == "true"
+        if type_name == "string":
+            return raw_val
+        if type_name == "date":
+            import datetime
+
+            return datetime.date.fromisoformat(raw_val)
+        raise ValueError(
+            f"changelog source: unsupported partition column type "
+            f"{type_name!r} for reader-side value coercion"
+        )
+
     def snap_rows(snap):
         """Full-snapshot rows under the snapshot's CURRENT column
         names: raw parquet dicts with the snapshot's ``read_renames``
@@ -204,20 +265,42 @@ def _cow_closures():
         applied — without it, a CoW diff across a rename boundary
         would compare the renamed column against None and emit an
         O(table) wave of spurious UPSERTs that ``read_changes`` (which
-        reads through ``_apply_read_renames``) does not report."""
-        if snap.get("partitions"):
-            # flat glob would silently miss partition subdirs
-            raise ValueError(
-                f"changelog source: snapshot v{snap['version']} is "
-                "partitioned — reader-side state resolution handles "
-                "single-dir snapshots only (use merge-on-read for "
-                "partitioned streaming tables)"
-            )
+        reads through ``_apply_read_renames``) does not report.
+
+        PARTITIONED snapshots read per manifest entry (the entries
+        list is the authoritative file set, carried dirs included)
+        with the entry's partition values re-attached typed — the
+        partition columns live in dir names, not the files, so a flat
+        glob would silently emit zero rows (and dropping the values
+        would null the partition columns)."""
+        if snap.get("partitions") is not None:
+            fields = {
+                f["name"]: f["type"]
+                for f in json.loads(snap["schema_json"])["fields"]
+            }
+            rows = []
+            for ent in snap["partitions"]:
+                vals = {
+                    pc: coerce_part(rv, fields.get(pc))
+                    for pc, rv in ent["values"].items()
+                }
+                for r in _rows(ent["dir"]):
+                    rows.append({**r, **vals})
+        else:
+            rows = _rows(snap["data_dir"])
         ren = snap.get("read_renames") or {}
-        rows = _rows(snap["data_dir"])
         if ren:
             rows = [{ren.get(c, c): v for c, v in r.items()} for r in rows]
         return rows
+
+    def changed(a, b):
+        """Value-changed test matching Spark's null-safe comparison:
+        NaN equals itself (eqNullSafe semantics) — plain Python ``!=``
+        would re-emit every NaN-carrying row as a spurious UPSERT on
+        each CoW version, diverging from ``read_changes``."""
+        if isinstance(a, float) and isinstance(b, float) and a != a and b != b:
+            return False
+        return a != b
 
     def resolve_state(raw, version, keys, cache=None):
         """key tuple -> row image at published ``version``: newest
@@ -293,19 +376,24 @@ def _cow_closures():
         version's diff to roll the state forward instead of
         re-resolving from the base (resolve_state docstring)."""
         v = snap["version"]
-        if snap.get("partitions"):
-            raise ValueError(
-                f"changelog source: snapshot v{v} is a PARTITIONED "
-                "copy-on-write commit — pruned merges carry untouched "
-                "partition dirs forward, which the reader-side diff "
-                "cannot resolve. Use strategy='merge-on-read' for "
-                "partitioned streaming tables."
-            )
         prev = [
             s["version"]
             for s in raw["snapshots"]
             if not s.get("staged") and s["version"] < v
         ]
+        if not prev and v > 1:
+            # versions are contiguous from 1, so an empty pre-image
+            # set under v>1 proves snapshot retention truncated the
+            # history beneath a resumed stream — a silent {} pre-image
+            # would re-emit every live row as INSERT and drop every
+            # real DELETE (same loud posture as the vacuumed MoR base)
+            raise ValueError(
+                f"changelog source: no published version below v{v} "
+                "is retained (snapshot retention truncated history "
+                "beneath this stream's offset) — the pre-image for "
+                "the copy-on-write diff is gone; reset the checkpoint "
+                "and re-bootstrap the consumer"
+            )
         old = resolve_state(raw, max(prev), keys, cache=cache) if prev else {}
         out, new_state, gone = [], {}, dict(old)
         for r in snap_rows(snap):
@@ -314,7 +402,7 @@ def _cow_closures():
             o = gone.pop(k, None)
             if o is None:
                 out.append(("INSERT", r))
-            elif any(o.get(c) != r.get(c) for c in cols):
+            elif any(changed(o.get(c), r.get(c)) for c in cols):
                 out.append(("UPSERT", r))
         for k, o in gone.items():
             out.append(
@@ -322,7 +410,7 @@ def _cow_closures():
             )
         return out, (v, new_state)
 
-    return _rows, snap_rows, resolve_state, diff_changes
+    return _rows, snap_rows, coerce_part, resolve_state, diff_changes
 
 
 def make_changelog_source():
@@ -333,15 +421,16 @@ def make_changelog_source():
     that does not have this repo on sys.path — a module-global
     reference would die with ModuleNotFoundError there (same lazy
     pattern as d94's DdbExportDataSource)."""
-    import glob
     import json
 
     from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
-    _pub_fields, _schema_ddl = _schema_closures(dict(_DDL))
+    _pub_fields, _schema_ddl, _resolve_keys = _schema_closures(dict(_DDL))
     # _read_rows shared with the diff helpers — ONE dir-reader
     # implementation for the whole module (r8 self-review)
-    _read_rows, _snap_rows, _resolve_state, _diff_changes = _cow_closures()
+    _read_rows, _snap_rows, _coerce_part, _resolve_state, _diff_changes = (
+        _cow_closures()
+    )
 
     class _Reader(SimpleDataSourceStreamReader):
         def __init__(self, manifest_path, col_names, key_cols, max_versions):
@@ -448,7 +537,7 @@ def make_changelog_source():
             return _Reader(
                 self.options["manifest"],
                 [f["name"] for f in fields],
-                [k.strip() for k in self.options["keys"].split(",")],
+                _resolve_keys(raw, self.options.get("keys")),
                 int(self.options.get("max_versions_per_batch", "1")),
             )
 
@@ -574,8 +663,10 @@ def make_partitioned_changelog_source():
         InputPartition,
     )
 
-    _pub_fields, _schema_ddl = _schema_closures(dict(_DDL))
-    _read_rows, _snap_rows, _resolve_state, _diff_changes = _cow_closures()
+    _pub_fields, _schema_ddl, _resolve_keys = _schema_closures(dict(_DDL))
+    _read_rows, _snap_rows, _coerce_part, _resolve_state, _diff_changes = (
+        _cow_closures()
+    )
 
     @dataclass
     class _FilePart(InputPartition):
@@ -586,6 +677,10 @@ def make_partitioned_changelog_source():
         sibling_inserts: tuple  # DELETE only: the version's upsert files
         cols: tuple
         keys: tuple
+        #: INSERT parts of a PARTITIONED bootstrap: ((col, typed_val),
+        #: ...) partition values re-attached to every row (they live
+        #: in dir names, not the parquet)
+        part_values: tuple = ()
 
     class _Reader(DataSourceStreamReader):
         def __init__(self, manifest_path, col_names, key_cols):
@@ -612,6 +707,31 @@ def make_partitioned_changelog_source():
                     continue
                 v, op = s["version"], s["operation"]
                 if op in ("bootstrap", "bootstrap-export"):
+                    if s.get("partitions") is not None:
+                        # partitioned bootstrap: one file-part per
+                        # entry file, with the entry's TYPED partition
+                        # values attached at planning time (they live
+                        # in dir names, not the files — a flat glob
+                        # here used to silently emit zero rows)
+                        fields = {
+                            f["name"]: f["type"]
+                            for f in json.loads(s["schema_json"])["fields"]
+                        }
+                        for ent in s["partitions"]:
+                            vals = tuple(
+                                (pc, _coerce_part(rv, fields.get(pc)))
+                                for pc, rv in ent["values"].items()
+                            )
+                            for f in sorted(
+                                glob.glob(f"{ent['dir']}/*.parquet")
+                            ):
+                                parts.append(
+                                    _FilePart(
+                                        v, "INSERT", f, (),
+                                        self._cols, self._keys, vals,
+                                    )
+                                )
+                        continue
                     for f in sorted(glob.glob(f"{s['data_dir']}/*.parquet")):
                         parts.append(
                             _FilePart(v, "INSERT", f, (), self._cols, self._keys)
@@ -670,6 +790,9 @@ def make_partitioned_changelog_source():
                     )
                 return
             rows = pq.read_table(partition.path).to_pylist()
+            if partition.part_values:
+                vals = dict(partition.part_values)
+                rows = [{**r, **vals} for r in rows]
             if partition.change_op == "DELETE":
                 up_keys = set()
                 for f in partition.sibling_inserts:
@@ -705,7 +828,7 @@ def make_partitioned_changelog_source():
             return _Reader(
                 self.options["manifest"],
                 [f["name"] for f in fields],
-                [k.strip() for k in self.options["keys"].split(",")],
+                _resolve_keys(raw, self.options.get("keys")),
             )
 
     return PartitionedTableChangelogSource

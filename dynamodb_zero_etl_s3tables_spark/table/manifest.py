@@ -789,11 +789,20 @@ class ManagedTable:
         difference between moving the 0.1% that changed and the whole
         table. One shuffle: a full outer join on the key columns;
         unchanged rows are dropped by a null-safe image comparison.
+        ``to_version`` defaults to the PUBLISHED head — a staged (WAP)
+        snapshot must never leak through the incremental surface (its
+        version number is even reused if the audit aborts it).
         """
         from pyspark.sql import functions as F
 
         m = self._read_manifest()
-        to_version = m.version if to_version is None else to_version
+        if to_version is None:
+            cur = m.current
+            if cur is None:
+                raise FileNotFoundError(
+                    f"table {self.spec.qualified_name} has no published snapshots"
+                )
+            to_version = cur.version
         old = self.read(version=from_version)
         new = self.read(version=to_version)
         keys = list(self.spec.key_columns)
@@ -803,11 +812,16 @@ class ManagedTable:
                 old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
         cols = [f.name for f in new.schema.fields]
         val_cols = [c for c in cols if c not in keys]
-        o = old.select(*cols).alias("o")
-        n = new.select(*cols).alias("n")
+        # side-presence MARKERS, not key nullability: the join is
+        # null-safe precisely so NULL key values match, which means a
+        # NULL-keyed row present on both sides would read as "absent"
+        # under an isNotNull(key) test and be misreported as INSERT
+        # with the stale old image
+        o = old.select(*cols).withColumn("__in_o", F.lit(True)).alias("o")
+        n = new.select(*cols).withColumn("__in_n", F.lit(True)).alias("n")
         j = o.join(n, on=[F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys], how="full_outer")
-        in_old = F.col(f"o.{keys[0]}").isNotNull()
-        in_new = F.col(f"n.{keys[0]}").isNotNull()
+        in_old = F.col("o.__in_o").isNotNull()
+        in_new = F.col("n.__in_n").isNotNull()
         same = (
             F.struct(*[F.col(f"o.{c}") for c in val_cols]).eqNullSafe(
                 F.struct(*[F.col(f"n.{c}") for c in val_cols])
@@ -902,7 +916,16 @@ class ManagedTable:
                     f["path"]
                     for f in ents
                     if all(
-                        _file_may_match(f["stats"], col, op, val)
+                        # same _stat_safe normalization as the
+                        # unpartitioned path below: a datetime filter
+                        # value must compare against footer stats in
+                        # the same coordinate system
+                        _file_may_match(
+                            f["stats"], col, op,
+                            _stat_safe(val)
+                            if not isinstance(val, (int, float, str))
+                            else val,
+                        )
                         and _bloom_may_match(f.get("bloom"), col, op, val)
                         for col, op, val in filters
                         if col not in e["values"]
@@ -964,9 +987,11 @@ class ManagedTable:
         by_v = {s.version: s for s in m.snapshots}
         layers = 0
         cur = snap
-        while cur.base_version is not None:
+        while cur is not None and cur.base_version is not None:
             layers += 1
-            cur = by_v[cur.base_version]
+            # a vacuumed-away base still counts as a layer; compact()
+            # itself reports the broken chain loudly if one is hit
+            cur = by_v.get(cur.base_version)
         if layers >= max_delta_layers:
             return self.compact(target_file_bytes)
         if snap.files is not None and len(snap.files) > max_files:
@@ -1054,7 +1079,7 @@ class ManagedTable:
         paths = [p for d in dirs for p in Path(d).rglob("*.parquet")]
         files_before = len(paths)
         total_bytes = sum(p.stat().st_size for p in paths)
-        df = self.read()
+        df = self.read(version=snap.version)  # pinned to the anchor
         zkey = None
         if zorder_by:
             from pyspark.sql import functions as F
@@ -1087,7 +1112,7 @@ class ManagedTable:
                 )
             else:
                 df = df.repartition(n_target)
-        self._write_snapshot(df, operation="compact")
+        self._write_snapshot(df, operation="compact", expected_version=m.version)
         new = self._read_manifest().current
         new_dirs = (
             [e["dir"] for e in new.partitions]
@@ -1127,13 +1152,24 @@ class ManagedTable:
         carry_entries: list[dict[str, Any]] | None = None,
         staged: bool = False,
         ref: str | None = None,
+        expected_version: int | None = None,
     ) -> None:
         """Write ``df``'s files as snapshot N+1. For partitioned
         tables, ``carry_entries`` are untouched partition dirs from the
         previous snapshot, referenced (not copied) by the new one.
         ``ref`` marks a branch commit: it may stack on staged
         snapshots of the SAME branch (schema evolution then baselines
-        on the branch head, not the published current)."""
+        on the branch head, not the published current).
+
+        ``expected_version`` anchors the optimistic-concurrency check
+        at the manifest version THE PLAN WAS DERIVED FROM (the verbs
+        capture it when they read their base and pin the base read to
+        that snapshot). Without the anchor, a commit that interleaves
+        between a verb's base read and this method's own manifest
+        read would pass the CAS and be silently clobbered — the lost
+        update A8 exists to prevent. The check here fails fast before
+        the data write; ``_write_manifest``'s locked CAS re-checks the
+        same version authoritatively at swap time."""
         from dynamodb_zero_etl_s3tables_spark.metrics import (
             CommitMetrics,
             observe_rows,
@@ -1147,6 +1183,12 @@ class ManagedTable:
             df = self._fill_generated(df)
         m = self._read_manifest()
         self._fence_staged(m, ref=ref)
+        if expected_version is not None and m.version != expected_version:
+            raise CommitConflictError(
+                f"concurrent commit: manifest advanced to v{m.version} "
+                f"after this {operation!r} plan was anchored at "
+                f"v{expected_version}"
+            )
         expected = m.version
         evolve_base = m.current
         if ref is not None:
@@ -1195,6 +1237,19 @@ class ManagedTable:
             # satisfy this trivially
             constraints += tuple(
                 f"`{n}` <=> ({x})" for n, x in self.spec.generated_columns
+            )
+        if operation != "merge-mor" and self.spec.partition_columns:
+            # Spark writes BOTH NULL and '' partition values to
+            # __HIVE_DEFAULT_PARTITION__; the manifest round-trips that
+            # dir as NULL, so an empty-string partition value would
+            # silently read back as NULL (and a later pruned merge
+            # would duplicate the default-partition entry). Refuse the
+            # ambiguous value at commit time — NULL itself stays legal.
+            constraints += tuple(
+                f"NOT (`{f.name}` <=> '')"
+                for f in df.schema.fields
+                if f.name in self.spec.partition_columns
+                and f.dataType.simpleString() == "string"
             )
         cobs = None
         if constraints:
@@ -1349,7 +1404,11 @@ class ManagedTable:
         if strategy == "merge-on-read":
             self._apply_changes_mor(changes, order)
             return
-        snap = self._read_manifest().current
+        # anchor: capture the manifest version the plan derives from
+        # and PIN the base read to that snapshot, so an interleaving
+        # commit fails the CAS instead of being silently clobbered
+        m0 = self._read_manifest()
+        snap = m0.current
         if (
             self.spec.partition_columns
             and snap is not None
@@ -1357,14 +1416,16 @@ class ManagedTable:
         ):
             self._apply_changes_pruned(changes, order)
             return
-        base = self.read()
+        base = self.read() if snap is None else self.read(version=snap.version)
         merged = merge_changes(
             base,
             changes,
             keys=self.spec.key_columns,
             order_cols=order,
         )
-        self._write_snapshot(merged, operation="merge")
+        self._write_snapshot(
+            merged, operation="merge", expected_version=m0.version
+        )
 
     def merge_into(
         self,
@@ -1392,12 +1453,20 @@ class ManagedTable:
         from dynamodb_zero_etl_s3tables_spark.table.merge import merge_into
 
         pairs = on or [(k, k) for k in self.spec.key_columns]
+        m0 = self._read_manifest()  # anchor (see apply_changes)
+        target = (
+            self.read()
+            if m0.current is None
+            else self.read(version=m0.current.version)
+        )
         merged = merge_into(
-            self.read(), source, pairs, matched, insert_values, insert_cond,
+            target, source, pairs, matched, insert_values, insert_cond,
             merge_schema=merge_schema,
             not_matched_by_source=not_matched_by_source,
         )
-        self._write_snapshot(merged, operation="merge-into")
+        self._write_snapshot(
+            merged, operation="merge-into", expected_version=m0.version
+        )
 
     def _apply_changes_mor(
         self, changes: DataFrame, order_cols: tuple[str, ...]
@@ -1432,7 +1501,9 @@ class ManagedTable:
         expected = m.version
         cur_schema = T.StructType.fromJson(json.loads(snap.schema_json))
         keys = list(self.spec.key_columns)
-        last = latest_per_key(changes, keys, order_cols)
+        # the deduped batch feeds TWO writes (inserts + tombstones);
+        # cache the batch-sized frame so the LWW window runs once
+        last = latest_per_key(changes, keys, order_cols).cache()
         drop = {OP_COL} | {
             c for c in order_cols if c not in {f.name for f in cur_schema.fields}
         }
@@ -1444,8 +1515,18 @@ class ManagedTable:
         )
         delta_root = self.root / "data" / f"v{expected + 1}-{uuid.uuid4().hex[:8]}"
         inserts, obs = observe_rows(inserts, name="merge-mor")
-        inserts.write.mode("overwrite").parquet(str(delta_root / "inserts"))
-        last.select(*keys).write.mode("overwrite").parquet(str(delta_root / "deletes"))
+        ev_type = {f.name: f.dataType for f in evolved.fields}
+        try:
+            inserts.write.mode("overwrite").parquet(str(delta_root / "inserts"))
+            # tombstone keys under the EVOLVED key types, matching the
+            # inserts cast — a narrow incoming key type must not leak a
+            # narrower physical type into the deletes files than the
+            # key_schema readers bind
+            last.select(
+                *[F.col(k).cast(ev_type[k]).alias(k) for k in keys]
+            ).write.mode("overwrite").parquet(str(delta_root / "deletes"))
+        finally:
+            last.unpersist()
         n = int(obs.get["row_count"])
         m.snapshots.append(
             Snapshot(
@@ -1476,7 +1557,8 @@ class ManagedTable:
     ) -> None:
         from pyspark.sql import functions as F
 
-        snap = self._read_manifest().current
+        m0 = self._read_manifest()  # anchor (see apply_changes)
+        snap = m0.current
         pcols = list(self.spec.partition_columns)
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         # touched partition values: metadata-scale (distinct partition
@@ -1512,7 +1594,10 @@ class ManagedTable:
             keys=self.spec.key_columns,
             order_cols=order_cols,
         )
-        self._write_snapshot(merged, operation="merge", carry_entries=carry)
+        self._write_snapshot(
+            merged, operation="merge", carry_entries=carry,
+            expected_version=m0.version,
+        )
 
     @staticmethod
     def _predicate_from_filters(filters: list[tuple[str, str, Any]]):
@@ -1561,6 +1646,7 @@ class ManagedTable:
         deletes_keys: DataFrame,
         inserts: DataFrame,
         operation: str,
+        expected_version: int | None = None,
     ) -> int:
         """Commit a predicate DML as a MERGE-ON-READ delta layer:
         tombstone keys + replacement images, NO table data read back
@@ -1578,6 +1664,12 @@ class ManagedTable:
         m = self._read_manifest()
         snap = m.current
         self._fence_staged(m)
+        if expected_version is not None and m.version != expected_version:
+            raise CommitConflictError(
+                f"concurrent commit: manifest advanced to v{m.version} "
+                f"after this {operation!r} predicate scan was anchored "
+                f"at v{expected_version}"
+            )
         expected = m.version
         delta_root = self.root / "data" / f"v{expected + 1}-{uuid.uuid4().hex[:8]}"
         deletes_keys, obs = observe_rows(deletes_keys, name=operation)
@@ -1657,9 +1749,16 @@ class ManagedTable:
                 )
             schema = T.StructType.fromJson(json.loads(snap.schema_json))
             keys = list(self.spec.key_columns)
-            matching = self.read().filter(F.coalesce(pred, F.lit(False))).select(*keys)
+            matching = (
+                self.read(version=snap.version)  # pinned to the anchor
+                .filter(F.coalesce(pred, F.lit(False)))
+                .select(*keys)
+            )
             empty = self.spark.createDataFrame([], schema)
-            n = self._dml_mor_commit(matching, empty, operation="delete-mor")
+            n = self._dml_mor_commit(
+                matching, empty, operation="delete-mor",
+                expected_version=m.version,
+            )
             return {
                 "keys_deleted": n,
                 "partitions_rewritten": 0,
@@ -1690,12 +1789,18 @@ class ManagedTable:
             touched = [e for e in snap.partitions if may_match(e)]
             carry = [e for e in snap.partitions if not may_match(e)]
             kept = self._read_partition_entries(touched, schema).filter(keep)
-            self._write_snapshot(kept, operation="delete", carry_entries=carry)
+            self._write_snapshot(
+                kept, operation="delete", carry_entries=carry,
+                expected_version=m.version,
+            )
             return {
                 "partitions_rewritten": len(touched),
                 "partitions_carried": len(carry),
             }
-        self._write_snapshot(self.read().filter(keep), operation="delete")
+        self._write_snapshot(
+            self.read(version=snap.version).filter(keep),
+            operation="delete", expected_version=m.version,
+        )
         return {"partitions_rewritten": None, "partitions_carried": None}
 
     def update_where(
@@ -1730,6 +1835,18 @@ class ManagedTable:
 
         if strategy not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"unknown update strategy {strategy!r}")
+        bad_keys = set(assignments) & set(self.spec.key_columns)
+        if bad_keys:
+            # the table is a keyed DynamoDB replica and DynamoDB key
+            # attributes are immutable (UpdateItem cannot modify them);
+            # under merge-on-read a key assignment would also tombstone
+            # the NEW key while the old row stays alive — silent
+            # duplication. Express a key move as DELETE + INSERT.
+            raise ValueError(
+                f"update_where cannot assign key columns {sorted(bad_keys)} "
+                "— keys are immutable (DynamoDB replica semantics); "
+                "express a key change as DELETE old + INSERT new"
+            )
         bad = set(assignments) & set(self.spec.partition_columns)
         if bad and strategy == "copy-on-write":
             raise ValueError(
@@ -1748,14 +1865,15 @@ class ManagedTable:
         hit = F.coalesce(pred, F.lit(False))
         if strategy == "merge-on-read":
             keys = list(self.spec.key_columns)
-            matched = self.read().filter(hit)
+            matched = self.read(version=snap.version).filter(hit)  # pinned
             for col, expr in assignments.items():
                 matched = matched.withColumn(
                     col, F.expr(expr).cast(by_name[col].dataType)
                 )
             matched = matched.select(*[f.name for f in schema.fields]).cache()
             n = self._dml_mor_commit(
-                matched.select(*keys), matched, operation="update-mor"
+                matched.select(*keys), matched, operation="update-mor",
+                expected_version=m.version,
             )
             matched.unpersist()
             return {
@@ -1790,13 +1908,17 @@ class ManagedTable:
             carry = [e for e in snap.partitions if not may_match(e)]
             updated = apply_set(self._read_partition_entries(touched, schema))
             self._write_snapshot(
-                updated, operation="update", carry_entries=carry
+                updated, operation="update", carry_entries=carry,
+                expected_version=m.version,
             )
             return {
                 "partitions_rewritten": len(touched),
                 "partitions_carried": len(carry),
             }
-        self._write_snapshot(apply_set(self.read()), operation="update")
+        self._write_snapshot(
+            apply_set(self.read(version=snap.version)),
+            operation="update", expected_version=m.version,
+        )
         return {"partitions_rewritten": None, "partitions_carried": None}
 
     def create_tag(self, name: str, version: int | None = None) -> None:
@@ -1909,10 +2031,15 @@ class ManagedTable:
         base = self.read(version=head)
         order = order_cols or self.spec.order_columns
         merged = merge_changes(
-            base, changes, keys=self.spec.key_columns, order_cols=order
+            # same _fill_generated contract as apply_changes: a batch
+            # may omit generated columns (merge_changes would refuse
+            # them as missing)
+            base, self._fill_generated(changes),
+            keys=self.spec.key_columns, order_cols=order,
         )
         self._write_snapshot(
-            merged, operation=f"branch-merge:{name}", staged=True, ref=name
+            merged, operation=f"branch-merge:{name}", staged=True, ref=name,
+            expected_version=m.version,
         )
         return self._read_manifest().snapshots[-1].version
 
@@ -1992,6 +2119,12 @@ class ManagedTable:
                     files=snap.files,
                     base_version=snap.base_version,
                     delta=snap.delta,
+                    # rename mapping / drop bookkeeping travel with the
+                    # carried files — omitting them would read a
+                    # renamed column as NULL and re-arm the dropped-
+                    # column resurrection guard
+                    read_renames=snap.read_renames,
+                    dropped_columns=snap.dropped_columns,
                 )
             )
         self._write_manifest(m, expected_version=expected)
@@ -2096,6 +2229,17 @@ class ManagedTable:
                     "metadata-only re-add would resurrect them; compact() "
                     "before re-adding the name"
                 )
+            if name in (snap.read_renames or {}):
+                # the FILE side still stores a column under this name
+                # (renamed away, mapping pending): adding it back would
+                # make _file_schema emit two fields with the same file
+                # name and break every subsequent read
+                raise SchemaEvolutionError(
+                    f"column {name!r} is the stored file name of renamed "
+                    f"column {snap.read_renames[name]!r} in carried data "
+                    "files — compact() to materialize the rename before "
+                    "re-adding the name"
+                )
             try:
                 dt = T.DataType.fromDDL(ddl)
             except Exception as exc:
@@ -2188,16 +2332,25 @@ class ManagedTable:
             renames[file_col] = new
         files = None
         if snap.files is not None:
-            files = [
-                {
+            def _rekey(e: dict[str, Any]) -> dict[str, Any]:
+                out = {
                     **e,
                     "stats": {
                         (new if k == old else k): v
                         for k, v in (e.get("stats") or {}).items()
                     },
                 }
-                for e in snap.files
-            ]
+                if e.get("bloom"):
+                    # bloom filters are keyed per column name too —
+                    # without the re-key, equality pruning on the new
+                    # name silently stops using the blooms
+                    out["bloom"] = {
+                        (new if k == old else k): v
+                        for k, v in e["bloom"].items()
+                    }
+                return out
+
+            files = [_rekey(e) for e in snap.files]
         m.snapshots.append(
             Snapshot(
                 version=expected + 1,
@@ -2337,8 +2490,11 @@ class ManagedTable:
                 delta=src.delta,
                 # a rename-mapped source keeps its file-name mapping —
                 # without this, rolling back to a renamed snapshot
-                # would silently read the renamed column as NULL
+                # would silently read the renamed column as NULL —
+                # and the dropped-column bookkeeping, which guards
+                # the metadata-only re-add resurrection path
                 read_renames=src.read_renames,
+                dropped_columns=src.dropped_columns,
             )
         )
         self._write_manifest(m, expected_version=expected)
@@ -2369,11 +2525,22 @@ class ManagedTable:
         m = self._read_manifest()
         self._fence_staged(m)  # early exit before the merge is computed
         order = order_cols or self.spec.order_columns
-        base = self.read()
-        merged = merge_changes(
-            base, changes, keys=self.spec.key_columns, order_cols=order
+        base = (
+            self.read()
+            if m.current is None
+            else self.read(version=m.current.version)  # pinned anchor
         )
-        self._write_snapshot(merged, operation="wap-stage", staged=True)
+        merged = merge_changes(
+            # same _fill_generated contract as apply_changes: a batch
+            # may omit generated columns (merge_changes would refuse
+            # them as missing)
+            base, self._fill_generated(changes),
+            keys=self.spec.key_columns, order_cols=order,
+        )
+        self._write_snapshot(
+            merged, operation="wap-stage", staged=True,
+            expected_version=m.version,
+        )
         return self._read_manifest().snapshots[-1].version
 
     def publish(self, version: int) -> None:
@@ -2473,6 +2640,15 @@ class ManagedTable:
         ]
         dropped = self._retain(m, keep, expected)
         deleted = self._gc_unreferenced_dirs(m.snapshots, now - unref * 86400)
+        # orphaned manifest.tmp-* files: a crash between the temp write
+        # and the atomic os.replace leaves one behind; they are never
+        # referenced, so age them out with the same unreferenced cutoff
+        for tmp in self.manifest_path.parent.glob("manifest.tmp-*"):
+            try:
+                if tmp.stat().st_mtime < now - unref * 86400:
+                    tmp.unlink()
+            except FileNotFoundError:
+                pass  # concurrent vacuum won the race — already gone
         return {"snapshots_dropped": dropped, "dirs_deleted": deleted}
 
     def expire_snapshots(self, retain_last: int) -> dict[str, int]:

@@ -1557,3 +1557,199 @@ def test_drop_then_rename_compose(spark, warehouse):
     t.rename_column("price", "amount")
     assert t.read().columns == ["pk", "amount"]
     assert {r["pk"]: r["amount"] for r in t.read().collect()} == {1: 1.5, 2: 2.5}
+
+
+# -- r8 manifest review regressions -------------------------------------------
+
+from dynamodb_zero_etl_s3tables_spark.table.manifest import (  # noqa: E402
+    ConstraintViolationError,
+)
+
+_WAVE_DDL = "op string, pk long, status string, price double, ts long, seq long"
+
+
+def _mk_r8(spark, warehouse, name, **spec_kw):
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(namespace="ns", name=name, key_columns=("pk",), **spec_kw)
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, "A", 10.0), (2, "B", 20.0)],
+            "pk long, status string, price double",
+        )
+    )
+    return t
+
+
+def test_read_changes_null_safe_key_presence(spark, warehouse):
+    """r8 review: presence is a side MARKER, not key nullability — an
+    unchanged NULL-keyed row (matched by the null-safe join) must not
+    be misreported as INSERT with the stale old image."""
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(namespace="ns", name="nullkey", key_columns=("pk",))
+    )
+    t.bootstrap(spark.createDataFrame([(None, 1.0), (2, 2.0)], "pk long, x double"))
+    t.overwrite(spark.createDataFrame([(None, 1.0), (2, 9.0)], "pk long, x double"))
+    assert {(r.op, r.pk) for r in t.read_changes(1, 2).collect()} == {("MODIFY", 2)}
+    # a CHANGED null-keyed row is a MODIFY with the new image
+    t.overwrite(spark.createDataFrame([(None, 7.0), (2, 9.0)], "pk long, x double"))
+    ch = {(r.op, r.pk): r.x for r in t.read_changes(2, 3).collect()}
+    assert ch == {("MODIFY", None): 7.0}
+    # a REMOVED null-keyed row carries the old image
+    t.overwrite(spark.createDataFrame([(2, 9.0)], "pk long, x double"))
+    assert [(r.op, r.pk, r.x) for r in t.read_changes(3, 4).collect()] == [
+        ("REMOVE", None, 7.0)
+    ]
+
+
+def test_read_changes_default_excludes_staged(spark, warehouse):
+    """r8 review: read_changes' to_version default is the PUBLISHED
+    head — a staged WAP snapshot must not leak through the
+    incremental surface (its version is even reused after abort)."""
+    t = _mk_r8(spark, warehouse, "stagedleak")
+    t.stage_changes(
+        spark.createDataFrame([("MODIFY", 9, "Z", 1.0, 1, 1)], _WAVE_DDL)
+    )
+    assert t.read_changes(1).count() == 0  # published head == v1
+
+
+def test_update_where_refuses_key_assignment(spark, warehouse):
+    """r8 review: keys are immutable (DynamoDB replica semantics);
+    under merge-on-read a key assignment would tombstone the NEW key
+    and leave the old row alive — silent duplication."""
+    t = _mk_r8(spark, warehouse, "keyassign")
+    for strategy in ("copy-on-write", "merge-on-read"):
+        with pytest.raises(ValueError, match="key columns"):
+            t.update_where([("pk", "=", 1)], {"pk": "100"}, strategy=strategy)
+    assert t.read().count() == 2  # nothing committed
+
+
+def test_interleaved_commit_conflicts_instead_of_lost_update(
+    spark, warehouse, monkeypatch
+):
+    """r8 review: the optimistic CAS anchors at the manifest version
+    the write PLAN derives from. A commit that interleaves between a
+    verb's base read and its swap must surface as CommitConflictError
+    — not silently clobber the interleaved writer's changes."""
+    import dynamodb_zero_etl_s3tables_spark.table.manifest as M
+
+    cat = Catalog(spark, warehouse)
+    t1 = _mk_r8(spark, warehouse, "race")
+    t2 = ManagedTable.open(spark, warehouse, "ns.race")
+    orig = M.merge_changes
+    fired = {}
+
+    def hook(base, changes, keys, order_cols):
+        if not fired:
+            fired["x"] = True  # guard BEFORE the nested commit recurses
+            t2.apply_changes(
+                t2.spark.createDataFrame(
+                    [("MODIFY", 2, "B", 99.0, 1, 1)], _WAVE_DDL
+                )
+            )
+        return orig(base, changes, keys=keys, order_cols=order_cols)
+
+    monkeypatch.setattr(M, "merge_changes", hook)
+    with pytest.raises(CommitConflictError):
+        t1.apply_changes(
+            spark.createDataFrame([("MODIFY", 1, "A", 55.0, 1, 1)], _WAVE_DDL)
+        )
+    # the interleaved writer's commit SURVIVES; t1's refused plan left
+    # no trace
+    got = {r.pk: r.price for r in t1.read().collect()}
+    assert got == {1: 10.0, 2: 99.0}
+
+
+def test_evolve_partitioning_carries_rename_mapping(spark, warehouse):
+    """r8 review: the evolve-partitioning marker snapshot must carry
+    read_renames — otherwise the renamed column reads as NULL."""
+    t = _mk_r8(spark, warehouse, "evorename")
+    t.rename_column("price", "amount")
+    t.evolve_partitioning(("status",))
+    got = {r.pk: r.amount for r in t.read().collect()}
+    assert got == {1: 10.0, 2: 20.0}
+
+
+def test_rollback_preserves_dropped_column_guard(spark, warehouse):
+    """r8 review: rollback must carry dropped_columns — without it a
+    metadata-only re-add resurrects the dropped values from the
+    carried files."""
+    t = _mk_r8(spark, warehouse, "rbdrop")
+    t.drop_column("price")      # v2 (files still store price)
+    t.rollback_to(2)            # v3 points at the same files
+    with pytest.raises(SchemaEvolutionError, match="resurrect"):
+        t.add_columns({"price": "double"})
+
+
+def test_add_columns_refuses_renamed_file_name(spark, warehouse):
+    """r8 review: adding a column under the STORED name of a renamed
+    column would make the file schema carry two fields with one file
+    name and break every read."""
+    t = _mk_r8(spark, warehouse, "addfile")
+    t.rename_column("price", "amount")
+    with pytest.raises(SchemaEvolutionError, match="stored file name"):
+        t.add_columns({"price": "double"})
+    # reads still fine after the refusal
+    assert {r.amount for r in t.read().collect()} == {10.0, 20.0}
+
+
+def test_stage_and_branch_merges_fill_generated_columns(spark, warehouse):
+    """r8 review: stage_changes/apply_changes_to_branch share
+    apply_changes' _fill_generated contract — a batch omitting a
+    generated column must stage, not refuse as missing."""
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(
+            namespace="ns", name="gstage", key_columns=("pk",),
+            generated_columns=(
+                ("price_cents", "CAST(ROUND(price * 100) AS BIGINT)"),
+            ),
+        )
+    )
+    t.bootstrap(
+        spark.createDataFrame([(1, "A", 10.0)], "pk long, status string, price double")
+    )
+    v = t.stage_changes(
+        spark.createDataFrame([("MODIFY", 2, "B", 1.5, 1, 1)], _WAVE_DDL)
+    )
+    t.publish(v)
+    got = {r.pk: r.price_cents for r in t.read().collect()}
+    assert got == {1: 1000, 2: 150}
+
+
+def test_partition_empty_string_value_refused(spark, warehouse):
+    """r8 review: '' and NULL both land in __HIVE_DEFAULT_PARTITION__,
+    and the manifest round-trips the dir as NULL — an empty-string
+    partition value would silently read back as NULL. Refused at
+    commit; NULL itself stays legal."""
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(
+            namespace="ns", name="emptypart", key_columns=("pk",),
+            partition_columns=("status",),
+        )
+    )
+    with pytest.raises(ConstraintViolationError):
+        t.bootstrap(
+            spark.createDataFrame(
+                [(1, "", 1.0)], "pk long, status string, price double"
+            )
+        )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, None, 1.0), (2, "B", 2.0)], "pk long, status string, price double"
+        )
+    )
+    assert t.read().count() == 2
+
+
+def test_vacuum_reclaims_orphan_manifest_tmp(spark, warehouse):
+    """r8 review: a crash between the temp manifest write and the
+    atomic replace leaves manifest.tmp-* orphans; vacuum ages them
+    out with the unreferenced cutoff."""
+    import os
+
+    t = _mk_r8(spark, warehouse, "tmporphan")
+    orphan = t.manifest_path.parent / "manifest.tmp-deadbeef"
+    orphan.write_text("{}")
+    os.utime(orphan, (0, 0))
+    t.vacuum(unreferenced_days=0, noncurrent_days=10_000)
+    assert not orphan.exists()

@@ -165,7 +165,7 @@ def test_schema_accepts_primitive_arrays_rejects_nested(spark, warehouse):
     src = make_changelog_source()(
         options={"manifest": f"{warehouse}/ns/arr/manifest.json", "keys": "pk"}
     )
-    assert "vec array<double>" in src.schema()
+    assert "`vec` array<double>" in src.schema()
 
     # ... but nested arrays / structs still refuse loudly
     t2 = Catalog(spark, warehouse).create_table(
@@ -304,9 +304,14 @@ def test_partitioned_reader_diffs_cow_commits(spark, warehouse):
     assert set(r.read(cow[0])) == _COW_DIFF_EXPECTED
 
 
-def test_cow_diff_refuses_partitioned_tables(spark, warehouse):
-    """Pruned CoW merges on PARTITIONED tables carry untouched
-    partition dirs forward — the reader-side diff refuses loudly."""
+def test_partitioned_table_streams_end_to_end(spark, warehouse):
+    """r8 review: partitioned tables previously could not stream at
+    all (the flat glob over a partitioned data_dir silently emitted
+    zero rows, because partition VALUES live in dir names, not the
+    files). The readers now read per manifest entry with typed values
+    re-attached — bootstrap, MoR deltas, AND pruned CoW merges (the
+    entries list carries untouched dirs by reference, which is the
+    exact file set the diff needs)."""
     t = Catalog(spark, warehouse).create_table(
         TableSpec(
             namespace="ns", name="cdfp", key_columns=("pk",),
@@ -318,15 +323,37 @@ def test_cow_diff_refuses_partitioned_tables(spark, warehouse):
             [(1, "A", 10.0), (2, "B", 20.0)], "pk long, status string, price double"
         )
     )
-    t.apply_changes(
+    t.apply_changes(  # pruned CoW merge touching partition A only
         spark.createDataFrame(
             [("MODIFY", 1, "A", 99.0, 1, 1)],
             "op string, pk long, status string, price double, ts long, seq long",
         )
     )
     r = _reader(f"{warehouse}/ns/cdfp/manifest.json", max_versions=10)
-    with pytest.raises(ValueError, match="merge-on-read"):
-        list(r.readBetweenOffsets({"v": 1}, {"v": 2}))
+    rows, off = r.read(r.initialOffset())
+    rows = sorted(rows)
+    assert off == {"v": 2}
+    # bootstrap INSERTs carry the typed partition values
+    assert [x for x in rows if x[0] == 1] == [
+        (1, "INSERT", 1, "A", 10.0),
+        (1, "INSERT", 2, "B", 20.0),
+    ]
+    # the pruned CoW merge diffs to ONLY the touched row — the
+    # carried partition (B) is resolved through its entry reference
+    assert [x for x in rows if x[0] == 2] == [(2, "UPSERT", 1, "A", 99.0)]
+    # the partitioned reader plans per-entry INSERT parts for the
+    # partitioned bootstrap (typed values attached at planning time)
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        make_partitioned_changelog_source,
+    )
+
+    src = make_partitioned_changelog_source()(
+        options={"manifest": f"{warehouse}/ns/cdfp/manifest.json"}
+    )
+    pr = src.streamReader(None)
+    parts = pr.partitions({"v": 0}, {"v": 2})
+    got = sorted(row for p in parts for row in pr.read(p))
+    assert got == rows
 
 
 def test_cow_diff_refuses_vacuumed_base(tmp_path):
@@ -341,7 +368,7 @@ def test_cow_diff_refuses_vacuumed_base(tmp_path):
         _cow_closures,
     )
 
-    _rows, _snap_rows, resolve_state, diff_changes = _cow_closures()
+    _rows, _snap_rows, _coerce, resolve_state, diff_changes = _cow_closures()
     # synthetic manifest: v2 is merge-mor (base v1 vacuumed away),
     # v3 is a CoW rewrite
     ins = tmp_path / "v2" / "inserts"; ins.mkdir(parents=True)
@@ -372,7 +399,7 @@ def test_cow_diff_state_cache_rolls_forward(tmp_path):
         _cow_closures,
     )
 
-    _rows, _snap_rows, resolve_state, diff_changes = _cow_closures()
+    _rows, _snap_rows, _coerce, resolve_state, diff_changes = _cow_closures()
     v1 = tmp_path / "v1"; v1.mkdir()
     pq.write_table(pa.table({"pk": [1, 2], "x": [10, 20]}), v1 / "a.parquet")
     v2 = tmp_path / "v2"; v2.mkdir()
@@ -459,7 +486,7 @@ def test_cow_diff_matches_read_changes(spark, wave):
         for r in t.read_changes(1, 2).collect()
     }
     # reader-side diff
-    _rows, _snap_rows, _resolve, diff = _cow_closures()
+    _rows, _snap_rows, _coerce, _resolve, diff = _cow_closures()
     raw = _j.loads(open(f"{wh}/ns/law/manifest.json").read())
     changes, _cache = diff(
         raw, raw["snapshots"][1], ["pk"], ["pk", "status", "price"]
@@ -616,3 +643,77 @@ def test_changelog_replay_reconstructs_table(spark, ops):
             state[pk] = (status, price)
     expected = {row.pk: (row.status, row.price) for row in t.read().collect()}
     assert state == expected, (ops, state, expected)
+
+
+def test_stream_keys_derived_from_manifest_and_validated(spark, warehouse):
+    """r8 review: the manifest's persisted key_columns are the
+    authoritative key list — derived when the keys option is absent,
+    and a mismatching option refuses instead of silently keying the
+    diff on the wrong column."""
+    t, mp = _mk(spark, warehouse)
+    src = make_changelog_source()(options={"manifest": mp})  # no keys
+    r = src.simpleStreamReader(src.schema())
+    rows, _ = r.read(r.initialOffset())
+    assert len(list(rows)) == 2
+    bad = make_changelog_source()(options={"manifest": mp, "keys": "status"})
+    with pytest.raises(ValueError, match="key_columns"):
+        bad.simpleStreamReader(bad.schema())
+
+
+def test_schema_refuses_metadata_column_collision(spark, warehouse):
+    """A table column named `version` (or `change_op`) would produce
+    a duplicate-field stream schema — refuse loudly."""
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(namespace="ns", name="collide", key_columns=("pk",))
+    )
+    t.bootstrap(spark.createDataFrame([(1, 5)], "pk long, version long"))
+    with pytest.raises(ValueError, match="collides"):
+        changelog_schema_ddl(f"{warehouse}/ns/collide/manifest.json")
+
+
+def test_cow_diff_refuses_truncated_history(spark, warehouse):
+    """r8 review: when retention expired every version below a CoW
+    snapshot, the diff's pre-image is GONE — a silent empty pre-image
+    would re-emit all live rows as INSERT and drop real DELETEs.
+    Refuse loudly (same posture as the vacuumed MoR base)."""
+    t, mp = _mk(spark, warehouse)
+    t.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 1, "A", 50.0, 1, 1)],
+            "op string, pk long, status string, price double, ts long, seq long",
+        )
+    )  # v2 CoW
+    t.apply_changes(
+        spark.createDataFrame(
+            [("REMOVE", 2, None, None, 1, 1)],
+            "op string, pk long, status string, price double, ts long, seq long",
+        )
+    )  # v3 CoW
+    t.expire_snapshots(retain_last=1)  # only v3 survives
+    r = _reader(mp, max_versions=10)
+    with pytest.raises(ValueError, match="truncated"):
+        list(r.readBetweenOffsets({"v": 2}, {"v": 3}))
+
+
+def test_cow_diff_nan_values_are_stable(spark, warehouse):
+    """r8 review: NaN != NaN in Python, but Spark's null-safe compare
+    (and read_changes) treat NaN as equal to itself — an unchanged
+    NaN-carrying row must not re-emit as UPSERT every CoW version."""
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(namespace="ns", name="nan", key_columns=("pk",))
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, float("nan")), (2, 1.0)], "pk long, x double"
+        )
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, float("nan")), (2, 2.0)], "pk long, x double"
+        )
+    )
+    r = _reader(f"{warehouse}/ns/nan/manifest.json", max_versions=10)
+    rows, _ = r.read(r.initialOffset())
+    v2 = [x for x in rows if x[0] == 2]
+    assert v2 == [(2, "UPSERT", 2, 2.0)]  # the NaN row is silent
+    assert {row.pk for row in t.read_changes(1, 2).collect()} == {2}
