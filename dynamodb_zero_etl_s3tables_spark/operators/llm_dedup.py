@@ -111,21 +111,6 @@ def _MH64(expr_sql: str) -> str:
     return f"(('0x' || substr(md5({expr_sql}), 1, 15))::BIGINT)"
 
 
-_SHINGLES_CTE = f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
-    ), shingles AS (
-      SELECT doc_id,
-             UNNEST(CASE WHEN len(t) >= {SHINGLE_W}
-                  THEN list_distinct(list_transform(
-                         range(1, len(t) - {SHINGLE_W} + 2),
-                         i -> array_to_string(t[i:i+{SHINGLE_W}-1], ' ')))
-                  ELSE [array_to_string(t, ' ')] END) AS shingle
-      FROM toks
-    )
-"""
-
-
 #: Mersenne-style modulus + per-permutation affine constants. Each
 #: "permutation" i is h_i(s) = (A_i * h(s) + B_i) mod M31 over the
 #: single 31-bit base hash h(s) — one md5 per shingle instead of
@@ -246,13 +231,19 @@ def _shingle_hashes(
 
 _FOLD_SQL = f"(a, x) -> (a * {P_TOK} + x) % {M31}"
 
-#: DuckDB twin of :func:`_shingle_hashes` — ends in hashed(doc_id, h)
+#: DuckDB twin of :func:`_shingle_hashes` — ends in hashed(doc_id, h).
+#: NULL-text docs are dropped HERE to mirror minhash_sign's filter:
+#: without it, list_prepend(0, NULL) -> [0] folds every NULL-text doc
+#: to the same shingle hash 0, and the oracle would emit signatures
+#: (and spurious candidate pairs among NULL-text docs) the engine
+#: correctly does not (r8 review).
 _HASHED_CTE = f"""
     WITH tokh AS (
       SELECT doc_id,
              list_transform(string_split(LOWER(text), ' '),
                             s -> ({_MH64('s')} % {M31})) AS th
       FROM documents
+      WHERE text IS NOT NULL
     ), hashed AS (
       SELECT doc_id,
              UNNEST(CASE WHEN len(th) >= {SHINGLE_W}
@@ -387,6 +378,71 @@ def _long_bands(sigs: DataFrame, *extra) -> DataFrame:
     )
 
 
+def _capped_members(
+    long_bands: DataFrame, member, observe_name: str | None = None
+) -> DataFrame:
+    """(band_id, bucket, members) for LSH cells with occupancy in
+    [2, LSH_BUCKET_CAP]: occupancy comes from a WINDOW COUNT over the
+    bucket key and the cap filters rows BEFORE any membership is
+    collected — a degenerate cell (the exact shape the cap exists
+    for) never materializes its member array inside an aggregation
+    buffer. Hash-agg array buffers cannot spill mid-group, so the
+    old collect-then-filter shape could still OOM an executor on one
+    boilerplate mega-bucket despite the cap; the window buffers ROWS
+    with disk spill, and the collect only ever sees in-cap cells, so
+    the worst task is O(cap^2) in MEMORY as well as CPU (r8 review).
+    Same exchange count (the groupBy reuses the window's hash
+    partitioning) and still no join, preserving e02b's no-join plan
+    law. ONE definition shared by the candidate generator (e02b),
+    the incremental probe (e29), and the estimators (e02f/e76/e79)
+    so cap semantics cannot fork.
+
+    ``observe_name`` attaches an ``overflow_buckets`` observation:
+    each row of an over-cap cell contributes 1/n, summing to the
+    dropped CELL count (exact up to fp accumulation; the exact
+    audited count is :func:`lsh_overflow_buckets`)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("band_id", "bucket")
+    annotated = long_bands.withColumn("n", F.count(F.lit(1)).over(w))
+    if observe_name:
+        annotated = annotated.observe(
+            observe_name,
+            F.sum(
+                F.when(
+                    F.col("n") > LSH_BUCKET_CAP, 1.0 / F.col("n")
+                ).otherwise(0.0)
+            ).alias("overflow_buckets"),
+        )
+    return (
+        annotated.filter((F.col("n") > 1) & (F.col("n") <= LSH_BUCKET_CAP))
+        .groupBy("band_id", "bucket")
+        .agg(F.array_sort(F.collect_set(member)).alias("members"))
+    )
+
+
+def _bucket_pairs(members_df: DataFrame, pair_struct_sql: str) -> DataFrame:
+    """Ordered unique pairs from each bucket's sorted member array —
+    the ONE flatten/transform/slice expansion every LSH consumer
+    rides (a change to pair ordering or the expansion expression
+    cannot silently fork the estimators from the candidate
+    generator). ``pair_struct_sql`` maps member elements ``m``/``n``
+    (scalars or structs) to the emitted struct fields."""
+    return (
+        members_df.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (m, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    f"n -> {pair_struct_sql})))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+
+
 @query("e02b_minhash_lsh_pairs", oracle=_CAND_SQL)
 def e02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 stage 2: LSH banding — hash each band of the signature to a
@@ -396,31 +452,17 @@ def e02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing is recomputed), one shuffle on the uniformly-distributed
     bucket hash, then an array combination expansion per bucket. At
     scale, bucket sizes stay small (only near-dups collide) and the
-    LSH_BUCKET_CAP guard drops degenerate buckets before the
-    expansion (observed as ``overflow_buckets``), so the worst task
-    is O(cap^2) regardless of corpus shape; exact-dup removal (e01)
-    runs first in the pipeline precisely to keep buckets small.
+    LSH_BUCKET_CAP guard drops degenerate buckets BEFORE any
+    membership is collected (observed as ``overflow_buckets``;
+    memory-safety argument: :func:`_capped_members`), so the worst
+    task is O(cap^2) regardless of corpus shape; exact-dup removal
+    (e01) runs first in the pipeline precisely to keep buckets small.
     """
     sigs = e02_minhash_signatures(spark, sf_dir)
-    long_bands = _long_bands(sigs)
-    sized = long_bands.groupBy("band_id", "bucket").agg(
-        F.count("*").alias("n"),
-        F.array_sort(F.collect_set("doc_id")).alias("ids"),
-    ).observe(
-        "e02b_lsh",
-        F.sum((F.col("n") > LSH_BUCKET_CAP).cast("long")).alias("overflow_buckets"),
+    members = _capped_members(
+        _long_bands(sigs), F.col("doc_id"), observe_name="e02b_lsh"
     )
-    buckets = sized.filter((F.col("n") > 1) & (F.col("n") <= LSH_BUCKET_CAP))
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), "
-                "b -> struct(a AS doc_a, b AS doc_b))))"
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    return _bucket_pairs(members, "struct(m AS doc_a, n AS doc_b)")
 
 
 def lsh_overflow_buckets(spark: SparkSession, sf_dir: str) -> int:
@@ -652,28 +694,16 @@ def e02f_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sigs = e02_minhash_signatures(spark, sf_dir)
     sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
-    long_bands = _long_bands(sigs, sig_arr.alias("sig"))
-    buckets = (
-        long_bands.groupBy("band_id", "bucket")
-        .agg(
-            F.count("*").alias("n"),
-            F.array_sort(
-                F.collect_set(F.struct(F.col("doc_id"), F.col("sig")))
-            ).alias("members"),
-        )
-        .filter((F.col("n") > 1) & (F.col("n") <= LSH_BUCKET_CAP))
+    members = _capped_members(
+        _long_bands(sigs, sig_arr.alias("sig")),
+        F.struct(F.col("doc_id"), F.col("sig")),
     )
-    scored = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(members, (m, i) -> "
-                "transform(slice(members, i + 2, size(members)), "
-                "n -> struct(m.doc_id AS doc_a, n.doc_id AS doc_b, "
-                "size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), "
-                "eq -> eq)) AS n_agree))))"
-            )
-        ).alias("p")
-    ).select("p.*").distinct()
+    scored = _bucket_pairs(
+        members,
+        "struct(m.doc_id AS doc_a, n.doc_id AS doc_b, "
+        "size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), "
+        "eq -> eq)) AS n_agree)",
+    )
     return scored.select(
         "doc_a",
         "doc_b",
@@ -793,6 +823,7 @@ def e02h_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s0 = obs0.get["label_sum"]
     prev_sum = int(s0) if s0 is not None else 0
+    converged = False
     for i in range(12):
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -815,8 +846,20 @@ def e02h_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = obs.get["label_sum"]
         s = int(s) if s is not None else 0
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # the loop KNOWS the fixpoint was not reached (labels still
+        # moved on the last round); returning the intermediate labels
+        # would silently split one true component into several —
+        # refuse loudly instead (r8 review). Diameter > 12 means a
+        # pathological chain-of-near-dups corpus; raise the cap.
+        raise RuntimeError(
+            "e02h: min-label propagation did not converge within 12 "
+            "rounds (candidate-graph diameter exceeds the cap) — "
+            "raise the round cap for this corpus"
+        )
     return labels.select(
         "doc_id",
         F.col("comp").alias("component_rep"),
@@ -896,7 +939,7 @@ _E24_ORACLE = (
     SELECT c.doc_a, c.doc_b,
            levenshtein(da.text, db.text) AS edit_dist,
            1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
-                 / GREATEST(len(da.text), len(db.text)) AS edit_sim
+                 / GREATEST(len(da.text), len(db.text), 1) AS edit_sim
     FROM cand c
     JOIN documents da ON da.doc_id = c.doc_a
     JOIN documents db ON db.doc_id = c.doc_b
@@ -927,10 +970,14 @@ def e24_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             lev.alias("edit_dist"),
+            # GREATEST(..., 1): two EMPTY texts are guaranteed LSH
+            # candidates (identical signatures) and 0/0 would be NaN
+            # here vs NULL in DuckDB — the floor makes the pair a
+            # clean sim=1.0 exact duplicate on both engines
             (
                 F.lit(1.0)
                 - lev.cast("double")
-                / F.greatest(F.length("ta"), F.length("tb"))
+                / F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
             ).alias("edit_sim"),
         )
     )
@@ -1050,22 +1097,18 @@ def e29_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = e02_minhash_signatures(spark, sf_dir)
     long_bands = _long_bands(sigs)
     # bucket occupancy over the WHOLE corpus (cap semantics == e02b);
-    # the standing band index would carry these counts pre-aggregated
-    sized = long_bands.groupBy("band_id", "bucket").agg(
-        F.count("*").alias("n"),
-        F.array_sort(F.collect_set("doc_id")).alias("ids"),
-    )
+    # the standing band index would carry these counts pre-aggregated.
+    # _capped_members drops over-cap cells BEFORE collecting ids —
+    # same memory-safety argument as e02b.
+    members = _capped_members(long_bands, F.col("doc_id"))
     delta = long_bands.filter(F.col("doc_id") % INCR_MOD == 0).select(
         F.col("doc_id").alias("new_doc"), "band_id", "bucket"
     )
     pairs = (
-        delta.join(
-            sized.filter((F.col("n") > 1) & (F.col("n") <= LSH_BUCKET_CAP)),
-            ["band_id", "bucket"],
-        )
+        delta.join(members, ["band_id", "bucket"])
         .select(
             "new_doc",
-            F.explode("ids").alias("other"),
+            F.explode("members").alias("other"),
         )
         .filter(F.col("new_doc") != F.col("other"))
         .select(
@@ -1187,7 +1230,10 @@ def e33_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: probe lengths for the common-span probe, longest first in output
+#: probe lengths for the common-span probe, ASCENDING — both engines
+#: define n_shared_min positionally as the count at SPAN_LENGTHS[0],
+#: the smallest window (reordering this tuple would redefine that
+#: column in BOTH engines at once, so keep it sorted)
 SPAN_LENGTHS = (8, 16, 32)
 
 
@@ -1958,33 +2004,17 @@ def e76_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n/64, so cross-engine equality is exact."""
     sigs = e02_minhash_signatures(spark, sf_dir)
     sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
-    long_bands = _long_bands(sigs, sig_arr.alias("sig"))
-    buckets = (
-        long_bands.groupBy("band_id", "bucket")
-        .agg(
-            F.count("*").alias("n"),
-            F.array_sort(
-                F.collect_set(F.struct(F.col("doc_id"), F.col("sig")))
-            ).alias("members"),
-        )
-        .filter((F.col("n") > 1) & (F.col("n") <= LSH_BUCKET_CAP))
+    members = _capped_members(
+        _long_bands(sigs, sig_arr.alias("sig")),
+        F.struct(F.col("doc_id"), F.col("sig")),
     )
-    scored = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (m, i) -> "
-                    "transform(slice(members, i + 2, size(members)), "
-                    "n -> struct(m.doc_id AS doc_a, n.doc_id AS doc_b, "
-                    "size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), "
-                    "eq -> eq)) AS n_full, "
-                    "size(filter(zip_with(m.sig, n.sig, "
-                    "(x, y) -> x % 2 = y % 2), eq -> eq)) AS n_1bit))))"
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-        .distinct()
+    scored = _bucket_pairs(
+        members,
+        "struct(m.doc_id AS doc_a, n.doc_id AS doc_b, "
+        "size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), "
+        "eq -> eq)) AS n_full, "
+        "size(filter(zip_with(m.sig, n.sig, "
+        "(x, y) -> x % 2 = y % 2), eq -> eq)) AS n_1bit)",
     )
     nh = float(N_HASHES)
     return scored.select(
@@ -2035,31 +2065,15 @@ def e79_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds a bounded x5 row expansion and one grouped aggregate."""
     sigs = e02_minhash_signatures(spark, sf_dir)
     sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
-    long_bands = _long_bands(sigs, sig_arr.alias("sig"))
-    buckets = (
-        long_bands.groupBy("band_id", "bucket")
-        .agg(
-            F.count("*").alias("n"),
-            F.array_sort(
-                F.collect_set(F.struct(F.col("doc_id"), F.col("sig")))
-            ).alias("members"),
-        )
-        .filter((F.col("n") > 1) & (F.col("n") <= LSH_BUCKET_CAP))
+    members = _capped_members(
+        _long_bands(sigs, sig_arr.alias("sig")),
+        F.struct(F.col("doc_id"), F.col("sig")),
     )
-    est = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (m, i) -> "
-                    "transform(slice(members, i + 2, size(members)), "
-                    "n -> struct(m.doc_id AS doc_a, n.doc_id AS doc_b, "
-                    "size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), "
-                    "eq -> eq)) AS k))))"
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-        .distinct()
+    est = _bucket_pairs(
+        members,
+        "struct(m.doc_id AS doc_a, n.doc_id AS doc_b, "
+        "size(filter(zip_with(m.sig, n.sig, (x, y) -> x = y), "
+        "eq -> eq)) AS k)",
     )
     thr = F.explode(F.array(*[F.lit(t) for t in _THRESHOLDS])).alias(
         "threshold_pct"

@@ -246,33 +246,57 @@ def e03c_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximately-equal: a BLAS matvec would use a different
     summation order, and a last-ulp difference can flip ROUND(..., 6)
     at a boundary. 64 vectorized passes instead of 1 matvec trades a
-    small constant for exact determinism. np.round is half-even like
-    the engines' ROUND-to-6 on doubles. The query vector is a one-row
-    driver-side constant captured in the closure, i.e. a broadcast."""
+    small constant for exact determinism. Rounding is HALF AWAY FROM
+    ZERO via sign-aware floor(|x|*1e6 + 0.5) — matching DuckDB's
+    ROUND and Spark's HALF_UP; np.round is half-EVEN and disagrees at
+    exact scaled ties (|x|*1e6 ≤ 1e6 < 2^52, so the +0.5 addition is
+    exact and the floor equals C's round()). The query vector is a
+    one-row driver-side constant captured in the closure, i.e. a
+    broadcast."""
     import numpy as np
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings")
-    qv = np.asarray(
-        e.filter(F.col("vec_id") == 0).first().embedding, dtype=np.float64
-    )
+    qrow = e.filter(F.col("vec_id") == 0).first()
+    if qrow is None:
+        raise ValueError(
+            "e03c: corpus has no query vector (vec_id = 0) — the "
+            "top-k is defined relative to it"
+        )
+    qv = np.asarray(qrow.embedding, dtype=np.float64)
     # query norm: same sequential left-to-right fold as the oracle
     qn = float(np.sqrt(sum((float(x) * float(x) for x in qv), 0.0)))
 
     def score(batches):
         for pdf in batches:
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            dots = np.zeros(len(m))
-            norms2 = np.zeros(len(m))
-            for d in range(m.shape[1]):  # left-to-right fold, rows in parallel
-                dots += m[:, d] * qv[d]
-                norms2 += m[:, d] * m[:, d]
-            sims = dots / (np.sqrt(norms2) * qn)
+            vals = pdf["embedding"].to_numpy()
+            # NULL embeddings yield NULL cos_sim (e03's fold and the
+            # oracle both degrade to NULL) instead of crashing the
+            # task inside np.stack — same guard as buckets_udf
+            mask = np.array([v is not None for v in vals])
+            out = [None] * len(vals)
+            if mask.any():
+                m = np.stack(vals[mask]).astype(np.float64)
+                dots = np.zeros(len(m))
+                norms2 = np.zeros(len(m))
+                for d in range(m.shape[1]):  # left-to-right fold, rows parallel
+                    dots += m[:, d] * qv[d]
+                    norms2 += m[:, d] * m[:, d]
+                sims = dots / (np.sqrt(norms2) * qn)
+                scaled = sims * 1e6
+                rounded = (
+                    np.copysign(np.floor(np.abs(scaled) + 0.5), scaled) / 1e6
+                )
+                j = 0
+                for i, ok in enumerate(mask):
+                    if ok:
+                        out[i] = float(rounded[j])
+                        j += 1
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "label": pdf["label"],
-                    "cos_sim": np.round(sims, 6),
+                    "cos_sim": pd.Series(out, dtype="object"),
                 }
             )
 
@@ -323,6 +347,20 @@ N_TABLES = int(_os.environ.get("SPARK_GRAFT_LSH_TABLES", "8"))
 #: retain recall — see the S-curve math above.
 NEARDUP_PLANES = int(_os.environ.get("SPARK_GRAFT_NEARDUP_PLANES", "4"))
 NEARDUP_TABLES = int(_os.environ.get("SPARK_GRAFT_NEARDUP_TABLES", "4"))
+
+for _knob, _v in (
+    ("SPARK_GRAFT_LSH_PLANES", N_PLANES),
+    ("SPARK_GRAFT_NEARDUP_PLANES", NEARDUP_PLANES),
+):
+    if not (1 <= _v <= 31):
+        # bucket codes carry one bit per plane in an int32: at 32+
+        # planes the kernel would wrap negative while the generated
+        # SQL oracle sums the same plane weights in BIGINT — a silent
+        # cross-engine bucket desync. Refuse the knob at import.
+        raise ValueError(
+            f"{_knob}={_v}: hyperplane bucket codes are int32 with one "
+            "sign bit per plane — supported range is 1..31 planes"
+        )
 
 #: e03e's exact side is a deliberate brute-force pair join (that is
 #: what a recall harness measures against). It is fixture-scale ONLY:
@@ -494,7 +532,10 @@ def e03d_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     true near-dups this correctly returns (near-)zero rows — e03e is
     the recall harness that quantifies the trade-off."""
     e = load(spark, sf_dir, "embeddings")
-    codes = codes_long(e, _E03D_PLANES, ["label"])
+    # no extra columns: the candidate join needs only (vec_id, tbl,
+    # bucket) — carrying label through the posexplode and BOTH sides
+    # of the widest self-join bought nothing (r8 review)
+    codes = codes_long(e, _E03D_PLANES, [])
     x, y = codes.alias("x"), codes.alias("y")
     cand = (
         x.join(
@@ -572,7 +613,7 @@ def e03e_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SPARK_GRAFT_RECALL_MAX_ROWS only for a deliberate, "
             f"budgeted run."
         )
-    codes = codes_long(e, _E03D_PLANES, ["label"])
+    codes = codes_long(e, _E03D_PLANES, [])
     x, y = codes.alias("x"), codes.alias("y")
     cand = (
         x.join(
@@ -594,6 +635,13 @@ def e03e_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.35)
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     )
+    # both frames feed TWO union branches below and Catalyst performs
+    # no cross-branch subplan reuse — without the pin the quadratic
+    # exact join (the dominant cost the row-cap guards) and the LSH
+    # self-join would each execute twice (r8 review; same discipline
+    # as e48/e74)
+    exact = exact.localCheckpoint(eager=True)
+    cand = cand.localCheckpoint(eager=True)
     hit = exact.join(cand, ["vec_a", "vec_b"])
     # one global aggregate over tagged unions — no 1-row cross joins
     # (a BroadcastNestedLoopJoin, however small, fails the plan sweep)
@@ -901,35 +949,12 @@ def e37_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         lambda m: F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB),
     )
-    cb = (
-        e.orderBy("vec_id")
-        .limit(PQ_K)
-        .select(
-            (F.row_number().over(W.partitionBy(F.lit(1)).orderBy("vec_id")) - 1)
-            .cast("int")
-            .alias("cid"),
-            "embedding",
-        )
-    )
-    cbsub = cb.select(
-        "cid", F.posexplode(subvecs).alias("m", "cvec")
-    )
+    # shared PQ machinery (one definition with e40/e44/h24): seed
+    # codebook + argmin encode. float->double casts are exact, so the
+    # helpers are bit-identical to the inline form they replace.
+    seed = _pq_seed(e, subvecs)
     vsub = e.select("vec_id", F.posexplode(subvecs).alias("m", "svec"))
-    sq = F.zip_with(
-        F.col("svec"),
-        F.col("cvec"),
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    dists = vsub.join(F.broadcast(cbsub), "m").withColumn(
-        "d2", F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
-    )
-    wmin = W.partitionBy("vec_id", "m").orderBy("d2", "cid")
-    codes = (
-        dists.withColumn("rn", F.row_number().over(wmin))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cid")
-    )
+    codes = _pq_encode(vsub, seed, ["vec_id"])
     qsub = q.select(
         F.posexplode(
             F.transform(
@@ -938,7 +963,7 @@ def e37_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m", "qsv")
     )
-    lut = cbsub.join(F.broadcast(qsub), "m").select(
+    lut = seed.join(F.broadcast(qsub), "m").select(
         "m", "cid", dot_fold(F.col("cvec"), F.col("qsv")).alias("pdot")
     )
     adc = (
@@ -1262,13 +1287,9 @@ def e40_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = trained.join(F.broadcast(qsub), "m").select(
         "m",
         "cid",
-        F.aggregate(
-            F.zip_with(
-                F.col("cvec"), F.col("qsv"), lambda x, y: x * y.cast("double")
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("pdot"),
+        # dot_fold verbatim: its double casts are no-ops on the
+        # already-double cvec, so the shared primitive is bit-identical
+        dot_fold(F.col("cvec"), F.col("qsv")).alias("pdot"),
     )
     adc = (
         codes.join(F.broadcast(lut), ["m", "cid"])
@@ -1328,15 +1349,18 @@ def e43_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the {HN_ANCHORS}-row anchor set broadcasts; scoring is
     map-side over the corpus scan (no shuffle of the big side). The
-    per-anchor top-k is TWO-STAGE: a partial top-k inside each input
-    partition (window over (anchor, partition-id) — a map-side
-    reduction, exact because any superset of the per-anchor top-k
-    reduces to the same final top-k) cuts the shuffle to at most
-    k x partitions x anchors rows before the final per-anchor window.
-    With millions of anchors the same plan holds per anchor-shard.
-    Determinism: cosine is the left-to-right IEEE fold, rounded to
-    6dp; ties break on vec_id; the partial stage cannot change the
-    result, only the shuffle volume."""
+    per-anchor top-k is TWO-STAGE: a TRULY map-side partial top-k
+    per Arrow batch (``mapInPandas`` — no exchange; the previous
+    window over (anchor, partition-id) itself shuffled the full
+    N x anchors scored set before "reducing" it, r8 review), exact
+    because a global top-k row is within its own batch's top-k, so
+    the union of per-batch top-ks is a superset that the final
+    per-anchor window reduces identically. Shuffle volume is at most
+    k x batches x anchors narrow rows. With millions of anchors the
+    same plan holds per anchor-shard. Determinism: cosine is the
+    left-to-right IEEE fold, rounded to 6dp; ties break on vec_id;
+    the partial stage cannot change the result, only the shuffle
+    volume."""
     e = load(spark, sf_dir, "embeddings")
     anchors = e.filter(F.col("vec_id") < HN_ANCHORS).select(
         F.col("vec_id").alias("anchor_id"),
@@ -1360,20 +1384,19 @@ def e43_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    # stage 1: partial top-k per (anchor, input partition) — map-side
-    partial = (
-        scored.withColumn("part", F.spark_partition_id())
-        .withColumn(
-            "prn",
-            F.row_number().over(
-                W.partitionBy("anchor_id", "part").orderBy(
-                    F.col("cos_sim").desc(), "vec_id"
+    # stage 1: partial top-k per Arrow batch — genuinely map-side
+    # (zero exchange); see the docstring's superset argument
+    def _batch_topk(batches):
+        for pdf in batches:
+            yield (
+                pdf.sort_values(
+                    ["cos_sim", "vec_id"], ascending=[False, True]
                 )
-            ),
-        )
-        .filter(F.col("prn") <= HN_K)
-        .drop("part", "prn")
-    )
+                .groupby("anchor_id", sort=False)
+                .head(HN_K)
+            )
+
+    partial = scored.mapInPandas(_batch_topk, scored.schema)
     # stage 2: exact per-anchor top-k over the bounded survivors
     w = W.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     return (
@@ -1589,13 +1612,7 @@ def e44_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select(
             "label",
-            F.aggregate(
-                F.zip_with(
-                    F.col("cfull"), F.col("qv"), lambda c, x: c * x.cast("double")
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("qc_dot"),
+            dot_fold(F.col("cfull"), F.col("qv")).alias("qc_dot"),
         )
     )
 
@@ -1634,13 +1651,7 @@ def e44_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = trained.join(F.broadcast(qsub), "m").select(
         "m",
         "cid",
-        F.aggregate(
-            F.zip_with(
-                F.col("cvec"), F.col("qsv"), lambda c, y: c * y.cast("double")
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("pdot"),
+        dot_fold(F.col("cvec"), F.col("qsv")).alias("pdot"),
     )
     adcr = (
         codes.join(F.broadcast(lut), ["m", "cid"])
@@ -2361,13 +2372,18 @@ def e65_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_sub_d2(F.col("embedding"), F.col("cv")), 6).alias("d"),
         )
     )
+    # pin the running frame each round: without the checkpoint, round
+    # i's collect would replay every earlier round's least() lineage
+    # (O(K^2 N) element work instead of O(K N)) — the same recompute
+    # pattern fixed for e48/e74 (r8 review)
+    mind = mind.localCheckpoint(eager=True)
     picks = [(0, 0, 0.0)]
     for i in range(1, KC_K):
         top = mind.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()[0]
         picks.append((i, int(top["vec_id"]), float(top["d"])))
-        cv = F.array(*[F.lit(float(x)) for x in
-                       e.filter(F.col("vec_id") == top["vec_id"])
-                       .collect()[0]["embedding"]])
+        # the argmax row already carries its embedding — no second
+        # full scan just to fetch the new center (r8 review)
+        cv = F.array(*[F.lit(float(x)) for x in top["embedding"]])
         mind = (
             mind.filter(F.col("vec_id") != int(top["vec_id"]))
             .select(
@@ -2378,6 +2394,7 @@ def e65_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(_sub_d2(F.col("embedding"), cv), 6),
                 ).alias("d"),
             )
+            .localCheckpoint(eager=True)
         )
     return spark.createDataFrame(
         picks, schema="sel_round int, vec_id bigint, dist double"

@@ -239,3 +239,80 @@ def test_minhash_sign_drops_null_text_docs(spark):
     rows = minhash_sign(df).collect()
     assert [r.doc_id for r in rows] == [1]
     assert all(v is not None for v in rows[0][1:])
+
+
+def test_null_and_empty_text_engine_oracle_agreement(spark, tmp_path_factory):
+    """r8 review: the DuckDB oracle's shingle CTE folded NULL-text
+    docs to shingle hash 0 (list_prepend(0, NULL) -> [0]), emitting
+    signatures and spurious candidate pairs the engine (which drops
+    NULL text) does not — latent because the committed fixtures carry
+    no NULL/empty texts. Both engines must agree on a corpus that has
+    them: NULL-text docs vanish, empty-text docs pair up as exact
+    duplicates with edit_sim 1.0 (not NaN-vs-NULL)."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        {"doc_id": 1, "text": None},
+        {"doc_id": 2, "text": None},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": "the quick brown fox jumps over the lazy dog " * 3},
+        {"doc_id": 6, "text": "the quick brown fox jumps over the lazy dog " * 3},
+    ]
+    d = tmp_path_factory.mktemp("nulltext")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+
+    from dynamodb_zero_etl_s3tables_spark.operators.registry import (
+        QUERY_REGISTRY,
+    )
+
+    def both(name):
+        spec = QUERY_REGISTRY[name]
+        got = spec.build(spark, str(d)).collect()
+        want = con.sql(spec.oracle).fetchall()
+        return got, want
+
+    # e02: NULL-text docs produce NO signature row on either side
+    got, want = both("e02_minhash_signatures")
+    assert sorted(r.doc_id for r in got) == [3, 4, 5, 6]
+    assert sorted(w[0] for w in want) == [3, 4, 5, 6]
+    # e02b: candidate pairs are the two exact-dup pairs — no spurious
+    # NULL-text pair on the oracle side
+    got, want = both("e02b_minhash_lsh_pairs")
+    assert sorted((r.doc_a, r.doc_b) for r in got) == [(3, 4), (5, 6)]
+    assert sorted((w[0], w[1]) for w in want) == [(3, 4), (5, 6)]
+    # e24: the empty-empty pair scores edit_sim 1.0 on BOTH engines
+    # (0/0 used to be NaN in Spark vs NULL in DuckDB)
+    got, want = both("e24_editdist_verify")
+    g = {(r.doc_a, r.doc_b): (r.edit_dist, r.edit_sim) for r in got}
+    w = {(a, b): (dist, sim) for a, b, dist, sim in want}
+    assert g == w
+    assert g[(3, 4)] == (0, 1.0)
+
+
+def test_bucket_col_kernel_parity(spark):
+    """codes_long's docstring claims the Arrow kernel (buckets_udf) is
+    bit-identical to the bucket_col expression fold — execute BOTH on
+    real fixture vectors and compare every (vec_id, table) bucket
+    (r8 review: the claim was previously untested and bucket_col had
+    no callers)."""
+    import dynamodb_zero_etl_s3tables_spark.operators.llm_similarity as S
+    from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings").limit(64)
+    planes = S._E03D_PLANES
+    kern = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in S.codes_long(e, planes, []).collect()
+    }
+    for t in range(2):  # two tables pin the (tag, table) derivation too
+        expr = {
+            r.vec_id: r.b
+            for r in e.select(
+                "vec_id", S.bucket_col(planes[t]).alias("b")
+            ).collect()
+        }
+        assert expr and all(kern[(vid, t)] == b for vid, b in expr.items())
