@@ -108,7 +108,10 @@ def decode_item_column(
         "__item", F.from_json(F.col(item_col), item_schema(list(fields), depth))
     )
     cols = [
-        _decode_attr(F.col(f"__item.{name}"), kind).alias(name)
+        # getField, not a dotted F.col path: DynamoDB attribute names
+        # legally contain dots (and other column-path metacharacters),
+        # which a string path would mis-parse as nesting (r8 review)
+        _decode_attr(F.col("__item").getField(name), kind).alias(name)
         for name, kind in fields.items()
     ]
     others = [c for c in df.columns if c != item_col]
@@ -155,7 +158,14 @@ def encode_value(v: Any) -> dict[str, Any]:
         vals = sorted(v)
         if all(isinstance(x, str) for x in vals):
             return {"SS": vals}
-        if all(isinstance(x, (int, float)) for x in vals):
+        # bool is an int subclass: without the explicit check a set
+        # like {True, 2} would emit NS ["2", "True"] — invalid wire
+        # text the decimal decode silently turns into NULL (the
+        # scalar path already orders its checks bool-first)
+        if all(
+            isinstance(x, (int, float)) and not isinstance(x, bool)
+            for x in vals
+        ):
             return {"NS": [str(x) for x in vals]}
         raise TypeError(f"unsupported set element types in {vals!r}")
     if isinstance(v, dict):

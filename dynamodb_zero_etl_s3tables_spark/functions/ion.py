@@ -336,7 +336,11 @@ class _Parser:
             raise self.error("unterminated blob")
         body = "".join(self.s[self.i: j].split())
         self.i = j + 2
-        if body.startswith('"'):
+        if body.startswith('"') or body.startswith("'''"):
+            # both clob forms ({{"..."}} and {{'''...'''}}) refuse —
+            # silently treating the quoted text as base64 would be
+            # the exact partial decode the loud-error contract
+            # forbids (r8 review caught the triple-quoted form)
             raise self.error("Ion clobs are outside the export subset")
         return body  # base64 text, same as the JSON wire form's B
 

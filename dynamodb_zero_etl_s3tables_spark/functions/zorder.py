@@ -24,12 +24,21 @@ def scale_to_bits(c: Column, lo: float, hi: float, bits: int = 16) -> Column:
     """Min-max scale a numeric column to the integer grid [0, 2^bits).
     ``lo``/``hi`` are planning constants (column min/max from table
     stats — metadata-scale to obtain, exactly what Iceberg manifests
-    already store). Out-of-range values clamp to the grid edges."""
+    already store). Out-of-range values clamp to the grid edges;
+    NULLs land at grid 0 — Spark's least/greatest SKIP null
+    arguments, so without the explicit coalesce a NULL value would
+    silently ride least(top, NULL) -> top into the max corner,
+    polluting the max-corner files' stats (r8 review). Grid-0 matches
+    a NULLS FIRST sort order."""
     top = (1 << bits) - 1
     if hi <= lo:
         return F.lit(0).cast("long")
     scaled = F.floor((c.cast("double") - F.lit(float(lo))) / F.lit(hi - lo) * top)
-    return F.greatest(F.lit(0), F.least(F.lit(top), scaled)).cast("long")
+    # coalesce INSIDE the clamp: least/greatest skip NULL args, so an
+    # outer coalesce would never even see the NULL
+    return F.greatest(
+        F.lit(0), F.least(F.lit(top), F.coalesce(scaled, F.lit(0)))
+    ).cast("long")
 
 
 def interleave_bits(*cols: Column, bits: int = 16) -> Column:

@@ -99,16 +99,13 @@ def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     return base.withColumn("shingle", F.explode(sh)).drop("__toks")
 
 
-def _mh64(expr_col) -> "F.Column":
-    """Portable 60-bit hash: first 15 hex chars of md5 as BIGINT.
-    Numeric (not hex-string) signatures keep the min-aggregate inside
-    HashAggregate — min(STRING) would force a SortAggregate that sorts
-    every shingle row. DuckDB twin: ('0x' || substr(md5(x),1,15))::BIGINT."""
-    return F.conv(F.substring(F.md5(expr_col), 1, 15), 16, 10).cast("bigint")
-
-
-def _MH64(expr_sql: str) -> str:
-    return f"(('0x' || substr(md5({expr_sql}), 1, 15))::BIGINT)"
+# the canonical cross-engine 60-bit hash pair now lives in
+# registry.py next to dsum/DSUM (r8 review: one definition); these
+# module-local names are kept for the many existing call sites
+from dynamodb_zero_etl_s3tables_spark.operators.registry import (  # noqa: E402
+    MH64 as _MH64,
+    mh64 as _mh64,
+)
 
 
 #: Mersenne-style modulus + per-permutation affine constants. Each

@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dynamodb_zero_etl_s3tables_spark.operators.registry import DSUM, dsum, query
+from dynamodb_zero_etl_s3tables_spark.operators.registry import (
+    DSUM,
+    dsum,
+    key_bucket,
+    mh64,
+    query,
+)
 from dynamodb_zero_etl_s3tables_spark.operators.scratch import scratch_dir
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
 
@@ -271,8 +277,7 @@ def e05f_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod = F.lit(999999999999989)
     tok_h = F.transform(
         F.split(F.lower("text"), " "),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
-        % 1000003,
+        lambda t: mh64(t) % 1000003,
     )
     rolled = F.aggregate(
         tok_h,
@@ -304,14 +309,7 @@ def e08_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     reruns). Hash buckets are a pure function of the key: any worker,
     any run, any engine assigns the same row the same split."""
     d = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = key_bucket("split|", 100)
     return d.select(
         "doc_id",
         "lang",
@@ -500,16 +498,7 @@ def e08b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reruns, partitionings, and engines (unlike ``df.sampleBy``, whose
     output depends on partition layout). One scan, no shuffle."""
     d = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = key_bucket("strat|", 100)
     rate = F.when(F.col("lang") == "en", 30).otherwise(70)
     return (
         d.select("doc_id", "lang", bucket.alias("bucket"))
@@ -697,16 +686,7 @@ def e15_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     cnt = d.groupBy("source").agg(F.count("*").alias("n"))
     tgt = cnt.agg(F.min("n").alias("min_n"))
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 10000
-    )
+    bucket = key_bucket("mix|", 10000)
     return (
         d.join(F.broadcast(cnt), "source")
         .join(F.broadcast(tgt))
@@ -978,7 +958,7 @@ def e27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.pmod(
-            F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint"),
+            mh64("token"),
             F.lit(DSIR_BUCKETS),
         ).alias("b"),
     )
@@ -1132,13 +1112,7 @@ def quality_split_export(
     Scratch layout: the per-(sf_dir, process) namespace of
     operators/scratch.py — one writer per (sf_dir, process, subdir),
     so concurrent grader processes are disjoint by construction."""
-    import hashlib as _hl
-    import shutil as _sh
-    from pathlib import Path as _P
-
-    out = scratch_dir(sf_dir, subdir)
-    if out.exists():
-        _sh.rmtree(out)
+    out = scratch_dir(sf_dir, subdir, wipe=True)
 
     dedup = docs.select("doc_id", "text").filter(F.length("text") > 0)
     n_words = F.size(F.split(F.col("text"), " "))
@@ -1160,16 +1134,7 @@ def quality_split_export(
         & F.col("mwl").between(2, 12)
         & (F.col("sr") < 0.2)
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = key_bucket("split|", 100)
     kept = q.select(
         "doc_id",
         "text",
@@ -1180,7 +1145,11 @@ def quality_split_export(
         .alias("split"),
     )
     kept.write.mode("overwrite").partitionBy("split").parquet(str(out))
-    back = spark.read.parquet(str(out))
+    # explicit schema: when the quality gate keeps ZERO docs the
+    # written dir holds only _SUCCESS and schema inference would
+    # raise UNABLE_TO_INFER_SCHEMA — the oracle returns an empty
+    # result set for the same input, so the engine must too
+    back = spark.read.schema(kept.schema).parquet(str(out))
     return (
         back.groupBy("split")
         .agg(
@@ -1318,18 +1287,7 @@ def e45_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id."""
     dw = e27_dsir_importance(spark, sf_dir)
     u = (
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("gum|"), F.col("doc_id").cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-            F.lit(_GUM_M),
-        )
+        key_bucket("gum|", _GUM_M)
         + F.lit(0.5)
     ) / F.lit(float(_GUM_M))
     keyed = dw.withColumn(
@@ -1416,22 +1374,13 @@ def e46_linear_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.pmod(
-            F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint"),
+            mh64("token"),
             F.lit(QM_BUCKETS),
         ).alias("b"),
     )
     cnt = tok.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     w = (
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("w|"), F.col("b").cast("string"))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-            F.lit(2049),
-        )
+        key_bucket("w|", 2049, key="b")
         - F.lit(1024)
     ) / F.lit(1024.0)
     terms = cnt.select("doc_id", "c", (F.col("c") * w).alias("t"))
@@ -1836,7 +1785,7 @@ _EVAL_PCT = 10  # eval target: 10% of the corpus, exactly apportioned
       SELECT d.source, d.doc_id,
              ROW_NUMBER() OVER (
                PARTITION BY d.source
-               ORDER BY md5('strat|' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ORDER BY md5('eval|' || CAST(d.doc_id AS VARCHAR)), d.doc_id
              ) AS hr
       FROM documents d
     ),
@@ -1906,7 +1855,11 @@ def e66_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hr = F.row_number().over(
         W.partitionBy("source").orderBy(
-            F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))),
+            # own salt ('eval|'): reusing e08b's 'strat|' coupled
+            # eval-set membership to the stratified-sample draw — the
+            # per-operator-salt discipline exists precisely so
+            # selections are independent functions of the data
+            F.md5(F.concat(F.lit("eval|"), F.col("doc_id").cast("string"))),
             "doc_id",
         )
     )
@@ -2148,16 +2101,7 @@ def e72_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     cnt = d.groupBy("lang").agg(F.count("*").alias("n"))
     tgt = cnt.agg(F.min("n").alias("min_n"))
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 10000
-    )
+    bucket = key_bucket("temp|", 10000)
     return (
         d.join(F.broadcast(cnt), "lang")
         .join(F.broadcast(tgt))
@@ -2205,9 +2149,7 @@ def e73_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap-embedding path: linear scan, bounded dimensionality,
     no model broadcast."""
     d = load(spark, sf_dir, "documents")
-    hv = F.conv(
-        F.substring(F.md5(F.concat(F.lit("fh|"), F.col("token"))), 1, 15), 16, 10
-    ).cast("bigint")
+    hv = mh64(F.concat(F.lit("fh|"), F.col("token")))
     sign = F.when(F.expr("hv div 64") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
     return (
         d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
@@ -2275,16 +2217,7 @@ def e77_trained_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens to counts on the token key and aggregates per (doc, lang)
     — corpus-linear, the per-doc window ranks 5 candidate rows."""
     d = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = key_bucket("split|", 100)
     lab = d.select(
         "doc_id", "lang", F.lower("text").alias("ltext"), bucket.alias("bucket")
     )

@@ -104,3 +104,36 @@ def DAVG(expr: str, scale: int = 6) -> str:
         f"(CAST(SUM(CAST({expr} AS DECIMAL(25,{scale}))) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE))"
     )
+
+
+def mh64(col) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as BIGINT —
+    THE cross-engine hash idiom (numeric, so min/rank aggregates stay
+    in HashAggregate; min(STRING) would demote to SortAggregate).
+    Matches :func:`MH64` in oracle SQL. One definition (r8 review:
+    the 8-line idiom was copy-pasted ~12 times across the text
+    operators — a one-character drift at any site silently breaks
+    that operator's cross-engine hash-match)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def MH64(expr_sql: str) -> str:
+    """DuckDB twin of :func:`mh64`."""
+    return f"(('0x' || substr(md5({expr_sql}), 1, 15))::BIGINT)"
+
+
+def key_bucket(prefix: str, mod: int, key="doc_id") -> Column:
+    """Deterministic bucket in [0, mod) from a salted key hash — the
+    sampling/split primitive every selection operator derives its
+    draw from. DISTINCT PREFIXES PER OPERATOR are the independence
+    discipline: two operators sharing a salt would select as one
+    function of the data. Matches :func:`KEY_BUCKET` in oracle SQL."""
+    k = F.col(key) if isinstance(key, str) else key
+    return mh64(F.concat(F.lit(prefix), k.cast("string"))) % mod
+
+
+def KEY_BUCKET(prefix: str, mod: int, key: str = "doc_id") -> str:
+    """DuckDB twin of :func:`key_bucket`."""
+    salted = f"'{prefix}' || CAST({key} AS VARCHAR)"
+    return f"({MH64(salted)} % {mod})"

@@ -28,8 +28,13 @@ This module implements both sides of that contract:
   writes gzipped shards through Spark, then emits the two manifests.
 
 No AWS SDK involved anywhere — this is the *file format* contract,
-which is public and documented; the engine consumes it from any
-filesystem Spark can read.
+which is public and documented. Scope note (honest): the DATA scan is
+a distributed ``spark.read.text`` (any Spark-readable store), but the
+MANIFEST walk (find_export_dir / read_manifest / per-file existence
+checks) is local-pathlib on the driver — pointing ``export_root`` at
+an object-store URI needs those few metadata reads ported to the
+Hadoop FileSystem API first (s3a paths would otherwise fail the local
+``exists()`` probes, never the Spark scan).
 """
 
 from __future__ import annotations
@@ -131,7 +136,13 @@ def write_export_fixture(
     )
     entries = []
     for r in sorted(counts, key=lambda r: r["f"]):
-        p = Path(r["f"].removeprefix("file:"))
+        # input_file_name() returns a URL-ENCODED file URI: unquote it
+        # before pathlib work, or a space/%/non-ASCII char in the
+        # export root crashes relative_to (or silently writes a wrong
+        # dataFileS3Key the reader later rejects) — r8 review
+        from urllib.parse import unquote as _unquote
+
+        p = Path(_unquote(r["f"]).removeprefix("file:"))
         entries.append(
             {
                 "itemCount": r["count"],
@@ -228,10 +239,20 @@ def read_export(
     root = Path(export_root)
     paths: list[str] = []
     for e in entries:
-        p = root / e["dataFileS3Key"]
+        key = e["dataFileS3Key"]
+        p = root / key
+        # a manifest is DATA, not trusted config: an absolute key
+        # replaces the root entirely under pathlib's `/`, and a
+        # `..` segment walks out of it — either way an arbitrary
+        # host file would be ingested as export data (r8 review)
+        if not p.resolve().is_relative_to(root.resolve()):
+            raise ExportManifestError(
+                f"manifest dataFileS3Key {key!r} escapes the export "
+                "root — refusing to read outside it"
+            )
         if not p.exists():
             raise ExportManifestError(
-                f"manifest references missing data file {e['dataFileS3Key']!r}"
+                f"manifest references missing data file {key!r}"
             )
         paths.append(str(p))
     if not paths:

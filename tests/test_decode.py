@@ -164,3 +164,29 @@ def test_roundtrip_property(spark, rows):
         for r in rows
     )
     assert got == want
+
+
+def test_dotted_attribute_name_decodes(spark):
+    """r8 review: DynamoDB attribute names legally contain dots; the
+    decoder must bind them via getField, not a dotted column path
+    (which Spark parses as nesting)."""
+    from dynamodb_zero_etl_s3tables_spark.functions.decode import (
+        decode_item_column,
+        encode_item_json,
+    )
+
+    line = encode_item_json({"user.name": "ada", "pk": 1})
+    df = spark.createDataFrame([(line,)], "item string")
+    out = decode_item_column(df, "item", {"pk": "number", "user.name": "string"})
+    row = out.first()
+    assert row["pk"] == 1 and row["user.name"] == "ada"
+
+
+def test_bool_in_number_set_rejected():
+    """r8 review: bool is an int subclass — {True, 2} must refuse
+    loudly, not emit NS wire text 'True' that decodes to NULL."""
+    from dynamodb_zero_etl_s3tables_spark.functions.decode import encode_value
+
+    with pytest.raises(TypeError, match="set element"):
+        encode_value({True, 2})
+    assert encode_value({1, 2}) == {"NS": ["1", "2"]}

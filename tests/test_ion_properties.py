@@ -114,3 +114,13 @@ def test_item_json_to_ion_udf_null_passthrough(spark):
     rows = df.select(item_json_to_ion_udf()(F.col("line")).alias("ion")).collect()
     assert rows[0].ion.startswith("$ion_1_0")
     assert rows[1].ion is None
+
+
+def test_triple_quoted_clob_refused():
+    """r8 review: BOTH Ion clob forms must refuse — the triple-quoted
+    one was silently accepted as base64 blob text."""
+    import pytest
+
+    line = "{Item:{pk:{B:{{'''hello'''}}}}}"
+    with pytest.raises(ion.IonParseError, match="clob"):
+        ion.ion_to_item_json(line)

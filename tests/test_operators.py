@@ -244,3 +244,21 @@ def test_minhash_sketch_merges(spark):
     )
     key = lambda rows: {r["source"]: tuple(r[f"sig_{i}"] for i in range(N_HASHES)) for r in rows}
     assert key(direct.collect()) == key(merged.collect())
+
+
+def test_quality_split_export_empty_gate(spark, tmp_path):
+    """r8 review: when the quality gate keeps ZERO documents the
+    partitioned write emits only _SUCCESS and schema inference on the
+    read-back raised UNABLE_TO_INFER_SCHEMA — the export must return
+    an empty stats frame instead (the oracle returns an empty result
+    set for the same input)."""
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_text import (
+        quality_split_export,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny")], "doc_id long, text string"
+    )
+    out = quality_split_export(spark, docs, str(tmp_path), "empty_gate_r8")
+    assert out.columns == ["split", "n_docs", "n_tokens", "n_chars"]
+    assert out.count() == 0

@@ -190,3 +190,33 @@ def test_ion_parser_subset_and_roundtrip():
     ]:
         with pytest.raises(ion.IonParseError, match=msg):
             ion.ion_to_item_json(bad)
+
+
+def test_manifest_key_escape_refused(spark, tmp_path):
+    """r8 review: a manifest entry whose dataFileS3Key is absolute (or
+    walks out via ..) must refuse — pathlib's `/` would otherwise
+    discard the export root and ingest an arbitrary host file."""
+    import json as _json
+
+    from dynamodb_zero_etl_s3tables_spark.sources.pitr_export import (
+        ExportManifestError,
+        read_export,
+        write_export_fixture,
+    )
+    from dynamodb_zero_etl_s3tables_spark.functions.decode import (
+        encode_row_to_ddb_json,
+    )
+
+    root = tmp_path / "exp"
+    wire = spark.createDataFrame(
+        [(encode_row_to_ddb_json({"pk": 1}),)], "line string"
+    )
+    export_dir = write_export_fixture(wire, str(root), export_id="01-esc")
+    files = _json.loads(
+        open(f"{export_dir}/manifest-files.json").read().splitlines()[0]
+    )
+    files["dataFileS3Key"] = "/etc/passwd"
+    with open(f"{export_dir}/manifest-files.json", "w") as fh:
+        fh.write(_json.dumps(files) + "\n")
+    with pytest.raises(ExportManifestError, match="escapes"):
+        read_export(spark, str(root), {"pk": "long"})

@@ -130,3 +130,20 @@ def test_compact_zorder_bounds_from_manifest_stats(spark, tmp_path):
     assert t._stats_bounds(snap, "x") == (0.0, 49.0)
     assert t._stats_bounds(snap, "y") == (0.0, 6.0)
     assert t._stats_bounds(snap, "nope") is None
+
+
+def test_scale_to_bits_null_lands_at_zero(spark):
+    """r8 review: Spark's least/greatest SKIP null arguments, so a
+    NULL value silently rode the clamp into the grid MAX corner —
+    polluting the max-corner files' min/max stats. NULLs now land at
+    grid 0 (the NULLS FIRST convention)."""
+    from dynamodb_zero_etl_s3tables_spark.functions.zorder import scale_to_bits
+
+    df = spark.createDataFrame([(None,), (0.0,), (100.0,)], "x double")
+    got = [
+        r.g
+        for r in df.select(
+            scale_to_bits(F.col("x"), 0.0, 100.0, bits=4).alias("g")
+        ).collect()
+    ]
+    assert got == [0, 0, 15]
