@@ -29,6 +29,92 @@ def _drain(q, timeout_sec: int = 300) -> None:
         )
 
 
+def _orders_cdc_core(spark: SparkSession, sf_dir: str):
+    """Shared orders-CDC journey fixture (h07/h17/h21 — r8 review:
+    three hand-copies had to be kept in sync by eye with the oracles
+    they share): returns (orders frame, mod10 expr, base frame,
+    bumped-price expr, chg builder, batch1 frame). ``chg`` takes an
+    optional ``segment_col`` for h21's mid-stream schema evolution;
+    ``batch1`` is the first wave every journey replays (touch
+    m∈{0,1}, tombstone m=2)."""
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    base = o.filter(mod10 <= 7).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bumped = (
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.5").cast("decimal(2,1)"),
+            2,
+        ).cast("double")
+    )
+
+    def chg(op, seq, cond, status_col, price_col, segment_col=None):
+        cols = [
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            status_col.alias("status"),
+            price_col.alias("price"),
+        ]
+        if segment_col is not None:
+            cols.append(segment_col.alias("segment"))
+        return o.filter(cond).select(cols)
+
+    batch1 = chg("MODIFY", 1, mod10.isin(0, 1), F.lit("touched"), bumped).unionByName(
+        chg("REMOVE", 1, mod10 == 2, F.col("o_orderstatus"), F.col("o_totalprice"))
+    )
+    return o, mod10, base, bumped, chg, batch1
+
+
+def _orders_cdf_table(spark: SparkSession, sf_dir: str, root):
+    """Shared changelog-journey table (h20/h25 — they grade against
+    the SAME H20_ORACLE, so their histories must be byte-identical;
+    r8 review: two hand-copies). Commits bootstrap (pk%3==0) + one
+    merge-on-read wave (MODIFY pk%3==1, REMOVE pk%6==0); returns
+    (table, manifest path, wave2 frame) with wave 2 (price-doubled
+    MODIFY pk%3==2) left for the caller to commit at its journey's
+    own point."""
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    t = Catalog(spark, str(root / "wh")).create_table(
+        TableSpec(namespace="ns", name="orders_cdf", key_columns=("pk",))
+    )
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.bootstrap(base.filter(F.col("pk") % 3 == 0))
+    wave1 = (
+        base.filter(F.col("pk") % 3 == 1)
+        .select(
+            F.lit("MODIFY").alias("op"), "pk", "status", "price",
+            F.lit(1).alias("ts"), F.col("pk").alias("seq"),
+        )
+        .unionByName(
+            base.filter(F.col("pk") % 6 == 0).select(
+                F.lit("REMOVE").alias("op"), "pk",
+                F.lit(None).cast("string").alias("status"),
+                F.lit(None).cast("double").alias("price"),
+                F.lit(1).alias("ts"), F.col("pk").alias("seq"),
+            )
+        )
+    )
+    t.apply_changes(wave1, strategy="merge-on-read")
+    wave2 = base.filter(F.col("pk") % 3 == 2).select(
+        F.lit("MODIFY").alias("op"), "pk", "status",
+        (F.col("price") * 2).alias("price"),
+        F.lit(2).alias("ts"), F.col("pk").alias("seq"),
+    )
+    manifest = str(root / "wh" / "ns" / "orders_cdf" / "manifest.json")
+    return t, manifest, wave2
+
+
 @query(
     "h02_watermark_twin",
     oracle=f"""
@@ -112,7 +198,7 @@ def h04_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h05_session_window",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
                          (PARTITION BY user_id ORDER BY ts, event_id)
                        > 1800000000
@@ -120,8 +206,13 @@ def h04_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), sess AS (
+      -- event_id tiebreak in EVERY window (not just the lag): a ROWS
+      -- frame over an underspecified tie order could place tied-ts
+      -- rows differently from the Spark twin's (ts, event_id) order,
+      -- splitting the running flag sum across engines (r8 review)
       SELECT user_id, ts, value,
-             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
@@ -221,9 +312,6 @@ def h07_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch 2: inserts), so the result is independent of file arrival
     order — the determinism requirement for an oracle-checked stream.
     """
-    import hashlib as _hl
-    import shutil as _sh
-    from pathlib import Path as _P
 
     from pyspark.sql import types as T
 
@@ -234,37 +322,10 @@ def h07_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
-    root = scratch_dir(sf_dir, "h07_stream")
-    if root.exists():
-        _sh.rmtree(root)
+    root = scratch_dir(sf_dir, "h07_stream", wipe=True)
     (root / "changelog").mkdir(parents=True)
 
-    o = load(spark, sf_dir, "orders")
-    mod10 = F.col("o_orderkey") % 10
-    base = o.filter(mod10 <= 7).select(
-        F.col("o_orderkey").alias("pk"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("price"),
-    )
-    bumped = (
-        F.round(
-            F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.5").cast("decimal(2,1)"),
-            2,
-        ).cast("double")
-    )
-
-    def chg(op, seq, cond, status_col, price_col):
-        return o.filter(cond).select(
-            F.lit(op).alias("op"),
-            F.lit(seq).cast("long").alias("seq"),
-            F.col("o_orderkey").alias("pk"),
-            status_col.alias("status"),
-            price_col.alias("price"),
-        )
-
-    batch1 = chg("MODIFY", 1, mod10.isin(0, 1), F.lit("touched"), bumped).unionByName(
-        chg("REMOVE", 1, mod10 == 2, F.col("o_orderstatus"), F.col("o_totalprice"))
-    )
+    o, mod10, base, bumped, chg, batch1 = _orders_cdc_core(spark, sf_dir)
     batch2 = chg("INSERT", 1, mod10.isin(8, 9), F.col("o_orderstatus"), F.col("o_totalprice"))
     batch1.coalesce(1).write.mode("overwrite").json(str(root / "changelog" / "b1"))
     batch2.coalesce(1).write.mode("overwrite").json(str(root / "changelog" / "b2"))
@@ -487,13 +548,8 @@ def h13_dedup_within_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFra
     across executors by the state store; the 100 TB concern is state
     size, which this key-projection bounds at key-cardinality × a few
     bytes, not corpus size."""
-    import hashlib as _hl
-    import shutil as _sh
-    from pathlib import Path as _P
 
-    root = scratch_dir(sf_dir, "h13_dedup_wm")
-    if root.exists():
-        _sh.rmtree(root)
+    root = scratch_dir(sf_dir, "h13_dedup_wm", wipe=True)
     root.mkdir(parents=True)
 
     e = load(spark, sf_dir, "events")
@@ -552,15 +608,10 @@ def h14_stateful_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned state store; backlog drain cost is one shuffle per
     microbatch on user_id. The final-emission pick is a key-partition
     window over per-batch rows (keys × batches rows, not events)."""
-    import hashlib as _hl
-    import shutil as _sh
-    from pathlib import Path as _P
 
     from dynamodb_zero_etl_s3tables_spark.streaming.stateful import running_totals
 
-    root = scratch_dir(sf_dir, "h14_stateful")
-    if root.exists():
-        _sh.rmtree(root)
+    root = scratch_dir(sf_dir, "h14_stateful", wipe=True)
     root.mkdir(parents=True)
 
     e = load(spark, sf_dir, "events").select(
@@ -785,9 +836,6 @@ def h17_gated_cdc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ungated h07 path); the audit reads only the staged snapshot;
     publish/abort are O(manifest). This is the shape a table owner
     runs when upstream producers cannot be trusted batch-by-batch."""
-    import hashlib as _hl
-    import shutil as _sh
-    from pathlib import Path as _P
 
     from pyspark.sql import types as T
 
@@ -797,38 +845,10 @@ def h17_gated_cdc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
-    root = scratch_dir(sf_dir, "h17_gated")
-    if root.exists():
-        _sh.rmtree(root)
+    root = scratch_dir(sf_dir, "h17_gated", wipe=True)
     (root / "changelog").mkdir(parents=True)
 
-    o = load(spark, sf_dir, "orders")
-    mod10 = F.col("o_orderkey") % 10
-    base = o.filter(mod10 <= 7).select(
-        F.col("o_orderkey").alias("pk"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("price"),
-    )
-    bumped = (
-        F.round(
-            F.col("o_totalprice").cast("decimal(18,2)")
-            * F.lit("1.5").cast("decimal(2,1)"),
-            2,
-        ).cast("double")
-    )
-
-    def chg(op, seq, cond, status_col, price_col):
-        return o.filter(cond).select(
-            F.lit(op).alias("op"),
-            F.lit(seq).cast("long").alias("seq"),
-            F.col("o_orderkey").alias("pk"),
-            status_col.alias("status"),
-            price_col.alias("price"),
-        )
-
-    batch1 = chg("MODIFY", 1, mod10.isin(0, 1), F.lit("touched"), bumped).unionByName(
-        chg("REMOVE", 1, mod10 == 2, F.col("o_orderstatus"), F.col("o_totalprice"))
-    )
+    o, mod10, base, bumped, chg, batch1 = _orders_cdc_core(spark, sf_dir)
     # poisoned batch: clean mod10==8 inserts PLUS one negative-price
     # row -> the audit must bounce the whole batch
     poison = chg(
@@ -935,16 +955,13 @@ def h19_drift_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing, no shuffle beyond the merge it was already paying).
     Quarantined batches persist to a dead-letter dir for triage, the
     standard quarantine pattern."""
-    import shutil as _sh
 
     from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
     from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
     from dynamodb_zero_etl_s3tables_spark.operators.sources_sinks import _check
 
-    root = scratch_dir(sf_dir, "h19_drift")
-    if root.exists():
-        _sh.rmtree(root)
+    root = scratch_dir(sf_dir, "h19_drift", wipe=True)
     (root / "in").mkdir(parents=True)
 
     e = load(spark, sf_dir, "events").select(
@@ -993,7 +1010,7 @@ def h19_drift_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.bootstrap(e.limit(0))
     (root / "dead").mkdir()
-    quarantined = []
+    quarantined = set()  # keyed on batch_id: replay-idempotent
 
     def gate(batch_df, batch_id: int) -> None:
         rows = batch_df.groupBy(
@@ -1012,8 +1029,13 @@ def h19_drift_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             pa = (got.get(bkt, 0) + 0.5) / (n + 5)
             psi += (pa - pb) * math.log(pa / pb)
         if psi > H19_PSI_MAX:
-            quarantined.append(batch_id)
-            batch_df.write.mode("append").parquet(str(root / "dead"))
+            # per-batch_id overwrite (h24's replay contract): a
+            # microbatch replay after a crash must not double-count
+            # the poison batch in the set or the dead-letter dir
+            quarantined.add(batch_id)
+            batch_df.write.mode("overwrite").parquet(
+                str(root / "dead" / f"batch={batch_id}")
+            )
             return
         t.apply_changes(
             batch_df.select(
@@ -1105,50 +1127,20 @@ def h20_table_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the delta dir the writer just produced; the documented upgrade
     for fat batches is the partitioned DataSourceStreamReader variant
     (one InputPartition per delta file, d94-style executor fan-out)."""
-    import shutil as _sh
 
-    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
     from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
         drain_changelog,
         make_changelog_source,
     )
-    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
-    root = scratch_dir(sf_dir, "h20_cdf")
-    if root.exists():
-        _sh.rmtree(root)
+    root = scratch_dir(sf_dir, "h20_cdf", wipe=True)
     root.mkdir(parents=True)
 
-    t = Catalog(spark, str(root / "wh")).create_table(
-        TableSpec(namespace="ns", name="orders_cdf", key_columns=("pk",))
-    )
-    base = load(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("pk"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("price"),
-    )
-    t.bootstrap(base.filter(F.col("pk") % 3 == 0))
-    wave1 = (
-        base.filter(F.col("pk") % 3 == 1)
-        .select(
-            F.lit("MODIFY").alias("op"), "pk", "status", "price",
-            F.lit(1).alias("ts"), F.col("pk").alias("seq"),
-        )
-        .unionByName(
-            base.filter(F.col("pk") % 6 == 0).select(
-                F.lit("REMOVE").alias("op"), "pk",
-                F.lit(None).cast("string").alias("status"),
-                F.lit(None).cast("double").alias("price"),
-                F.lit(1).alias("ts"), F.col("pk").alias("seq"),
-            )
-        )
-    )
-    t.apply_changes(wave1, strategy="merge-on-read")
+    t, manifest, wave2 = _orders_cdf_table(spark, sf_dir, root)
 
     # re-registration under the same name silently replaces (verified),
     # so no exception guard is needed here
     spark.dataSource.register(make_changelog_source())
-    manifest = str(root / "wh" / "ns" / "orders_cdf" / "manifest.json")
     stream = (
         spark.readStream.format("table_changelog")
         .option("manifest", manifest)
@@ -1165,11 +1157,6 @@ def h20_table_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(str(root / "out")).count()
 
     n1 = drain()  # bootstrap + wave 1, one microbatch per version
-    wave2 = base.filter(F.col("pk") % 3 == 2).select(
-        F.lit("MODIFY").alias("op"), "pk", "status",
-        (F.col("price") * 2).alias("price"),
-        F.lit(2).alias("ts"), F.col("pk").alias("seq"),
-    )
     t.apply_changes(wave2, strategy="merge-on-read")
     n2 = drain()  # resumes from the committed version
     n_wave2 = wave2.count()
@@ -1223,7 +1210,6 @@ def h21_schema_evolving_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (schema_of_variant_agg) over the microbatch — no second file
     read, no Python row work; merge cost is h07's unchanged.
     """
-    import shutil as _sh
 
     from pyspark.sql import types as T
 
@@ -1234,42 +1220,12 @@ def h21_schema_evolving_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
-    root = scratch_dir(sf_dir, "h21_evolve")
-    if root.exists():
-        _sh.rmtree(root)
+    root = scratch_dir(sf_dir, "h21_evolve", wipe=True)
     (root / "changelog").mkdir(parents=True)
 
-    o = load(spark, sf_dir, "orders")
-    mod10 = F.col("o_orderkey") % 10
-    base = o.filter(mod10 <= 7).select(
-        F.col("o_orderkey").alias("pk"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("price"),
-    )
-    bumped = (
-        F.round(
-            F.col("o_totalprice").cast("decimal(18,2)")
-            * F.lit("1.5").cast("decimal(2,1)"),
-            2,
-        ).cast("double")
-    )
-
-    def chg(op, seq, cond, status_col, price_col, segment_col=None):
-        cols = [
-            F.lit(op).alias("op"),
-            F.lit(seq).cast("long").alias("seq"),
-            F.col("o_orderkey").alias("pk"),
-            status_col.alias("status"),
-            price_col.alias("price"),
-        ]
-        if segment_col is not None:
-            cols.append(segment_col.alias("segment"))
-        return o.filter(cond).select(cols)
-
-    # batch 1: the pre-evolution shape (no `segment` anywhere)
-    batch1 = chg("MODIFY", 1, mod10.isin(0, 1), F.lit("touched"), bumped).unionByName(
-        chg("REMOVE", 1, mod10 == 2, F.col("o_orderstatus"), F.col("o_totalprice"))
-    )
+    # batch 1 (from the shared core) is the pre-evolution shape — no
+    # `segment` anywhere
+    o, mod10, base, bumped, chg, batch1 = _orders_cdc_core(spark, sf_dir)
     # batch 2: `segment` appears — inserts carry it, and an update
     # wave backfills it onto existing m=3 rows
     batch2 = chg(
@@ -1300,7 +1256,12 @@ def h21_schema_evolving_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = apply_changes_stream_evolving(t, raw, checkpoint_dir=str(root / "ckpt"))
     _drain(q)
     out = t.read()
-    assert "segment" in out.columns, "mid-stream attribute must widen the table"
+    from dynamodb_zero_etl_s3tables_spark.operators.sources_sinks import _check
+
+    _check(
+        "segment" in out.columns,
+        "mid-stream attribute must widen the table",
+    )
     return out.select("pk", "status", "price", "segment")
 
 
@@ -1371,7 +1332,6 @@ def h22_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: a bucketed table on (band_id, bucket), giving the probe a
     shuffle-free co-located join; LSH_BUCKET_CAP applies as in e02b
     if an adversarial corpus defeats the admission control)."""
-    import shutil as _sh
 
     from pyspark.sql import types as T
 
@@ -1380,9 +1340,7 @@ def h22_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_sign,
     )
 
-    root = scratch_dir(sf_dir, "h22_ingest")
-    if root.exists():
-        _sh.rmtree(root)
+    root = scratch_dir(sf_dir, "h22_ingest", wipe=True)
     src = root / "arrivals"
     index_dir = str(root / "band_index")
     admitted_dir = str(root / "admitted")
@@ -1410,10 +1368,24 @@ def h22_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands = _long_bands(minhash_sign(batch_df.select("doc_id", "text"))).cache()
         import os as _os
 
-        if _os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in _os.listdir(index_dir)
-        ):
-            standing = spark_b.read.schema(band_schema).parquet(index_dir)
+        # standing = every PRIOR batch's band dir — per-batch_id dirs
+        # with overwrite (h24's replay contract): a replayed batch must
+        # neither see its own half-written index (its docs would
+        # self-collide and be rejected) nor append duplicates
+        # (r8 review)
+        prior = (
+            [
+                d
+                for d in _os.listdir(index_dir)
+                if d.startswith("batch=") and d != f"batch={batch_id}"
+            ]
+            if _os.path.isdir(index_dir)
+            else []
+        )
+        if prior:
+            standing = spark_b.read.schema(band_schema).parquet(
+                *[f"{index_dir}/{d}" for d in prior]
+            )
         else:
             standing = spark_b.createDataFrame([], band_schema)
         rej_standing = (
@@ -1436,9 +1408,11 @@ def h22_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             rejected, "doc_id", "left_anti"
         )
         bands.join(admitted.select("doc_id"), "doc_id").write.mode(
-            "append"
-        ).parquet(index_dir)
-        admitted.write.mode("append").parquet(admitted_dir)
+            "overwrite"
+        ).parquet(f"{index_dir}/batch={batch_id}")
+        admitted.write.mode("overwrite").parquet(
+            f"{admitted_dir}/batch={batch_id}"
+        )
         bands.unpersist()
 
     def drain() -> None:
@@ -1457,7 +1431,9 @@ def h22_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.filter("wave = 2").coalesce(1).write.parquet(str(src / "w2"))
     drain()  # wave 2 resumes from the checkpoint, probes wave 1's index
 
-    adm = spark.read.schema("doc_id long, wave int").parquet(admitted_dir)
+    adm = spark.read.schema("doc_id long, wave int").parquet(
+        f"{admitted_dir}/batch=*"
+    )
     return d.select("doc_id", "wave").join(
         adm.select("doc_id", F.lit(True).alias("admitted")), "doc_id", "left"
     ).select(
@@ -1503,8 +1479,6 @@ def h23_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     two K-row frames + one bottom-K window; the estimate never
     touches raw history. At 100 TB this is why you keep sketches:
     distinct-users-per-status over a year costs one K-row read."""
-    import shutil as _sh
-
     from pyspark.sql import types as T
     from pyspark.sql.window import Window as _W
 
@@ -1512,10 +1486,9 @@ def h23_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         KMV_DOMAIN,
         KMV_K,
     )
+    from dynamodb_zero_etl_s3tables_spark.operators.sources_sinks import _check
 
-    root = scratch_dir(sf_dir, "h23_kmv")
-    if root.exists():
-        _sh.rmtree(root)
+    root = scratch_dir(sf_dir, "h23_kmv", wipe=True)
     src = root / "arrivals"
     sketch_dir = str(root / "sketch")
 
@@ -1535,30 +1508,40 @@ def h23_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch_schema = "grp string, h bigint"
 
+    def _sketch_versions() -> list:
+        import os as _os
+
+        if not _os.path.isdir(sketch_dir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in _os.listdir(sketch_dir)
+            if d.startswith("v=")
+        )
+
     def merge_sketch(batch_df, batch_id) -> None:
         if batch_df.isEmpty():
             return
-        import os as _os
+        from dynamodb_zero_etl_s3tables_spark.operators.registry import mh64
 
         spark_b = batch_df.sparkSession
         batch_sk = batch_df.select(
             "grp",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("kmv|"), F.col("cust").cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias("h"),
+            mh64(F.concat(F.lit("kmv|"), F.col("cust").cast("string"))).alias(
+                "h"
+            ),
         ).distinct()
-        if _os.path.isdir(sketch_dir) and any(
-            f.endswith(".parquet") for f in _os.listdir(sketch_dir)
-        ):
-            standing = spark_b.read.schema(sketch_schema).parquet(sketch_dir)
+        # standing = newest sketch version BELOW this batch id — the
+        # h24 versioned-artifact pattern. The previous delete-then-
+        # rename swap had a crash window that silently LOST the
+        # standing sketch (the committed wave never replays), and a
+        # replayed batch must not merge its own half-written output
+        # (r8 review).
+        prev = [v for v in _sketch_versions() if v < batch_id]
+        if prev:
+            standing = spark_b.read.schema(sketch_schema).parquet(
+                f"{sketch_dir}/v={max(prev)}"
+            )
             batch_sk = standing.unionByName(batch_sk).distinct()
         merged = (
             batch_sk.withColumn(
@@ -1567,12 +1550,11 @@ def h23_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= KMV_K)
             .select("grp", "h")
         )
-        # K rows per group: collect-free, tiny, rewritten atomically
-        tmp = sketch_dir + ".tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if _os.path.isdir(sketch_dir):
-            _sh.rmtree(sketch_dir)
-        _os.rename(tmp, sketch_dir)
+        # K rows per group: collect-free, tiny; overwrite is replay-
+        # idempotent per version dir
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{sketch_dir}/v={batch_id}"
+        )
 
     def drain() -> None:
         q = (
@@ -1590,7 +1572,11 @@ def h23_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.filter("wave = 1").coalesce(1).write.parquet(str(src / "w2"))
     drain()  # wave 2 merges into the standing sketch
 
-    keep = spark.read.schema(sketch_schema).parquet(sketch_dir)
+    vers = _sketch_versions()
+    _check(bool(vers), "no sketch version was committed by the drain")
+    keep = spark.read.schema(sketch_schema).parquet(
+        f"{sketch_dir}/v={max(vers)}"
+    )
     kth = keep.groupBy("grp").agg(
         F.max("h").alias("hk"), F.count("*").alias("k")
     )
@@ -1652,7 +1638,6 @@ def h24_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     parquet; the index log appends O(batch) rows per version; the
     reconstruction is one window over the log (production: compact
     the log the same way the table compacts its delta chain)."""
-    import shutil as _sh
 
     from dynamodb_zero_etl_s3tables_spark.operators.llm_similarity import (
         _DEC,
@@ -1670,9 +1655,7 @@ def h24_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     )
     from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
-    root = scratch_dir(sf_dir, "h24_index")
-    if root.exists():
-        _sh.rmtree(root)
+    root = scratch_dir(sf_dir, "h24_index", wipe=True)
     root.mkdir(parents=True)
 
     e = load(spark, sf_dir, "embeddings")
@@ -1843,55 +1826,20 @@ def h25_partitioned_changelog_drain(spark: SparkSession, sf_dir: str) -> DataFra
     delta-file population, each task reads one file, DELETE
     suppression joins only the version's (key-only, small) upsert
     files executor-side."""
-    import shutil as _sh
 
-    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
     from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
         drain_changelog,
         make_partitioned_changelog_source,
     )
-    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
-    root = scratch_dir(sf_dir, "h25_cdf_part")
-    if root.exists():
-        _sh.rmtree(root)
+    root = scratch_dir(sf_dir, "h25_cdf_part", wipe=True)
     root.mkdir(parents=True)
 
-    t = Catalog(spark, str(root / "wh")).create_table(
-        TableSpec(namespace="ns", name="orders_cdf", key_columns=("pk",))
-    )
-    base = load(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("pk"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("price"),
-    )
     # the FULL history commits BEFORE the drain — the backlog shape
-    t.bootstrap(base.filter(F.col("pk") % 3 == 0))
-    wave1 = (
-        base.filter(F.col("pk") % 3 == 1)
-        .select(
-            F.lit("MODIFY").alias("op"), "pk", "status", "price",
-            F.lit(1).alias("ts"), F.col("pk").alias("seq"),
-        )
-        .unionByName(
-            base.filter(F.col("pk") % 6 == 0).select(
-                F.lit("REMOVE").alias("op"), "pk",
-                F.lit(None).cast("string").alias("status"),
-                F.lit(None).cast("double").alias("price"),
-                F.lit(1).alias("ts"), F.col("pk").alias("seq"),
-            )
-        )
-    )
-    t.apply_changes(wave1, strategy="merge-on-read")
-    wave2 = base.filter(F.col("pk") % 3 == 2).select(
-        F.lit("MODIFY").alias("op"), "pk", "status",
-        (F.col("price") * 2).alias("price"),
-        F.lit(2).alias("ts"), F.col("pk").alias("seq"),
-    )
+    t, manifest, wave2 = _orders_cdf_table(spark, sf_dir, root)
     t.apply_changes(wave2, strategy="merge-on-read")
 
     spark.dataSource.register(make_partitioned_changelog_source())
-    manifest = str(root / "wh" / "ns" / "orders_cdf" / "manifest.json")
     stream = (
         spark.readStream.format("table_changelog_part")
         .option("manifest", manifest)
@@ -1966,7 +1914,6 @@ def h26_cow_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented production cadence for high-frequency CDC; CoW + diff
     fits the low-cadence bulk-revision shape where rewrite cost
     already dominates."""
-    import shutil as _sh
 
     from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
     from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
@@ -1975,9 +1922,7 @@ def h26_cow_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
-    root = scratch_dir(sf_dir, "h26_cow_cdf")
-    if root.exists():
-        _sh.rmtree(root)
+    root = scratch_dir(sf_dir, "h26_cow_cdf", wipe=True)
     root.mkdir(parents=True)
 
     t = Catalog(spark, str(root / "wh")).create_table(
