@@ -136,6 +136,10 @@ class ZeroEtlEngine:
             read_changelog_stream,
         )
 
+        # same tag propagation as every other commit-producing verb:
+        # a streaming-only session must still persist its tags into
+        # the manifest spec (r8 review)
+        self._propagate_tags()
         stream = read_changelog_stream(
             self.spark, changelog_dir, changelog_schema(image_schema)
         )
@@ -148,6 +152,15 @@ class ZeroEtlEngine:
         )
 
     # -- query surface (C1-C3) ----------------------------------------------
+
+    def _refresh_own_view(self) -> None:
+        """Re-register the managed table's temp view at the current
+        snapshot, tolerating a table that has no snapshots yet (a
+        statement that never touches this table must still run)."""
+        try:
+            self.catalog.refresh_view(self.spec.qualified_name)
+        except FileNotFoundError:
+            pass  # not bootstrapped yet — no view to pin
 
     def sql(self, query: str, version: int | None = None) -> DataFrame:
         """C1: SQL over the replicated table; the view is refreshed to
@@ -168,14 +181,27 @@ class ZeroEtlEngine:
         if sql_dml.is_dml(query):
             if version is not None:
                 raise ValueError("DML statements cannot target a past version")
+            # refresh FIRST: an INSERT SELECT / MERGE USING subquery may
+            # read the table's own view — without the refresh it would
+            # see the snapshot pinned by the last SELECT (silently
+            # re-committing stale row images) or fail view-not-found on
+            # a fresh engine (r8 review; the CTAS route already did this)
+            self._refresh_own_view()
             return sql_dml.route_dml(self, query)
         if sql_dml.is_utility(query):
             if version is not None:
                 raise ValueError(
                     "DDL/utility statements cannot target a past version"
                 )
+            self._refresh_own_view()
             return sql_dml.route_utility(self, query)
-        self.catalog.refresh_view(self.spec.qualified_name, version=version)
+        if version is not None:
+            self.catalog.refresh_view(self.spec.qualified_name, version=version)
+        else:
+            # tolerant of a not-yet-bootstrapped table: `SELECT 1` or a
+            # query over ANOTHER table in the warehouse must not crash
+            # on this table's missing first snapshot (r8 review)
+            self._refresh_own_view()
         if sql_dml.has_time_travel(query):
             # SELECT-level `FROM t VERSION AS OF n` / `TIMESTAMP AS OF
             # ts` (B10 through the SQL door): each travel clause binds

@@ -98,9 +98,21 @@ class MicrobatchMetricsListener(StreamingQueryListener):
 
 
 def attach_streaming_metrics(spark: SparkSession) -> MicrobatchMetricsListener:
+    """Attach a fresh microbatch-metrics listener. Listeners are
+    SESSION-wide: pair every attach with :func:`detach_streaming_metrics`
+    when the monitored run ends, or repeated runs accumulate listeners
+    (N-fold recording) and a long-lived stream retains every progress
+    dict forever (r8 review)."""
     listener = MicrobatchMetricsListener()
     spark.streams.addListener(listener)
     return listener
+
+
+def detach_streaming_metrics(
+    spark: SparkSession, listener: MicrobatchMetricsListener
+) -> None:
+    """Remove a listener attached by :func:`attach_streaming_metrics`."""
+    spark.streams.removeListener(listener)
 
 
 # ---------------------------------------------------------------------------
@@ -127,12 +139,17 @@ class JsonLineFormatter(logging.Formatter):
 def get_logger(name: str = "ddb_zero_etl", run_id: str | None = None) -> logging.Logger:
     """Structured logger, one stream handler with the JSON formatter.
     ``run_id`` scopes a child logger per pipeline run — the analog of
-    the reference's log stream per run (ts:125-128)."""
+    the reference's log stream per run (ts:125-128). The JSON handler
+    attaches to the NAMED base logger (a custom name previously fell
+    through to the hardcoded 'ddb_zero_etl' base and emitted nothing
+    in JSON form — r8 review), and propagation stops at the base so
+    an application root handler does not double-emit every record."""
     logger = logging.getLogger(name if run_id is None else f"{name}.{run_id}")
-    root = logging.getLogger("ddb_zero_etl")
-    if not root.handlers:
+    base = logging.getLogger(name)
+    if not base.handlers:
         h = logging.StreamHandler()
         h.setFormatter(JsonLineFormatter())
-        root.addHandler(h)
-        root.setLevel(logging.INFO)
+        base.addHandler(h)
+        base.setLevel(logging.INFO)
+        base.propagate = False
     return logger

@@ -17,6 +17,7 @@ from dynamodb_zero_etl_s3tables_spark.operators.registry import (
     davg,
     dsum,
     fan_out,
+    mh64,
     query,
 )
 from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
@@ -276,8 +277,8 @@ _STATS_ORACLE = f"""
     )
     SELECT o_orderstatus,
            n,
-           ROUND((sxx - sx * sx / n) / (n - 1), 4) AS var_price,
-           ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_price
+           FLOOR((sxx - sx * sx / n) / (n - 1) * 10000) / 10000 AS var_price,
+           FLOOR(SQRT((sxx - sx * sx / n) / (n - 1)) * 10000) / 10000 AS stddev_price
     FROM s
 """
 
@@ -294,11 +295,18 @@ def d29_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(price * price, 4).alias("sxx"),
     )
     var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+
+    # FLOOR-quantization, not ROUND: var/stddev are computed doubles
+    # whose shortest rendering can land on a half-boundary where the
+    # two engines' ROUND disagree (the d31b divergence class)
+    def q4(c):
+        return F.floor(c * F.lit(10_000.0)) / F.lit(10_000.0)
+
     return s.select(
         "o_orderstatus",
         "n",
-        F.round(var, 4).alias("var_price"),
-        F.round(F.sqrt(var), 4).alias("stddev_price"),
+        q4(var).alias("var_price"),
+        q4(F.sqrt(var)).alias("stddev_price"),
     )
 
 
@@ -306,8 +314,8 @@ def d29_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d29b_percentile",
     oracle="""
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
-           ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+           FLOOR(quantile_cont(l_quantity, 0.5) * 1000000) / 1000000 AS median_qty,
+           FLOOR(quantile_cont(l_quantity, 0.9) * 1000000) / 1000000 AS p90_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -316,9 +324,17 @@ def d29b_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D29: exact continuous percentile (Spark `percentile` == DuckDB
     `quantile_cont`, both linear interpolation)."""
     l = load(spark, sf_dir, "lineitem")
+    # FLOOR-quantization, not ROUND: the interpolated double is a
+    # computed value whose shortest rendering can land on a 6th-
+    # decimal half-boundary, where Spark's and DuckDB's ROUND
+    # disagree (the d31b/e44 divergence class). floor(x*1e6) is the
+    # same IEEE product + floor on both engines — unambiguous.
+    def q6(c):
+        return F.floor(c * F.lit(1_000_000.0)) / F.lit(1_000_000.0)
+
     return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).alias("median_qty"),
-        F.round(F.percentile(F.col("l_quantity"), F.lit(0.9)), 6).alias("p90_qty"),
+        q6(F.percentile(F.col("l_quantity"), F.lit(0.5))).alias("median_qty"),
+        q6(F.percentile(F.col("l_quantity"), F.lit(0.9))).alias("p90_qty"),
     )
 
 
@@ -701,7 +717,7 @@ _CM_AFFINE = [(104_729 + 10 * r, 224_737 + 3 * r) for r in range(CM_D)]
 )
 def d89_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D-family sketch #3 (with d62 HLL, d63 KLL): COUNT-MIN heavy
-    hitters — estimate token-BIGRAM frequencies from a fixed {CM_D}x{CM_W}
+    hitters — estimate token-BIGRAM frequencies from a fixed CM_D x CM_W (default 4x256)
     counter grid (Cormode & Muthukrishnan 2005, public) and audit the
     estimate against the exact counts of the top-20 tokens. The CM
     contract (estimate >= truth, overestimate bounded by collisions)
@@ -711,7 +727,7 @@ def d89_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable hashes (md5-prefix base, affine row permutations, the
     e02 discipline).
 
-    Scale: the sketch is the point — the counter grid is {CM_D}x{CM_W}
+    Scale: the sketch is the point — the counter grid is CM_D x CM_W
     cells REGARDLESS of corpus size, built in one partial-aggregated
     pass (each mapper combines locally into at most D x W cells before
     the shuffle), mergeable across shards/days by cell-wise addition,
@@ -736,10 +752,7 @@ def d89_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "token",
-            F.pmod(
-                F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint"),
-                F.lit(_CM_M31),
-            ).alias("th"),
+            F.pmod(mh64("token"), F.lit(_CM_M31)).alias("th"),
         )
     )
     bucket_cols = [
@@ -872,17 +885,9 @@ def d101_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (
         o.select(
             F.col("o_orderstatus").alias("grp"),
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("kmv|"), F.col("o_custkey").cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias("h"),
+            mh64(
+                F.concat(F.lit("kmv|"), F.col("o_custkey").cast("string"))
+            ).alias("h"),
         )
         .distinct()
     )

@@ -511,6 +511,16 @@ import os as _os
 #: extra candidate rows — the exact join removes them either way).
 BLOOM_BITS = int(_os.environ.get("SPARK_GRAFT_BLOOM_BITS", str(1 << 16)))
 BLOOM_K = int(_os.environ.get("SPARK_GRAFT_BLOOM_K", "4"))
+if BLOOM_BITS % 64 != 0 or BLOOM_BITS <= 0:
+    # the bitmap is a list of 64-bit words: a non-multiple-of-64 size
+    # would truncate the tail word, and probe positions hashed into
+    # the truncated range would read NULL -> the prefilter silently
+    # DROPS true members (false negatives — wrong results, not an
+    # error). Refuse the knob at import (r8 review).
+    raise ValueError(
+        f"SPARK_GRAFT_BLOOM_BITS={BLOOM_BITS}: must be a positive "
+        "multiple of 64 (the bitmap is stored as 64-bit words)"
+    )
 
 
 def bloom_bitmap(keys: DataFrame, col: str) -> list:

@@ -50,7 +50,18 @@ class Pipeline:
         return self
 
     def order(self) -> list[str]:
-        """A5: topological execution order from the dependency edges."""
+        """A5: topological execution order from the dependency edges.
+        A dependency naming a stage that was never added refuses HERE
+        (TopologicalSorter would happily order the phantom node and
+        run() would die on a bare KeyError instead — r8 review)."""
+        known = {s.name for s in self.stages}
+        for s in self.stages:
+            missing = set(s.depends_on) - known
+            if missing:
+                raise ValueError(
+                    f"stage {s.name!r} depends on undefined stage(s) "
+                    f"{sorted(missing)} (defined: {sorted(known)})"
+                )
         ts = TopologicalSorter(
             {s.name: set(s.depends_on) for s in self.stages}
         )

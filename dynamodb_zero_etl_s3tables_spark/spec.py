@@ -106,6 +106,15 @@ class TableSpec:
                 )
         if not self.key_columns:
             raise ValueError("table must declare at least one key column")
+        if not self.order_columns:
+            # the CDC merge's LWW window needs at least one ordering
+            # column; an empty tuple would fail deep inside Spark
+            # ('window requires ordering') instead of at synth time —
+            # the same A1/A2 explicit-declaration discipline
+            raise ValueError(
+                "table must declare at least one order column (the "
+                "last-writer-wins ordering for CDC merges)"
+            )
         dup = set(self.key_columns) & set(self.partition_columns)
         if dup:
             raise ValueError(f"columns cannot be both key and partition: {sorted(dup)}")

@@ -150,3 +150,76 @@ def test_tags_propagate_to_manifest(spark, warehouse):
     eng.bootstrap(spark.createDataFrame([Row(pk=1, v="a")]))
     reopened = ManagedTable.open(spark, warehouse, "ns.tagged")
     assert reopened.spec.properties.get("tag:Environment") == "production"
+
+
+def test_sql_runs_before_bootstrap(spark, warehouse):
+    """r8 review: a statement that never touches the managed table
+    (SELECT 1, a query over another table) must not crash on the
+    engine's own missing first snapshot."""
+    from dynamodb_zero_etl_s3tables_spark.engine import ZeroEtlEngine
+    from dynamodb_zero_etl_s3tables_spark.spec import SourceSpec, TableSpec
+
+    eng = ZeroEtlEngine(
+        spark,
+        warehouse,
+        SourceSpec(table_name="t-ddb", key_columns=("pk",), pitr_enabled=True),
+        TableSpec(namespace="ns", name="fresh", key_columns=("pk",)),
+    )
+    assert eng.sql("SELECT 1 AS one").first().one == 1
+
+
+def test_dml_sees_current_snapshot_not_stale_view(spark, warehouse):
+    """r8 review: INSERT SELECT reading the table's OWN view must see
+    the current snapshot, not the one pinned by an earlier SELECT —
+    a stale view silently re-committed deleted row images."""
+    from dynamodb_zero_etl_s3tables_spark.engine import ZeroEtlEngine
+    from dynamodb_zero_etl_s3tables_spark.spec import SourceSpec, TableSpec
+
+    eng = ZeroEtlEngine(
+        spark,
+        warehouse,
+        SourceSpec(table_name="t-ddb", key_columns=("pk",), pitr_enabled=True),
+        TableSpec(namespace="ns", name="selfref", key_columns=("pk",)),
+    )
+    eng.bootstrap(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "pk long, price double")
+    )
+    eng.sql("SELECT * FROM ns_selfref").collect()  # pins the view at v1
+    eng.table.delete_where([("pk", "=", 2)])       # v2 drops pk=2
+    # INSERT SELECT over the table's own view: must read v2 (1 row),
+    # not resurrect the deleted pk=2 from the stale v1 view
+    eng.sql(
+        "INSERT INTO ns.selfref SELECT pk + 100 AS pk, price FROM ns_selfref"
+    )
+    got = sorted(r.pk for r in eng.read().collect())
+    assert got == [1, 101]
+
+
+def test_spec_refuses_empty_order_columns():
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+
+    with pytest.raises(ValueError, match="order column"):
+        TableSpec(
+            namespace="ns", name="t", key_columns=("pk",), order_columns=()
+        ).validate()
+
+
+def test_pipeline_refuses_undefined_dependency():
+    from dynamodb_zero_etl_s3tables_spark.plans.pipeline import Pipeline, Stage
+
+    p = Pipeline().add(Stage("b", lambda ctx: None, depends_on=("a",)))
+    with pytest.raises(ValueError, match="undefined stage"):
+        p.order()
+
+
+def test_get_logger_custom_name_gets_json_handler():
+    """r8 review: the JSON handler attaches to the NAMED base logger
+    (a custom name previously emitted nothing in JSON form)."""
+    import logging
+
+    from dynamodb_zero_etl_s3tables_spark.metrics import get_logger
+
+    lg = get_logger("my_pipeline_r8", run_id="r1")
+    base = logging.getLogger("my_pipeline_r8")
+    assert base.handlers and not base.propagate
+    assert lg.name == "my_pipeline_r8.r1"
