@@ -796,7 +796,7 @@ INT4_BLOCK = 8
     oracle=f"""
     WITH q AS (
       SELECT vec_id,
-             list_transform(range(0, {64 // INT4_BLOCK}), b ->
+             list_transform(range(0, {DIM // INT4_BLOCK}), b ->
                list_max(list_transform(
                  list_slice(embedding, b * {INT4_BLOCK} + 1, b * {INT4_BLOCK} + {INT4_BLOCK}),
                  x -> abs(CAST(x AS DOUBLE))))
@@ -812,7 +812,7 @@ INT4_BLOCK = 8
     ),
     r AS (
       SELECT vec_id, ss,
-             list_max(list_transform(range(1, 65), i ->
+             list_max(list_transform(range(1, {DIM + 1}), i ->
                abs(CAST(embedding[i] AS DOUBLE)
                    - FLOOR(CAST(embedding[i] AS DOUBLE)
                            / bscale[CAST((i - 1) // {INT4_BLOCK} AS INTEGER) + 1] + 0.5)
@@ -822,7 +822,7 @@ INT4_BLOCK = 8
     )
     SELECT vec_id, CAST({64 // INT4_BLOCK} AS INTEGER) AS n_blocks,
            ss AS scale_of_scales, max_abs_err,
-           CAST((4.0 * 64 + 8 * {64 // INT4_BLOCK} + 32) / 64 AS DOUBLE)
+           CAST((4.0 * {DIM} + 8 * {DIM // INT4_BLOCK} + 32) / {DIM} AS DOUBLE)
              AS bits_per_value
     FROM r
     """,
@@ -945,7 +945,6 @@ def e60_incontext_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
     )
-    from pyspark.sql.window import Window as W
 
     j = a2.select(F.col("vec_id").alias("doc_id"), "cid").join(d, "doc_id")
     w = W.partitionBy("cid").orderBy("doc_id")

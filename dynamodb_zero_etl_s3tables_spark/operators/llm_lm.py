@@ -186,7 +186,9 @@ def e32_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality is vocab-sized, not corpus-sized), then explode each
     word's adjacent character pairs weighted by the word count — so
     at 100 TB the pair-count shuffle carries thousands of rows, not
-    trillions. `n_types` (distinct word shapes containing the pair)
+    trillions. `n_types` (pair OCCURRENCES across word positions — a
+    word counts once per position the pair appears at, so 'aaaa'
+    contributes 3 to 'a a'; both engines count identically)
     rides along as the tie-diagnostic. Top-K by frequency with the
     pair string as a total-order tiebreak; all-integer arithmetic, so
     the hash cannot drift."""
@@ -253,6 +255,61 @@ _XENT_CTES = """toks AS (
 XENT_KEEP_MAX = 3.6
 
 
+def _bigram_frames(spark: SparkSession, sf_dir: str):
+    """Shared bigram decomposition — the Spark twin of the oracle-side
+    _XENT_CTES prefix (r8 review: the ~30-line chain was copy-pasted
+    verbatim in e42/e47/e53 while the SQL side was already factored
+    precisely so the engines cannot drift): returns (tdf, bg, dpc,
+    c12, v)."""
+    d = load(spark, sf_dir, "documents")
+    tdf = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    bg = (
+        tdf.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    dpc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("cnt"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    v = tdf.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("vsz")
+    )
+    return tdf, bg, dpc, c12, v
+
+
+def _xent_terms(spark: SparkSession, sf_dir: str):
+    """Per-(doc, bigram-type) Laplace cross-entropy terms (doc_id,
+    cnt, nll) — e42's scoring chain, shared with e47."""
+    tdf, bg, dpc, c12, v = _bigram_frames(spark, sf_dir)
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    return (
+        dpc.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "cnt",
+            (
+                F.col("cnt")
+                * (
+                    F.log(F.col("n1") + F.col("vsz"))
+                    - F.log(F.col("n12") + F.lit(1))
+                )
+            ).alias("nll"),
+        )
+    )
+
+
 @query(
     "e42_bigram_perplexity_filter",
     oracle=f"""
@@ -280,46 +337,7 @@ def e42_bigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sum routes cnt*log terms through DECIMAL(25,9) and rounds
     to 6dp so both engines agree bit-exactly; the keep flag compares
     the ROUNDED value, so it cannot straddle an ulp."""
-    d = load(spark, sf_dir, "documents")
-    tdf = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
-    bg = (
-        tdf.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 1),
-                    lambda i: F.struct(
-                        F.element_at("t", i).alias("w1"),
-                        F.element_at("t", i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", "b.w1", "b.w2")
-    )
-    dpc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("cnt"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
-    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
-    v = tdf.select(F.explode("t").alias("tok")).agg(
-        F.countDistinct("tok").alias("vsz")
-    )
-    terms = (
-        dpc.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "doc_id",
-            "cnt",
-            (
-                F.col("cnt")
-                * (
-                    F.log(F.col("n1") + F.col("vsz"))
-                    - F.log(F.col("n12") + F.lit(1))
-                )
-            ).alias("nll"),
-        )
-    )
+    terms = _xent_terms(spark, sf_dir)
     agg = terms.groupBy("doc_id").agg(
         F.sum("cnt").cast("bigint").alias("n_bigrams"),
         F.round(
@@ -372,46 +390,7 @@ def e47_ccnet_lm_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     only on the total order; NTILE bucket sizes are then reproduced
     arithmetically from N. The oracle states the same result as a
     plain NTILE."""
-    d = load(spark, sf_dir, "documents")
-    tdf = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
-    bg = (
-        tdf.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 1),
-                    lambda i: F.struct(
-                        F.element_at("t", i).alias("w1"),
-                        F.element_at("t", i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", "b.w1", "b.w2")
-    )
-    dpc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("cnt"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
-    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
-    v = tdf.select(F.explode("t").alias("tok")).agg(
-        F.countDistinct("tok").alias("vsz")
-    )
-    terms = (
-        dpc.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "doc_id",
-            "cnt",
-            (
-                F.col("cnt")
-                * (
-                    F.log(F.col("n1") + F.col("vsz"))
-                    - F.log(F.col("n12") + F.lit(1))
-                )
-            ).alias("nll"),
-        )
-    )
+    terms = _xent_terms(spark, sf_dir)
     agg = terms.groupBy("doc_id").agg(
         F.round(
             F.sum(F.col("nll").cast("decimal(25,9)")).cast("double")
@@ -517,7 +496,6 @@ def e51_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-digit number of shuffles producing a 5-row report — the
     cheapest continuously-publishable health metric a corpus team
     owns. Determinism: every reported value is an integer count."""
-    from pyspark.sql.window import Window as W
 
     d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_words = F.size(F.split(F.col("text"), " "))
@@ -646,33 +624,11 @@ def e53_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is written with IDENTICAL association order in both engines, each
     nll term quantizes through DECIMAL(25,9), and the final values
     round to 6dp; kn_gain subtracts the two ROUNDED values."""
-    d = load(spark, sf_dir, "documents")
-    tdf = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
-    bg = (
-        tdf.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 1),
-                    lambda i: F.struct(
-                        F.element_at("t", i).alias("w1"),
-                        F.element_at("t", i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", "b.w1", "b.w2")
-    )
-    dpc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("cnt"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    tdf, bg, dpc, c12, v = _bigram_frames(spark, sf_dir)
     c1k = c12.groupBy("w1").agg(
         F.sum("n12").alias("n1"), F.count("*").alias("n1p")
     )
     cont = c12.groupBy("w2").agg(F.count("*").alias("n1c"))
-    v = tdf.select(F.explode("t").alias("tok")).agg(
-        F.countDistinct("tok").alias("vsz")
-    )
     nt = c12.agg(F.count("*").alias("ntypes"))
     p_kn = (F.col("n12") - F.lit(KN_DISCOUNT)) / F.col("n1") + (
         (F.lit(KN_DISCOUNT) * F.col("n1p")) / F.col("n1")
@@ -913,6 +869,12 @@ def _train_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
                 " ",
             ).alias("seq"),
         )
+        # pin the vocab ONCE: without the checkpoint every round's
+        # driver-side collect re-planned the corpus-sized word count
+        # (8 full scans where the docstring promises one), and each
+        # round stacked another merge projection onto the lineage
+        # (r8 review). The frame is <= BPE_VOCAB_CAP rows.
+        .localCheckpoint(eager=True)
     )
     merges = []
     for it in range(1, BPE_MERGES + 1):
@@ -930,17 +892,26 @@ def _train_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
                 )
             ).alias("pair"),
         )
-        top = (
+        top_rows = (
             pairs.groupBy("pair")
             .agg(F.sum("n").alias("c"))
             .orderBy(F.col("c").desc(), "pair")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top_rows:
+            # vocabulary fully collapsed before the merge budget: the
+            # oracle's t{i} CTE goes empty and contributes no rows —
+            # stop instead of IndexError-ing on the same input
+            # (r8 review)
+            break
+        top = top_rows[0]
         pair, cnt = top["pair"], int(top["c"])
         merged = pair.replace(" ", "")
         merges.append((it, pair, merged, cnt))
-        words = words.select("word", "n", _apply_merge(pair).alias("seq"))
+        words = words.select(
+            "word", "n", _apply_merge(pair).alias("seq")
+        ).localCheckpoint(eager=True)
     return merges
 
 
@@ -1016,6 +987,7 @@ def _fertility_oracle() -> str:
                              ' ') AS seq
       FROM (SELECT lang, UNNEST(string_split(LOWER(text), ' ')) AS word
             FROM documents)
+      WHERE len(word) >= 1
       GROUP BY lang, word
     )"""
     for i in range(1, BPE_MERGES + 1):
@@ -1069,6 +1041,10 @@ def e78_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
         )
+        # empty words (consecutive spaces) must drop on BOTH engines:
+        # Spark's sequence(1, 0) is the DESCENDING [1, 0] (-> ' ',
+        # 2 symbols) where DuckDB's range(1, 1) is empty (r8 review)
+        .filter(F.length("word") >= 1)
         .groupBy("lang", "word")
         .agg(F.count("*").cast("bigint").alias("n"))
         .select(

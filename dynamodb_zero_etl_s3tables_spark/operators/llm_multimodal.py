@@ -386,7 +386,11 @@ def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "n_frames": feats.map(lambda f: f["n_frames"]).astype("int32"),
             }
         )
-        out["aspect"] = (out["width"] / out["height"]).round(6)
+        # raw IEEE division of exact ints — both engines compute the
+        # identical double, and rounding it invites the d31b half-
+        # boundary divergence (np.round is additionally half-EVEN,
+        # a third behavior; r8 review + FIXTURES.md rule)
+        out["aspect"] = out["width"] / out["height"]
         yield out
 
 
@@ -416,7 +420,7 @@ def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
       FROM m
     )
     SELECT doc_id, codec, payload_bytes, width, height, n_frames,
-           ROUND(CAST(width AS DOUBLE) / height, 6) AS aspect
+           CAST(width AS DOUBLE) / height AS aspect
     FROM p
     """,
 )

@@ -17,9 +17,7 @@ the driver later collects it.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -53,6 +51,35 @@ def _scratch(sf_dir: str, leaf: str, wipe: bool = False) -> str:
     return str(scratch_dir(sf_dir, leaf, wipe=wipe))
 
 
+def _av_n(c: "F.Column") -> "F.Column":
+    """One DynamoDB number attribute value: {"N": "<canonical text>"}
+    (decimal(12,2)-canonicalized like the export service renders)."""
+    return F.struct(c.cast("decimal(12,2)").cast("string").alias("N"))
+
+
+def _av_id(c: "F.Column") -> "F.Column":
+    """Integer-keyed N attribute (no decimal canonicalization)."""
+    return F.struct(c.cast("string").alias("N"))
+
+
+def _av_s(c: "F.Column") -> "F.Column":
+    return F.struct(c.alias("S"))
+
+
+def _ddb_item_json(**fields: "F.Column") -> "F.Column":
+    """One export wire line {"Item": {attr: {...}}} from attr ->
+    attribute-value struct columns. ONE definition (r8 review: the
+    nested to_json encode was copy-pasted at three sites — a
+    one-character drift silently forked that operator's wire form)."""
+    return F.to_json(
+        F.struct(
+            F.struct(
+                *[c.alias(name) for name, c in fields.items()]
+            ).alias("Item")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # D2: JSON scan — DynamoDB export wire form on disk
 # ---------------------------------------------------------------------------
@@ -80,17 +107,11 @@ def d02_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     out = _scratch(sf_dir, "ddb_export_json")
     e = fan_out(load(spark, sf_dir, "events"))
-    item = F.to_json(
-        F.struct(
-            F.struct(
-                F.struct(F.col("event_id").cast("string").alias("N")).alias("event_id"),
-                F.struct(F.col("user_id").cast("string").alias("N")).alias("user_id"),
-                F.struct(F.col("event_type").alias("S")).alias("event_type"),
-                F.struct(
-                    F.col("value").cast("decimal(12,2)").cast("string").alias("N")
-                ).alias("value"),
-            ).alias("Item")
-        )
+    item = _ddb_item_json(
+        event_id=_av_id(F.col("event_id")),
+        user_id=_av_id(F.col("user_id")),
+        event_type=_av_s(F.col("event_type")),
+        value=_av_n(F.col("value")),
     )
     e.select(item.alias("value")).write.mode("overwrite").text(out)
 
@@ -893,16 +914,10 @@ def c04_engine_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = _scratch(sf_dir, "warehouse_c04", wipe=True)
     export = _scratch(sf_dir, "export_c04")
     o = load(spark, sf_dir, "orders")
-    item = F.to_json(
-        F.struct(
-            F.struct(
-                F.struct(F.col("o_orderkey").cast("string").alias("N")).alias("pk"),
-                F.struct(F.col("o_orderpriority").alias("S")).alias("prio"),
-                F.struct(
-                    F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("N")
-                ).alias("price"),
-            ).alias("Item")
-        )
+    item = _ddb_item_json(
+        pk=_av_id(F.col("o_orderkey")),
+        prio=_av_s(F.col("o_orderpriority")),
+        price=_av_n(F.col("o_totalprice")),
     )
     o.select(item.alias("value")).write.mode("overwrite").text(export)
 
@@ -1050,7 +1065,14 @@ def c05_replication_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.compact()
     ops = [s.operation for s in t.history()]
     _check(ops[-1] == "compact" and ops.count("merge") == 2, f"unexpected journey history {ops}")
-    t.vacuum(unreferenced_days=0, noncurrent_days=0)
+    import time as _time
+
+    # now is pushed a day forward like c11/c15: with noncurrent_days=0
+    # a backwards wall-clock step (NTP) between commit and vacuum
+    # would otherwise keep every snapshot and fail the check
+    t.vacuum(
+        unreferenced_days=0, noncurrent_days=0, now=_time.time() + 86400
+    )
     _check(len(t.history()) == 1, "vacuum must prune history to the current snapshot")
     return t.read().select("pk", "status", "price")
 
@@ -1307,8 +1329,26 @@ def d86_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scratch wipe above just deleted this db's backing files, so
     # drop the catalog entries with it — otherwise retired runs leave
     # stale bkt_* table metadata pointing at missing paths (VERDICT
-    # r3 nit #2); one db name per (sf_dir, process) keeps accumulation
-    # bounded (dead-process scratch is reaped at import)
+    # r3 nit #2). Dead-PROCESS dbs are reaped here too (r8 review:
+    # "one name per process" bounds nothing across processes — each
+    # run left a bkt_*_p<pid>.db behind forever; same liveness probe
+    # as scratch._reap_dead_scratch).
+    import os as _os
+
+    for old in spark.sql("SHOW DATABASES").collect():
+        n = old[0]
+        if not n.startswith("bkt_") or n == db:
+            continue
+        pid_part = n.rsplit("_p", 1)
+        if len(pid_part) == 2 and pid_part[1].isdigit():
+            try:
+                _os.kill(int(pid_part[1]), 0)
+                continue  # owner still alive — leave its db alone
+            except ProcessLookupError:
+                pass
+            except PermissionError:
+                continue  # alive under another user
+        spark.sql(f"DROP DATABASE IF EXISTS {n} CASCADE")
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     spark.sql(f"CREATE DATABASE {db}")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
@@ -2019,7 +2059,7 @@ def c13_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB table still costs one scan per side plus a
     megabyte-scale join, and repair re-syncs only mismatched buckets.
     Both sides stay JVM-side (md5/conv/bit_xor are builtins)."""
-    from dynamodb_zero_etl_s3tables_spark.operators.llm_dedup import _mh64
+    from dynamodb_zero_etl_s3tables_spark.operators.registry import mh64 as _mh64
 
     o = load(spark, sf_dir, "orders")
     base = o.select(
@@ -2313,17 +2353,11 @@ def d94_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     export ever sits in the steady-state hot path."""
     out = _scratch(sf_dir, "ddb_export_gz")
     e = load(spark, sf_dir, "events")
-    item = F.to_json(
-        F.struct(
-            F.struct(
-                F.struct(F.col("event_id").cast("string").alias("N")).alias("event_id"),
-                F.struct(F.col("user_id").cast("string").alias("N")).alias("user_id"),
-                F.struct(F.col("event_type").alias("S")).alias("event_type"),
-                F.struct(
-                    F.col("value").cast("decimal(12,2)").cast("string").alias("N")
-                ).alias("value"),
-            ).alias("Item")
-        )
+    item = _ddb_item_json(
+        event_id=_av_id(F.col("event_id")),
+        user_id=_av_id(F.col("user_id")),
+        event_type=_av_s(F.col("event_type")),
+        value=_av_n(F.col("value")),
     )
     e.repartition(4).select(item.alias("value")).write.mode("overwrite").option(
         "compression", "gzip"
@@ -2332,10 +2366,10 @@ def d94_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in Path(out).glob("part-*.txt.gz"):
         p.rename(p.with_name(p.name.replace(".txt.gz", ".json.gz")))
     ds = DdbExportDataSource.make()
-    try:
-        spark.dataSource.register(ds)
-    except Exception:
-        pass  # already registered in this session
+    # re-registration under the same name silently replaces (verified
+    # at the changelog source) — a blanket try/except here masked
+    # REAL registration failures behind a later DATA_SOURCE_NOT_FOUND
+    spark.dataSource.register(ds)
     df = spark.read.format("ddb_export").option("path", out).load()
     _check(len(df.inputFiles()) == 0, "python datasource should own its splits")
     return df
@@ -2496,10 +2530,9 @@ def c15_shallow_clone_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t.apply_changes(batch(1, mod10 == 0, "shipped"))
     clone = t.clone_to(wh_dev, qualified_name="dev.orders_experiment")
-    from pathlib import Path as _P
 
     _check(
-        not (_P(wh_dev) / "dev" / "orders_experiment" / "data").exists(),
+        not (Path(wh_dev) / "dev" / "orders_experiment" / "data").exists(),
         "shallow clone must copy no data",
     )
     # diverge both sides
