@@ -38,6 +38,11 @@ def d49_scalar_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(T.DoubleType())
     def with_tax(price: float) -> float:
+        if price is None:
+            # the NULL propagation every JVM builtin gets for free —
+            # Decimal(str(None)) would crash the executor where the
+            # oracle returns NULL (r8 review)
+            return None
         d = (Decimal(str(price)) * Decimal("1.07")).quantize(
             Decimal("0.01"), rounding=ROUND_HALF_UP
         )

@@ -11,15 +11,34 @@ into the ManagedTable via foreachBatch — the stateful upsert sink.
 is both the testable form and the batch-parity guarantee: a stream
 drain must equal one big batch merge of the same files (H7's oracle
 law, checked in tests/test_streaming.py).
+
+ORDERING CONTRACT (r8 review, stated loudly): the per-batch LWW merge
+keeps no cross-batch tombstone memory, so the FILE SOURCE must
+deliver change files in write order — each microbatch's changes must
+be at least as new as every previous batch's (the standard
+log-partition ordering assumption; DynamoDB Streams provides it
+per key). Spark's file source orders by modification time with
+ARBITRARY tie-breaks at millisecond granularity: a REMOVE split into
+an earlier microbatch than an older INSERT would apply against the
+pre-insert state and the late INSERT would resurrect the deleted key.
+The default drain (``availableNow`` WITHOUT ``maxFilesPerTrigger``)
+is safe — the whole backlog merges as ONE batch, where the in-batch
+LWW is exact; continuous tailing or per-file triggers require
+producer-side ordered arrival. The manifest-backed
+``table_changelog`` source (streaming/table_source.py) has no such
+hazard — its offsets are committed VERSIONS.
 """
 
 from __future__ import annotations
+
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+from dynamodb_zero_etl_s3tables_spark.table.merge import SchemaEvolutionError
 
 #: change-log columns the merge protocol itself requires
 CHANGELOG_EXTRA_FIELDS = [
@@ -28,9 +47,26 @@ CHANGELOG_EXTRA_FIELDS = [
     T.StructField("seq", T.LongType(), True),
 ]
 
+#: protocol fields EXCLUDED from the bootstrapped image ("ts" is
+#: deliberately kept: it is the default LWW order column and part of
+#: the stored image, mirroring a DynamoDB item's change timestamp)
+_NON_IMAGE_FIELDS = ("op", "seq")
+
 
 def changelog_schema(image_schema: T.StructType) -> T.StructType:
-    """Schema of a change record: op/ts/seq + the row image columns."""
+    """Schema of a change record: op/ts/seq + the row image columns.
+    Image columns named like the protocol fields refuse loudly — the
+    concatenation would produce a duplicate-field schema that
+    misbinds downstream (r8 review)."""
+    clash = {f.name for f in CHANGELOG_EXTRA_FIELDS} & {
+        f.name for f in image_schema.fields
+    }
+    if clash:
+        raise ValueError(
+            f"image schema columns {sorted(clash)} collide with the "
+            "changelog protocol fields (op/ts/seq) — rename them "
+            "before streaming"
+        )
     return T.StructType(CHANGELOG_EXTRA_FIELDS + list(image_schema.fields))
 
 
@@ -47,6 +83,20 @@ def read_changelog_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(directory)
+
+
+def _ensure_table(table: ManagedTable, batch_schema: T.StructType) -> None:
+    """B8 create-on-first-write: bootstrap an empty base of the image
+    schema (protocol fields stripped per _NON_IMAGE_FIELDS). ONE
+    definition for both sinks (r8 review: the block was copy-pasted,
+    so a fix to one could silently miss the other)."""
+    if table.exists():
+        return
+    image_cols = [
+        f for f in batch_schema.fields if f.name not in _NON_IMAGE_FIELDS
+    ]
+    empty = table.spark.createDataFrame([], T.StructType(image_cols))
+    table.bootstrap(empty)
 
 
 def apply_changes_stream(
@@ -75,13 +125,7 @@ def apply_changes_stream(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if not table.exists():
-            # B8: create-on-first-write with an empty base of the image schema
-            image_cols = [
-                f for f in batch_df.schema.fields if f.name not in ("op", "seq")
-            ]
-            empty = table.spark.createDataFrame([], T.StructType(image_cols))
-            table.bootstrap(empty)
+        _ensure_table(table, batch_df.schema)
         table.apply_changes(batch_df, strategy=strategy)
         if auto_compact:
             table.maybe_compact(max_delta_layers=max_delta_layers)
@@ -118,6 +162,9 @@ def read_raw_changelog_stream(
     return reader.load(directory)
 
 
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
 def _infer_batch(batch_df: DataFrame, target: ManagedTable) -> DataFrame:
     """Type one microbatch of raw NDJSON lines: merge the batch's
     observed shape JVM-side (``parse_json`` into VariantType, then the
@@ -127,12 +174,22 @@ def _infer_batch(batch_df: DataFrame, target: ManagedTable) -> DataFrame:
 
     * columns the target already has cast to the TARGET type (epoch
       longs -> timestamp ts, int -> long, ...), so a batch can never
-      silently fork an existing column's type;
+      silently fork an existing column's type. A FRACTIONAL value
+      arriving for a column pinned INTEGRAL refuses loudly — the
+      blind cast used to truncate 2.7 -> 2 with no error (r8 review);
+    * target image columns ABSENT from the batch are backfilled as
+      typed NULLs — key-only tombstones (the normal DynamoDB REMOVE
+      record shape) used to kill the stream with a columns-missing
+      SchemaEvolutionError (r8 review);
     * protocol columns (op/ts/seq) cast per CHANGELOG_EXTRA_FIELDS;
     * NEW columns keep their inferred type, with JSON decimals
       surfaced as DOUBLE (variant infers exact DECIMAL(p,s) per
       batch, which would ratchet precision batch-to-batch; DOUBLE is
       the stable wire-number type, matching B3's N-decode).
+
+    The target schema comes from the manifest's ``schema_json`` — one
+    JSON parse, not a per-batch reconstruction of the full (possibly
+    MoR-layered) read plan just to inspect ``.schema`` (r8 review).
     """
     from pyspark.sql import functions as F
 
@@ -147,19 +204,44 @@ def _infer_batch(batch_df: DataFrame, target: ManagedTable) -> DataFrame:
         batch_df.select(F.from_json("value", ddl.replace("OBJECT<", "STRUCT<")).alias("r"))
         .select("r.*")
     )
-    target_types = {}
+    image_types: dict[str, T.DataType] = {}
     if target.exists():
-        target_types = {f.name: f.dataType for f in target.read().schema.fields}
+        snap = target._read_manifest().current
+        if snap is not None:
+            image_types = {
+                f.name: f.dataType
+                for f in T.StructType.fromJson(
+                    json.loads(snap.schema_json)
+                ).fields
+            }
+    target_types = dict(image_types)
     for f in CHANGELOG_EXTRA_FIELDS:
         target_types.setdefault(f.name, f.dataType)
     cols = []
     for f in typed.schema.fields:
         if f.name in target_types:
-            cols.append(F.col(f.name).cast(target_types[f.name]).alias(f.name))
+            tgt = target_types[f.name]
+            src = f.dataType
+            fractional = isinstance(src, (T.DoubleType, T.FloatType)) or (
+                isinstance(src, T.DecimalType) and src.scale > 0
+            )
+            if isinstance(tgt, _INTEGRAL_TYPES) and fractional:
+                raise SchemaEvolutionError(
+                    f"column {f.name!r} is pinned {tgt.simpleString()} on "
+                    f"the target but this batch carries fractional values "
+                    f"({src.simpleString()}) — a cast would silently "
+                    "truncate; re-type the column (compact + re-declare) "
+                    "or fix the producer"
+                )
+            cols.append(F.col(f.name).cast(tgt).alias(f.name))
         elif isinstance(f.dataType, T.DecimalType):
             cols.append(F.col(f.name).cast("double").alias(f.name))
         else:
             cols.append(F.col(f.name))
+    present = {f.name for f in typed.schema.fields}
+    for name, dt in image_types.items():
+        if name not in present:
+            cols.append(F.lit(None).cast(dt).alias(name))
     return typed.select(cols)
 
 
@@ -169,6 +251,8 @@ def apply_changes_stream_evolving(
     checkpoint_dir: str,
     available_now: bool = True,
     strategy: str = "copy-on-write",
+    auto_compact: bool = False,
+    max_delta_layers: int = 5,
 ) -> StreamingQuery:
     """H7 sink with mid-stream ADDITIVE SCHEMA EVOLUTION: each
     microbatch is typed by its own inferred (batch-merged) schema and
@@ -180,7 +264,10 @@ def apply_changes_stream_evolving(
     the new column (additive evolution); existing columns are pinned
     to the target's types, so evolution is append-only, never a type
     fork. Batch parity: a drain equals one big batch merge of the
-    union schema (pytest law, test_streaming.py).
+    union schema (pytest law, test_streaming.py). ``auto_compact``
+    mirrors :func:`apply_changes_stream` — a merge-on-read evolving
+    stream otherwise accumulates delta layers unboundedly
+    (r8 review).
 
     Scale: inference is one JVM aggregate over the batch (no Python
     row work, no second file read), and the merge cost is unchanged —
@@ -191,13 +278,10 @@ def apply_changes_stream_evolving(
         if batch_df.isEmpty():
             return
         typed = _infer_batch(batch_df, table)
-        if not table.exists():
-            image_cols = [
-                f for f in typed.schema.fields if f.name not in ("op", "seq")
-            ]
-            empty = table.spark.createDataFrame([], T.StructType(image_cols))
-            table.bootstrap(empty)
+        _ensure_table(table, typed.schema)
         table.apply_changes(typed, strategy=strategy)
+        if auto_compact:
+            table.maybe_compact(max_delta_layers=max_delta_layers)
 
     writer = (
         raw_lines.writeStream.foreachBatch(merge_batch)

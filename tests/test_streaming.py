@@ -702,3 +702,100 @@ def test_stream_schema_evolution_mid_stream(spark, warehouse, tmp_path):
     # existing columns stay pinned to the target's types (no type fork)
     assert dict(final.dtypes)["price"] == "double"
     assert dict(final.dtypes)["pk"] == "bigint"
+
+
+def test_evolving_sink_tolerates_keyonly_tombstone_batch(spark, tmp_path):
+    """r8 review: a microbatch of key-only REMOVE records (the normal
+    DynamoDB tombstone shape) killed the evolving stream with a
+    columns-missing SchemaEvolutionError; absent target columns are
+    now backfilled as typed NULLs."""
+    import json as _json
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.streaming.cdc import (
+        apply_changes_stream_evolving,
+        read_raw_changelog_stream,
+    )
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    log = tmp_path / "log"
+    log.mkdir()
+    t = Catalog(spark, str(tmp_path / "wh")).create_table(
+        TableSpec(namespace="ns", name="tomb", key_columns=("pk",))
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, "A", 5.0), (2, "B", 6.0)], "pk long, status string, x double"
+        )
+    )
+    (log / "b1.json").write_text(
+        _json.dumps({"op": "REMOVE", "ts": 1, "seq": 1, "pk": 2}) + "\n"
+    )
+    q = apply_changes_stream_evolving(
+        t,
+        read_raw_changelog_stream(spark, str(log)),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert sorted(r.pk for r in t.read().collect()) == [1]
+
+
+def test_evolving_sink_refuses_fractional_on_integral_column(spark, tmp_path):
+    """r8 review: a fractional value arriving for a column pinned
+    BIGINT was blind-cast (2.7 -> 2, silent truncation); it now
+    refuses loudly."""
+    import json as _json
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.streaming.cdc import (
+        apply_changes_stream_evolving,
+        read_raw_changelog_stream,
+    )
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+    from dynamodb_zero_etl_s3tables_spark.table.merge import (
+        SchemaEvolutionError,
+    )
+
+    log = tmp_path / "log"
+    log.mkdir()
+    t = Catalog(spark, str(tmp_path / "wh")).create_table(
+        TableSpec(namespace="ns", name="frac", key_columns=("pk",))
+    )
+    t.bootstrap(spark.createDataFrame([(1, 7)], "pk long, x long"))
+    (log / "b1.json").write_text(
+        _json.dumps(
+            {"op": "MODIFY", "ts": 1, "seq": 1, "pk": 1, "x": 2.7}
+        )
+        + "\n"
+    )
+    q = apply_changes_stream_evolving(
+        t,
+        read_raw_changelog_stream(spark, str(log)),
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception) as exc_info:
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+    assert "truncate" in str(exc_info.value)
+    assert t.read().first().x == 7  # nothing committed
+
+
+def test_changelog_schema_refuses_protocol_collision(spark):
+    """r8 review: an image column named op/ts/seq would produce a
+    duplicate-field record schema — refuse loudly."""
+    from pyspark.sql import types as T
+
+    from dynamodb_zero_etl_s3tables_spark.streaming.cdc import (
+        changelog_schema,
+    )
+
+    with pytest.raises(ValueError, match="collide"):
+        changelog_schema(
+            T.StructType(
+                [
+                    T.StructField("pk", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                ]
+            )
+        )
