@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamodb_zero_etl_s3tables_spark.operators.registry import (
+    MH64,
     DSUM,
     dsum,
     query,
@@ -56,7 +57,7 @@ from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
 #: DuckDB-side derivation, prepended to each oracle. Mirrors
 #: :func:`derived_partsupp` exactly; `//` here == `div` in Spark
 #: (both floor-divide non-negative BIGINTs).
-PARTSUPP_CTE = """
+PARTSUPP_CTE = f"""
 WITH sc AS (SELECT COUNT(*) AS s_count FROM supplier),
 ps0 AS (
   SELECT DISTINCT p_partkey AS ps_partkey,
@@ -69,8 +70,7 @@ partsupp AS (
          CAST(1 + h % 9999 AS BIGINT) AS ps_availqty,
          CAST(100 + (h // 9999) % 99901 AS DOUBLE) / 100.0 AS ps_supplycost
   FROM (SELECT ps_partkey, ps_suppkey,
-          ('0x' || substr(md5('ps|' || CAST(ps_partkey AS VARCHAR)
-                          || '|' || CAST(ps_suppkey AS VARCHAR)), 1, 15))::BIGINT
+          {MH64("'ps|' || CAST(ps_partkey AS VARCHAR) || '|' || CAST(ps_suppkey AS VARCHAR)")}
             AS h
         FROM ps0) t
 )
@@ -106,22 +106,16 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("ps|"),
-                    F.col("ps_partkey").cast("string"),
-                    F.lit("|"),
-                    F.col("ps_suppkey").cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from dynamodb_zero_etl_s3tables_spark.operators.registry import mh64
+
+    h = mh64(
+        F.concat(
+            F.lit("ps|"),
+            F.col("ps_partkey").cast("string"),
+            F.lit("|"),
+            F.col("ps_suppkey").cast("string"),
+        )
+    )
     # Two-step select so the integer `div` (exact on BIGINT, unlike a
     # double `/` whose floor could flip near 2^53) can reference h.
     return ps0.select("ps_partkey", "ps_suppkey", h.alias("h")).select(
@@ -241,7 +235,12 @@ def d97_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "ps_partkey",
         (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
-    )
+    # pin: the grand-total branch exchanges to one partition while the
+    # groupBy branch hash-partitions on ps_partkey, so ReuseExchange
+    # cannot apply and the derived-partsupp pipeline would otherwise
+    # run TWICE — the docstring's "one partsupp scan" made true
+    # (r8 review)
+    ).localCheckpoint(eager=True)
     tot = eu.agg(dsum("v").alias("total"))
     return (
         eu.groupBy("ps_partkey")
@@ -356,8 +355,10 @@ def d99_tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ps_suppkey") == F.col("l_suppkey")),
         )
         .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        # no distinct: the frame feeds only a left_semi build side,
+        # which deduplicates by construction — the extra shuffle +
+        # HashAggregate bought nothing (r8 review)
         .select("ps_suppkey")
-        .distinct()
     )
     return (
         _region_suppliers(spark, sf_dir, "ASIA")

@@ -337,7 +337,7 @@ def d83_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND p_brand = 'Brand#23'
-      AND p_size <= 10
+      AND p_size <= 20
       AND l_quantity < (
         SELECT 0.2 * {DAVG('l_quantity')}
         FROM lineitem l2
@@ -348,7 +348,7 @@ def d83_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d84_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (public spec): small-quantity-order revenue — the
     correlated SCALAR AVG subquery per part (p_container = 'MED BOX'
-    becomes p_size <= 10; no container column). De-correlation is the
+    becomes p_size <= 20 — non-vacuous at sf0.001; no container column). De-correlation is the
     shape under test: the per-part average becomes a groupBy on
     l_partkey joined back to the filtered fact — NOT a per-row
     re-scan. Threshold averages are computed ONLY for the parts that
@@ -359,7 +359,11 @@ def d84_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> Dat
     flip membership. COUNT(*) pins the selected population."""
     p = (
         load(spark, sf_dir, "part")
-        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10))
+        # p_size <= 20, not 10: at sf0.001 the tighter filter selected
+        # ZERO lineitems, making the smallest-scale gate vacuous (the
+        # d80/ADVICE r3 #3 class — a broken threshold join would smoke-
+        # pass); 20 keeps 4 qualifying lines at sf0.001 (r8 review)
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 20))
         .select("p_partkey")
     )
     li = load(spark, sf_dir, "lineitem").select(
