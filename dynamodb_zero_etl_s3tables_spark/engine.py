@@ -30,6 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from dynamodb_zero_etl_s3tables_spark.functions.decode import decode_export
+from dynamodb_zero_etl_s3tables_spark.metrics import get_logger
 from dynamodb_zero_etl_s3tables_spark.spec import SourceSpec, TableSpec
 from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
@@ -60,6 +61,7 @@ class ZeroEtlEngine:
         warehouse: str,
         source: SourceSpec,
         table: TableSpec,
+        integration_name: str | None = None,
     ):
         # A1/A2: reject bad specs before any job runs — the synth-time
         # precondition checks of the reference constructor (ts:57-66)
@@ -68,6 +70,17 @@ class ZeroEtlEngine:
         self.spark = spark
         self.source = source
         self.spec = table
+        #: named-pipeline analog of the reference's sole optional prop
+        #: (``integrationName ?? 'ddb-to-s3tables'``, reference
+        #: src/dynamodb-zero-etl-s3tables.ts:29,212) — persisted into
+        #: the manifest spec on every commit and stamped on structured
+        #: log lines, the engine's rendering of the name materializing
+        #: on the Glue integration resource (test.ts:55-86)
+        self.integration_name: str = integration_name or "ddb-to-s3tables"
+        #: per-pipeline structured log stream scoped by the integration
+        #: name (the reference's dedicated log group per integration,
+        #: ts:125-128)
+        self.log = get_logger(run_id=self.integration_name)
         self.catalog = Catalog(spark, warehouse)
         self.table: ManagedTable = self.catalog.create_table(table)
         #: extension points, mutable after construction like the
@@ -86,7 +99,10 @@ class ZeroEtlEngine:
         ``tag:<key>`` entries. The spec is persisted inside the
         manifest on every commit, so tags set between operations ride
         the next snapshot — the engine's analog of tags materializing
-        in the synthesized resource template (test.ts:269-285)."""
+        in the synthesized resource template (test.ts:269-285). The
+        integration name rides the same bag (the reference renders it
+        on the integration resource, test.ts:55-86)."""
+        self.spec.properties["integration_name"] = self.integration_name
         for k, v in self.tags.items():
             self.spec.properties[f"tag:{k}"] = str(v)
 

@@ -820,7 +820,7 @@ INT4_BLOCK = 8
              )) AS max_abs_err
       FROM s
     )
-    SELECT vec_id, CAST({64 // INT4_BLOCK} AS INTEGER) AS n_blocks,
+    SELECT vec_id, CAST({DIM // INT4_BLOCK} AS INTEGER) AS n_blocks,
            ss AS scale_of_scales, max_abs_err,
            CAST((4.0 * {DIM} + 8 * {DIM // INT4_BLOCK} + 32) / {DIM} AS DOUBLE)
              AS bits_per_value

@@ -1389,8 +1389,16 @@ def e43_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _batch_topk(batches):
         for pdf in batches:
             yield (
+                # na_position='first': Spark's final window orders
+                # cos_sim DESC with NaN as the LARGEST double (and so
+                # does the DuckDB oracle), so a NaN cosine (zero-norm
+                # embedding) must survive the partial stage at the TOP,
+                # not be dropped off the bottom (pandas default 'last'
+                # would break the superset-exactness argument).
                 pdf.sort_values(
-                    ["cos_sim", "vec_id"], ascending=[False, True]
+                    ["cos_sim", "vec_id"],
+                    ascending=[False, True],
+                    na_position="first",
                 )
                 .groupby("anchor_id", sort=False)
                 .head(HN_K)

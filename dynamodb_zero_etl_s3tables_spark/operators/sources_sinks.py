@@ -1340,14 +1340,18 @@ def d86_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not n.startswith("bkt_") or n == db:
             continue
         pid_part = n.rsplit("_p", 1)
-        if len(pid_part) == 2 and pid_part[1].isdigit():
-            try:
-                _os.kill(int(pid_part[1]), 0)
-                continue  # owner still alive — leave its db alone
-            except ProcessLookupError:
-                pass
-            except PermissionError:
-                continue  # alive under another user
+        if len(pid_part) != 2 or not pid_part[1].isdigit():
+            # not our bkt_*_p<pid> scheme — a foreign bkt_-prefixed db
+            # in a shared metastore is NOT ours to destroy (r8 advice:
+            # the old fall-through dropped it unconditionally)
+            continue
+        try:
+            _os.kill(int(pid_part[1]), 0)
+            continue  # owner still alive — leave its db alone
+        except ProcessLookupError:
+            pass  # conclusively dead — safe to reap
+        except PermissionError:
+            continue  # alive under another user
         spark.sql(f"DROP DATABASE IF EXISTS {n} CASCADE")
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     spark.sql(f"CREATE DATABASE {db}")

@@ -152,6 +152,33 @@ def test_tags_propagate_to_manifest(spark, warehouse):
     assert reopened.spec.properties.get("tag:Environment") == "production"
 
 
+def test_integration_name_custom_and_default(spark, warehouse):
+    """Mirrors reference test.ts:55-86: an explicit ``integrationName``
+    materializes on the provisioned resource; omitting it falls back
+    to ``'ddb-to-s3tables'`` (ts:29,212). Here the resource is the
+    persisted manifest spec, visible to a fresh session."""
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+
+    eng = ZeroEtlEngine(
+        spark, warehouse, SRC,
+        TableSpec(namespace="ns", name="named", key_columns=("pk",)),
+        integration_name="my-integration",
+    )
+    assert eng.integration_name == "my-integration"
+    eng.bootstrap(spark.createDataFrame([Row(pk=1, v="a")]))
+    reopened = ManagedTable.open(spark, warehouse, "ns.named")
+    assert reopened.spec.properties.get("integration_name") == "my-integration"
+
+    dflt = ZeroEtlEngine(
+        spark, warehouse, SRC,
+        TableSpec(namespace="ns", name="unnamed", key_columns=("pk",)),
+    )
+    assert dflt.integration_name == "ddb-to-s3tables"
+    dflt.bootstrap(spark.createDataFrame([Row(pk=1, v="a")]))
+    reopened = ManagedTable.open(spark, warehouse, "ns.unnamed")
+    assert reopened.spec.properties.get("integration_name") == "ddb-to-s3tables"
+
+
 def test_sql_runs_before_bootstrap(spark, warehouse):
     """r8 review: a statement that never touches the managed table
     (SELECT 1, a query over another table) must not crash on the

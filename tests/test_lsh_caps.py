@@ -299,10 +299,15 @@ def test_bucket_col_kernel_parity(spark):
     real fixture vectors and compare every (vec_id, table) bucket
     (r8 review: the claim was previously untested and bucket_col had
     no callers)."""
+    import os
+
     import dynamodb_zero_etl_s3tables_spark.operators.llm_similarity as S
     from dynamodb_zero_etl_s3tables_spark.sources.testdata import load
+    from tests.conftest import SF_DIR
 
-    e = load(spark, "/root/testdata/sf0.001", "embeddings").limit(64)
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"fixture dir {SF_DIR} not present on this machine")
+    e = load(spark, SF_DIR, "embeddings").limit(64)
     planes = S._E03D_PLANES
     kern = {
         (r.vec_id, r.tbl): r.bucket
