@@ -358,6 +358,166 @@ def h07_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "h27_out_of_order_cdc",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <= 7
+    ), changes AS (
+      -- wave A (delivered FIRST, logically newer: seq 2)
+      SELECT 'MODIFY' AS op, 2 AS seq, o_orderkey AS pk, 'winner' AS status,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.5 AS DECIMAL(2,1)), 2) AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 10 IN (0, 1)
+      UNION ALL
+      SELECT 'REMOVE', 2, o_orderkey, NULL, NULL
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT 'MODIFY', 2, o_orderkey, 'kept', o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 4
+      -- wave B (delivered SECOND: stale seq 1 + fresh seq 3)
+      UNION ALL
+      SELECT 'MODIFY', 1, o_orderkey, 'stale', -1.0
+      FROM orders WHERE o_orderkey % 10 IN (0, 3)
+      UNION ALL
+      SELECT 'REMOVE', 1, o_orderkey, NULL, NULL
+      FROM orders WHERE o_orderkey % 10 = 4
+      UNION ALL
+      SELECT 'INSERT', 1, o_orderkey, 'late-new', o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 8
+      UNION ALL
+      SELECT 'MODIFY', 3, o_orderkey, 'freshest',
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.5 AS DECIMAL(2,1)), 2) AS DOUBLE)
+      FROM orders WHERE o_orderkey % 10 = 5
+      UNION ALL
+      SELECT 'INSERT', 3, o_orderkey, 'resurrected', o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 3
+    ), last AS (
+      -- ORDER-INSENSITIVE one-big-batch LWW: only max(seq) per key
+      -- matters, no matter how the feed was split into batches
+      SELECT * FROM (
+        SELECT c.*, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+        FROM changes c
+      ) WHERE rn = 1
+    )
+    SELECT b.pk, b.status, b.price
+    FROM base b LEFT JOIN last l ON b.pk = l.pk WHERE l.pk IS NULL
+    UNION ALL
+    SELECT pk, status, price FROM last WHERE op <> 'REMOVE'
+    """,
+)
+def h27_out_of_order_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 under REVERSED ARRIVAL (r8 verdict #2): the changelog's
+    logically-newer wave (seq 2) is delivered in an EARLIER microbatch
+    than the stale wave (seq 1, which carries a MODIFY for a key the
+    newer wave already REMOVEd, and a REMOVE for a key it already
+    re-imaged), plus a genuinely fresh seq-3 sub-wave riding the late
+    file — the realistic DynamoDB-Streams shape where cross-shard file
+    order is not per-key write order (reference README.md:12,93's
+    "data flows automatically" contract). ``tolerate_out_of_order``
+    turns on the checkpoint-persisted :class:`VersionState`, so each
+    batch applies only rows strictly newer than the key's applied
+    version; the oracle is the ORDER-INSENSITIVE one-big-batch LWW
+    merge — the hash-match proves arrival order is invisible.
+
+    Exercised inside the match: stale-MODIFY-after-REMOVE suppressed
+    (no zombie), stale REMOVE suppressed (newer image survives),
+    legitimate resurrection (seq-3 INSERT after seq-2 REMOVE), fresh
+    INSERT riding a stale batch, and the watermark/GC code path
+    (``late_delay`` set wide enough to admit everything).
+
+    Scale: the state join is one key equi-join of each microbatch
+    against an O(keys-in-horizon) side table; with ``late_delay``
+    bounding the horizon the state stays small regardless of table
+    size, and the merge cost is unchanged from h07."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.streaming.cdc import (
+        apply_changes_stream,
+        read_changelog_stream,
+    )
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    root = scratch_dir(sf_dir, "h27_ooo", wipe=True)
+    (root / "changelog").mkdir(parents=True)
+
+    o, mod10, base, bumped, chg, _b1 = _orders_cdc_core(spark, sf_dir)
+
+    def wave(*parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def chg_seq(op, seq, cond, status_col, price_col):
+        return o.filter(cond).select(
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            status_col.alias("status"),
+            price_col.alias("price"),
+        )
+
+    null_d = F.lit(None).cast("double")
+    wave_new = wave(  # seq 2 — arrives FIRST
+        chg_seq("MODIFY", 2, mod10.isin(0, 1), F.lit("winner"), bumped),
+        chg_seq("REMOVE", 2, mod10 == 3, F.lit(None).cast("string"), null_d),
+        chg_seq("MODIFY", 2, mod10 == 4, F.lit("kept"), F.col("o_totalprice")),
+    )
+    wave_old = wave(  # stale seq 1 + fresh seq 3 — arrives SECOND
+        chg_seq("MODIFY", 1, mod10.isin(0, 3), F.lit("stale"), F.lit(-1.0)),
+        chg_seq("REMOVE", 1, mod10 == 4, F.lit(None).cast("string"), null_d),
+        chg_seq("INSERT", 1, mod10 == 8, F.lit("late-new"), F.col("o_totalprice")),
+        chg_seq("MODIFY", 3, mod10 == 5, F.lit("freshest"), bumped),
+        chg_seq("INSERT", 3, mod10 == 3, F.lit("resurrected"), F.col("o_totalprice")),
+    )
+    # pin file mtimes so the file source's mtime ordering delivers the
+    # NEWER wave first — the adversarial arrival order, deterministic
+    for name, df, mtime in (("b_new", wave_new, 1_000_000), ("b_old", wave_old, 1_000_100)):
+        d = root / "changelog" / name
+        df.coalesce(1).write.mode("overwrite").json(str(d))
+        for fn in _os.listdir(d):
+            p = d / fn
+            _os.utime(p, (mtime, mtime))
+
+    cat = Catalog(spark, str(root / "warehouse"))
+    t = cat.create_table(
+        TableSpec(namespace="stream", name="orders_ooo", key_columns=("pk",), order_columns=("seq",))
+    )
+    t.bootstrap(base)
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("pk", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    changes = read_changelog_stream(
+        spark,
+        str(root / "changelog" / "*"),
+        schema,
+        fmt="json",
+        max_files_per_trigger=1,
+    )
+    q = apply_changes_stream(
+        t,
+        changes,
+        checkpoint_dir=str(root / "ckpt"),
+        tolerate_out_of_order=True,
+        late_delay=1000,
+    )
+    _drain(q)
+    return t.read().select("pk", "status", "price")
+
+
+@query(
     "h09_stream_static_join",
     oracle=f"""
     SELECT n.n_name, e.event_type, COUNT(*) AS n_events,

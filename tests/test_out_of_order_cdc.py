@@ -1,0 +1,189 @@
+"""Out-of-order CDC tolerance (r8 verdict #2): a file changelog whose
+batches arrive in ANY order must converge to the one-big-batch LWW
+merge when ``tolerate_out_of_order=True`` — in particular a stale
+MODIFY delivered after its key's REMOVE must not resurrect the row,
+and a stale REMOVE must not delete a newer image.
+"""
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+from dynamodb_zero_etl_s3tables_spark.streaming.cdc import (
+    VersionState,
+    apply_changes_stream,
+    changelog_schema,
+    read_changelog_stream,
+)
+from dynamodb_zero_etl_s3tables_spark.table.manifest import ManagedTable
+from dynamodb_zero_etl_s3tables_spark.table.merge import merge_changes
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("pk", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(path, rows, mtime):
+    """One changelog file with a PINNED mtime — the file source orders
+    batches by modification time, so pinning mtimes makes the arrival
+    order deterministic (and lets a test deliver the logically-newer
+    file FIRST)."""
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+#: logically NEWER wave (seq=2) — delivered FIRST
+WAVE_NEW = [
+    {"op": "MODIFY", "seq": 2, "pk": 1, "status": "winner", "price": 100.0},
+    {"op": "REMOVE", "seq": 2, "pk": 2, "status": None, "price": None},
+    {"op": "MODIFY", "seq": 2, "pk": 3, "status": "kept", "price": 30.0},
+]
+#: logically OLDER wave (seq=1) — delivered SECOND (stale), plus one
+#: genuinely fresh INSERT that must still apply out of the same batch
+WAVE_OLD = [
+    {"op": "MODIFY", "seq": 1, "pk": 1, "status": "stale", "price": -1.0},
+    {"op": "MODIFY", "seq": 1, "pk": 2, "status": "zombie", "price": -2.0},
+    {"op": "REMOVE", "seq": 1, "pk": 3, "status": None, "price": None},
+    {"op": "INSERT", "seq": 1, "pk": 4, "status": "fresh", "price": 40.0},
+]
+
+
+def _spec(name):
+    return TableSpec(
+        namespace="ns", name=name, key_columns=("pk",), order_columns=("seq",)
+    )
+
+
+def _bootstrap(spark, warehouse, name):
+    t = ManagedTable(spark, warehouse, _spec(name))
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, "base", 1.0), (2, "base", 2.0), (3, "base", 3.0)], IMAGE_SCHEMA
+        )
+    )
+    return t
+
+
+def _drain(spark, table, log_dir, ckpt, **kw):
+    stream = read_changelog_stream(
+        spark, str(log_dir), changelog_schema(IMAGE_SCHEMA), max_files_per_trigger=1
+    )
+    q = apply_changes_stream(table, stream, str(ckpt), **kw)
+    assert q.awaitTermination(180)
+
+
+def test_reversed_arrival_converges_to_big_batch_merge(spark, warehouse, tmp_path):
+    """The newer wave arrives first, the stale wave second; the final
+    table equals one LWW merge of the concatenated log (arrival-order
+    independence), which the old per-batch merge provably violates."""
+    log_dir = tmp_path / "log"
+    _write_batch(log_dir / "b_new.json", WAVE_NEW, mtime=1_000_000)
+    _write_batch(log_dir / "b_old.json", WAVE_OLD, mtime=1_000_100)
+
+    t = _bootstrap(spark, warehouse, "ooo")
+    _drain(spark, t, log_dir, tmp_path / "ckpt", tolerate_out_of_order=True)
+    got = {r.pk: (r.status, r.price) for r in t.read().collect()}
+
+    full_log = spark.read.schema(changelog_schema(IMAGE_SCHEMA)).json(str(log_dir))
+    base = spark.createDataFrame(
+        [(1, "base", 1.0), (2, "base", 2.0), (3, "base", 3.0)], IMAGE_SCHEMA
+    )
+    expected_df = merge_changes(base, full_log, keys=["pk"], order_cols=["seq"])
+    expected = {r.pk: (r.status, r.price) for r in expected_df.collect()}
+
+    assert got == expected
+    assert got[1] == ("winner", 100.0)  # stale MODIFY suppressed
+    assert 2 not in got                 # stale MODIFY after REMOVE: no zombie
+    assert got[3] == ("kept", 30.0)     # stale REMOVE cannot delete newer image
+    assert got[4] == ("fresh", 40.0)    # fresh part of the stale batch applies
+
+
+def test_without_tolerance_reversed_arrival_diverges(spark, warehouse, tmp_path):
+    """Meta-check that the scenario actually exercises the hazard: the
+    DEFAULT sink (ordering contract assumed) produces the wrong state
+    on the same reversed feed — the test above is not vacuous."""
+    log_dir = tmp_path / "log"
+    _write_batch(log_dir / "b_new.json", WAVE_NEW, mtime=1_000_000)
+    _write_batch(log_dir / "b_old.json", WAVE_OLD, mtime=1_000_100)
+
+    t = _bootstrap(spark, warehouse, "ooo_default")
+    _drain(spark, t, log_dir, tmp_path / "ckpt")
+    got = {r.pk: (r.status, r.price) for r in t.read().collect()}
+    assert got[2] == ("zombie", -2.0)  # resurrected — the documented hazard
+    assert 3 not in got                # newer image deleted by stale REMOVE
+
+
+def test_out_of_order_restart_is_idempotent(spark, warehouse, tmp_path):
+    """H8 x VersionState: restarting the drained stream on the same
+    checkpoint commits nothing (state snapshots for replayed batch ids
+    are skipped, prior snapshots are re-read); a NEW stale file after
+    restart is filtered by the persisted state."""
+    log_dir = tmp_path / "log"
+    _write_batch(log_dir / "b_new.json", WAVE_NEW, mtime=1_000_000)
+
+    t = _bootstrap(spark, warehouse, "ooo_restart")
+    ckpt = tmp_path / "ckpt"
+    _drain(spark, t, log_dir, ckpt, tolerate_out_of_order=True)
+    v1 = t.version
+
+    _drain(spark, t, log_dir, ckpt, tolerate_out_of_order=True)
+    assert t.version == v1  # replay: no new commits
+
+    _write_batch(log_dir / "b_old.json", WAVE_OLD, mtime=1_000_100)
+    _drain(spark, t, log_dir, ckpt, tolerate_out_of_order=True)
+    got = {r.pk: (r.status, r.price) for r in t.read().collect()}
+    assert got[1] == ("winner", 100.0)
+    assert 2 not in got
+    assert got[3] == ("kept", 30.0)
+    assert got[4] == ("fresh", 40.0)
+
+
+def test_version_state_watermark_gc(spark, tmp_path):
+    """late_delay pairs a late-arrival drop with state forgetting: a
+    row below the watermark is rejected, entries below the watermark
+    leave the snapshot, and the global max survives GC so the
+    watermark keeps advancing."""
+    st = VersionState(
+        spark,
+        str(tmp_path / "state"),
+        keys=("pk",),
+        order_cols=("seq",),
+        late_delay=10,
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "pk long, seq long, status string"
+    )
+    # batch 0: seq spread 1..100 -> watermark after this batch is 90
+    b0 = mk([(1, 1, "a"), (2, 50, "b"), (3, 100, "c")])
+    out0 = st.filter_and_advance(b0, 0)
+    assert out0.count() == 3  # no prior state: everything admitted
+    snap = spark.read.parquet(str(tmp_path / "state" / f"state_v{0:020d}"))
+    kept = {r.pk: r.seq for r in snap.collect()}
+    assert kept == {3: 100}  # pk1/pk2 below watermark 90: forgotten
+
+    # batch 1: seq=5 is later than watermark -> dropped even though
+    # pk1 was forgotten; seq=150 advances pk3
+    b1 = mk([(1, 5, "late"), (3, 150, "d")])
+    out1 = {(r.pk, r.seq) for r in st.filter_and_advance(b1, 1).collect()}
+    assert out1 == {(3, 150)}
+
+    # stale-versus-state rejection without lateness: seq=95 for pk3 is
+    # above the watermark but below pk3's applied 150 -> filtered
+    b2 = mk([(3, 145, "stale")])
+    assert st.filter_and_advance(b2, 2).count() == 0
+
+
+def test_version_state_requires_order_columns(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="order column"):
+        VersionState(spark, str(tmp_path / "s"), keys=("pk",), order_cols=())
