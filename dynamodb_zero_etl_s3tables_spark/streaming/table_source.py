@@ -367,6 +367,81 @@ def _cow_closures():
                     state[tuple(r.get(k) for k in keys)] = r
         return state
 
+    def entry_rows(snap, ent, fields):
+        """One partition ENTRY's rows with the entry's typed partition
+        values re-attached and the snapshot's read_renames applied —
+        the per-entry unit snap_rows is built from, exposed so the
+        partition-local diff can read ONLY rewritten entries."""
+        vals = {
+            pc: coerce_part(rv, fields.get(pc))
+            for pc, rv in ent["values"].items()
+        }
+        rows = [{**r, **vals} for r in _rows(ent["dir"])]
+        ren = snap.get("read_renames") or {}
+        if ren:
+            rows = [{ren.get(c, c): v for c, v in r.items()} for r in rows]
+        return rows
+
+    def part_local_diff(prev_snap, snap, keys, cols):
+        """PARTITION-LOCAL CoW diff (r8 verdict #3): a pruned CoW
+        merge's snapshot lists fresh entries (dirs under its own
+        data_dir) plus untouched entries CARRIED BY REFERENCE — the
+        same dir path the previous snapshot listed. A carried entry is
+        bit-identical by construction, so the keyed diff only needs
+        the entries whose dir CHANGED between the two versions (plus
+        entries present on one side only); untouched partition files
+        are never opened. At 100 TB this is the difference between
+        diffing the touched 1% and re-reading two full snapshots —
+        the same pruning the writer itself does.
+
+        Exactness rides the engine's documented partition contract
+        (table/manifest.py apply_changes): partition values are
+        stable per key, so a key never moves between partitions and
+        the union of per-partition diffs IS the global keyed diff.
+        (A contract-violating "partition move" would surface as
+        DELETE+INSERT instead of UPSERT — the same rows, split.)"""
+        f_new = {
+            f["name"]: f["type"]
+            for f in json.loads(snap["schema_json"])["fields"]
+        }
+        f_old = {
+            f["name"]: f["type"]
+            for f in json.loads(prev_snap["schema_json"])["fields"]
+        }
+        old_map = {
+            tuple(sorted(e["values"].items())): e
+            for e in prev_snap["partitions"]
+        }
+        out = []
+        for ent in snap["partitions"]:
+            pk = tuple(sorted(ent["values"].items()))
+            old_ent = old_map.pop(pk, None)
+            if old_ent is not None and old_ent["dir"] == ent["dir"]:
+                continue  # carried by reference: provably unchanged, unread
+            old_state = {}
+            if old_ent is not None:
+                for r in entry_rows(prev_snap, old_ent, f_old):
+                    old_state[tuple(r.get(c) for c in keys)] = r
+            for r in entry_rows(snap, ent, f_new):
+                k = tuple(r.get(c) for c in keys)
+                o = old_state.pop(k, None)
+                if o is None:
+                    out.append(("INSERT", r))
+                elif any(changed(o.get(c), r.get(c)) for c in cols):
+                    out.append(("UPSERT", r))
+            for _k, o in old_state.items():
+                out.append(
+                    ("DELETE", {c: (o.get(c) if c in keys else None) for c in cols})
+                )
+        for _pk, old_ent in old_map.items():
+            # partition vanished (all its keys removed): every old row
+            # is a DELETE — this is the one case that reads an OLD dir
+            for r in entry_rows(prev_snap, old_ent, f_old):
+                out.append(
+                    ("DELETE", {c: (r.get(c) if c in keys else None) for c in cols})
+                )
+        return out
+
     def diff_changes(raw, snap, keys, cols, cache=None):
         """([(change_op, row)], new_cache) for a full-rewrite
         snapshot: keyed diff vs the previous published version.
@@ -374,7 +449,15 @@ def _cow_closures():
         the merge-mor path. ``new_cache`` is ``(snap_version,
         state_dict)`` — feed it back as ``cache`` on the NEXT
         version's diff to roll the state forward instead of
-        re-resolving from the base (resolve_state docstring)."""
+        re-resolving from the base (resolve_state docstring).
+
+        PARTITIONED fast path: when both this and the previous
+        published snapshot carry partition entry lists (no MoR delta
+        between them, same rename mapping), the diff is
+        :func:`part_local_diff` — only rewritten partition dirs are
+        read. Rename-boundary versions and MoR-mixed histories fall
+        back to the generic full-state diff, preserving the
+        documented O(table) UPSERT-wave semantics across a rename."""
         v = snap["version"]
         prev = [
             s["version"]
@@ -394,6 +477,24 @@ def _cow_closures():
                 "the copy-on-write diff is gone; reset the checkpoint "
                 "and re-bootstrap the consumer"
             )
+        if prev:
+            prev_snap = next(
+                s
+                for s in raw["snapshots"]
+                if s["version"] == max(prev) and not s.get("staged")
+            )
+            if (
+                snap.get("partitions") is not None
+                and prev_snap.get("partitions") is not None
+                and not prev_snap.get("delta")
+                and (snap.get("read_renames") or {})
+                == (prev_snap.get("read_renames") or {})
+            ):
+                # no rolled-state cache on this path: later partitioned
+                # diffs never need the full state either, and a stale
+                # older cache stays valid for resolve_state to roll
+                # forward from if a fallback version ever needs it
+                return part_local_diff(prev_snap, snap, keys, cols), cache
         old = resolve_state(raw, max(prev), keys, cache=cache) if prev else {}
         out, new_state, gone = [], {}, dict(old)
         for r in snap_rows(snap):
