@@ -40,39 +40,81 @@ from dynamodb_zero_etl_s3tables_spark.operators import sources_sinks  # noqa: E4
 
 # ---------------------------------------------------------------------------
 # Grading-window rotation: the driver samples a 50-query prefix of the
-# registry per round. Rounds 1-4 graded 200 of the (r4-end) 213 queries,
-# zero failures. Round 5's window leads with the 13 queries that have never
-# had a driver CORRECTNESS row (all r4-late additions — each passed the
-# independent sf0.001/sf0.01/sf0.1 sweeps in r4), followed by operators new
-# in r5; once those grade green, every registered query has been
-# driver-verified at least once. Rotation bookkeeping: after each round,
-# move newly-graded names to the tail and promote anything newly added.
+# registry per round. Bookkeeping discipline: after each round, move
+# newly-graded names to the tail, promote never-graded additions and
+# re-signs for code changed in-session to the head.
+#
+# ---- round-9 window (VERDICT r8 #1: finish the stale-grade burn-down;
+# grade code the round it ships). Positions 1-2: the two r9 additions
+# (h27 out-of-order CDC drain, e83 batched ANN serving — never
+# driver-graded). Positions 3-19: re-signs for entries whose
+# implementation changed THIS round — h07 (apply_changes_stream grew
+# the version-state hook), h20/h25/h26 (the CoW changelog diff gained
+# the partition-local path), e43 (NaN-safe partial top-k), e58 (oracle
+# DIM interpolation), d86 (db reaper scoped to its own naming scheme),
+# c04 (engine facade: integration_name + per-pipeline logger), and the
+# nine consolidated journey builders c02/c05/c07/c08/c09/c11/c12/c15/
+# c17 (_orders_journey_fixture) — so no driver-signed grade predates
+# the code it certifies. Positions 20-42: ALL 23 remaining r01/r02-
+# vintage grades (the r8 verdict's top item — after this window grades
+# every entry's latest driver grade is r03 or newer). Positions 43-50:
+# the 8 oldest r03-vintage grades (d29c + the window-function family),
+# starting the r03 burn-down.
 _GRADE_PRIORITY = [
-    # ---- round-8 window (VERDICT r7 #1: burn down the stale-grade
-    # backlog; grade code the round it ships). Positions 1-3: the three
-    # r8 additions (h26 CoW changelog stream, c28 lifecycle, c29
-    # NMBS-merge + SQL time travel — never driver-graded).
-    # Positions 4-14: re-signs for entries whose implementation changed
-    # THIS round — e38 (dedup rewritten to hash-agg + semi join), h24
-    # (artifact caching), h20/h25 (changelog readers grew the CoW diff
-    # fallback), c23-c27 (sql_dml routing/grammar refactors), d90/d90b
-    # (merge.py clause engine extended) — so no driver-signed grade
-    # predates the code it certifies.
-    # Positions 15-25: the r01/r02-graded entries whose MinHash /
-    # hyperplane kernels were rewritten in r7 (the verdict's top
-    # rotation priority: e02c-e02h, e03 family).
-    # Positions 26-50: the oldest remaining r01/r02 grades (B-family
-    # ingest, H-family streaming twins, D2x aggregates, e01/e05/e07).
-    # After this window 20 stale entries remain (e05b-e05f, e08-e19
-    # tail) — they fill the r9 head; every other entry then carries a
-    # grade no older than r03.
+    "h27_out_of_order_cdc",
+    "e83_batched_ann_topk",
+    "h07_stream_merge_sink",
+    "h20_table_changelog_stream",
+    "h25_partitioned_changelog_drain",
     "h26_cow_changelog_stream",
+    "e43_hard_negatives",
+    "e58_blockwise_int4",
+    "d86_bucketed_join",
+    "c04_engine_facade",
+    "c02_catalog_roundtrip",
+    "c05_replication_journey",
+    "c07_snapshot_metadata",
+    "c08_incremental_view_maintenance",
+    "c09_wap_journey",
+    "c11_snapshot_tag_journey",
+    "c12_branch_journey",
+    "c15_shallow_clone_journey",
+    "c17_constraint_gate_journey",
+    "d26b_cube",
+    "e05_tfidf",
+    "e05b_langid",
+    "e05c_quality_score",
+    "e05d_token_count",
+    "e05e_fingerprint",
+    "e05f_rolling_hash",
+    "e07_salted_agg",
+    "e08_deterministic_split",
+    "e08b_stratified_sample",
+    "e09_sequence_packing",
+    "e10_quality_filter_chain",
+    "e10b_repetition_score",
+    "e11_pii_redaction",
+    "e12_length_histogram",
+    "e13_contamination",
+    "e14_unigram_surprisal",
+    "e15_mixture_rebalance",
+    "e16_dedup_pipeline",
+    "e17_label_centroids",
+    "e18_bm25_retrieval",
+    "e19_corpus_report",
+    "e24_editdist_verify",
+    "d29c_median_mode",
+    "d31_window_ranking",
+    "d31b_relative_rank",
+    "d32_lag_lead",
+    "d33_running_sum",
+    "d34_range_frame",
+    "d35_topk_per_group",
+    "d36_global_sort",
     "c28_sql_lifecycle_journey",
     "c29_sql_nmbs_time_travel_journey",
     "e38_training_export",
     "h24_streaming_index_maintenance",
-    "h20_table_changelog_stream",
-    "h25_partitioned_changelog_drain",
     "c23_sql_dml_journey",
     "c24_mor_dml_journey",
     "c25_sql_dml_residual_journey",
@@ -102,7 +144,6 @@ _GRADE_PRIORITY = [
     "h04_sliding_window",
     "h05_session_window",
     "h06_stream_dedup_twin",
-    "h07_stream_merge_sink",
     "h09_stream_static_join",
     "h10_corpus_ingest_gate",
     "d23_global_agg",
@@ -113,46 +154,9 @@ _GRADE_PRIORITY = [
     "d29b_percentile",
     "d30_latest_per_key",
     "e01_exact_dedup",
-    # r8 session re-signs: these three queries' OUTPUTS changed
-    # mid-round (e66 got its own eval| salt, e06b emits the raw
-    # aspect double, d84's Q17 filter widened to de-vacuate the
-    # smoke gate) — their driver grades must be signed against
-    # the shipped code, so they take window slots from e05/e07/
-    # e16 (unchanged since their green grades)
     "e66_stratified_split",
     "e06b_media_featurize",
     "d84_tpch_q17_small_quantity_revenue",
-    "e05_tfidf",
-    "e07_salted_agg",
-    "e16_dedup_pipeline",
-    "d26b_cube",
-    "e24_editdist_verify",
-    "e17_label_centroids",
-    "e05b_langid",
-    "e05c_quality_score",
-    "e05d_token_count",
-    "e05e_fingerprint",
-    "e05f_rolling_hash",
-    "e08_deterministic_split",
-    "e09_sequence_packing",
-    "e10_quality_filter_chain",
-    "e11_pii_redaction",
-    "e08b_stratified_sample",
-    "e10b_repetition_score",
-    "e13_contamination",
-    "e14_unigram_surprisal",
-    "e15_mixture_rebalance",
-    "e12_length_histogram",
-    "e18_bm25_retrieval",
-    "e19_corpus_report",
-    "d29c_median_mode",
-    "d31_window_ranking",
-    "d31b_relative_rank",
-    "d32_lag_lead",
-    "d33_running_sum",
-    "d34_range_frame",
-    "d35_topk_per_group",
-    "d36_global_sort",
     "d37_top_k",
     "d39_union",
     "d39b_union_distinct",
@@ -204,7 +208,6 @@ _GRADE_PRIORITY = [
     "a04_sanitize_identifier",
     "a06_policy_merge",
     "a07_policy_delete",
-    "c05_replication_journey",
     "e26_minhash_containment",
     "e27_dsir_importance",
     "e28_embedding_covariance",
@@ -214,7 +217,6 @@ _GRADE_PRIORITY = [
     "h12_interval_left_join_twin",
     "e30_embedding_quantize",
     "c06_corpus_curation_journey",
-    "c07_snapshot_metadata",
     "d76_variant_semistructured",
     "d77_scd2_history",
     "e31_dup_graph_degree",
@@ -227,22 +229,17 @@ _GRADE_PRIORITY = [
     "e32_bpe_pair_counts",
     "e33_ngram_novelty",
     "h13_dedup_within_watermark_twin",
-    "d86_bucketed_join",
     "d87_dynamic_partition_pruning",
     "h14_stateful_totals_twin",
     "e34_pca_power_iteration",
     "e35_cluster_keywords",
     "e36_common_span_probe",
     "e37_pq_adc_topk",
-    "c08_incremental_view_maintenance",
     "e39_source_overlap_matrix",
     "e40_ivf_pq_topk",
     "e41_neardup_training_export",
     "e42_bigram_perplexity_filter",
-    "e43_hard_negatives",
     "h15_session_window_twin",
-    "c11_snapshot_tag_journey",
-    "c12_branch_journey",
     "c13_replication_audit",
     "d92_compaction_plan",
     "d53c_map_in_arrow",
@@ -250,15 +247,12 @@ _GRADE_PRIORITY = [
     "e56_split_leakage_audit",
     "c14_rename_journey",
     "e57_winnowing_fingerprints",
-    "c15_shallow_clone_journey",
-    "e58_blockwise_int4",
     "h19_drift_gated_ingest",
     "e59_doremi_mixture",
     "e60_incontext_packing",
     "e61_matryoshka_recall",
     "e62_hybrid_rrf",
     "c16_bloom_skip_journey",
-    "c17_constraint_gate_journey",
     "e63_zipf_slope",
     "c18_zorder_compact_journey",
     "e64_knn_pagerank",
@@ -302,7 +296,6 @@ _GRADE_PRIORITY = [
     "e44_ivf_pq_residual",
     "d89_countmin_heavy_hitters",
     "e46_linear_quality_model",
-    "c09_wap_journey",
     "e47_ccnet_lm_partition",
     "e48_knn_graph",
     "h17_gated_cdc_sink",
@@ -343,7 +336,6 @@ _GRADE_PRIORITY = [
     "d04_partitioned_sink",
     "d05_inmemory_source",
     "c01_sql_entry",
-    "c02_catalog_roundtrip",
     "b10_time_travel",
     "b04_schema_evolution",
     "d26c_grouping_sets",
@@ -355,7 +347,6 @@ _GRADE_PRIORITY = [
     "b10b_incremental_read",
     "b12c_zorder_scan",
     "b05c_merge_on_read",
-    "c04_engine_facade",
     "d03b_orc_roundtrip",
     "d22_grouped_agg_q1",
 ]

@@ -51,6 +51,59 @@ def _scratch(sf_dir: str, leaf: str, wipe: bool = False) -> str:
     return str(scratch_dir(sf_dir, leaf, wipe=wipe))
 
 
+def _orders_journey_fixture(spark: SparkSession, sf_dir: str, mod_max: int | None):
+    """ONE parameterized orders-CDC builder for the C-family journeys
+    (r8 verdict #4 — previously nine hand-copies differing only in
+    key-range and literal shapes): returns ``(o, mod10, base, rows,
+    bump)`` where
+
+    * ``base`` is the pk/status/price bootstrap image of orders with
+      ``o_orderkey % 10 <= mod_max`` (``None`` = the whole table),
+    * ``rows(op, seq, cond, status=None, price=None)`` builds one
+      change wave — ``status`` takes a string label or a Column
+      (default: the source ``o_orderstatus``), ``price`` a Column
+      (default: ``o_totalprice``),
+    * ``bump(factor)`` is the shared decimal-exact price bump
+      ``round(price::decimal(18,2) * factor::decimal(3,1), 2)::double``
+      (the journeys' oracles state the same arithmetic; factor casts
+      of (2,1) vs (3,1) are value-identical for every fixture price —
+      verified by a full-column sweep before unifying).
+
+    Hash-stability contract: every consolidated journey's DuckDB
+    oracle was green before AND after the switch to this helper — the
+    oracle is the frozen expectation, so a pass on both sides proves
+    the consolidation changed no values."""
+    o = load(spark, sf_dir, "orders")
+    mod10 = F.col("o_orderkey") % 10
+    base = (o if mod_max is None else o.filter(mod10 <= mod_max)).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+    def rows(op, seq, cond, status=None, price=None):
+        if status is None:
+            status = F.col("o_orderstatus")
+        elif isinstance(status, str):
+            status = F.lit(status)
+        return o.filter(cond).select(
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+            F.col("o_orderkey").alias("pk"),
+            status.alias("status"),
+            (price if price is not None else F.col("o_totalprice")).alias("price"),
+        )
+
+    def bump(factor: str):
+        return F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit(factor).cast("decimal(3,1)"),
+            2,
+        ).cast("double")
+
+    return o, mod10, base, rows, bump
+
+
 def _av_n(c: "F.Column") -> "F.Column":
     """One DynamoDB number attribute value: {"N": "<canonical text>"}
     (decimal(12,2)-canonicalized like the export service renders)."""
@@ -284,38 +337,10 @@ def c02_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_columns=("seq",),
     )
     t = cat.create_table(spec)
-    o = load(spark, sf_dir, "orders")
-    base = o.select(
-        F.col("o_orderkey").alias("pk"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("price"),
-    )
+    _o, mod10, base, rows, bump = _orders_journey_fixture(spark, sf_dir, None)
     t.overwrite(base)
-    mod10 = F.col("o_orderkey") % 10
-    bumped = (
-        F.round(
-            F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.1").cast("decimal(3,1)"),
-            2,
-        ).cast("double")
-    )
-    changes = (
-        o.filter(mod10 == 1)
-        .select(
-            F.lit("MODIFY").alias("op"),
-            F.lit(1).alias("seq"),
-            F.col("o_orderkey").alias("pk"),
-            F.col("o_orderstatus").alias("status"),
-            bumped.alias("price"),
-        )
-        .unionByName(
-            o.filter(mod10 == 2).select(
-                F.lit("REMOVE").alias("op"),
-                F.lit(1).alias("seq"),
-                F.col("o_orderkey").alias("pk"),
-                F.col("o_orderstatus").alias("status"),
-                F.col("o_totalprice").alias("price"),
-            )
-        )
+    changes = rows("MODIFY", 1, mod10 == 1, price=bump("1.1")).unionByName(
+        rows("REMOVE", 1, mod10 == 2)
     )
     t.apply_changes(changes, order_cols=("seq",))
     return t.read()
@@ -1028,37 +1053,13 @@ def c05_replication_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_columns=("seq",),
         )
     )
-    o = load(spark, sf_dir, "orders")
-    mod10 = F.col("o_orderkey") % 10
-
-    def rows(op: str, seq: int, cond, price):
-        return o.filter(cond).select(
-            F.lit(op).alias("op"),
-            F.lit(seq).alias("seq"),
-            F.col("o_orderkey").alias("pk"),
-            F.col("o_orderstatus").alias("status"),
-            price.alias("price"),
-        )
-
-    def bump(factor: str):
-        return F.round(
-            F.col("o_totalprice").cast("decimal(18,2)")
-            * F.lit(factor).cast("decimal(3,1)"),
-            2,
-        ).cast("double")
-
-    t.bootstrap(
-        o.filter(mod10 <= 7).select(
-            F.col("o_orderkey").alias("pk"),
-            F.col("o_orderstatus").alias("status"),
-            F.col("o_totalprice").alias("price"),
-        )
+    _o, mod10, base, rows, bump = _orders_journey_fixture(spark, sf_dir, 7)
+    t.bootstrap(base)
+    batch1 = rows("MODIFY", 1, mod10.isin(0, 1), price=bump("1.1")).unionByName(
+        rows("REMOVE", 1, mod10 == 2)
     )
-    batch1 = rows("MODIFY", 1, mod10.isin(0, 1), bump("1.1")).unionByName(
-        rows("REMOVE", 1, mod10 == 2, F.col("o_totalprice"))
-    )
-    batch2 = rows("MODIFY", 2, mod10 == 0, bump("1.2")).unionByName(
-        rows("INSERT", 2, mod10.isin(8, 9), F.col("o_totalprice"))
+    batch2 = rows("MODIFY", 2, mod10 == 0, price=bump("1.2")).unionByName(
+        rows("INSERT", 2, mod10.isin(8, 9))
     )
     t.apply_changes(batch1, order_cols=("seq",))
     t.apply_changes(batch2, order_cols=("seq",))
@@ -1196,33 +1197,10 @@ def c07_snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_columns=("seq",),
         )
     )
-    o = load(spark, sf_dir, "orders")
-    mod10 = F.col("o_orderkey") % 10
-    t.bootstrap(
-        o.filter(mod10 <= 7).select(
-            F.col("o_orderkey").alias("pk"),
-            F.col("o_orderstatus").alias("status"),
-            F.col("o_totalprice").alias("price"),
-        )
-    )
-    batch = (
-        o.filter(mod10.isin(0, 1))
-        .select(
-            F.lit("MODIFY").alias("op"),
-            F.lit(1).alias("seq"),
-            F.col("o_orderkey").alias("pk"),
-            F.lit("TOUCHED").alias("status"),
-            F.col("o_totalprice").alias("price"),
-        )
-        .unionByName(
-            o.filter(mod10 == 2).select(
-                F.lit("REMOVE").alias("op"),
-                F.lit(1).alias("seq"),
-                F.col("o_orderkey").alias("pk"),
-                F.col("o_orderstatus").alias("status"),
-                F.col("o_totalprice").alias("price"),
-            )
-        )
+    _o, mod10, base, rows, _bump = _orders_journey_fixture(spark, sf_dir, 7)
+    t.bootstrap(base)
+    batch = rows("MODIFY", 1, mod10.isin(0, 1), status="TOUCHED").unionByName(
+        rows("REMOVE", 1, mod10 == 2)
     )
     t.apply_changes(batch, order_cols=("seq",))
     t.compact()
@@ -1500,36 +1478,14 @@ def c08_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
             order_columns=("seq",),
         )
     )
-    o = load(spark, sf_dir, "orders")
-    mod10 = F.col("o_orderkey") % 10
-    base = o.filter(mod10 <= 7).select(
-        F.col("o_orderkey").alias("pk"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("price"),
-    )
+    _o, mod10, base, rows, bump = _orders_journey_fixture(spark, sf_dir, 7)
     t.bootstrap(base)  # v1
-    bumped = (
-        F.round(
-            F.col("o_totalprice").cast("decimal(18,2)")
-            * F.lit("1.5").cast("decimal(2,1)"),
-            2,
-        ).cast("double")
-    )
-
-    def chg(op, cond, status_col, price_col):
-        return o.filter(cond).select(
-            F.lit(op).alias("op"),
-            F.lit(1).cast("long").alias("seq"),
-            F.col("o_orderkey").alias("pk"),
-            status_col.alias("status"),
-            price_col.alias("price"),
-        )
-
+    bumped = bump("1.5")
     batch = (
-        chg("MODIFY", mod10 == 0, F.lit("MIGRATED"), bumped)
-        .unionByName(chg("MODIFY", mod10 == 1, F.col("o_orderstatus"), bumped))
-        .unionByName(chg("REMOVE", mod10 == 3, F.col("o_orderstatus"), F.col("o_totalprice")))
-        .unionByName(chg("INSERT", mod10.isin(8, 9), F.col("o_orderstatus"), F.col("o_totalprice")))
+        rows("MODIFY", 1, mod10 == 0, status="MIGRATED", price=bumped)
+        .unionByName(rows("MODIFY", 1, mod10 == 1, price=bumped))
+        .unionByName(rows("REMOVE", 1, mod10 == 3))
+        .unionByName(rows("INSERT", 1, mod10.isin(8, 9)))
     )
     t.apply_changes(batch)  # v2
     v2 = t.version
@@ -1609,33 +1565,10 @@ def c09_wap_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_columns=("seq",),
         )
     )
-    o = load(spark, sf_dir, "orders")
-    mod10 = F.col("o_orderkey") % 10
-
-    def rows(op: str, seq: int, cond, price):
-        return o.filter(cond).select(
-            F.lit(op).alias("op"),
-            F.lit(seq).alias("seq"),
-            F.col("o_orderkey").alias("pk"),
-            F.col("o_orderstatus").alias("status"),
-            price.alias("price"),
-        )
-
-    bump = F.round(
-        F.col("o_totalprice").cast("decimal(18,2)")
-        * F.lit("1.1").cast("decimal(3,1)"),
-        2,
-    ).cast("double")
-
-    t.bootstrap(
-        o.filter(mod10 <= 7).select(
-            F.col("o_orderkey").alias("pk"),
-            F.col("o_orderstatus").alias("status"),
-            F.col("o_totalprice").alias("price"),
-        )
-    )
-    good = rows("MODIFY", 1, mod10.isin(0, 1), bump).unionByName(
-        rows("REMOVE", 1, mod10 == 2, F.col("o_totalprice"))
+    _o, mod10, base, rows, bump = _orders_journey_fixture(spark, sf_dir, 7)
+    t.bootstrap(base)
+    good = rows("MODIFY", 1, mod10.isin(0, 1), price=bump("1.1")).unionByName(
+        rows("REMOVE", 1, mod10 == 2)
     )
     bad_row = spark.createDataFrame(
         [("INSERT", 1, -1, "bad", -1.0)], good.schema
@@ -1824,28 +1757,11 @@ def c11_snapshot_tag_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_columns=("seq",),
         )
     )
-    o = load(spark, sf_dir, "orders")
-    mod10 = F.col("o_orderkey") % 10
-    t.bootstrap(
-        o.filter(mod10 <= 5).select(
-            F.col("o_orderkey").alias("pk"),
-            F.col("o_orderstatus").alias("status"),
-            F.col("o_totalprice").alias("price"),
-        )
-    )
+    _o, mod10, base, rows, _bump = _orders_journey_fixture(spark, sf_dir, 5)
+    t.bootstrap(base)
     t.create_tag("baseline")
-
-    def batch(seq, cond, status):
-        return o.filter(cond).select(
-            F.lit("MODIFY").alias("op"),
-            F.lit(seq).alias("seq"),
-            F.col("o_orderkey").alias("pk"),
-            F.lit(status).alias("status"),
-            F.col("o_totalprice").alias("price"),
-        )
-
-    t.apply_changes(batch(1, mod10 == 0, "touched"))
-    t.apply_changes(batch(2, mod10 == 1, "touched2"))
+    t.apply_changes(rows("MODIFY", 1, mod10 == 0, status="touched"))
+    t.apply_changes(rows("MODIFY", 2, mod10 == 1, status="touched2"))
     import time as _time
 
     stats = t.vacuum(
@@ -1925,32 +1841,17 @@ def c12_branch_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_columns=("seq",),
         )
     )
-    o = load(spark, sf_dir, "orders")
-    mod10 = F.col("o_orderkey") % 10
-    t.bootstrap(
-        o.filter(mod10 <= 5).select(
-            F.col("o_orderkey").alias("pk"),
-            F.col("o_orderstatus").alias("status"),
-            F.col("o_totalprice").alias("price"),
-        )
-    )
+    _o, mod10, base, rows, _bump = _orders_journey_fixture(spark, sf_dir, 5)
+    t.bootstrap(base)
     boot_n = t.read().count()
     t.create_branch("audit-2026w33")
-
-    def batch(seq, cond, op, status):
-        return o.filter(cond).select(
-            F.lit(op).alias("op"),
-            F.lit(seq).alias("seq"),
-            F.col("o_orderkey").alias("pk"),
-            F.lit(status).alias("status"),
-            F.col("o_totalprice").alias("price"),
-        )
-
-    v2 = t.apply_changes_to_branch("audit-2026w33", batch(1, mod10 == 0, "MODIFY", "audited"))
+    v2 = t.apply_changes_to_branch(
+        "audit-2026w33", rows("MODIFY", 1, mod10 == 0, status="audited")
+    )
     v3 = t.apply_changes_to_branch(
         "audit-2026w33",
-        batch(2, mod10 == 1, "MODIFY", "audited2").unionByName(
-            batch(2, mod10 == 2, "REMOVE", "x")
+        rows("MODIFY", 2, mod10 == 1, status="audited2").unionByName(
+            rows("REMOVE", 2, mod10 == 2, status="x")
         ),
     )
     _check(
@@ -1966,7 +1867,7 @@ def c12_branch_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamodb_zero_etl_s3tables_spark.table.manifest import CommitConflictError
 
     try:
-        t.stage_changes(batch(9, mod10 == 3, "MODIFY", "smuggled"))
+        t.stage_changes(rows("MODIFY", 9, mod10 == 3, status="smuggled"))
         _check(False, "anonymous stage must conflict with a pending branch")
     except CommitConflictError:
         pass
@@ -2513,26 +2414,9 @@ def c15_shallow_clone_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_columns=("seq",),
         )
     )
-    o = load(spark, sf_dir, "orders")
-    mod10 = F.col("o_orderkey") % 10
-    t.bootstrap(
-        o.filter(mod10 <= 5).select(
-            F.col("o_orderkey").alias("pk"),
-            F.col("o_orderstatus").alias("status"),
-            F.col("o_totalprice").alias("price"),
-        )
-    )
-
-    def batch(seq, cond, status):
-        return o.filter(cond).select(
-            F.lit("MODIFY").alias("op"),
-            F.lit(seq).alias("seq"),
-            F.col("o_orderkey").alias("pk"),
-            F.lit(status).alias("status"),
-            F.col("o_totalprice").alias("price"),
-        )
-
-    t.apply_changes(batch(1, mod10 == 0, "shipped"))
+    _o, mod10, base, rows, _bump = _orders_journey_fixture(spark, sf_dir, 5)
+    t.bootstrap(base)
+    t.apply_changes(rows("MODIFY", 1, mod10 == 0, status="shipped"))
     clone = t.clone_to(wh_dev, qualified_name="dev.orders_experiment")
 
     _check(
@@ -2540,8 +2424,8 @@ def c15_shallow_clone_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shallow clone must copy no data",
     )
     # diverge both sides
-    clone.apply_changes(batch(2, mod10 == 1, "experiment"))
-    t.apply_changes(batch(3, mod10 == 2, "prod_only"))
+    clone.apply_changes(rows("MODIFY", 2, mod10 == 1, status="experiment"))
+    t.apply_changes(rows("MODIFY", 3, mod10 == 2, status="prod_only"))
     _check(
         t.read().filter(F.col("status") == "experiment").count() == 0,
         "production must not see the clone's experiment",
@@ -2674,29 +2558,13 @@ def c17_constraint_gate_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
             check_constraints=("price >= 0", "status IN ('O', 'F', 'P')"),
         )
     )
-    o = load(spark, sf_dir, "orders")
-    mod10 = F.col("o_orderkey") % 10
-    t.bootstrap(
-        o.select(
-            F.col("o_orderkey").alias("pk"),
-            F.col("o_orderstatus").alias("status"),
-            F.col("o_totalprice").alias("price"),
-        )
-    )
+    _o, mod10, base, rows, _bump = _orders_journey_fixture(spark, sf_dir, None)
+    t.bootstrap(base)
     v = t.version
-
-    def batch(seq, cond, price_col):
-        return o.filter(cond).select(
-            F.lit("MODIFY").alias("op"),
-            F.lit(seq).alias("seq"),
-            F.col("o_orderkey").alias("pk"),
-            F.col("o_orderstatus").alias("status"),
-            price_col.alias("price"),
-        )
 
     # poisoned batch: negative prices — must be rejected atomically
     try:
-        t.apply_changes(batch(1, mod10 == 0, -F.col("o_totalprice")))
+        t.apply_changes(rows("MODIFY", 1, mod10 == 0, price=-F.col("o_totalprice")))
         _check(False, "poisoned batch must raise ConstraintViolationError")
     except ConstraintViolationError:
         pass
@@ -2706,7 +2574,7 @@ def c17_constraint_gate_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rejected commit must leave integrity clean",
     )
     # corrective valid batch: doubled (still non-negative) prices
-    t.apply_changes(batch(2, mod10 == 1, F.col("o_totalprice") * 2))
+    t.apply_changes(rows("MODIFY", 2, mod10 == 1, price=F.col("o_totalprice") * 2))
     return (
         t.read()
         .groupBy("status")

@@ -45,41 +45,42 @@ def test_doc_counts_match_registry():
 
 
 def test_grade_priority_prefix():
-    # Round-8 rotation (VERDICT r7 #1: burn down the stale-grade
-    # backlog): the driver grades a 50-query prefix of the registry.
-    # The r8 prefix leads with the 3 never-graded r8 additions, then
-    # 11 re-signs for code rewritten THIS round (e38 dedup rework,
-    # h24 caching, h20/h25 CoW-diff readers, c23-c27 sql_dml
-    # refactors, d90/d90b merge-engine extension), then the 11
-    # kernel-rewritten r01/r02-graded entries (e02c-e02h + e03
-    # family, the verdict's top rotation priority), then 25 more of
-    # the oldest grades. As of r8, _GRADE_PRIORITY covers the WHOLE
-    # registry (tail ordered stale-first, then ascending grade age).
+    # Round-9 rotation (VERDICT r8 #1: finish the stale-grade
+    # burn-down): the driver grades a 50-query prefix of the registry.
+    # The r9 prefix leads with the 2 never-graded r9 additions, then
+    # 17 re-signs for code changed this round (version-state sink,
+    # partition-local CoW diff, e43/e58/d86 review fixes, c04
+    # integration_name, the 9 consolidated journey builders), then ALL
+    # 23 remaining r01/r02-vintage grades, then the 8 oldest r03
+    # grades. After this window grades, every entry's latest driver
+    # grade is r03 or newer and the r03 burn-down has begun.
     from dynamodb_zero_etl_s3tables_spark.operators import _GRADE_PRIORITY
 
     names = list(QUERY_REGISTRY)
     assert names == _GRADE_PRIORITY
     window = _GRADE_PRIORITY[:50]
     for name in (
-        # r8 additions, never driver-graded
-        "h26_cow_changelog_stream", "c28_sql_lifecycle_journey",
-        "c29_sql_nmbs_time_travel_journey",
-        # r8-changed re-signs
-        "e38_training_export", "h24_streaming_index_maintenance",
-        "h20_table_changelog_stream", "c27_sql_ctas_journey",
-        "d90_merge_into",
-        # kernel-rewritten stale grades (r7 verdict's top priority)
-        "e02c_ngram_jaccard", "e03_cosine_topk",
-        # oldest remaining r01/r02 grades
-        "b01_bootstrap_snapshot", "h02_watermark_twin",
-        "d23_global_agg", "e01_exact_dedup",
+        # r9 additions, never driver-graded
+        "h27_out_of_order_cdc", "e83_batched_ann_topk",
+        # r9-changed re-signs
+        "h07_stream_merge_sink", "h20_table_changelog_stream",
+        "h26_cow_changelog_stream", "e43_hard_negatives",
+        "e58_blockwise_int4", "d86_bucketed_join", "c04_engine_facade",
+        "c02_catalog_roundtrip", "c08_incremental_view_maintenance",
+        "c17_constraint_gate_journey",
+        # the last r01/r02-vintage grades (r8 verdict's top item)
+        "d26b_cube", "e05_tfidf", "e05f_rolling_hash", "e11_pii_redaction",
+        "e19_corpus_report", "e24_editdist_verify",
+        # start of the r03 burn-down
+        "d29c_median_mode", "d36_global_sort",
     ):
         assert name in window, name
-    assert _GRADE_PRIORITY[0] == "h26_cow_changelog_stream"
+    assert _GRADE_PRIORITY[0] == "h27_out_of_order_cdc"
     # recently-graded queries stay rotated out of the window
     assert "e20_chunk_dedup" not in window          # r5-graded
     assert "d25_approx_count_distinct" not in window  # r6-graded
     assert "d01_parquet_scan" not in window          # r7-graded
+    assert "e38_training_export" not in window       # r8-graded
     # no duplicates, every priority name registered
     assert len(set(_GRADE_PRIORITY)) == len(_GRADE_PRIORITY)
 
