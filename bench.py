@@ -94,6 +94,10 @@ HEADLINE = [
     # these stay separable in r9+)
     "h26_cow_changelog_stream",  # CoW snapshot-diff changelog drain
     "c29_sql_nmbs_time_travel_journey",  # 3-clause MERGE + travel join
+    # r9 additions (subtotal_r8_52_sec closes the window above so
+    # these stay separable in r10+)
+    "h27_out_of_order_cdc",      # version-state drain, reversed arrival
+    "e83_batched_ann_topk",      # 64-query IVF serving batch
 ]
 
 #: prefix lengths whose subtotals stay comparable across rounds
@@ -105,6 +109,7 @@ N_R5B = 40
 N_R5C = 44
 N_R6 = 48
 N_R7 = 50
+N_R8 = 52
 
 #: recorded quiet-host calibration probe (SCALE.md "Cross-host
 #: normalization"): 0.924s on the r4 build host at rest, 1.028s on the
@@ -233,6 +238,9 @@ def main() -> None:
                 "subtotal_r7_50_sec": round(
                     sum(timings[n] for n in HEADLINE[:N_R7]), 3
                 ),
+                "subtotal_r8_52_sec": round(
+                    sum(timings[n] for n in HEADLINE[:N_R8]), 3
+                ),
                 # calibration-normalized twins (VERDICT r7 #5): wall
                 # times divided by host_speed_factor, i.e. projected
                 # onto the quiet r4 reference host — gate regression
@@ -247,6 +255,31 @@ def main() -> None:
                     sum(timings[n] for n in HEADLINE[:N_ORIGINAL]) / speed_factor,
                     3,
                 ),
+                # mechanical grading gate (VERDICT r8 #5): one field
+                # the grader can read without re-deriving the
+                # normalization story. `use` names which twin of the
+                # frozen original-20 subtotal to compare against
+                # BASELINE/earlier rounds: raw on a quiet host;
+                # normalized (wall / host_speed_factor, projected onto
+                # the quiet r4 reference host whose probe is
+                # calibration_quiet_bound_sec) when the host is
+                # uniformly slower (contaminated but stable probes);
+                # valid=false only when load arrived MID-run
+                # (contaminated + unstable) — then neither twin is
+                # trustworthy and the run should be repeated.
+                "gate": {
+                    "metric": "subtotal_original20_sec",
+                    "raw": round(
+                        sum(timings[n] for n in HEADLINE[:N_ORIGINAL]), 3
+                    ),
+                    "normalized": round(
+                        sum(timings[n] for n in HEADLINE[:N_ORIGINAL])
+                        / speed_factor,
+                        3,
+                    ),
+                    "use": "normalized" if contaminated else "raw",
+                    "valid": (not contaminated) or stable,
+                },
                 "calibration_sec": cal,
                 "calibration_start_sec": cal_start,
                 "calibration_end_sec": cal_end,
