@@ -469,6 +469,8 @@ def apply_changes_stream_evolving(
     strategy: str = "copy-on-write",
     auto_compact: bool = False,
     max_delta_layers: int = 5,
+    tolerate_out_of_order: bool = False,
+    late_delay: float | None = None,
 ) -> StreamingQuery:
     """H7 sink with mid-stream ADDITIVE SCHEMA EVOLUTION: each
     microbatch is typed by its own inferred (batch-merged) schema and
@@ -488,12 +490,33 @@ def apply_changes_stream_evolving(
     Scale: inference is one JVM aggregate over the batch (no Python
     row work, no second file read), and the merge cost is unchanged —
     the evolving path costs one ``schema_of_variant_agg`` scalar over
-    what ``apply_changes_stream`` already does."""
+    what ``apply_changes_stream`` already does.
+
+    ``tolerate_out_of_order`` / ``late_delay`` mirror
+    :func:`apply_changes_stream` — the :class:`VersionState` filter
+    runs on the TYPED batch (post-inference), so the version columns
+    carry the target's pinned types and the state schema is stable
+    across evolving batches (state rows hold keys + order columns
+    only, which evolution never touches)."""
+
+    state: VersionState | None = None
+    if tolerate_out_of_order:
+        state = VersionState(
+            table.spark,
+            os.path.join(checkpoint_dir, "version_state"),
+            keys=tuple(table.spec.key_columns),
+            order_cols=tuple(table.spec.order_columns),
+            late_delay=late_delay,
+        )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         typed = _infer_batch(batch_df, table)
+        if state is not None:
+            typed = state.filter_and_advance(typed, batch_id)
+            if typed.isEmpty():
+                return  # every row in the batch was stale or late
         _ensure_table(table, typed.schema)
         table.apply_changes(typed, strategy=strategy)
         if auto_compact:

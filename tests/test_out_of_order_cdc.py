@@ -187,3 +187,56 @@ def test_version_state_requires_order_columns(spark, tmp_path):
 
     with pytest.raises(ValueError, match="order column"):
         VersionState(spark, str(tmp_path / "s"), keys=("pk",), order_cols=())
+
+
+def test_evolving_sink_out_of_order_with_new_column(spark, warehouse, tmp_path):
+    """The evolving sink shares the VersionState filter: a stale wave
+    delivered second cannot resurrect/clobber, while a NEW COLUMN
+    riding the same late file still evolves the schema through its
+    fresh rows (state filtering and additive evolution compose)."""
+    from dynamodb_zero_etl_s3tables_spark.streaming.cdc import (
+        apply_changes_stream_evolving,
+        read_raw_changelog_stream,
+    )
+
+    log_dir = tmp_path / "log"
+    _write_batch(
+        log_dir / "b_new.json",
+        [
+            {"op": "MODIFY", "seq": 2, "pk": 1, "status": "winner"},
+            {"op": "REMOVE", "seq": 2, "pk": 2},
+        ],
+        mtime=1_000_000,
+    )
+    _write_batch(
+        log_dir / "b_old.json",
+        [
+            # stale (seq 1): filtered entirely — including its segment
+            {"op": "MODIFY", "seq": 1, "pk": 1, "status": "stale",
+             "segment": "zombie"},
+            {"op": "MODIFY", "seq": 1, "pk": 2, "status": "zombie",
+             "segment": "zombie"},
+            # fresh (seq 3): applies, carrying the new column
+            {"op": "INSERT", "seq": 3, "pk": 3, "status": "fresh",
+             "segment": "gold"},
+        ],
+        mtime=1_000_100,
+    )
+
+    t = ManagedTable(spark, warehouse, _spec("ooo_evolve"))
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, "base"), (2, "base")], "pk long, status string"
+        )
+    )
+    raw = read_raw_changelog_stream(spark, str(log_dir), max_files_per_trigger=1)
+    q = apply_changes_stream_evolving(
+        t, raw, str(tmp_path / "ckpt"), tolerate_out_of_order=True
+    )
+    assert q.awaitTermination(180)
+
+    got = {r.pk: (r.status, r.segment) for r in t.read().collect()}
+    assert got == {
+        1: ("winner", None),   # stale MODIFY filtered; no segment leak
+        3: ("fresh", "gold"),  # new column evolved via the fresh row
+    }
