@@ -156,6 +156,14 @@ class VersionState:
     entry. The per-batch filter is one equi-join of the batch against
     the small state (broadcast when small, key-partitioned otherwise)
     — no extra shuffle of the table itself.
+
+    Contract: order-column values must be NON-NULL on every change
+    row (the same requirement the LWW merge itself has — a NULL
+    version is not comparable; under Spark's three-valued logic a
+    NULL-versioned row would be silently dropped once its key holds
+    state). DynamoDB stream records always carry the
+    (ApproximateCreationDateTime, SequenceNumber) pair, so this is
+    the wire reality, stated loudly.
     """
 
     def __init__(

@@ -240,3 +240,44 @@ def test_evolving_sink_out_of_order_with_new_column(spark, warehouse, tmp_path):
         1: ("winner", None),   # stale MODIFY filtered; no segment leak
         3: ("fresh", "gold"),  # new column evolved via the fresh row
     }
+
+
+def test_version_state_composite_order_and_timestamp_delay(spark, tmp_path):
+    """Two-column lexicographic version compare ((ts, seq) — equal ts
+    falls through to seq) and a TIMESTAMP order column with late_delay
+    in SECONDS (the datetime branch of the watermark arithmetic)."""
+    import datetime
+
+    st = VersionState(
+        spark,
+        str(tmp_path / "state"),
+        keys=("pk",),
+        order_cols=("ts", "seq"),
+        late_delay=3600,  # one hour, seconds
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (pk, datetime.datetime(2026, 1, 1, h, 0, 0), seq, s)
+                for pk, h, seq, s in rows
+            ],
+            "pk long, ts timestamp, seq long, status string",
+        )
+
+    # batch 0: pk1 at (10:00, seq 5)
+    assert st.filter_and_advance(mk([(1, 10, 5, "a")]), 0).count() == 1
+    # same ts, lower seq -> stale; same ts, higher seq -> admitted
+    got = {
+        (r.pk, r.seq)
+        for r in st.filter_and_advance(
+            mk([(1, 10, 4, "stale"), (1, 10, 6, "newer")]), 1
+        ).collect()
+    }
+    assert got == {(1, 6)}
+    # 12:00 advances the watermark to 11:00; a 10:30 arrival is late
+    assert st.filter_and_advance(mk([(2, 12, 1, "adv")]), 2).count() == 1
+    assert st.filter_and_advance(mk([(3, 10, 9, "late")]), 3).count() == 0
+    # state GC: only entries at/after the 11:00 watermark survive
+    snap = spark.read.parquet(str(tmp_path / "state" / f"state_v{3:020d}"))
+    assert {r.pk for r in snap.collect()} == {2}
