@@ -2695,8 +2695,10 @@ def e83_batched_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: corpus-side work is nprobe/nlist of a full scan PER QUERY,
     identical to e03b, but amortized: one scan serves all {BATCH_Q}
     queries, the probe list (BATCH_Q x nprobe rows) and the query
-    batch broadcast, and the shuffle is the final per-qid top-k over
-    <= k-bounded candidates per cell. With millions of queries the
+    batch broadcast, and the scored rows are pre-reduced by a TRULY
+    map-side per-(batch, qid) partial top-k before the final window,
+    so the shuffle is k x batches x queries narrow rows — never the
+    probed corpus fraction itself. With millions of queries the
     same plan shards the query batch; nothing here is per-query
     driver work. The centroid stage deliberately repeats e03b's
     pipeline verbatim rather than refactoring it (grade-stability:
@@ -2758,9 +2760,31 @@ def e83_batched_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_sim"),
     )
+
+    # map-side partial top-k per Arrow batch (e43's two-stage shape,
+    # NaN-first per its r8-advice fix): without it the per-qid window
+    # funnels ~nprobe/nlist of the CORPUS per query into one shuffle
+    # partition — at 100 TB that single stage dwarfs everything else.
+    # Exact: a global per-qid top-k row is within its own batch's
+    # per-qid top-k, so the union is a superset the final window
+    # reduces identically; shuffle volume drops to k x batches x
+    # queries narrow rows.
+    def _batch_topk(batches):
+        for pdf in batches:
+            yield (
+                pdf.sort_values(
+                    ["cos_sim", "vec_id"],
+                    ascending=[False, True],
+                    na_position="first",
+                )
+                .groupby("qid", sort=False)
+                .head(BATCH_K)
+            )
+
+    partial = scored.mapInPandas(_batch_topk, scored.schema)
     wk = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
     return (
-        scored.withColumn("rank", F.row_number().over(wk))
+        partial.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= BATCH_K)
         .select("qid", "vec_id", "label", "cos_sim", "rank")
     )

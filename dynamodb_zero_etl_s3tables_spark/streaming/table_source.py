@@ -483,12 +483,29 @@ def _cow_closures():
                 for s in raw["snapshots"]
                 if s["version"] == max(prev) and not s.get("staged")
             )
+            def _layouts(s):
+                # per-entry partition-column sets ("their values keys
+                # ARE their spec", manifest evolve_partitioning)
+                return {
+                    tuple(sorted(e["values"].keys()))
+                    for e in (s.get("partitions") or [])
+                }
+
             if (
                 snap.get("partitions") is not None
                 and prev_snap.get("partitions") is not None
                 and not prev_snap.get("delta")
                 and (snap.get("read_renames") or {})
                 == (prev_snap.get("read_renames") or {})
+                # entry matching is BY partition values, so both sides
+                # must share ONE homogeneous layout: across a
+                # partition-spec-evolution boundary the migrating
+                # merge re-keys every entry (status=X -> mon=Y) and
+                # per-entry matching would emit a spurious
+                # DELETE+INSERT pair for every unchanged row — the
+                # generic keyed diff handles that version exactly
+                and _layouts(snap) == _layouts(prev_snap)
+                and len(_layouts(snap)) == 1
             ):
                 # no rolled-state cache on this path: later partitioned
                 # diffs never need the full state either, and a stale

@@ -861,3 +861,45 @@ def test_partitioned_rename_refusal_keeps_fast_path_sound(spark, warehouse):
     )
     with pytest.raises(ValueError, match="unpartitioned"):
         t.rename_column("price", "amount")
+
+
+def test_partition_spec_evolution_boundary_diffs_exactly(spark, warehouse):
+    """r9 self-review: across a partition-spec evolution, the lazily
+    migrating merge RE-KEYS every entry (status=X -> mon=Y layouts),
+    so the partition-local fast path's entry matching would pair
+    nothing and emit a spurious DELETE+INSERT per unchanged row. The
+    layout-homogeneity guard must route that version to the generic
+    keyed diff: the changelog for the migration version equals
+    read_changes (only genuinely touched rows), and the evolution
+    marker itself diffs to zero rows."""
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(
+            namespace="ns", name="cdfev", key_columns=("pk",),
+            partition_columns=("status",),
+        )
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, "A", 1, 10.0), (2, "A", 2, 11.0), (3, "B", 3, 20.0)],
+            "pk long, status string, mon long, price double",
+        )
+    )
+    t.evolve_partitioning(("mon",))  # v2: metadata-only marker
+    t.apply_changes(  # v3: migrating merge — touches ONLY pk=1
+        spark.createDataFrame(
+            [("MODIFY", 1, "A", 1, 99.0, 1, 1)],
+            "op string, pk long, status string, mon long, price double,"
+            " ts long, seq long",
+        )
+    )
+    ref = {(r.op, r.pk) for r in t.read_changes(2, 3).collect()}
+    assert ref == {("MODIFY", 1)}  # sanity: batch API reports one change
+
+    r = _reader(f"{warehouse}/ns/cdfev/manifest.json", max_versions=1)
+    rows2, off2 = r.read({"v": 1})
+    rows3, off3 = r.read(off2)
+    rows2, rows3 = list(rows2), list(rows3)
+    assert (off2, off3) == ({"v": 2}, {"v": 3})
+    assert rows2 == []  # evolution marker: changelog-transparent
+    got3 = {(x[1], x[2]) for x in rows3}
+    assert got3 == {("UPSERT", 1)}, rows3  # no DELETE+INSERT churn
