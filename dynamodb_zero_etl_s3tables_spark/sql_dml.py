@@ -412,13 +412,23 @@ def _route_insert(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
             f"table (has {target_cols}) — refusing a silent partial apply"
         )
     images = {c: F.expr(f"s.{c}") for c in source.columns}
+    # PutItem replaces the WHOLE image: target columns the statement
+    # does not supply become NULL on overwritten keys too, not only on
+    # fresh inserts (r9 review: a partial-column INSERT over an
+    # existing key silently kept the old values — UpdateItem
+    # semantics, contradicting this handler's documented contract)
+    for c in target_cols:
+        if c not in images:
+            images[c] = F.lit(None)
     engine.table.merge_into(
         source,
         matched=[("update", None, images)],
         insert_values=images,
     )
     return _result_df(
-        engine, "insert", {"rows": source.count(), "columns": sorted(images)}
+        engine,
+        "insert",
+        {"rows": source.count(), "columns": sorted(source.columns)},
     )
 
 
@@ -584,9 +594,18 @@ def _route_merge(
                 )
             if im.group(1) is None:  # INSERT *
                 tcols = set(engine.table.read().columns)
-                insert_values = {
-                    c: F.expr(f"s.{c}") for c in source.columns if c in tcols
-                }
+                extra = [c for c in source.columns if c not in tcols]
+                if extra:
+                    # Delta refuses this too (absent schema evolution);
+                    # silently projecting them away was the module's
+                    # own silent-partial-apply anti-pattern (r9 review)
+                    raise ValueError(
+                        f"MERGE INSERT *: source columns {extra} are not "
+                        "columns of the target table — name the columns "
+                        "with INSERT (cols) VALUES (...) or drop them "
+                        "from the USING source"
+                    )
+                insert_values = {c: F.expr(f"s.{c}") for c in source.columns}
             else:
                 cols = [c.strip() for c in im.group(1).split(",")]
                 exprs = _split_top(im.group(2), r",")

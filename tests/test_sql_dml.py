@@ -666,3 +666,37 @@ def test_drop_table_delegates_to_spark_catalog(spark, warehouse):
     # ...and refuses loudly without it
     with pytest.raises(ValueError, match="unknown table"):
         eng.sql("DROP TABLE no_such_table_r8")
+
+
+def test_insert_partial_columns_replaces_whole_image(spark, warehouse):
+    """r9 review: INSERT is the PutItem analog — overwriting an
+    existing key REPLACES the whole image, so target columns the
+    statement does not supply become NULL (previously they silently
+    kept the old values, which is UpdateItem semantics and
+    contradicted the handler's documented contract)."""
+    eng = _engine(spark, warehouse, "ins5")
+    eng.sql("INSERT INTO ns.ins5 (pk, status) VALUES (2, 'REPL')")
+    row = eng.read().filter("pk = 2").first()
+    assert row.status == "REPL"
+    assert row.price is None  # unsupplied column nulled, not retained
+    # fresh key via the same partial statement: identical image shape
+    eng.sql("INSERT INTO ns.ins5 (pk, status) VALUES (77, 'NEW')")
+    row = eng.read().filter("pk = 77").first()
+    assert (row.status, row.price) == ("NEW", None)
+
+
+def test_merge_insert_star_refuses_extra_source_columns(spark, warehouse):
+    """r9 review: INSERT * with source columns outside the target used
+    to silently project them away — the silent-partial-apply class the
+    routed grammar refuses everywhere else (Delta refuses it too)."""
+    eng = _engine(spark, warehouse, "mrg3")
+    with pytest.raises(ValueError, match="extra_col"):
+        eng.sql(
+            """
+            MERGE INTO ns.mrg3 t
+            USING (SELECT 7 AS pk, 'S' AS status, 1.0 AS price,
+                          'x' AS extra_col) s
+            ON t.pk = s.pk
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
