@@ -281,3 +281,80 @@ def test_version_state_composite_order_and_timestamp_delay(spark, tmp_path):
     # state GC: only entries at/after the 11:00 watermark survive
     snap = spark.read.parquet(str(tmp_path / "state" / f"state_v{3:020d}"))
     assert {r.pk for r in snap.collect()} == {2}
+
+
+# -- property law: any batching x any order == one-shot LWW merge ------------
+# Drives VersionState + apply_changes directly (the merge_batch body,
+# minus streaming machinery — which h27 and the drains above cover),
+# so hypothesis can afford real examples.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _changes_st():
+    change = st.tuples(
+        st.sampled_from(["INSERT", "MODIFY", "REMOVE"]),
+        st.integers(min_value=0, max_value=5),    # pk
+        st.integers(min_value=1, max_value=9),    # seq (version)
+        st.sampled_from(["a", "b", "c"]),         # status payload
+    )
+    return st.lists(
+        change, min_size=1, max_size=12,
+        unique_by=lambda c: (c[1], c[2]),  # one change per (pk, seq):
+        # equal versions with different images are undefined under LWW
+    )
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(changes=_changes_st(), data=st.data())
+def test_any_batching_any_order_converges(spark, tmp_path_factory, changes, data):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    # random partition of the change set into 1-4 batches, random order
+    n_batches = data.draw(st.integers(min_value=1, max_value=4))
+    assignment = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=n_batches - 1),
+            min_size=len(changes), max_size=len(changes),
+        )
+    )
+    order = data.draw(st.permutations(range(n_batches)))
+
+    wh = tempfile.mkdtemp(prefix="ooolaw_")
+    t = ManagedTable(spark, wh, _spec("law"))
+    base = [(0, "base", 0.0), (1, "base", 0.0)]
+    t.bootstrap(spark.createDataFrame(base, IMAGE_SCHEMA))
+
+    schema = "op string, seq long, pk long, status string, price double"
+    rows = [
+        (op, seq, pk, s, float(seq))
+        for (op, pk, seq, s) in changes
+    ]
+    st_dir = tempfile.mkdtemp(prefix="ooostate_")
+    vs = VersionState(spark, st_dir, keys=("pk",), order_cols=("seq",))
+    for bi, b in enumerate(order):
+        batch_rows = [r for r, a in zip(rows, assignment) if a == b]
+        if not batch_rows:
+            continue
+        admitted = vs.filter_and_advance(
+            spark.createDataFrame(batch_rows, schema), bi
+        )
+        if not admitted.isEmpty():
+            t.apply_changes(admitted)
+
+    got = {r.pk: (r.status, r.price) for r in t.read().collect()}
+
+    one_shot = merge_changes(
+        spark.createDataFrame(base, IMAGE_SCHEMA),
+        spark.createDataFrame(rows, schema),
+        keys=["pk"],
+        order_cols=["seq"],
+    )
+    want = {r.pk: (r.status, r.price) for r in one_shot.collect()}
+    assert got == want, (changes, assignment, order, got, want)
