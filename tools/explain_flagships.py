@@ -248,6 +248,15 @@ FLAGSHIPS = {
         "snapshot's files are never rewritten (pinned by _check); "
         "compact() folds layers off the write path."
     ),
+    "e83_batched_ann_topk": (
+        "Batched ANN serving (r9): the 64-query batch rides BROADCAST "
+        "equi-joins only — per-(query, cell) distances via the dimension "
+        "key, candidates via the (qid, label) probe list against the "
+        "corpus label (never corpus x queries); ONE ArrowEvalPython node "
+        "is the map-side partial top-k, so the per-qid rank window "
+        "shuffles k x batches x queries narrow rows, not the probed "
+        "corpus fraction. No BNLJ, no cartesian."
+    ),
 }
 
 
