@@ -311,7 +311,7 @@ def _changes_st():
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(changes=_changes_st(), data=st.data())
-def test_any_batching_any_order_converges(spark, tmp_path_factory, changes, data):
+def test_any_batching_any_order_converges(spark, changes, data):
     import tempfile
 
     from pyspark.sql import functions as F
