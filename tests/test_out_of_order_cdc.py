@@ -358,3 +358,27 @@ def test_any_batching_any_order_converges(spark, changes, data):
     )
     want = {r.pk: (r.status, r.price) for r in one_shot.collect()}
     assert got == want, (changes, assignment, order, got, want)
+
+
+def test_out_of_order_with_merge_on_read(spark, warehouse, tmp_path):
+    """strategy='merge-on-read' x VersionState: each admitted batch is
+    an O(batch) delta layer; because the filter only admits strictly
+    newer rows per key, the layered LWW resolution equals the CoW
+    drain and the one-shot merge for the same reversed feed."""
+    log_dir = tmp_path / "log"
+    _write_batch(log_dir / "b_new.json", WAVE_NEW, mtime=1_000_000)
+    _write_batch(log_dir / "b_old.json", WAVE_OLD, mtime=1_000_100)
+
+    t = _bootstrap(spark, warehouse, "ooo_mor")
+    _drain(
+        spark, t, log_dir, tmp_path / "ckpt",
+        tolerate_out_of_order=True, strategy="merge-on-read",
+    )
+    got = {r.pk: (r.status, r.price) for r in t.read().collect()}
+    assert got[1] == ("winner", 100.0)
+    assert 2 not in got
+    assert got[3] == ("kept", 30.0)
+    assert got[4] == ("fresh", 40.0)
+    # compaction folds the layers without changing the state
+    t.compact()
+    assert {r.pk: (r.status, r.price) for r in t.read().collect()} == got
