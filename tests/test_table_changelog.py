@@ -903,3 +903,75 @@ def test_partition_spec_evolution_boundary_diffs_exactly(spark, warehouse):
     assert rows2 == []  # evolution marker: changelog-transparent
     got3 = {(x[1], x[2]) for x in rows3}
     assert got3 == {("UPSERT", 1)}, rows3  # no DELETE+INSERT churn
+
+
+_pwave_st = st.lists(
+    st.tuples(
+        st.sampled_from(["MODIFY", "REMOVE"]),
+        st.integers(min_value=0, max_value=9),  # pk (8,9 = fresh keys)
+        st.floats(min_value=0, max_value=9, allow_nan=False).map(
+            lambda x: round(x, 1)
+        ),
+    ),
+    min_size=1, max_size=6,
+    unique_by=lambda c: c[1],
+)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(wave=_pwave_st)
+def test_partitioned_cow_diff_matches_read_changes(spark, wave):
+    """r9: the PARTITION-LOCAL diff path must restate read_changes on
+    arbitrary pruned-merge waves over a partitioned table (the
+    unpartitioned law above never reaches part_local_diff). Partition
+    values follow the engine's stable-per-key contract (status is a
+    function of pk), as apply_changes documents."""
+    import json as _j
+    import tempfile
+
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        _cow_closures,
+    )
+
+    part = lambda pk: "A" if pk % 2 == 0 else "B"  # noqa: E731
+    wh = tempfile.mkdtemp(prefix="cowplaw_")
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="ns", name="plaw", key_columns=("pk",),
+            partition_columns=("status",),
+        )
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(k, part(k), float(k)) for k in range(8)],
+            "pk long, status string, price double",
+        )
+    )
+    t.apply_changes(
+        spark.createDataFrame(
+            [(op, pk, part(pk), p, 1, i) for i, (op, pk, p) in enumerate(wave)],
+            "op string, pk long, status string, price double, ts long, seq long",
+        )
+    )
+    ref = {
+        (r.op, r.pk): (r.status, r.price)
+        for r in t.read_changes(1, 2).collect()
+    }
+    _rows, _snap_rows, _coerce, _resolve, diff = _cow_closures()
+    raw = _j.loads(open(f"{wh}/ns/plaw/manifest.json").read())
+    changes, _cache = diff(
+        raw, raw["snapshots"][1], ["pk"], ["pk", "status", "price"]
+    )
+    got = {}
+    for op, r in changes:
+        got[({"INSERT": "INSERT", "UPSERT": "MODIFY", "DELETE": "REMOVE"}[op],
+             r["pk"])] = (r.get("status"), r.get("price"))
+    assert {k for k in ref} == {k for k in got}, (ref, got)
+    for k, v in ref.items():
+        if k[0] != "REMOVE":
+            assert got[k] == v, (k, got[k], v)
+        else:
+            assert got[k] == (None, None)
