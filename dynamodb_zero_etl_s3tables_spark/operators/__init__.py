@@ -55,11 +55,13 @@ from dynamodb_zero_etl_s3tables_spark.operators import sources_sinks  # noqa: E4
 # c04 (engine facade: integration_name + per-pipeline logger), and the
 # nine consolidated journey builders c02/c05/c07/c08/c09/c11/c12/c15/
 # c17 (_orders_journey_fixture) — so no driver-signed grade predates
-# the code it certifies. Positions 20-42: ALL 23 remaining r01/r02-
+# the code it certifies. Positions 20-22: late-r9 re-signs for the
+# partitioned-DDL landing (rename/drop/add verbs + ref guards changed
+# under c14/c22/c26). Positions 23-45: ALL 23 remaining r01/r02-
 # vintage grades (the r8 verdict's top item — after this window grades
-# every entry's latest driver grade is r03 or newer). Positions 43-50:
-# the 8 oldest r03-vintage grades (d29c + the window-function family),
-# starting the r03 burn-down.
+# every entry's latest driver grade is r03 or newer). Positions 46-50:
+# the 5 oldest r03-vintage grades (d29c + the window-function family),
+# starting the r03 burn-down (d34-d36 queue right behind).
 _GRADE_PRIORITY = [
     "h27_out_of_order_cdc",
     "e83_batched_ann_topk",
@@ -80,6 +82,12 @@ _GRADE_PRIORITY = [
     "c12_branch_journey",
     "c15_shallow_clone_journey",
     "c17_constraint_gate_journey",
+    # late-r9 re-signs: partitioned schema DDL landed (per-entry rename
+    # mappings) — the rename/drop/add verbs and the tag/ref guards
+    # changed under these journeys, so their grades must postdate it
+    "c14_rename_journey",
+    "c22_drop_column_journey",
+    "c26_sql_ddl_journey",
     "d26b_cube",
     "e05_tfidf",
     "e05b_langid",
@@ -118,7 +126,6 @@ _GRADE_PRIORITY = [
     "c23_sql_dml_journey",
     "c24_mor_dml_journey",
     "c25_sql_dml_residual_journey",
-    "c26_sql_ddl_journey",
     "c27_sql_ctas_journey",
     "d90_merge_into",
     "d90b_merge_evolving",
@@ -245,7 +252,6 @@ _GRADE_PRIORITY = [
     "d53c_map_in_arrow",
     "d94_python_datasource",
     "e56_split_leakage_audit",
-    "c14_rename_journey",
     "e57_winnowing_fingerprints",
     "h19_drift_gated_ingest",
     "e59_doremi_mixture",
@@ -268,7 +274,6 @@ _GRADE_PRIORITY = [
     "d28_collect_list_set",
     "d38_limit_no_sort",
     "c21_generated_columns_journey",
-    "c22_drop_column_journey",
     "d97_tpch_q11_important_stock",
     "d98_tpch_q16_supplier_part_counts",
     "d99_tpch_q20_excess_stock",

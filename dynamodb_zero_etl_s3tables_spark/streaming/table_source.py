@@ -272,22 +272,20 @@ def _cow_closures():
         with the entry's partition values re-attached typed — the
         partition columns live in dir names, not the files, so a flat
         glob would silently emit zero rows (and dropping the values
-        would null the partition columns)."""
+        would null the partition columns) — via :func:`entry_rows`,
+        which also applies each entry's OWN ``renames`` mapping (the
+        per-entry rename bookkeeping of partitioned DDL)."""
         if snap.get("partitions") is not None:
             fields = {
                 f["name"]: f["type"]
                 for f in json.loads(snap["schema_json"])["fields"]
             }
-            rows = []
-            for ent in snap["partitions"]:
-                vals = {
-                    pc: coerce_part(rv, fields.get(pc))
-                    for pc, rv in ent["values"].items()
-                }
-                for r in _rows(ent["dir"]):
-                    rows.append({**r, **vals})
-        else:
-            rows = _rows(snap["data_dir"])
+            return [
+                r
+                for ent in snap["partitions"]
+                for r in entry_rows(snap, ent, fields)
+            ]
+        rows = _rows(snap["data_dir"])
         ren = snap.get("read_renames") or {}
         if ren:
             rows = [{ren.get(c, c): v for c, v in r.items()} for r in rows]
@@ -369,15 +367,22 @@ def _cow_closures():
 
     def entry_rows(snap, ent, fields):
         """One partition ENTRY's rows with the entry's typed partition
-        values re-attached and the snapshot's read_renames applied —
-        the per-entry unit snap_rows is built from, exposed so the
+        values re-attached and the rename mappings applied — the
+        snapshot-level ``read_renames`` plus the entry's OWN
+        ``renames`` (partitioned DDL keeps the file-name -> current
+        mapping per entry, since a pruned merge legally mixes
+        old-named carried entries with new-named fresh ones). The
+        per-entry unit snap_rows is built from, exposed so the
         partition-local diff can read ONLY rewritten entries."""
         vals = {
             pc: coerce_part(rv, fields.get(pc))
             for pc, rv in ent["values"].items()
         }
         rows = [{**r, **vals} for r in _rows(ent["dir"])]
-        ren = snap.get("read_renames") or {}
+        ren = {
+            **(snap.get("read_renames") or {}),
+            **(ent.get("renames") or {}),
+        }
         if ren:
             rows = [{ren.get(c, c): v for c, v in r.items()} for r in rows]
         return rows
@@ -416,7 +421,15 @@ def _cow_closures():
         for ent in snap["partitions"]:
             pk = tuple(sorted(ent["values"].items()))
             old_ent = old_map.pop(pk, None)
-            if old_ent is not None and old_ent["dir"] == ent["dir"]:
+            if (
+                old_ent is not None
+                and old_ent["dir"] == ent["dir"]
+                # same dir but a DIFFERENT per-entry rename mapping is
+                # a rename-boundary version: the rows READ differently
+                # (new column name), so the entry must be diffed — it
+                # emits the documented UPSERT wave read_changes reports
+                and (old_ent.get("renames") or {}) == (ent.get("renames") or {})
+            ):
                 continue  # carried by reference: provably unchanged, unread
             old_state = {}
             if old_ent is not None:

@@ -399,6 +399,36 @@ def _file_may_match(stats: dict[str, list[Any]], col: str, op: str, val: Any) ->
     return True
 
 
+def _compose_rename(
+    renames: dict[str, str] | None, old: str, new: str
+) -> dict[str, str]:
+    """Compose a rename onto a file-name -> current-name mapping:
+    a->b->c keeps ONE file->current entry; renaming back to the stored
+    file name drops the entry (the files already use that name)."""
+    out = dict(renames or {})
+    inv = {cur: fc for fc, cur in out.items()}
+    fc = inv.get(old, old)
+    out.pop(fc, None)
+    if fc != new:
+        out[fc] = new
+    return out
+
+
+def _rekey_file_stats(e: dict[str, Any], old: str, new: str) -> dict[str, Any]:
+    """Re-key one file-stats entry's ``stats`` (and per-column
+    ``bloom``) from ``old`` to ``new`` — without the re-key, min/max
+    and equality pruning on the new name silently stop working."""
+    out = {
+        **e,
+        "stats": {
+            (new if k == old else k): v for k, v in (e.get("stats") or {}).items()
+        },
+    }
+    if e.get("bloom"):
+        out["bloom"] = {(new if k == old else k): v for k, v in e["bloom"].items()}
+    return out
+
+
 class ManagedTable:
     """A keyed, manifest-committed Parquet table."""
 
@@ -688,20 +718,40 @@ class ManagedTable:
         Each entry's OWN value keys define its layout — after
         partition-spec evolution, carried entries keep the layout they
         were written under (Iceberg's per-file spec-id semantic) and
-        still read correctly. One relation per live partition —
-        bounded by partition count, which is metadata-scale by design."""
+        still read correctly; likewise each entry's own ``renames``
+        mapping (file-name -> current-name, the per-entry rename
+        analog of the snapshot-level ``read_renames``) binds the read
+        to the names its files actually store — carried entries keep
+        old names after a rename while freshly rewritten entries use
+        current names, so a snapshot legally mixes both. One relation
+        per live partition — bounded by partition count, which is
+        metadata-scale by design."""
         from pyspark.sql import functions as F
 
         by_name = {f.name: f for f in schema.fields}
         parts: list[DataFrame] = []
         for ent in entries:
             e_pcols = list(ent["values"].keys())
+            ren = {
+                fc: cur
+                for fc, cur in (ent.get("renames") or {}).items()
+                if fc != cur
+            }
+            inv = {cur: fc for fc, cur in ren.items()}
             file_schema = T.StructType(
-                [f for f in schema.fields if f.name not in e_pcols]
+                [
+                    T.StructField(
+                        inv.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+                    )
+                    for f in schema.fields
+                    if f.name not in e_pcols
+                ]
             )
             # a pruned scan narrows the entry to specific files
             src = ent.get("read_files") or [ent["dir"]]
             df = self.spark.read.schema(file_schema).parquet(*src)
+            for fc, cur in ren.items():
+                df = df.withColumnRenamed(fc, cur)
             for pc in e_pcols:
                 raw = ent["values"][pc]
                 lit = (
@@ -1153,10 +1203,15 @@ class ManagedTable:
         staged: bool = False,
         ref: str | None = None,
         expected_version: int | None = None,
+        carry_dropped: list[str] | None = None,
     ) -> None:
         """Write ``df``'s files as snapshot N+1. For partitioned
         tables, ``carry_entries`` are untouched partition dirs from the
-        previous snapshot, referenced (not copied) by the new one.
+        previous snapshot, referenced (not copied) by the new one;
+        ``carry_dropped`` then propagates the base's ``dropped_columns``
+        bookkeeping (carried files still physically store dropped
+        values, so the add_columns resurrect guard must stay armed
+        until a FULL rewrite — compact/overwrite — clears it).
         ``ref`` marks a branch commit: it may stack on staged
         snapshots of the SAME branch (schema evolution then baselines
         on the branch head, not the published current).
@@ -1318,6 +1373,9 @@ class ManagedTable:
                 files=files,
                 staged=staged,
                 ref=ref,
+                dropped_columns=(
+                    sorted(carry_dropped) if carry_dropped else None
+                ),
             )
         )
         self._write_manifest(m, expected_version=expected)
@@ -1597,6 +1655,9 @@ class ManagedTable:
         self._write_snapshot(
             merged, operation="merge", carry_entries=carry,
             expected_version=m0.version,
+            # carried entries still store dropped-column values; keep
+            # the resurrect guard armed until a FULL rewrite
+            carry_dropped=snap.dropped_columns if carry else None,
         )
 
     @staticmethod
@@ -1792,6 +1853,7 @@ class ManagedTable:
             self._write_snapshot(
                 kept, operation="delete", carry_entries=carry,
                 expected_version=m.version,
+                carry_dropped=snap.dropped_columns if carry else None,
             )
             return {
                 "partitions_rewritten": len(touched),
@@ -1910,6 +1972,7 @@ class ManagedTable:
             self._write_snapshot(
                 updated, operation="update", carry_entries=carry,
                 expected_version=m.version,
+                carry_dropped=snap.dropped_columns if carry else None,
             )
             return {
                 "partitions_rewritten": len(touched),
@@ -1932,13 +1995,26 @@ class ManagedTable:
         matches ref semantics (the ref's final value is one of the
         two requested ones; no data is ever at risk)."""
         m = self._read_manifest()
-        v = m.version if version is None else version
-        if v not in {s.version for s in m.snapshots}:
+        published = {s.version for s in m.snapshots if not s.staged}
+        v = (m.current.version if m.current else 0) if version is None else version
+        if v not in published:
+            # staged WAP/branch snapshots are explicitly NOT taggable:
+            # a tag resolves through read(tag=...) for ANY reader, so
+            # tagging an unpublished version would leak staged data
+            # around the WAP fence (and clone_to copies tags but only
+            # published snapshots — the tag would dangle in the clone)
             raise ValueError(
-                f"version {v} not in retained history of {self.spec.qualified_name}"
+                f"version {v} is not a published snapshot of "
+                f"{self.spec.qualified_name} (published: {sorted(published)})"
             )
         if name in m.tags:
             raise ValueError(f"tag {name!r} already exists (at v{m.tags[name]})")
+        if name in m.branches:
+            # refs share one namespace (the mirror of create_branch's
+            # tag-collision check): read(tag=X) vs read(branch=X)
+            # resolving to different versions under one name is the
+            # ambiguity Iceberg's unified ref table forbids
+            raise ValueError(f"{name!r} already names a branch")
         m.tags[name] = v
         self._write_manifest(m, expected_version=m.version)
 
@@ -2048,9 +2124,11 @@ class ManagedTable:
         it to published, in commit order, and drop the branch ref — a
         pure manifest flip (no data movement), the Iceberg
         ``fast_forward('main', branch)`` analog. Returns the new
-        current version. A branch with no commits just evaporates."""
+        current version. A branch with no commits just evaporates —
+        the return value is then the UNCHANGED current version, not
+        the (possibly older) fork base the dead ref pointed at."""
         m = self._read_manifest()
-        head = self._branch_head(m, name)
+        self._branch_head(m, name)  # existence check
         expected = m.version
         for s in m.snapshots:
             if s.staged and s.ref == name:
@@ -2058,7 +2136,7 @@ class ManagedTable:
                 s.operation = f"branch-publish:{name}"
         del m.branches[name]
         self._write_manifest(m, expected_version=expected)
-        return head
+        return m.current.version if m.current else 0
 
     def delete_branch(self, name: str) -> dict[str, int]:
         """Abort a branch: drop its staged snapshots from history
@@ -2183,6 +2261,30 @@ class ManagedTable:
         clone._write_manifest(m2, expected_version=0)
         return clone
 
+    @staticmethod
+    def _refuse_layout_column(snap: Snapshot, col: str, verb: str) -> None:
+        """Schema DDL may not touch a column that is the PARTITION
+        LAYOUT KEY of any carried entry. The current spec's partition
+        columns are already spec-protected; this additionally covers
+        EX-partition columns after partition-spec evolution — their
+        values live in old-layout entries' DIR NAMES, not in parquet,
+        so a rename would silently null the column (the dir value
+        re-attaches under the old name and is then projected away)
+        and a drop would break every old-layout read (the value
+        coercion looks the layout key up in the current schema).
+        ``compact()`` migrates every entry to the current layout,
+        after which the name is free."""
+        layout_cols = {
+            pc for e in (snap.partitions or []) for pc in e["values"].keys()
+        }
+        if col in layout_cols:
+            raise ValueError(
+                f"cannot {verb} {col!r}: it is the partition-layout "
+                "column of carried entries written under a previous "
+                "partition spec — compact() to migrate them to the "
+                "current layout first"
+            )
+
     def add_columns(self, columns: dict[str, str]) -> None:
         """B4 extension: ADD COLUMNS as a metadata-only commit — the
         Iceberg add-column semantic (SQL ``ALTER TABLE ... ADD
@@ -2195,13 +2297,14 @@ class ManagedTable:
 
         Refusals: existing names; key/order/partition collisions are
         subsumed by the existence check (those always exist); and
-        names still listed in the snapshot's ``dropped_columns`` — a
-        metadata-only re-add of a dropped name would resurrect the
-        dropped values out of the carried files (the drop_column
-        caveat); ``compact()`` first to physically clear them. Same
-        structural constraint as rename/drop (unpartitioned
-        copy-on-write current) — on a MoR chain the additive path is
-        a data-writing merge, which evolves schema through the shared
+        names still listed in the snapshot's ``dropped_columns``
+        (stored FILE names — see drop_column) — a metadata-only
+        re-add of a dropped name would resurrect the dropped values
+        out of the carried files; ``compact()`` first to physically
+        clear them. Same structural constraint as rename/drop
+        (copy-on-write current; partitioned is fine — entries carry
+        verbatim) — on a MoR chain the additive path is a
+        data-writing merge, which evolves schema through the shared
         B4 gate already."""
         m = self._read_manifest()
         self._fence_staged(m)
@@ -2211,17 +2314,27 @@ class ManagedTable:
             raise FileNotFoundError(
                 f"table {self.spec.qualified_name} has no snapshots"
             )
-        if snap.partitions is not None or snap.delta is not None:
+        if snap.delta is not None:
             raise ValueError(
-                "add_columns requires an unpartitioned copy-on-write "
-                "current snapshot (compact() a MoR chain first)"
+                "add_columns requires a copy-on-write current "
+                "snapshot (compact() a MoR chain first)"
             )
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         names = {f.name for f in schema.fields}
+        # every stored-file-name mapping in force: the snapshot-level
+        # one (unpartitioned) plus each partition entry's own
+        stored = dict(snap.read_renames or {})
+        for e in snap.partitions or []:
+            stored.update(e.get("renames") or {})
         new_fields = []
         for name, ddl in columns.items():
             if name in names:
                 raise SchemaEvolutionError(f"column {name!r} already exists")
+            # defense in depth: a layout key of a carried entry would
+            # re-attach the DIR value under the new column (today
+            # unreachable — layout keys stay in the schema while any
+            # entry references them, so the existence check fires first)
+            self._refuse_layout_column(snap, name, "add")
             if name in (snap.dropped_columns or ()):
                 raise SchemaEvolutionError(
                     f"column {name!r} was dropped but its values are still "
@@ -2229,14 +2342,14 @@ class ManagedTable:
                     "metadata-only re-add would resurrect them; compact() "
                     "before re-adding the name"
                 )
-            if name in (snap.read_renames or {}):
+            if name in stored:
                 # the FILE side still stores a column under this name
                 # (renamed away, mapping pending): adding it back would
-                # make _file_schema emit two fields with the same file
-                # name and break every subsequent read
+                # make the file schema emit two fields with the same
+                # file name and break every subsequent read
                 raise SchemaEvolutionError(
                     f"column {name!r} is the stored file name of renamed "
-                    f"column {snap.read_renames[name]!r} in carried data "
+                    f"column {stored[name]!r} in carried data "
                     "files — compact() to materialize the rename before "
                     "re-adding the name"
                 )
@@ -2255,6 +2368,7 @@ class ManagedTable:
                     T.StructType(list(schema.fields) + new_fields).jsonValue()
                 ),
                 operation="add-columns:" + ",".join(columns),
+                partitions=snap.partitions,  # carried (entry renames ride)
                 files=snap.files,  # carried; new columns have no stats
                 read_renames=snap.read_renames,
                 dropped_columns=snap.dropped_columns,
@@ -2276,12 +2390,21 @@ class ManagedTable:
         entry). Time travel to pre-rename versions shows the old name,
         exactly like Iceberg.
 
+        PARTITIONED snapshots (r9) carry the mapping PER ENTRY
+        (``entry["renames"]`` — the per-file spec-id generalization):
+        a later pruned merge rewrites touched partitions under the
+        new name (fresh entries, no mapping) while carrying untouched
+        entries with their mapping intact, so one snapshot legally
+        mixes old-named and new-named files and every read resolves
+        per entry. Per-entry file stats/blooms are re-keyed the same
+        way. ``compact()`` materializes everything under current
+        names and clears all mappings.
+
         Documented constraints: the current snapshot must be
-        unpartitioned copy-on-write (partition entries and MoR delta
-        chains would need per-entry mappings — the per-file spec-id
-        generalization), and key/order/partition columns cannot be
-        renamed (the spec that merges bind to is persisted and
-        stable).
+        copy-on-write (a MoR delta chain would need per-layer
+        mappings — ``compact()`` first), and key/order/partition
+        columns cannot be renamed (the spec that merges bind to is
+        persisted and stable).
 
         Scale: O(manifest). On a 100 TB table this commits in
         milliseconds while a rewrite-based rename would be a full
@@ -2295,10 +2418,10 @@ class ManagedTable:
             raise FileNotFoundError(
                 f"table {self.spec.qualified_name} has no snapshots"
             )
-        if snap.partitions is not None or snap.delta is not None:
+        if snap.delta is not None:
             raise ValueError(
-                "rename_column requires an unpartitioned copy-on-write "
-                "current snapshot (compact() a MoR chain first)"
+                "rename_column requires a copy-on-write current "
+                "snapshot (compact() a MoR chain first)"
             )
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         names = [f.name for f in schema.fields]
@@ -2316,6 +2439,7 @@ class ManagedTable:
                 f"cannot rename {old!r}: key/order/partition columns are "
                 "bound by the persisted table spec"
             )
+        self._refuse_layout_column(snap, old, "rename")
         new_schema = T.StructType(
             [
                 T.StructField(new, f.dataType, f.nullable, f.metadata)
@@ -2324,33 +2448,38 @@ class ManagedTable:
                 for f in schema.fields
             ]
         )
-        renames = dict(snap.read_renames or {})
-        inv = {cur: fc for fc, cur in renames.items()}
-        file_col = inv.get(old, old)
-        renames.pop(file_col, None)
-        if file_col != new:
-            renames[file_col] = new
+        partitions = None
+        renames = snap.read_renames
+        if snap.partitions is not None:
+            # per-entry mappings: each entry's files may store the
+            # column under a different name (fresh entries written
+            # after an earlier rename vs carried pre-rename entries),
+            # so the mapping composes and the stats re-key apply PER
+            # ENTRY; the snapshot-level read_renames stays unused on
+            # the partitioned path
+            partitions = []
+            for e in snap.partitions:
+                e2 = dict(e)
+                ren = _compose_rename(e.get("renames"), old, new)
+                if ren:
+                    e2["renames"] = ren
+                else:
+                    e2.pop("renames", None)
+                if e.get("files") is not None:
+                    # per-file stats/blooms are keyed by CURRENT names
+                    # (re-keyed on every rename), so old -> new here
+                    e2["files"] = [
+                        _rekey_file_stats(f, old, new) for f in e["files"]
+                    ]
+                partitions.append(e2)
+        else:
+            renames = _compose_rename(snap.read_renames, old, new) or None
         files = None
         if snap.files is not None:
-            def _rekey(e: dict[str, Any]) -> dict[str, Any]:
-                out = {
-                    **e,
-                    "stats": {
-                        (new if k == old else k): v
-                        for k, v in (e.get("stats") or {}).items()
-                    },
-                }
-                if e.get("bloom"):
-                    # bloom filters are keyed per column name too —
-                    # without the re-key, equality pruning on the new
-                    # name silently stops using the blooms
-                    out["bloom"] = {
-                        (new if k == old else k): v
-                        for k, v in e["bloom"].items()
-                    }
-                return out
-
-            files = [_rekey(e) for e in snap.files]
+            # bloom filters are keyed per column name too — without
+            # the re-key, equality pruning on the new name silently
+            # stops using the blooms
+            files = [_rekey_file_stats(e, old, new) for e in snap.files]
         m.snapshots.append(
             Snapshot(
                 version=expected + 1,
@@ -2359,8 +2488,9 @@ class ManagedTable:
                 row_count=snap.row_count,
                 schema_json=json.dumps(new_schema.jsonValue()),
                 operation=f"rename-column:{old}->{new}",
+                partitions=partitions,
                 files=files,
-                read_renames=renames or None,
+                read_renames=renames,
                 dropped_columns=snap.dropped_columns,
             )
         )
@@ -2374,9 +2504,21 @@ class ManagedTable:
         load it (parquet column pruning), so a 100 TB drop commits in
         milliseconds. Time travel to pre-drop versions still shows the
         column. Same structural constraints as rename_column
-        (unpartitioned copy-on-write current; key/order/partition
+        (copy-on-write current — partitioned is fine, per-entry
+        bookkeeping travels with the entries; key/order/partition
         columns are spec-bound), plus: a column referenced by a
         generated-column expression cannot be dropped.
+
+        ``dropped_columns`` records the STORED FILE name(s) of the
+        dropped column (one per entry layout on partitioned tables),
+        not its current name: the resurrect guard in
+        :meth:`add_columns` must block re-exposing the name the
+        carried FILES bind by — after ``rename a->b; drop b`` the
+        files still store ``a``, so a metadata-only add of ``a``
+        would resurrect the dropped values while re-adding ``b`` is
+        perfectly safe (no file stores ``b``... except entries
+        written between the rename and the drop, whose file name IS
+        ``b`` — the per-entry union covers exactly that).
 
         Name-based caveat (documented): re-adding a same-named column
         later via additive evolution starts from NULLs only for rows
@@ -2393,10 +2535,10 @@ class ManagedTable:
             raise FileNotFoundError(
                 f"table {self.spec.qualified_name} has no snapshots"
             )
-        if snap.partitions is not None or snap.delta is not None:
+        if snap.delta is not None:
             raise ValueError(
-                "drop_column requires an unpartitioned copy-on-write "
-                "current snapshot (compact() a MoR chain first)"
+                "drop_column requires a copy-on-write current "
+                "snapshot (compact() a MoR chain first)"
             )
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         names = [f.name for f in schema.fields]
@@ -2412,6 +2554,7 @@ class ManagedTable:
                 f"cannot drop {name!r}: key/order/partition columns are "
                 "bound by the persisted table spec"
             )
+        self._refuse_layout_column(snap, name, "drop")
         for gname, gexpr in self.spec.generated_columns:
             if gname.lower() == name.lower() or _expr_references(gexpr, name):
                 raise ValueError(
@@ -2427,22 +2570,49 @@ class ManagedTable:
                     "to resolve the column"
                 )
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
-        renames = dict(snap.read_renames or {})
-        inv = {cur: fc for fc, cur in renames.items()}
-        renames.pop(inv.get(name, name), None)
+
+        def _strip_stats(e: dict[str, Any]) -> dict[str, Any]:
+            out = {
+                **e,
+                "stats": {
+                    k: v for k, v in (e.get("stats") or {}).items() if k != name
+                },
+            }
+            if e.get("bloom"):
+                out["bloom"] = {
+                    k: v for k, v in e["bloom"].items() if k != name
+                }
+            return out
+
+        dropped_file_names: set[str] = set()
+        partitions = None
+        renames = snap.read_renames
+        if snap.partitions is not None:
+            partitions = []
+            for e in snap.partitions:
+                e2 = dict(e)
+                ren = dict(e.get("renames") or {})
+                inv = {cur: fc for fc, cur in ren.items()}
+                fc = inv.get(name, name)
+                dropped_file_names.add(fc)
+                ren.pop(fc, None)
+                if ren:
+                    e2["renames"] = ren
+                else:
+                    e2.pop("renames", None)
+                if e.get("files") is not None:
+                    e2["files"] = [_strip_stats(f) for f in e["files"]]
+                partitions.append(e2)
+        else:
+            ren = dict(snap.read_renames or {})
+            inv = {cur: fc for fc, cur in ren.items()}
+            fc = inv.get(name, name)
+            dropped_file_names.add(fc)
+            ren.pop(fc, None)
+            renames = ren or None
         files = None
         if snap.files is not None:
-            files = [
-                {
-                    **e,
-                    "stats": {
-                        k: v
-                        for k, v in (e.get("stats") or {}).items()
-                        if k != name
-                    },
-                }
-                for e in snap.files
-            ]
+            files = [_strip_stats(e) for e in snap.files]
         m.snapshots.append(
             Snapshot(
                 version=expected + 1,
@@ -2451,10 +2621,11 @@ class ManagedTable:
                 row_count=snap.row_count,
                 schema_json=json.dumps(new_schema.jsonValue()),
                 operation=f"drop-column:{name}",
+                partitions=partitions,
                 files=files,
-                read_renames=renames or None,
+                read_renames=renames,
                 dropped_columns=sorted(
-                    set(snap.dropped_columns or ()) | {name}
+                    set(snap.dropped_columns or ()) | dropped_file_names
                 ),
             )
         )

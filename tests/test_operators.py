@@ -68,11 +68,14 @@ def test_grade_priority_prefix():
         "e58_blockwise_int4", "d86_bucketed_join", "c04_engine_facade",
         "c02_catalog_roundtrip", "c08_incremental_view_maintenance",
         "c17_constraint_gate_journey",
+        # late-r9 re-signs: partitioned schema DDL + ref-guard changes
+        "c14_rename_journey", "c22_drop_column_journey",
+        "c26_sql_ddl_journey",
         # the last r01/r02-vintage grades (r8 verdict's top item)
         "d26b_cube", "e05_tfidf", "e05f_rolling_hash", "e11_pii_redaction",
         "e19_corpus_report", "e24_editdist_verify",
-        # start of the r03 burn-down
-        "d29c_median_mode", "d36_global_sort",
+        # start of the r03 burn-down (d34-d36 queue right behind)
+        "d29c_median_mode", "d33_running_sum",
     ):
         assert name in window, name
     assert _GRADE_PRIORITY[0] == "h27_out_of_order_cdc"

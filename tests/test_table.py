@@ -1092,7 +1092,7 @@ def test_tags_pin_and_time_travel(spark, warehouse):
 def test_tag_validation(spark, warehouse):
     t = ManagedTable(spark, warehouse, SPEC)
     t.bootstrap(base_df(spark))
-    with pytest.raises(ValueError, match="not in retained history"):
+    with pytest.raises(ValueError, match="not a published snapshot"):
         t.create_tag("nope", version=99)
     t.create_tag("v1")
     with pytest.raises(ValueError, match="already exists"):
@@ -1104,6 +1104,40 @@ def test_tag_validation(spark, warehouse):
     # tags survive reopen from the manifest
     t2 = ManagedTable.open(spark, warehouse, "ns.items")
     assert t2.list_tags() == {"v1": 1}
+
+
+def test_tag_cannot_pin_staged_version(spark, warehouse):
+    """Tags resolve through read(tag=...) for ANY reader, so pinning a
+    staged WAP snapshot would leak unpublished data around the fence
+    (and clone_to, which copies tags but only published snapshots,
+    would produce a dangling tag)."""
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    v = t.stage_changes(changelog_df(spark))
+    with pytest.raises(ValueError, match="not a published snapshot"):
+        t.create_tag("leak", version=v)
+    # the no-version default pins the published CURRENT, not the
+    # staged head (m.version includes staged — the old default)
+    t.create_tag("cur")
+    assert t.list_tags() == {"cur": 1}
+    t.abort_staged(v)
+    # ref namespaces are unified in BOTH directions (create_branch
+    # already refused tag names; the mirror check)
+    t.create_branch("audit")
+    with pytest.raises(ValueError, match="names a branch"):
+        t.create_tag("audit")
+
+
+def test_empty_branch_fast_forward_returns_current(spark, warehouse):
+    """An idle branch forked below the tip evaporates on fast_forward;
+    the returned 'new current version' must be the ACTUAL current, not
+    the stale fork base the dead ref pointed at."""
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    t.create_branch("idle")  # forked at v1
+    t.apply_changes(changelog_df(spark))  # main advances to v2
+    assert t.fast_forward("idle") == 2
+    assert t.list_branches() == {}
 
 
 # -- branches (Iceberg branch + multi-commit WAP fast-forward) -------------
@@ -1296,7 +1330,7 @@ def test_rename_validation(spark, warehouse):
         t.rename_column("pk", "id")
     # MoR chain refuses until compacted
     t.apply_changes(changelog_df(spark), strategy="merge-on-read")
-    with pytest.raises(ValueError, match="unpartitioned copy-on-write"):
+    with pytest.raises(ValueError, match="copy-on-write"):
         t.rename_column("status", "state")
     t.compact()
     t.rename_column("status", "state")
@@ -1691,6 +1725,152 @@ def test_add_columns_refuses_renamed_file_name(spark, warehouse):
         t.add_columns({"price": "double"})
     # reads still fine after the refusal
     assert {r.amount for r in t.read().collect()} == {10.0, 20.0}
+
+
+def test_rename_then_drop_blocks_file_name_readd(spark, warehouse):
+    """r9 review (REAL resurrection hole): after rename a->b then drop
+    b, the carried files still store the values under 'a' — and the
+    old bookkeeping recorded the CURRENT name 'b' in dropped_columns
+    while popping the rename mapping, so a metadata-only add of 'a'
+    passed every guard and resurrected the dropped column through its
+    file name. dropped_columns now records the STORED FILE name."""
+    t = _mk_r8(spark, warehouse, "rendrop")
+    t.rename_column("price", "amount")   # files store 'price'
+    t.drop_column("amount")              # must record 'price', not 'amount'
+    with pytest.raises(SchemaEvolutionError, match="resurrect"):
+        t.add_columns({"price": "double"})
+    # the CURRENT name is safe to re-add — no carried file stores it
+    t.add_columns({"amount": "double"})
+    assert {r.amount for r in t.read().collect()} == {None}
+
+
+# -- partitioned schema DDL (r9: per-entry rename mappings) -----------------
+
+
+def _mk_pddl(spark, warehouse, name):
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(
+            namespace="ns", name=name, key_columns=("pk",),
+            order_columns=("seq",), partition_columns=("status",),
+        )
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, 1, "A", 10.0), (2, 1, "A", 20.0), (3, 1, "B", 30.0)],
+            "pk long, seq long, status string, price double",
+        )
+    )
+    return t
+
+
+def test_partitioned_rename_reads_and_mixes_entries(spark, warehouse):
+    """Partitioned rename is metadata-only: entries keep their dirs
+    with a per-entry mapping; a later PRUNED merge rewrites touched
+    partitions under the new name while carrying the others' mapping,
+    so one snapshot legally mixes old-named and new-named files."""
+    t = _mk_pddl(spark, warehouse, "pren")
+    t.rename_column("price", "amount")  # v2: metadata-only
+    assert {r.pk: r.amount for r in t.read().collect()} == {
+        1: 10.0, 2: 20.0, 3: 30.0,
+    }
+    assert "price" in t.read(version=1).columns  # time travel: old name
+    t.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 2, 1, "A", 11.0)],
+            "op string, seq long, pk long, status string, amount double",
+        )
+    )
+    assert {r.pk: r.amount for r in t.read().collect()} == {
+        1: 11.0, 2: 20.0, 3: 30.0,
+    }
+    snap = t.history()[-1]
+    by_part = {e["values"]["status"]: e for e in snap.partitions}
+    assert by_part["B"].get("renames") == {"price": "amount"}  # carried
+    assert "renames" not in by_part["A"]  # rewritten under the new name
+
+
+def test_partitioned_rename_rekeys_file_stats(spark, warehouse):
+    """Per-entry file stats/blooms are re-keyed at rename so min/max
+    skipping keeps pruning under the new name."""
+    t = _mk_pddl(spark, warehouse, "prenstats")
+    t.rename_column("price", "amount")
+    out = t.scan([("amount", ">=", 25.0)])
+    assert {r.pk for r in out.collect()} == {3}
+    m = t.last_scan_metrics
+    assert m["files_read"] < m["files_total"], m
+
+
+def test_partitioned_rename_compact_materializes(spark, warehouse):
+    """compact() rewrites everything under current names and clears
+    every per-entry mapping — the stored file name is free again."""
+    t = _mk_pddl(spark, warehouse, "prencomp")
+    t.rename_column("price", "amount")
+    t.compact()
+    snap = t.history()[-1]
+    assert all("renames" not in e for e in snap.partitions)
+    assert {r.pk: r.amount for r in t.read().collect()} == {
+        1: 10.0, 2: 20.0, 3: 30.0,
+    }
+    t.add_columns({"price": "double"})  # file name physically cleared
+    assert {r.price for r in t.read().collect()} == {None}
+
+
+def test_partitioned_drop_and_resurrect_guard(spark, warehouse):
+    """Partitioned drop is metadata-only; the resurrect guard stays
+    armed through PRUNED merges (carried entries still store the
+    values) and disarms only after a full rewrite."""
+    t = _mk_pddl(spark, warehouse, "pdrop")
+    t.drop_column("price")  # v2: metadata-only
+    assert "price" not in t.read().columns
+    assert "price" in t.read(version=1).columns
+    with pytest.raises(SchemaEvolutionError, match="resurrect"):
+        t.add_columns({"price": "double"})
+    t.apply_changes(  # pruned merge: B carried, files still store price
+        spark.createDataFrame(
+            [("MODIFY", 2, 1, "A")],
+            "op string, seq long, pk long, status string",
+        )
+    )
+    with pytest.raises(SchemaEvolutionError, match="resurrect"):
+        t.add_columns({"price": "double"})
+    t.compact()  # full rewrite physically clears the dropped values
+    t.add_columns({"price": "double"})
+    assert {r.price for r in t.read().collect()} == {None}
+
+
+def test_ddl_refuses_ex_partition_layout_column(spark, warehouse):
+    """After partition-spec evolution, carried old-layout entries keep
+    their values under the EX-partition column (no longer
+    spec-protected): renaming it would silently null the column (the
+    dir value re-attaches under the old name, then is projected away)
+    and dropping it would break old-layout reads — refuse until
+    compact() migrates every entry to the current layout."""
+    t = _mk_pddl(spark, warehouse, "pexlay")
+    t.evolve_partitioning(())  # spec unpartitions going forward
+    with pytest.raises(ValueError, match="partition-layout"):
+        t.rename_column("status", "state")
+    with pytest.raises(ValueError, match="partition-layout"):
+        t.drop_column("status")
+    t.compact()  # migrates entries to the current (flat) layout
+    t.rename_column("status", "state")
+    assert {r.state for r in t.read().collect()} == {"A", "B"}
+
+
+def test_partitioned_add_columns_metadata_only(spark, warehouse):
+    """Partitioned ADD COLUMNS carries every entry verbatim; the new
+    column surfaces as NULL until a data-writing commit."""
+    t = _mk_pddl(spark, warehouse, "padd")
+    t.add_columns({"flag": "boolean"})
+    assert {r.flag for r in t.read().collect()} == {None}
+    t.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 2, 3, "B", 30.0, True)],
+            "op string, seq long, pk long, status string, price double,"
+            " flag boolean",
+        )
+    )
+    got = {r.pk: r.flag for r in t.read().collect()}
+    assert got == {1: None, 2: None, 3: True}
 
 
 def test_stage_and_branch_merges_fill_generated_columns(spark, warehouse):

@@ -839,14 +839,14 @@ def test_partitioned_cow_diff_reads_only_rewritten_partitions(spark, warehouse):
     assert got_of(prows, 3) == got_of(rows3, 3)
 
 
-def test_partitioned_rename_refusal_keeps_fast_path_sound(spark, warehouse):
-    """The partition-local diff skips a version whose read_renames
-    differ from its predecessor's (rename boundaries must emit the
-    documented O(table) UPSERT wave via the generic diff). Today that
-    guard is unreachable for partitioned tables because rename_column
-    REFUSES partitioned snapshots — pin that refusal: if partitioned
-    renames ever land, this test fails and the changelog semantics
-    must be revisited deliberately (the guard then becomes live)."""
+def test_partitioned_rename_boundary_emits_upsert_wave(spark, warehouse):
+    """Partitioned renames landed (r9, per-entry mappings): a rename
+    version's entries keep their DIRS but change their ``renames``
+    mapping, so the partition-local fast path may NOT skip them as
+    carried — the version must emit the same O(table) UPSERT wave
+    read_changes reports (name-based semantics), and a later pruned
+    merge that mixes an old-named carried entry with a new-named
+    fresh one still diffs exactly (only the touched partition)."""
     t = Catalog(spark, warehouse).create_table(
         TableSpec(
             namespace="ns", name="cdfpr", key_columns=("pk",),
@@ -859,8 +859,32 @@ def test_partitioned_rename_refusal_keeps_fast_path_sound(spark, warehouse):
             "pk long, status string, price double",
         )
     )
-    with pytest.raises(ValueError, match="unpartitioned"):
-        t.rename_column("price", "amount")
+    t.rename_column("price", "amount")  # v2: metadata-only
+    t.apply_changes(  # v3: pruned merge touching partition A only
+        spark.createDataFrame(
+            [("MODIFY", 1, "A", 11.0, 1, 1)],
+            "op string, pk long, status string, amount double,"
+            " ts long, seq long",
+        )
+    )
+    ref2 = {(r.op, r.pk, r.amount) for r in t.read_changes(1, 2).collect()}
+    assert ref2 == {("MODIFY", 1, 10.0), ("MODIFY", 2, 20.0)}
+    ref3 = {(r.op, r.pk, r.amount) for r in t.read_changes(2, 3).collect()}
+    assert ref3 == {("MODIFY", 1, 11.0)}
+
+    r = _reader(f"{warehouse}/ns/cdfpr/manifest.json", max_versions=1)
+    _, off1 = r.read({"v": 0})
+    rows2, off2 = r.read(off1)
+    rows3, off3 = r.read(off2)
+    rows2, rows3 = list(rows2), list(rows3)
+    assert (off2, off3) == ({"v": 2}, {"v": 3})
+    # rename boundary: same dirs, new mapping -> per-entry diff = wave
+    assert {(x[1], x[2], x[4]) for x in rows2} == {
+        ("UPSERT", 1, 10.0),
+        ("UPSERT", 2, 20.0),
+    }, rows2
+    # post-rename pruned merge: only the touched partition is diffed
+    assert {(x[1], x[2], x[4]) for x in rows3} == {("UPSERT", 1, 11.0)}, rows3
 
 
 def test_partition_spec_evolution_boundary_diffs_exactly(spark, warehouse):
