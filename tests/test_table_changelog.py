@@ -999,3 +999,82 @@ def test_partitioned_cow_diff_matches_read_changes(spark, wave):
             assert got[k] == v, (k, got[k], v)
         else:
             assert got[k] == (None, None)
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(wave=_pwave_st)
+def test_partitioned_diff_across_rename_matches_read_changes(spark, wave):
+    """r9 partitioned DDL: the reader-side diff must restate
+    read_changes for EVERY version of a bootstrap -> pruned merge ->
+    RENAME -> pruned merge history. The post-rename merge produces the
+    mixed layout the per-entry mapping exists for (touched partitions
+    rewritten under the new name, untouched entries carried with
+    their old-name files + mapping), and the rename version itself
+    must emit the O(table) UPSERT wave, not be skipped as carried."""
+    import json as _j
+    import tempfile
+
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        _cow_closures,
+    )
+
+    part = lambda pk: "A" if pk % 2 == 0 else "B"  # noqa: E731
+    wh = tempfile.mkdtemp(prefix="cowrlaw_")
+    t = Catalog(spark, wh).create_table(
+        TableSpec(
+            namespace="ns", name="rlaw", key_columns=("pk",),
+            partition_columns=("status",),
+        )
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(k, part(k), float(k)) for k in range(8)],
+            "pk long, status string, price double",
+        )
+    )
+    t.apply_changes(  # v2: pruned merge under the OLD name
+        spark.createDataFrame(
+            [(op, pk, part(pk), p, 1, i) for i, (op, pk, p) in enumerate(wave)],
+            "op string, pk long, status string, price double, ts long, seq long",
+        )
+    )
+    t.rename_column("price", "amount")  # v3: metadata-only
+    t.apply_changes(  # v4: pruned merge under the NEW name (mixed layout)
+        spark.createDataFrame(
+            [
+                (op, pk, part(pk), p + 100.0, 2, i)
+                for i, (op, pk, p) in enumerate(wave)
+            ],
+            "op string, pk long, status string, amount double, ts long, seq long",
+        )
+    )
+    _rows, _snap_rows, _coerce, _resolve, diff = _cow_closures()
+    raw = _j.loads(open(f"{wh}/ns/rlaw/manifest.json").read())
+    by_v = {s["version"]: s for s in raw["snapshots"]}
+    oprename = {"INSERT": "INSERT", "UPSERT": "MODIFY", "DELETE": "REMOVE"}
+
+    def reader_diff(version, val_col, cache):
+        changes, cache = diff(
+            raw, by_v[version], ["pk"], ["pk", "status", val_col], cache=cache
+        )
+        return {
+            (oprename[op], r["pk"]): (r.get("status"), r.get(val_col))
+            for op, r in changes
+        }, cache
+
+    cache = None
+    for v, val_col in ((2, "price"), (3, "amount"), (4, "amount")):
+        ref = {
+            (r.op, r.pk): (r.status, r[val_col])
+            for r in t.read_changes(v - 1, v).collect()
+        }
+        got, cache = reader_diff(v, val_col, cache)
+        assert set(ref) == set(got), (v, ref, got)
+        for k, img in ref.items():
+            if k[0] != "REMOVE":
+                assert got[k] == img, (v, k, got[k], img)
+            else:
+                assert got[k] == (None, None), (v, k, got[k])
