@@ -1545,6 +1545,7 @@ class ManagedTable:
             OP_COL,
             OP_REMOVE,
             latest_per_key,
+            validated_op_col,
         )
 
         t0 = time.perf_counter()
@@ -1560,7 +1561,11 @@ class ManagedTable:
         cur_schema = T.StructType.fromJson(json.loads(snap.schema_json))
         keys = list(self.spec.key_columns)
         # the deduped batch feeds TWO writes (inserts + tombstones);
-        # cache the batch-sized frame so the LWW window runs once
+        # cache the batch-sized frame so the LWW window runs once.
+        # Same op validation as merge_changes: a junk op here would
+        # write a phantom upsert image (worse: into a delta layer that
+        # only compact() ever rewrites)
+        changes = changes.withColumn(OP_COL, validated_op_col())
         last = latest_per_key(changes, keys, order_cols).cache()
         drop = {OP_COL} | {
             c for c in order_cols if c not in {f.name for f in cur_schema.fields}

@@ -53,6 +53,30 @@ def wider(a, b):
     return None
 
 
+def validated_op_col():
+    """The ``op`` column passed through a plan-embedded validator: any
+    value outside {INSERT, MODIFY, REMOVE} — including NULL — raises
+    executor-side on the first offending row (``raise_error`` inside a
+    ``when`` branch: zero extra jobs, zero extra scans). Without it a
+    malformed changelog failed SILENTLY in the worst ways: a NULL op
+    acted as REMOVE (the key joins the anti-join's `touched` set but
+    no image survives the upsert filter — the row just vanishes), and
+    any other junk value ('DELETE', 'remove', ...) passed the
+    ``op != REMOVE`` filter and UPSERTED its image as if it were a
+    MODIFY."""
+    c = F.col(OP_COL)
+    return F.when(c.isin(OP_INSERT, OP_MODIFY, OP_REMOVE), c).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "invalid change op (expected INSERT/MODIFY/REMOVE): "
+                ),
+                F.coalesce(c, F.lit("NULL")),
+            )
+        )
+    )
+
+
 def latest_per_key(
     changes: DataFrame,
     keys: Sequence[str],
@@ -85,9 +109,12 @@ def merge_changes(
     * the latest non-REMOVE change per key supplies the new row image.
 
     ``changes`` must carry ``op`` + ``order_cols`` + the base schema's
-    columns. Idempotent (A10): re-applying the same batch is a no-op.
+    columns; op values outside {INSERT, MODIFY, REMOVE} (or NULL)
+    raise on the first offending row (:func:`validated_op_col`).
+    Idempotent (A10): re-applying the same batch is a no-op.
     """
     keys = list(keys)
+    changes = changes.withColumn(OP_COL, validated_op_col())
     last = latest_per_key(changes, keys, order_cols)
     # image columns = everything except the op tag and pure-bookkeeping
     # order columns (an order column that's part of the base schema —

@@ -1727,6 +1727,33 @@ def test_add_columns_refuses_renamed_file_name(spark, warehouse):
     assert {r.amount for r in t.read().collect()} == {10.0, 20.0}
 
 
+def test_merge_refuses_invalid_op_values(spark, warehouse):
+    """r9 review (merge.py pass): op values outside
+    {INSERT, MODIFY, REMOVE} used to fail SILENTLY — NULL acted as
+    REMOVE (key anti-joined away, no image survived the upsert
+    filter: the row just vanished) and any junk string ('DELETE',
+    'remove') upserted as if it were MODIFY. Both merge strategies
+    must raise on the first offending row instead."""
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))
+    bad = spark.createDataFrame(
+        [Row(op="DELETE", seq=10, pk=1, status="x", price=1.0)]
+    )
+    with pytest.raises(Exception, match="invalid change op"):
+        t.apply_changes(bad)
+    with pytest.raises(Exception, match="invalid change op"):
+        t.apply_changes(bad, strategy="merge-on-read")
+    null_op = spark.createDataFrame(
+        [("INSERT", 10, 9, "new", 9.0), (None, 11, 1, "x", 1.0)],
+        "op string, seq long, pk long, status string, price double",
+    )
+    with pytest.raises(Exception, match="invalid change op"):
+        t.apply_changes(null_op)
+    # the table is untouched by the refused batches
+    assert t.version == 1
+    assert {r.pk for r in t.read().collect()} == {1, 2, 3, 4, 5}
+
+
 def test_rename_then_drop_blocks_file_name_readd(spark, warehouse):
     """r9 review (REAL resurrection hole): after rename a->b then drop
     b, the carried files still store the values under 'a' — and the
