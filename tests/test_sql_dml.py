@@ -283,6 +283,38 @@ def test_add_columns_metadata_only_and_resurrect_guard(spark, warehouse):
     assert t.read().filter("flag IS NOT NULL").count() == 0
 
 
+def test_sql_ddl_on_partitioned_table(spark, warehouse):
+    """r9: the ALTER verbs work on PARTITIONED tables through the SQL
+    door (per-entry rename mappings) — rename resolves in reads and
+    SELECTs, a post-rename SQL UPDATE mixes fresh new-named entries
+    with carried old-named ones, and DROP + re-ADD keeps the resurrect
+    guard armed."""
+    import pytest
+
+    from dynamodb_zero_etl_s3tables_spark import sql_dml
+    from dynamodb_zero_etl_s3tables_spark.table.manifest import (
+        SchemaEvolutionError,
+    )
+
+    eng = _engine(spark, warehouse, name="pddl", partitioned=True)
+    sql_dml.route_utility(
+        eng, "ALTER TABLE ns.pddl RENAME COLUMN price TO amount"
+    )
+    assert eng.sql(
+        "SELECT SUM(CAST(amount AS DECIMAL(12,2))) AS s FROM ns_pddl"
+    ).first().s == 430.0
+    # rewrite one partition under the new name; the other carries
+    eng.sql("UPDATE ns.pddl SET amount = amount + 1 WHERE status = 'A'")
+    got = {r.pk: r.amount for r in eng.read().collect()}
+    assert got == {1: 11.0, 2: 151.0, 3: 20.0, 4: 250.0}
+    sql_dml.route_utility(eng, "ALTER TABLE ns.pddl DROP COLUMN amount")
+    assert "amount" not in eng.read().columns
+    with pytest.raises(SchemaEvolutionError, match="resurrect"):
+        sql_dml.route_utility(
+            eng, "ALTER TABLE ns.pddl ADD COLUMNS (amount double)"
+        )
+
+
 def test_review_r7_regressions(spark, warehouse):
     """Pins the r7 code-review findings: DESCRIBE passthrough, angle-
     bracket column types, duplicate-name refusal, quoted '(select'
