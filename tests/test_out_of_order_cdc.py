@@ -122,6 +122,56 @@ def test_without_tolerance_reversed_arrival_diverges(spark, warehouse, tmp_path)
     assert 3 not in got                # newer image deleted by stale REMOVE
 
 
+def test_out_of_order_on_partitioned_table(spark, warehouse, tmp_path):
+    """VersionState composes with the PARTITIONED pruned-merge path:
+    the admitted-rows filter runs BEFORE partition pruning, so the
+    touched-partition set is computed from admitted rows only — a
+    batch whose every row for a partition is stale leaves that
+    partition carried by reference, while its fresh sub-wave still
+    lands. (Changelog contract: partition values are stable per key
+    and present on every row, REMOVEs included.)"""
+    wave_new = [  # seq 2 — delivered FIRST
+        {"op": "MODIFY", "seq": 2, "pk": 1, "status": "A", "price": 100.0},
+        {"op": "REMOVE", "seq": 2, "pk": 3, "status": "B", "price": None},
+    ]
+    wave_old = [  # stale seq 1 + one fresh INSERT — delivered SECOND
+        {"op": "MODIFY", "seq": 1, "pk": 1, "status": "A", "price": -1.0},
+        {"op": "MODIFY", "seq": 1, "pk": 3, "status": "B", "price": -3.0},
+        {"op": "INSERT", "seq": 1, "pk": 4, "status": "B", "price": 40.0},
+    ]
+    log_dir = tmp_path / "log"
+    _write_batch(log_dir / "b_new.json", wave_new, mtime=1_000_000)
+    _write_batch(log_dir / "b_old.json", wave_old, mtime=1_000_100)
+    t = ManagedTable(
+        spark,
+        warehouse,
+        TableSpec(
+            namespace="ns", name="ooo_part", key_columns=("pk",),
+            order_columns=("seq",), partition_columns=("status",),
+        ),
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, "A", 1.0), (2, "A", 2.0), (3, "B", 3.0)], IMAGE_SCHEMA
+        )
+    )
+    _drain(spark, t, log_dir, tmp_path / "ckpt", tolerate_out_of_order=True)
+    got = {r.pk: (r.status, r.price) for r in t.read().collect()}
+    assert got == {
+        1: ("A", 100.0),  # stale MODIFY suppressed
+        2: ("A", 2.0),    # untouched
+        4: ("B", 40.0),   # fresh INSERT riding the stale batch
+    }  # pk=3: REMOVE wins; the stale MODIFY cannot resurrect it
+    # batch 2's admitted rows touch only partition B, so A is carried
+    # by reference (same dir) instead of rewritten
+    hist = t.history()
+    a_dirs = [
+        {e["values"]["status"]: e["dir"] for e in s.partitions}.get("A")
+        for s in hist[-2:]
+    ]
+    assert a_dirs[0] == a_dirs[1]
+
+
 def test_out_of_order_restart_is_idempotent(spark, warehouse, tmp_path):
     """H8 x VersionState: restarting the drained stream on the same
     checkpoint commits nothing (state snapshots for replayed batch ids
