@@ -887,6 +887,49 @@ def test_partitioned_rename_boundary_emits_upsert_wave(spark, warehouse):
     assert {(x[1], x[2], x[4]) for x in rows3} == {("UPSERT", 1, 11.0)}, rows3
 
 
+def test_partitioned_drop_version_is_changelog_transparent(spark, warehouse):
+    """A partitioned DROP COLUMN pops the dropped column's mapping
+    from every entry, so the carried-entry check sees changed entries
+    and runs the per-entry diff — which must still emit ZERO rows
+    (all surviving columns unchanged; the drop is metadata-only,
+    changelog-transparent like compact). A later pruned merge then
+    diffs exactly against read_changes under the surviving schema."""
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(
+            namespace="ns", name="cdfdrop", key_columns=("pk",),
+            partition_columns=("status",),
+        )
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, "A", 10.0, "x"), (2, "B", 20.0, "y")],
+            "pk long, status string, price double, note string",
+        )
+    )
+    t.rename_column("price", "amount")  # v2: entries gain a mapping
+    t.drop_column("amount")             # v3: mapping popped, schema shrinks
+    t.apply_changes(  # v4: pruned merge on the surviving schema
+        spark.createDataFrame(
+            [("MODIFY", 1, "A", "z", 1, 1)],
+            "op string, pk long, status string, note string, ts long, seq long",
+        )
+    )
+    assert t.read_changes(2, 3).count() == 0  # batch API agrees
+
+    r = _reader(f"{warehouse}/ns/cdfdrop/manifest.json", max_versions=1)
+    off = {"v": 1}
+    emitted = {}
+    for v in (2, 3, 4):
+        rows, off = r.read(off)
+        emitted[v] = list(rows)
+        assert off == {"v": v}
+    # reader bound POST-drop: the rename wave carries no surviving-
+    # column change, and the drop is transparent
+    assert emitted[2] == [] and emitted[3] == []
+    # (version, change_op, pk, status, note)
+    assert {(x[1], x[2], x[4]) for x in emitted[4]} == {("UPSERT", 1, "z")}
+
+
 def test_partition_spec_evolution_boundary_diffs_exactly(spark, warehouse):
     """r9 self-review: across a partition-spec evolution, the lazily
     migrating merge RE-KEYS every entry (status=X -> mon=Y layouts),
