@@ -121,6 +121,24 @@ def _schema_closures(ddl_map: dict):
     array-of-primitives widening previously had to be hand-synced
     across three copies)."""
     import json
+    import re
+
+    #: decimal(p,s) is primitive too — the schema_json type string IS
+    #: its DDL fragment, and pyarrow's to_pylist yields decimal.Decimal
+    #: objects that round-trip the python-runner pickle exactly. This
+    #: matters because the B3 codec's DEFAULT `number` kind decodes
+    #: DynamoDB N to DECIMAL(38,18): without it, a table bootstrapped
+    #: through the reference's own default path refused to stream.
+    _decimal_re = re.compile(r"^decimal\(\d{1,2},\s*\d{1,2}\)$")
+
+    def ddl_of(t):
+        if not isinstance(t, str):
+            return None
+        if t in ddl_map:
+            return ddl_map[t]
+        if _decimal_re.match(t):
+            return t
+        return None
 
     def pub_fields(raw):
         # newest PUBLISHED snapshot only: a staged WAP snapshot can
@@ -150,15 +168,16 @@ def _schema_closures(ddl_map: dict):
                     "with the stream's metadata column of the same "
                     "name — rename it before streaming"
                 )
-            if isinstance(t, str) and t in ddl_map:
-                cols.append(f"`{name}` {ddl_map[t]}")
-            elif (
-                isinstance(t, dict)
-                and t.get("type") == "array"
-                and isinstance(t.get("elementType"), str)
-                and t["elementType"] in ddl_map
-            ):
-                cols.append(f"`{name}` array<{ddl_map[t['elementType']]}>")
+            scalar = ddl_of(t)
+            elem = (
+                ddl_of(t.get("elementType"))
+                if isinstance(t, dict) and t.get("type") == "array"
+                else None
+            )
+            if scalar is not None:
+                cols.append(f"`{name}` {scalar}")
+            elif elem is not None:
+                cols.append(f"`{name}` array<{elem}>")
             else:
                 raise TypeError(
                     f"changelog source supports primitive and "

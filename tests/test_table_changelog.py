@@ -225,6 +225,54 @@ def test_drain_one_microbatch_per_version_and_resume(spark, warehouse, tmp_path)
     assert got.filter("version = 3 and change_op = 'DELETE'").count() == 1
 
 
+def test_decimal_columns_stream_end_to_end(spark, warehouse, tmp_path):
+    """decimal(p,s) is the B3 codec's DEFAULT number type (DynamoDB N
+    decodes to DECIMAL(38,18)) — the changelog source must carry it
+    (it refused before r9): the schema DDL interpolates the decimal
+    type string, a real Spark drain round-trips Decimal images through
+    the python-runner pickle exactly, and the MoR delta path emits
+    decimal upserts."""
+    from decimal import Decimal
+
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        changelog_schema_ddl,
+    )
+
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(namespace="ns", name="cdfdec", key_columns=("pk",))
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, Decimal("10.5")), (2, Decimal("0.000000000000000001"))],
+            "pk long, price decimal(38,18)",
+        )
+    )
+    t.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 1, Decimal("11.5"), 1, 1)],
+            "op string, pk long, price decimal(38,18), ts long, seq long",
+        ),
+        strategy="merge-on-read",
+    )
+    mp = f"{warehouse}/ns/cdfdec/manifest.json"
+    assert "`price` decimal(38,18)" in changelog_schema_ddl(mp)
+    spark.dataSource.register(make_changelog_source())
+    stream = (
+        spark.readStream.format("table_changelog")
+        .option("manifest", mp)
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    drain_changelog(stream, out, ckpt, mp)
+    got = {
+        (r.version, r.change_op, r.pk): r.price
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(1, "INSERT", 1)] == Decimal("10.5")
+    assert got[(1, "INSERT", 2)] == Decimal("1E-18")
+    assert got[(2, "UPSERT", 1)] == Decimal("11.5")
+
+
 # -- partitioned reader (r7, the fat-batch upgrade) --------------------------
 
 def test_partitioned_reader_per_file_parts_and_delete_suppression(
