@@ -86,6 +86,10 @@ _DDL = {
     "float": "float",
     "string": "string",
     "boolean": "boolean",
+    # the B3 codec's binary kinds (DynamoDB B / BS) decode to
+    # BinaryType; pyarrow emits bytes objects, which round-trip the
+    # python-runner pickle exactly
+    "binary": "binary",
     "date": "date",
     "timestamp": "timestamp",
     "timestamp_ntz": "timestamp_ntz",

@@ -243,19 +243,24 @@ def test_decimal_columns_stream_end_to_end(spark, warehouse, tmp_path):
     )
     t.bootstrap(
         spark.createDataFrame(
-            [(1, Decimal("10.5")), (2, Decimal("0.000000000000000001"))],
-            "pk long, price decimal(38,18)",
+            [
+                (1, Decimal("10.5"), b"\x00img"),
+                (2, Decimal("0.000000000000000001"), b""),
+            ],
+            "pk long, price decimal(38,18), blob binary",
         )
     )
     t.apply_changes(
         spark.createDataFrame(
-            [("MODIFY", 1, Decimal("11.5"), 1, 1)],
-            "op string, pk long, price decimal(38,18), ts long, seq long",
+            [("MODIFY", 1, Decimal("11.5"), b"\xff", 1, 1)],
+            "op string, pk long, price decimal(38,18), blob binary,"
+            " ts long, seq long",
         ),
         strategy="merge-on-read",
     )
     mp = f"{warehouse}/ns/cdfdec/manifest.json"
-    assert "`price` decimal(38,18)" in changelog_schema_ddl(mp)
+    ddl = changelog_schema_ddl(mp)
+    assert "`price` decimal(38,18)" in ddl and "`blob` binary" in ddl
     spark.dataSource.register(make_changelog_source())
     stream = (
         spark.readStream.format("table_changelog")
@@ -265,12 +270,12 @@ def test_decimal_columns_stream_end_to_end(spark, warehouse, tmp_path):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     drain_changelog(stream, out, ckpt, mp)
     got = {
-        (r.version, r.change_op, r.pk): r.price
+        (r.version, r.change_op, r.pk): (r.price, bytes(r.blob))
         for r in spark.read.parquet(out).collect()
     }
-    assert got[(1, "INSERT", 1)] == Decimal("10.5")
-    assert got[(1, "INSERT", 2)] == Decimal("1E-18")
-    assert got[(2, "UPSERT", 1)] == Decimal("11.5")
+    assert got[(1, "INSERT", 1)] == (Decimal("10.5"), b"\x00img")
+    assert got[(1, "INSERT", 2)] == (Decimal("1E-18"), b"")
+    assert got[(2, "UPSERT", 1)] == (Decimal("11.5"), b"\xff")
 
 
 # -- partitioned reader (r7, the fat-batch upgrade) --------------------------
