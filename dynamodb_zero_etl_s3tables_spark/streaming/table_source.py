@@ -440,6 +440,21 @@ def _cow_closures():
             tuple(sorted(e["values"].items())): e
             for e in prev_snap["partitions"]
         }
+
+        def resolution(e):
+            # which FILE column each emitted column binds to: the only
+            # thing (besides the dir) entry_rows' output depends on.
+            # Comparing resolutions instead of raw mapping dicts keeps
+            # a rename boundary diffed (the renamed column resolves
+            # differently) while a DROP version — which pops the
+            # dropped column's mapping from every entry without
+            # touching any surviving column — stays carried instead of
+            # double-reading every previously-renamed entry just to
+            # emit zero rows (r9 review).
+            ren = e.get("renames") or {}
+            inv = {cur: fc for fc, cur in ren.items()}
+            return tuple(inv.get(c, c) for c in cols)
+
         out = []
         for ent in snap["partitions"]:
             pk = tuple(sorted(ent["values"].items()))
@@ -447,11 +462,7 @@ def _cow_closures():
             if (
                 old_ent is not None
                 and old_ent["dir"] == ent["dir"]
-                # same dir but a DIFFERENT per-entry rename mapping is
-                # a rename-boundary version: the rows READ differently
-                # (new column name), so the entry must be diffed — it
-                # emits the documented UPSERT wave read_changes reports
-                and (old_ent.get("renames") or {}) == (ent.get("renames") or {})
+                and resolution(old_ent) == resolution(ent)
             ):
                 continue  # carried by reference: provably unchanged, unread
             old_state = {}

@@ -399,6 +399,29 @@ def _file_may_match(stats: dict[str, list[Any]], col: str, op: str, val: Any) ->
     return True
 
 
+def _qcol(name: str):
+    """``F.col`` with the name backtick-quoted: attribute names
+    legally contain dots (DynamoDB), which a bare string path would
+    mis-parse as struct nesting."""
+    from pyspark.sql import functions as F
+
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def _pop_rename(
+    renames: dict[str, str] | None, name: str
+) -> tuple[dict[str, str], str]:
+    """Resolve ``name``'s stored FILE name through a file->current
+    mapping and drop its entry: ``(mapping without it, file_name)`` —
+    the shared inverse of :func:`_compose_rename` (drop_column uses it
+    on both the snapshot-level and per-entry mappings)."""
+    ren = dict(renames or {})
+    inv = {cur: fc for fc, cur in ren.items()}
+    fc = inv.get(name, name)
+    ren.pop(fc, None)
+    return ren, fc
+
+
 def _compose_rename(
     renames: dict[str, str] | None, old: str, new: str
 ) -> dict[str, str]:
@@ -703,11 +726,19 @@ class ManagedTable:
 
     @staticmethod
     def _apply_read_renames(df: DataFrame, snap: Snapshot) -> DataFrame:
-        if snap.read_renames:
-            for file_col, cur in snap.read_renames.items():
-                if file_col != cur:
-                    df = df.withColumnRenamed(file_col, cur)
-        return df
+        """Apply the snapshot's file-name -> current-name mapping as
+        ONE simultaneous substitution (a select of aliases). Sequential
+        withColumnRenamed cannot express a cyclic permutation: the
+        legal sequence ``rename a->tmp; rename b->a; rename tmp->b``
+        composes to the swap ``{a: b, b: a}``, where renaming pairwise
+        first duplicates a name and then hits AMBIGUOUS_REFERENCE on
+        every later read (r9 review, verified live)."""
+        if not snap.read_renames:
+            return df
+        ren = snap.read_renames
+        return df.select(
+            *[_qcol(c).alias(ren.get(c, c)) for c in df.columns]
+        )
 
     def _read_partition_entries(
         self, entries: list[dict[str, Any]], schema: T.StructType
@@ -750,8 +781,12 @@ class ManagedTable:
             # a pruned scan narrows the entry to specific files
             src = ent.get("read_files") or [ent["dir"]]
             df = self.spark.read.schema(file_schema).parquet(*src)
-            for fc, cur in ren.items():
-                df = df.withColumnRenamed(fc, cur)
+            if ren:
+                # one simultaneous substitution — sequential renames
+                # break on cyclic mappings (see _apply_read_renames)
+                df = df.select(
+                    *[_qcol(c).alias(ren.get(c, c)) for c in df.columns]
+                )
             for pc in e_pcols:
                 raw = ent["values"][pc]
                 lit = (
@@ -1253,6 +1288,39 @@ class ManagedTable:
         if evolve_base is not None:
             old_schema = T.StructType.fromJson(json.loads(evolve_base.schema_json))
             evolved = _evolve_schema(old_schema, df.schema)
+            if carry_entries:
+                # Carried entries are read under the NEW schema later,
+                # binding file columns BY NAME — so a batch-evolved
+                # column must clear the same stored-file-name guards as
+                # add_columns (r9 review, resurrection verified live):
+                # a batch re-introducing a DROPPED name would read the
+                # dropped values back out of carried files, and one
+                # re-introducing a renamed column's stored FILE name
+                # would bind two schema fields to one file column and
+                # break every later read of the carried entries.
+                old_names = {f.name for f in old_schema.fields}
+                fresh = [f.name for f in evolved.fields if f.name not in old_names]
+                if fresh:
+                    stored: dict[str, str] = {}
+                    for e in carry_entries:
+                        stored.update(e.get("renames") or {})
+                    for n in fresh:
+                        if n in (carry_dropped or ()):
+                            raise SchemaEvolutionError(
+                                f"batch evolves column {n!r}, but that name "
+                                "was dropped and its values are still "
+                                "physically present in carried partition "
+                                "files — the merge would resurrect them; "
+                                "compact() before re-introducing the name"
+                            )
+                        if n in stored:
+                            raise SchemaEvolutionError(
+                                f"batch evolves column {n!r}, which is the "
+                                f"stored file name of renamed column "
+                                f"{stored[n]!r} in carried partition files "
+                                "— compact() to materialize the rename "
+                                "before re-introducing the name"
+                            )
             # fill columns added by evolution so old snapshots stay readable
             from pyspark.sql import functions as F
 
@@ -2596,11 +2664,8 @@ class ManagedTable:
             partitions = []
             for e in snap.partitions:
                 e2 = dict(e)
-                ren = dict(e.get("renames") or {})
-                inv = {cur: fc for fc, cur in ren.items()}
-                fc = inv.get(name, name)
+                ren, fc = _pop_rename(e.get("renames"), name)
                 dropped_file_names.add(fc)
-                ren.pop(fc, None)
                 if ren:
                     e2["renames"] = ren
                 else:
@@ -2609,11 +2674,8 @@ class ManagedTable:
                     e2["files"] = [_strip_stats(f) for f in e["files"]]
                 partitions.append(e2)
         else:
-            ren = dict(snap.read_renames or {})
-            inv = {cur: fc for fc, cur in ren.items()}
-            fc = inv.get(name, name)
+            ren, fc = _pop_rename(snap.read_renames, name)
             dropped_file_names.add(fc)
-            ren.pop(fc, None)
             renames = ren or None
         files = None
         if snap.files is not None:

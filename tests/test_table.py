@@ -1865,6 +1865,94 @@ def test_partitioned_drop_and_resurrect_guard(spark, warehouse):
     assert {r.price for r in t.read().collect()} == {None}
 
 
+def test_rename_cycle_swap_reads_correctly(spark, warehouse):
+    """r9 review (verified live): 'rename a->tmp; rename b->a; rename
+    tmp->b' composes the cyclic mapping {a: b, b: a}; the sequential
+    withColumnRenamed loop first duplicated a name and every later
+    read failed AMBIGUOUS_REFERENCE with no recovery path (compact()
+    also reads). The mapping now applies as ONE simultaneous
+    substitution — flat and partitioned paths both."""
+    t = _mk_r8(spark, warehouse, "renswap")  # pk, status, price
+    t.rename_column("status", "tmpc")
+    t.rename_column("price", "status")  # price values now named status
+    t.rename_column("tmpc", "price")    # status values now named price
+    got = {r.pk: (r.status, r.price) for r in t.read().collect()}
+    assert got == {1: (10.0, "A"), 2: (20.0, "B")}
+    t.compact()  # materializes the swap (this used to be unreachable)
+    assert {r.pk: (r.status, r.price) for r in t.read().collect()} == got
+
+    p = Catalog(spark, warehouse).create_table(
+        TableSpec(
+            namespace="ns", name="renswapp", key_columns=("pk",),
+            order_columns=("seq",), partition_columns=("g",),
+        )
+    )
+    p.bootstrap(
+        spark.createDataFrame(
+            [(1, 1, "A", 10.0, "x"), (2, 1, "B", 20.0, "y")],
+            "pk long, seq long, g string, price double, note string",
+        )
+    )
+    p.rename_column("price", "tmpc")
+    p.rename_column("note", "price")
+    p.rename_column("tmpc", "note")
+    got2 = {r.pk: (r.price, r.note) for r in p.read().collect()}
+    assert got2 == {1: ("x", 10.0), 2: ("y", 20.0)}
+
+
+def test_pruned_merge_evolution_respects_ddl_guards(spark, warehouse):
+    """r9 review (resurrection verified live): a PRUNED merge whose
+    batch re-introduces a dropped column's name — or a renamed
+    column's stored FILE name — via additive schema evolution must
+    refuse like add_columns: carried entries bind file columns by
+    name, so the evolved schema would read the dropped values back
+    out (or bind two fields to one file column and break every later
+    read). A batch touching EVERY partition (nothing carried) stays
+    legal — the full rewrite physically clears the hazard."""
+    t = _mk_pddl(spark, warehouse, "pevog1")
+    t.drop_column("price")
+    with pytest.raises(SchemaEvolutionError, match="resurrect"):
+        t.apply_changes(
+            spark.createDataFrame(
+                [("MODIFY", 2, 1, "A", 99.0)],
+                "op string, seq long, pk long, status string, price double",
+            )
+        )
+    t2 = _mk_pddl(spark, warehouse, "pevog2")
+    t2.rename_column("price", "amount")
+    with pytest.raises(SchemaEvolutionError, match="stored file name"):
+        t2.apply_changes(
+            spark.createDataFrame(
+                [("MODIFY", 2, 1, "A", 11.0, 99.0)],
+                "op string, seq long, pk long, status string,"
+                " amount double, price double",
+            )
+        )
+    t2.compact()  # materializes the rename: the file name is free
+    t2.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 2, 1, "A", 11.0, 99.0)],
+            "op string, seq long, pk long, status string,"
+            " amount double, price double",
+        )
+    )
+    got = {r.pk: (r.amount, r.price) for r in t2.read().collect()}
+    assert got[1] == (11.0, 99.0) and got[3] == (30.0, None)
+    # all-partitions batch: carry is empty, evolution is a full
+    # rewrite — legal, and the dropped values provably do NOT return
+    t3 = _mk_pddl(spark, warehouse, "pevog3")
+    t3.drop_column("price")
+    t3.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 2, 1, "A", 1.0), ("MODIFY", 2, 3, "B", 3.0)],
+            "op string, seq long, pk long, status string, price double",
+        )
+    )
+    assert {r.pk: r.price for r in t3.read().collect()} == {
+        1: 1.0, 2: None, 3: 3.0,
+    }
+
+
 def test_ddl_refuses_ex_partition_layout_column(spark, warehouse):
     """After partition-spec evolution, carried old-layout entries keep
     their values under the EX-partition column (no longer

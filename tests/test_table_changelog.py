@@ -3,6 +3,8 @@ refusal of non-changelog commits, per-version ranged offsets, staged
 snapshot invisibility (rows AND schema), plus an engine-level drain
 asserting one microbatch per published version and checkpoint resume."""
 
+from pathlib import Path
+
 import pytest
 
 from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
@@ -942,11 +944,14 @@ def test_partitioned_rename_boundary_emits_upsert_wave(spark, warehouse):
 
 def test_partitioned_drop_version_is_changelog_transparent(spark, warehouse):
     """A partitioned DROP COLUMN pops the dropped column's mapping
-    from every entry, so the carried-entry check sees changed entries
-    and runs the per-entry diff — which must still emit ZERO rows
-    (all surviving columns unchanged; the drop is metadata-only,
-    changelog-transparent like compact). A later pruned merge then
-    diffs exactly against read_changes under the surviving schema."""
+    from every entry; the carried-entry check compares COLUMN
+    RESOLUTIONS (which file column each emitted column binds to), so
+    the drop version — whose surviving columns resolve identically —
+    is skipped WITHOUT reading any entry (r9 review: the raw-dict
+    compare double-read every previously-renamed entry just to emit
+    zero rows). Proven read-free by corrupting the carried partition's
+    parquet before the drain. A later pruned merge then diffs exactly
+    against read_changes under the surviving schema."""
     t = Catalog(spark, warehouse).create_table(
         TableSpec(
             namespace="ns", name="cdfdrop", key_columns=("pk",),
@@ -968,6 +973,13 @@ def test_partitioned_drop_version_is_changelog_transparent(spark, warehouse):
         )
     )
     assert t.read_changes(2, 3).count() == 0  # batch API agrees
+
+    # corrupt the carried partition's files: versions 2-4 must never
+    # open them (B is resolution-unchanged at v2/v3 and carried at v4)
+    for e in t.history()[0].partitions:
+        if e["values"]["status"] == "B":
+            for f in Path(e["dir"]).glob("*.parquet"):
+                f.write_bytes(b"corrupt")
 
     r = _reader(f"{warehouse}/ns/cdfdrop/manifest.json", max_versions=1)
     off = {"v": 1}
