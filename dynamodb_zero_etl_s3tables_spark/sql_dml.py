@@ -24,8 +24,13 @@ shape, never a silent partial apply:
   expression — pruning still uses the prunable conjuncts (sound:
   extra AND-terms only shrink the match set), and a predicate with
   no prunable conjunct falls back to a full-scan rewrite.
-  Subqueries in WHERE are refused loudly (they need a join plan,
-  not a row predicate — use MERGE or the DataFrame API).
+  A WHERE clause containing a subquery (``IN`` / ``NOT IN`` /
+  ``EXISTS`` / ``NOT EXISTS`` / scalar comparison) routes through the
+  keyed plan instead: Catalyst evaluates the whole clause as a SELECT
+  of the key columns over the registered view (the subquery becomes
+  the semi/anti join it calls for) and the key set drives
+  ``delete_matching`` / ``update_matching`` (pruned CoW rewrite,
+  data-driven carry). Scalar subqueries in UPDATE SET stay refused.
 * UPDATE assignments are ``col = <sql expr>`` (the expression string
   passes straight into ``update_where``, evaluated in row scope).
 * MERGE supports ``[AS] alias`` on both sides, a temp-view name or a
@@ -188,21 +193,26 @@ def _parse_literal(text: str) -> Any:
         ) from None
 
 
+def _contains_subquery(text: str) -> bool:
+    """Quote-aware probe: ``(select`` inside a string literal is data,
+    not a subquery ("WHERE note = 'see (select one)'" is legal)."""
+    unquoted = re.sub(r"'(?:[^']|'')*'", "''", text)
+    return re.search(r"\(\s*SELECT\b", unquoted, re.IGNORECASE) is not None
+
+
 def _validate_residual(term: str) -> str:
     """A residual WHERE term must be a Spark-parseable row-scope
-    expression; subqueries are refused (they need a join plan).
+    expression; subqueries never reach here (DELETE/UPDATE WHERE
+    clauses containing one route through the keyed semi-join plan,
+    :func:`_route_matching_dml`) — refuse defensively if one does.
     ``F.expr`` is lazy in Spark 4, so parse eagerly through the
     active session's SQL parser — the statement must refuse BEFORE
     any verb starts work, not mid-plan as a ParseException."""
-    # quote-aware probe: '(select' inside a string literal is data,
-    # not a subquery ("WHERE note = 'see (select one)'" is legal)
-    unquoted = re.sub(r"'(?:[^']|'')*'", "''", term)
-    if re.search(r"\(\s*SELECT\b", unquoted, re.IGNORECASE):
+    if _contains_subquery(term):
         raise ValueError(
-            f"unsupported predicate {term!r} — subqueries in DELETE/UPDATE "
-            "WHERE are outside the routed grammar (a subquery needs a join "
-            "plan, not a row predicate); rewrite as MERGE INTO with the "
-            "subquery as the USING source, or use the DataFrame API"
+            f"unsupported predicate {term!r} — a subquery is not a "
+            "row-scope residual (it needs a join plan); this term should "
+            "have routed through the keyed subquery-DML path"
         )
     try:
         from pyspark.sql import SparkSession
@@ -314,7 +324,7 @@ _UPDATE_RE = re.compile(
 )
 
 _MERGE_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_.`\"]*)"
+    r"^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+([A-Za-z_][A-Za-z0-9_.`\"]*)"
     r"(?:\s+AS)?(?:\s+(?!USING\b)([A-Za-z_][A-Za-z0-9_]*))?"
     r"\s+USING\s+(__SUBQUERY__|[A-Za-z_][A-Za-z0-9_.]*)"
     r"(?:\s+AS)?(?:\s+(?!ON\b)([A-Za-z_][A-Za-z0-9_]*))?"
@@ -432,23 +442,79 @@ def _route_insert(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
     )
 
 
+def _route_matching_dml(
+    engine: "ZeroEtlEngine",
+    target_name: str,
+    where_text: str,
+    assignments: dict[str, str] | None,
+) -> DataFrame:
+    """DELETE/UPDATE whose WHERE contains a subquery (``IN`` /
+    ``NOT IN`` / ``EXISTS`` / ``NOT EXISTS`` / scalar comparisons —
+    the Athena cleanup shape over the replicated table, reference
+    README.md:170-174): the WHOLE clause is evaluated through
+    Catalyst as a SELECT of the table's key columns over the
+    registered view — Spark plans the subquery as the semi/anti join
+    the predicate calls for (D14/D15 shapes), with ANSI NOT-IN NULL
+    semantics for free — and the resulting key set drives the keyed
+    rewrite (``delete_matching`` / ``update_matching``: pruned CoW
+    carry, data-driven).
+
+    The view is aliased to the statement's bare table name so
+    correlated references (``EXISTS (SELECT 1 FROM s WHERE s.k =
+    t.k)``) resolve exactly as ANSI scopes them. Time-travel clauses
+    inside the subquery rewrite through the shared shim."""
+    _check_target(engine, target_name)
+    q = engine.spec.qualified_name
+    engine.catalog.refresh_view(q)
+    view = engine.catalog.view_name(q)
+    alias = target_name.strip("`\"").split(".")[-1]
+    kcols = ", ".join(
+        f"{alias}.`{k}` AS `{k}`" for k in engine.spec.key_columns
+    )
+    select = (
+        f"SELECT {kcols} FROM {view} AS {alias} WHERE {where_text}"
+    )
+    keys = engine.spark.sql(rewrite_time_travel(engine, select))
+    if assignments is None:
+        result = engine.table.delete_matching(keys)
+        return _result_df(engine, "delete", result)
+    result = engine.table.update_matching(keys, assignments)
+    return _result_df(engine, "update", result)
+
+
 def _route_delete(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    if _contains_subquery(m.group(2)):
+        return _route_matching_dml(engine, m.group(1), m.group(2), None)
     _check_target(engine, m.group(1))
     filters, residual = _parse_predicate(m.group(2))
     result = engine.table.delete_where(filters, residual_sql=residual)
     return _result_df(engine, "delete", result)
 
 
-def _route_update(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
-    _check_target(engine, m.group(1))
+def _parse_assignments(set_text: str) -> dict[str, str]:
     assignments = {}
-    for part in _split_top(m.group(2), r","):
+    for part in _split_top(set_text, r","):
         am = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$", part, re.DOTALL)
         if not am:
             raise ValueError(
                 f"unsupported SET clause {part!r} — expected `col = <sql expr>`"
             )
+        if _contains_subquery(am.group(2)):
+            raise ValueError(
+                f"unsupported SET expression {am.group(2)!r} — scalar "
+                "subqueries in UPDATE SET are outside the routed grammar "
+                "(set expressions are row-scope); compute the value with "
+                "MERGE INTO ... USING (SELECT ...) instead"
+            )
         assignments[am.group(1)] = am.group(2)
+    return assignments
+
+
+def _route_update(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
+    assignments = _parse_assignments(m.group(2))
+    if _contains_subquery(m.group(3)):
+        return _route_matching_dml(engine, m.group(1), m.group(3), assignments)
+    _check_target(engine, m.group(1))
     filters, residual = _parse_predicate(m.group(3))
     result = engine.table.update_where(
         filters, assignments, residual_sql=residual
@@ -485,7 +551,23 @@ def _parse_matched_action(action: str, aliases, fold) -> tuple[str, dict | None]
 def _route_merge(
     engine: "ZeroEtlEngine", m: re.Match, subquery: str | None
 ) -> DataFrame:
-    target_name, t_alias, source_text, s_alias, on_text, when_text = m.groups()
+    (
+        evolve_text,
+        target_name,
+        t_alias,
+        source_text,
+        s_alias,
+        on_text,
+        when_text,
+    ) = m.groups()
+    # `MERGE WITH SCHEMA EVOLUTION INTO ...` (Delta's opt-in syntax):
+    # source columns absent from the target are ADDED through the same
+    # additive-union/widening gate the programmatic d90b path uses
+    # (merge_schema=True -> manifest _evolve_schema), NULL-backfilled
+    # on old rows — matching the reference pipeline's auto-evolving
+    # target (glue:UpdateTable, src/dynamodb-zero-etl-s3tables.ts:
+    # 110-117). Without the clause the strict refusal below stands.
+    merge_schema = evolve_text is not None
     _check_target(engine, target_name)
     aliases = ((t_alias or "t").lower(), (s_alias or "s").lower())
     if aliases[0] == aliases[1]:
@@ -595,15 +677,16 @@ def _route_merge(
             if im.group(1) is None:  # INSERT *
                 tcols = set(engine.table.read().columns)
                 extra = [c for c in source.columns if c not in tcols]
-                if extra:
+                if extra and not merge_schema:
                     # Delta refuses this too (absent schema evolution);
                     # silently projecting them away was the module's
                     # own silent-partial-apply anti-pattern (r9 review)
                     raise ValueError(
                         f"MERGE INSERT *: source columns {extra} are not "
-                        "columns of the target table — name the columns "
-                        "with INSERT (cols) VALUES (...) or drop them "
-                        "from the USING source"
+                        "columns of the target table — opt in with "
+                        "MERGE WITH SCHEMA EVOLUTION INTO, name the "
+                        "columns with INSERT (cols) VALUES (...), or "
+                        "drop them from the USING source"
                     )
                 insert_values = {c: F.expr(f"s.{c}") for c in source.columns}
             else:
@@ -648,6 +731,7 @@ def _route_merge(
         matched=matched,
         insert_values=insert_values,
         insert_cond=insert_cond,
+        merge_schema=merge_schema,
         not_matched_by_source=not_matched_by_source,
     )
     return _result_df(
@@ -660,6 +744,7 @@ def _route_merge(
                 k for k, _c, _s in not_matched_by_source
             ],
             "insert": insert_values is not None,
+            "schema_evolution": merge_schema,
         },
     )
 

@@ -2057,6 +2057,227 @@ class ManagedTable:
         )
         return {"partitions_rewritten": None, "partitions_carried": None}
 
+    @staticmethod
+    def _collected_agrees(raw: str | None, dtype: T.DataType, v: Any) -> bool:
+        """Can a collected partition value ``v`` live in an entry whose
+        manifest raw-string value is ``raw``? Comparison is attempted
+        in the raw-string domain both sides normalize to; any type this
+        normalization cannot make bit-faithful (timestamps: dir-name
+        formatting vs ``str(datetime)``) answers True — the
+        conservative direction (entry treated as touched → rewritten),
+        never a silent skip."""
+        if raw is None or v is None:
+            return (raw is None) == (v is None)
+        cv = _coerce_partition_value(raw, dtype)
+        if cv is None:
+            return True  # untyped/unsupported: cannot rule out
+        try:
+            if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                return cv == int(v)
+            if isinstance(dtype, (T.FloatType, T.DoubleType)):
+                return cv == float(v)
+            if isinstance(dtype, T.StringType):
+                return cv == str(v)
+            if isinstance(dtype, T.DateType):
+                return cv == str(v)  # ISO both sides
+        except (TypeError, ValueError):
+            return True
+        return True
+
+    def _matching_commit(
+        self,
+        keys: DataFrame,
+        assignments: dict[str, str] | None,
+        strategy: str,
+    ) -> dict[str, Any]:
+        """Shared engine of :meth:`delete_matching` /
+        :meth:`update_matching`: the keyed half of subquery DML. The
+        caller has already evaluated an arbitrary predicate (IN /
+        NOT IN / EXISTS subqueries — Catalyst plans them as semi/anti
+        joins) down to a key-set DataFrame; this commits the rewrite.
+
+        Copy-on-write pruning here is DATA-driven, not triple-driven:
+        one narrow scan (keys + partition columns only — Catalyst
+        prunes the rest) joins the key set to find which partitions
+        hold matching rows; untouched entries are CARRIED as metadata
+        references exactly as delete_where does, so a cleanup that
+        hits 1 of 500 partitions rewrites 1. The collected set is
+        bounded by live-partition count (metadata scale). Merge-on-read
+        commits tombstones (+ updated images) in O(matches) with zero
+        rewrite — the 100 TB shape for hot subquery deletes."""
+        from pyspark.sql import functions as F
+
+        operation = "delete" if assignments is None else "update"
+        if strategy not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown {operation} strategy {strategy!r}")
+        kcols = list(self.spec.key_columns)
+        missing = [k for k in kcols if k not in keys.columns]
+        if missing:
+            raise ValueError(
+                f"{operation}_matching needs the table's key columns "
+                f"{kcols} in the key set; missing {missing}"
+            )
+        if assignments is not None:
+            bad_keys = set(assignments) & set(kcols)
+            if bad_keys:
+                raise ValueError(
+                    f"update_matching cannot assign key columns "
+                    f"{sorted(bad_keys)} — keys are immutable (DynamoDB "
+                    "replica semantics); express a key change as DELETE "
+                    "old + INSERT new"
+                )
+            bad = set(assignments) & set(self.spec.partition_columns)
+            if bad and strategy == "copy-on-write":
+                raise ValueError(
+                    f"update_matching cannot assign partition columns "
+                    f"{sorted(bad)}"
+                )
+        m = self._read_manifest()
+        snap = m.current
+        if snap is None:
+            raise FileNotFoundError(
+                f"table {self.spec.qualified_name} has no snapshots"
+            )
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        by_name = {f.name: f for f in schema.fields}
+        # dedupe: several subquery matches per key must not double-join
+        keys = keys.select(*kcols).dropDuplicates(kcols)
+
+        if strategy == "merge-on-read":
+            base = self.read(version=snap.version)  # pinned anchor
+            matched = base.join(keys, kcols, "left_semi")
+            if assignments is None:
+                empty = self.spark.createDataFrame([], schema)
+                n = self._dml_mor_commit(
+                    matched.select(*kcols), empty, operation="delete-mor",
+                    expected_version=m.version,
+                )
+                return {
+                    "keys_deleted": n,
+                    "partitions_rewritten": 0,
+                    "partitions_carried": None,
+                }
+            for col, expr in assignments.items():
+                matched = matched.withColumn(
+                    col, F.expr(expr).cast(by_name[col].dataType)
+                )
+            matched = matched.select(*[f.name for f in schema.fields]).cache()
+            n = self._dml_mor_commit(
+                matched.select(*kcols), matched, operation="update-mor",
+                expected_version=m.version,
+            )
+            matched.unpersist()
+            return {
+                "rows_updated": n,
+                "partitions_rewritten": 0,
+                "partitions_carried": None,
+            }
+
+        def rewrite(df: DataFrame) -> DataFrame:
+            if assignments is None:
+                return df.join(keys, kcols, "left_anti")
+            j = df.join(
+                keys.withColumn("__hit", F.lit(True)), kcols, "left_outer"
+            )
+            hit = F.coalesce(F.col("__hit"), F.lit(False))
+            for col, expr in assignments.items():
+                j = j.withColumn(
+                    col,
+                    F.when(hit, F.expr(expr).cast(by_name[col].dataType))
+                    .otherwise(F.col(col)),
+                )
+            return j.select(*[f.name for f in schema.fields])
+
+        if snap.partitions is not None:
+            # data-driven prune: which partitions hold a matching row?
+            # The key set feeds TWO consumers (the prune scan and the
+            # rewrite join) — cache it so the subquery plan that
+            # produced it evaluates once, not twice (spills to disk if
+            # the match set is large; released before returning).
+            keys = keys.cache()
+            try:
+                pcols = sorted(
+                    {
+                        pc
+                        for e in snap.partitions
+                        for pc in e["values"]
+                        if pc in by_name
+                    }
+                )
+                rows = (
+                    self.read(version=snap.version)
+                    .join(keys, kcols, "left_semi")
+                    .select(*pcols)
+                    .distinct()
+                    .collect()
+                    if pcols
+                    else []
+                )
+                vals = [r.asDict() for r in rows]
+
+                def may_match(e: dict[str, Any]) -> bool:
+                    if not vals:
+                        return not pcols  # no layout info -> rewrite all
+                    return any(
+                        all(
+                            pc not in r
+                            or self._collected_agrees(
+                                raw, by_name[pc].dataType, r[pc]
+                            )
+                            for pc, raw in e["values"].items()
+                        )
+                        for r in vals
+                    )
+
+                touched = [e for e in snap.partitions if may_match(e)]
+                carry = [e for e in snap.partitions if not may_match(e)]
+                out = rewrite(self._read_partition_entries(touched, schema))
+                self._write_snapshot(
+                    out, operation=operation, carry_entries=carry,
+                    expected_version=m.version,
+                    carry_dropped=snap.dropped_columns if carry else None,
+                )
+            finally:
+                keys.unpersist()
+            return {
+                "partitions_rewritten": len(touched),
+                "partitions_carried": len(carry),
+            }
+        self._write_snapshot(
+            rewrite(self.read(version=snap.version)),
+            operation=operation, expected_version=m.version,
+        )
+        return {"partitions_rewritten": None, "partitions_carried": None}
+
+    def delete_matching(
+        self, keys: DataFrame, strategy: str = "copy-on-write"
+    ) -> dict[str, Any]:
+        """Keyed DELETE from a computed key set — the commit half of
+        ``DELETE FROM t WHERE k IN (SELECT ...)`` (the Athena cleanup
+        shape over the replicated table, reference README.md:170-174):
+        the SQL door evaluates the subquery predicate through Catalyst
+        (planned as a semi/anti join, D14/D15 machinery) and hands the
+        matching keys here. ``keys`` must carry the table's key
+        columns; extra columns are projected away, duplicates deduped.
+        Copy-on-write rewrites only partitions that hold a matching
+        key (data-driven carry); ``strategy="merge-on-read"`` commits
+        tombstones in O(matches) with zero rewrite."""
+        return self._matching_commit(keys, None, strategy)
+
+    def update_matching(
+        self,
+        keys: DataFrame,
+        assignments: dict[str, str],
+        strategy: str = "copy-on-write",
+    ) -> dict[str, Any]:
+        """Keyed UPDATE over a computed key set — the commit half of
+        ``UPDATE t SET ... WHERE k IN (SELECT ...)``. ``assignments``
+        are column -> SQL expression in the matched row's scope (same
+        contract as :meth:`update_where`); rows whose keys are absent
+        from ``keys`` pass through untouched. Pruning/strategy notes:
+        :meth:`delete_matching`."""
+        return self._matching_commit(keys, assignments, strategy)
+
     def create_tag(self, name: str, version: int | None = None) -> None:
         """Iceberg TAG analog: pin a retained snapshot version under a
         name. ``read(tag=...)`` resolves it; vacuum/expire keep the

@@ -98,9 +98,17 @@ def test_dml_refusals_are_loud(spark, warehouse):
     eng = _engine(spark, warehouse, "bad")
     with pytest.raises(ValueError, match="unknown table"):
         eng.sql("DELETE FROM other_table WHERE pk = 1")
-    with pytest.raises(ValueError, match="subquer"):
+    # WHERE subqueries route through Catalyst now (r10) — an unknown
+    # subquery table surfaces as Spark's own analysis error, loudly
+    with pytest.raises(Exception, match="somewhere"):
         eng.sql(
             "DELETE FROM ns.bad WHERE pk IN (SELECT pk FROM somewhere)"
+        )
+    # the narrowed refusal: scalar subqueries in UPDATE SET
+    with pytest.raises(ValueError, match="SET"):
+        eng.sql(
+            "UPDATE ns.bad SET price = (SELECT MAX(pk) FROM ns_bad) "
+            "WHERE pk = 1"
         )
     with pytest.raises(ValueError, match="unparseable predicate"):
         eng.sql("DELETE FROM ns.bad WHERE price ===== 2")
@@ -341,8 +349,14 @@ def test_review_r7_regressions(spark, warehouse):
         "DELETE FROM ns.rev7 WHERE status = 'see (select one) above'"
     )
     assert res.first().operation == "delete"
-    with pytest.raises(ValueError, match="subqueries"):
-        engine.sql("DELETE FROM ns.rev7 WHERE pk IN (SELECT 1)")
+    # WHERE subqueries plan as keyed semi-joins now (r10): IN (SELECT 1)
+    # deletes exactly pk=1
+    n_before = engine.table.read().count()
+    res = engine.sql("DELETE FROM ns.rev7 WHERE pk IN (SELECT 1)")
+    assert res.first().operation == "delete"
+    after = engine.table.read()
+    assert after.count() == n_before - 1
+    assert after.filter("pk = 1").count() == 0
     # MERGE action outside the grammar refuses loudly, not AttributeError
     spark.createDataFrame([(1, "A", 1.0)],
                           "pk long, status string, price double"
