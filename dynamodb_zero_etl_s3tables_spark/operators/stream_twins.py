@@ -2158,3 +2158,142 @@ def h26_cow_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(root / "out")).select(
         "version", "change_op", "pk", "status", "price"
     )
+
+
+@query(
+    "h28_nested_changelog_stream",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status,
+             o_orderpriority AS prio,
+             CAST(o_custkey % 100 AS INTEGER) AS pr
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    ins AS (
+      SELECT CAST(1 AS BIGINT) AS version, 'INSERT' AS change_op,
+             pk, status, prio, pr
+      FROM base
+    ),
+    ups AS (
+      SELECT CAST(2 AS BIGINT), 'UPSERT', pk, 'X', prio, pr
+      FROM base WHERE pk % 6 = 0 AND pk % 9 <> 0
+    ),
+    dels AS (
+      SELECT CAST(2 AS BIGINT), 'DELETE', pk, CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER)
+      FROM base WHERE pk % 9 = 0
+    )
+    SELECT * FROM ins UNION ALL SELECT * FROM ups UNION ALL
+    SELECT * FROM dels
+    """,
+)
+def h28_nested_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-family r10 (VERDICT r9 #5): a user-created table with NESTED
+    columns — a struct and a map — consumed as a changelog STREAM. The
+    python-runner readers cannot ship nested values with vouchable
+    fidelity (only flat values survive the arrow->pylist->pickle round
+    trip), so the source serializes each nested column to canonical
+    JSON executor/driver-side and the consumer restores it with
+    ``from_json`` against the table schema
+    (``restore_nested_columns``) — the same shim the B3 codec applies
+    to deep DynamoDB M/L values, now covering tables users create
+    directly. The journey bootstraps orders with ``meta =
+    struct(status, orderpriority)`` and ``tags = map('pr', shippriority)``,
+    commits one MoR wave (MODIFY flips meta.status to 'X'; REMOVE
+    drops pk%9==0), drains the changelog with restoration applied
+    INSIDE the streaming plan, and returns the flattened change rows;
+    the oracle restates them relationally — a hash match proves the
+    JSON round trip is value-exact, field by field.
+
+    Scale: serialization happens where the rows already are (driver
+    for the simple reader, executors for the partitioned one);
+    ``from_json`` is a codegen'd JVM expression inside the microbatch
+    plan — no extra pass, no Python in the restore path."""
+    from dynamodb_zero_etl_s3tables_spark.operators.sources_sinks import _check
+    from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
+        drain_changelog,
+        make_changelog_source,
+        restore_nested_columns,
+    )
+    from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
+
+    root = scratch_dir(sf_dir, "h28_nested_cdf", wipe=True)
+    root.mkdir(parents=True)
+    t = Catalog(spark, str(root / "wh")).create_table(
+        TableSpec(namespace="ns", name="orders_nested", key_columns=("pk",))
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    base = o.select(
+        F.col("o_orderkey").alias("pk"),
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+        ).alias("meta"),
+        F.create_map(
+            F.lit("pr"), (F.col("o_custkey") % 100).cast("int")
+        ).alias("tags"),
+    )
+    t.bootstrap(base)
+    mod = (F.col("pk") % 6 == 0) & (F.col("pk") % 9 != 0)
+    wave = (
+        base.filter(mod)
+        .select(
+            F.lit("MODIFY").alias("op"), "pk",
+            F.struct(
+                F.lit("X").alias("status"),
+                F.col("meta.prio").alias("prio"),
+            ).alias("meta"),
+            "tags",
+            F.lit(1).alias("ts"), F.col("pk").alias("seq"),
+        )
+        .unionByName(
+            base.filter(F.col("pk") % 9 == 0).select(
+                F.lit("REMOVE").alias("op"), "pk",
+                F.lit(None).cast("struct<status:string,prio:string>").alias(
+                    "meta"
+                ),
+                F.lit(None).cast("map<string,int>").alias("tags"),
+                F.lit(1).alias("ts"), F.col("pk").alias("seq"),
+            )
+        )
+    )
+    t.apply_changes(wave, strategy="merge-on-read")
+    manifest = str(root / "wh" / "ns" / "orders_nested" / "manifest.json")
+
+    spark.dataSource.register(make_changelog_source())
+    raw_stream = (
+        spark.readStream.format("table_changelog")
+        .option("manifest", manifest)
+        .option("keys", "pk")
+        .load()
+    )
+    # the shim is visible in the source schema: nested cols ride as
+    # JSON strings until restored
+    _check(
+        dict(raw_stream.dtypes)["meta"] == "string"
+        and dict(raw_stream.dtypes)["tags"] == "string",
+        f"nested columns must ride shimmed, got {raw_stream.dtypes}",
+    )
+    restored = restore_nested_columns(raw_stream, manifest)
+    _check(
+        dict(restored.dtypes)["meta"] == "struct<status:string,prio:string>"
+        and dict(restored.dtypes)["tags"] == "map<string,int>",
+        f"restore must rebind the table types, got {restored.dtypes}",
+    )
+    batches = drain_changelog(
+        restored, str(root / "out"), str(root / "ckpt"), manifest
+    )
+    if batches < 2:
+        raise AssertionError(
+            f"expected >=2 microbatches (bootstrap + wave), got {batches}"
+        )
+    out = spark.read.parquet(str(root / "out"))
+    return out.select(
+        "version",
+        "change_op",
+        "pk",
+        F.col("meta.status").alias("status"),
+        F.col("meta.prio").alias("prio"),
+        F.element_at(F.col("tags"), "pr").alias("pr"),
+    )

@@ -109,9 +109,9 @@ def changelog_schema_ddl(manifest_path: str) -> str:
     """DDL for the changelog stream of the table at ``manifest_path``:
     ``version bigint, change_op string`` + the table's own columns
     (from the newest published snapshot's schema_json). Primitive and
-    array-of-primitive columns only — anything deeper refuses loudly
-    (the readers emit python rows; only flat lists survive the
-    arrow->pylist->pickle round trip with vouchable fidelity)."""
+    array-of-primitive columns ride natively; nested struct/map/deep-
+    array columns ride as JSON STRINGS (r10) — restore them with
+    :func:`restore_nested_columns`."""
     return _schema_closures(_DDL)[1](manifest_path)
 
 
@@ -158,6 +158,71 @@ def _schema_closures(ddl_map: dict):
         newest = max(published, key=lambda s: s["version"])
         return json.loads(newest["schema_json"])["fields"]
 
+    def is_shimmed(t):
+        """True when a column of type ``t`` rides the stream as a JSON
+        STRING (r10, VERDICT r9 #5): primitives and arrays-of-
+        primitive travel natively (pyarrow pylist -> pickle round-trip
+        is exact for them); anything deeper — struct, map, nested
+        array — is serialized to canonical JSON reader-side and
+        restored consumer-side with ``from_json`` against the table
+        schema (:func:`restore_nested_columns`), the same shim the B3
+        codec applies to deep DynamoDB M/L values."""
+        if ddl_of(t) is not None:
+            return False
+        if isinstance(t, dict) and t.get("type") == "array":
+            if ddl_of(t.get("elementType")) is not None:
+                return False
+        return True
+
+    def json_cols(raw):
+        """{column name: schema_json type} of the shimmed columns."""
+        return {
+            f["name"]: f["type"]
+            for f in pub_fields(raw)
+            if is_shimmed(f["type"])
+        }
+
+    def encode_nested(v, t):
+        """Canonicalize one shimmed VALUE to a json.dumps-able form,
+        typed by its schema_json ``t`` (so an empty map serializes as
+        ``{}``, not ``[]``): pyarrow hands structs as dicts, maps as
+        lists of (k, v) tuples, arrays as lists; leaves follow the
+        JSON conventions Spark's JacksonParser inverts — ISO strings
+        for date/timestamp, base64 for binary, plain string for
+        decimal (exact; JSON floats would round)."""
+        import base64
+        import datetime
+        import decimal
+
+        if v is None:
+            return None
+        if isinstance(t, dict):
+            tt = t.get("type")
+            if tt == "struct":
+                return {
+                    f["name"]: encode_nested(v.get(f["name"]), f["type"])
+                    for f in t["fields"]
+                }
+            if tt == "array":
+                return [encode_nested(e, t["elementType"]) for e in v]
+            if tt == "map":
+                items = v.items() if isinstance(v, dict) else v
+                return {
+                    str(encode_nested(k, t["keyType"])): encode_nested(
+                        x, t["valueType"]
+                    )
+                    for k, x in items
+                }
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+        if isinstance(v, datetime.datetime):
+            return v.isoformat(sep="T")
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return base64.b64encode(v).decode("ascii")
+        return v
+
     def schema_ddl(manifest_path):
         raw = json.loads(open(manifest_path).read())
         cols = []
@@ -183,11 +248,8 @@ def _schema_closures(ddl_map: dict):
             elif elem is not None:
                 cols.append(f"`{name}` array<{elem}>")
             else:
-                raise TypeError(
-                    f"changelog source supports primitive and "
-                    f"array-of-primitive columns only; {name!r} has "
-                    f"type {t!r}"
-                )
+                # nested struct/map/deep array: JSON-string shim (r10)
+                cols.append(f"`{name}` string")
         return "version bigint, change_op string, " + ", ".join(cols)
 
     def resolve_keys(raw, keys_option):
@@ -214,7 +276,7 @@ def _schema_closures(ddl_map: dict):
             )
         return authoritative
 
-    return pub_fields, schema_ddl, resolve_keys
+    return pub_fields, schema_ddl, resolve_keys, json_cols, encode_nested
 
 
 def _cow_closures():
@@ -441,7 +503,7 @@ def _cow_closures():
             for e in prev_snap["partitions"]
         }
 
-        def resolution(e):
+        def resolution(s, e):
             # which FILE column each emitted column binds to: the only
             # thing (besides the dir) entry_rows' output depends on.
             # Comparing resolutions instead of raw mapping dicts keeps
@@ -450,10 +512,18 @@ def _cow_closures():
             # dropped column's mapping from every entry without
             # touching any surviving column — stays carried instead of
             # double-reading every previously-renamed entry just to
-            # emit zero rows (r9 review).
-            ren = e.get("renames") or {}
-            inv = {cur: fc for fc, cur in ren.items()}
-            return tuple(inv.get(c, c) for c in cols)
+            # emit zero rows (r9 review). Composes the snapshot-level
+            # ``read_renames`` with the entry's own mapping — the same
+            # dict entry_rows binds reads to — so a legacy partitioned
+            # snapshot carrying a snapshot-level mapping compares
+            # exactly what the read would resolve (r10).
+            ren = {
+                **(s.get("read_renames") or {}),
+                **(e.get("renames") or {}),
+            }
+            return tuple(
+                {cur: fc for fc, cur in ren.items()}.get(c, c) for c in cols
+            )
 
         out = []
         for ent in snap["partitions"]:
@@ -462,7 +532,7 @@ def _cow_closures():
             if (
                 old_ent is not None
                 and old_ent["dir"] == ent["dir"]
-                and resolution(old_ent) == resolution(ent)
+                and resolution(prev_snap, old_ent) == resolution(snap, ent)
             ):
                 continue  # carried by reference: provably unchanged, unread
             old_state = {}
@@ -542,8 +612,10 @@ def _cow_closures():
                 snap.get("partitions") is not None
                 and prev_snap.get("partitions") is not None
                 and not prev_snap.get("delta")
-                and (snap.get("read_renames") or {})
-                == (prev_snap.get("read_renames") or {})
+                # snapshot-level read_renames differences are handled
+                # per entry: resolution() composes them with the
+                # entry's own mapping, so a rename-boundary version
+                # diffs exactly the entries whose binding changed (r10)
                 # entry matching is BY partition values, so both sides
                 # must share ONE homogeneous layout: across a
                 # partition-spec-evolution boundary the migrating
@@ -590,7 +662,9 @@ def make_changelog_source():
 
     from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
-    _pub_fields, _schema_ddl, _resolve_keys = _schema_closures(dict(_DDL))
+    _pub_fields, _schema_ddl, _resolve_keys, _json_cols, _enc_nested = (
+        _schema_closures(dict(_DDL))
+    )
     # _read_rows shared with the diff helpers — ONE dir-reader
     # implementation for the whole module (r8 self-review)
     _read_rows, _snap_rows, _coerce_part, _resolve_state, _diff_changes = (
@@ -598,11 +672,15 @@ def make_changelog_source():
     )
 
     class _Reader(SimpleDataSourceStreamReader):
-        def __init__(self, manifest_path, col_names, key_cols, max_versions):
+        def __init__(
+            self, manifest_path, col_names, key_cols, max_versions, json_types
+        ):
             self._manifest = manifest_path
             self._cols = list(col_names)
             self._keys = list(key_cols)
             self._max_versions = max_versions
+            #: {col: schema_json type} of the JSON-shimmed nested cols
+            self._json_types = dict(json_types)
             #: (version, state) of the last CoW diff — rolls forward
             self._cow_cache = None
 
@@ -686,7 +764,20 @@ def make_changelog_source():
             return [self._tuple(v, change_op, r) for change_op, r in changes]
 
         def _tuple(self, version, change_op, row):
-            return (version, change_op, *[row.get(c) for c in self._cols])
+            import json as _j
+
+            def val(c):
+                v = row.get(c)
+                t = self._json_types.get(c)
+                if t is None or v is None:
+                    return v
+                if isinstance(v, str):
+                    return v  # already serialized (DELETE null-fills)
+                return _j.dumps(
+                    _enc_nested(v, t), separators=(",", ":"), sort_keys=True
+                )
+
+            return (version, change_op, *[val(c) for c in self._cols])
 
     class TableChangelogSource(DataSource):
         @classmethod
@@ -704,9 +795,48 @@ def make_changelog_source():
                 [f["name"] for f in fields],
                 _resolve_keys(raw, self.options.get("keys")),
                 int(self.options.get("max_versions_per_batch", "1")),
+                _json_cols(raw),
             )
 
     return TableChangelogSource
+
+
+def restore_nested_columns(stream_df, manifest_path: str):
+    """Consumer-side half of the nested-column shim (r10, VERDICT r9
+    #5): the changelog sources emit struct/map/deep-array columns as
+    canonical JSON strings (the readers run in the python-runner
+    process, where only flat values survive the arrow->pylist->pickle
+    round trip with vouchable fidelity); this restores each shimmed
+    column with ``from_json`` against the TABLE's schema — the same
+    shim the B3 codec applies to deep DynamoDB M/L values. Columns
+    that ride natively (primitives, arrays of primitives) pass
+    through untouched, so calling this on a flat table is a no-op.
+
+    Scale: ``from_json`` is a codegen'd JVM expression evaluated
+    inside the stream's own microbatch plan — no extra pass, no
+    Python."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    raw = _json.loads(open(manifest_path).read())
+    json_cols = _schema_closures(dict(_DDL))[3]
+    out = stream_df
+    for name, tjson in json_cols(raw).items():
+        field = T.StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": name,
+                        "type": tjson,
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                ],
+            }
+        )[name]
+        out = out.withColumn(name, F.from_json(F.col(name), field.dataType))
+    return out
 
 
 def _committed_offset_version(checkpoint: str) -> int:
@@ -828,7 +958,9 @@ def make_partitioned_changelog_source():
         InputPartition,
     )
 
-    _pub_fields, _schema_ddl, _resolve_keys = _schema_closures(dict(_DDL))
+    _pub_fields, _schema_ddl, _resolve_keys, _json_cols, _enc_nested = (
+        _schema_closures(dict(_DDL))
+    )
     _read_rows, _snap_rows, _coerce_part, _resolve_state, _diff_changes = (
         _cow_closures()
     )
@@ -846,12 +978,32 @@ def make_partitioned_changelog_source():
         #: ...) partition values re-attached to every row (they live
         #: in dir names, not the parquet)
         part_values: tuple = ()
+        #: ((col, schema_json type), ...) of the JSON-shimmed nested
+        #: columns (r10) — serialized at emission, executor-side
+        json_types: tuple = ()
+
+    def _emit_row(version, change_op, r, cols, json_types):
+        import json as _j
+
+        jmap = dict(json_types)
+
+        def val(c):
+            v = r.get(c)
+            t = jmap.get(c)
+            if t is None or v is None or isinstance(v, str):
+                return v
+            return _j.dumps(
+                _enc_nested(v, t), separators=(",", ":"), sort_keys=True
+            )
+
+        return (version, change_op, *[val(c) for c in cols])
 
     class _Reader(DataSourceStreamReader):
-        def __init__(self, manifest_path, col_names, key_cols):
+        def __init__(self, manifest_path, col_names, key_cols, json_types):
             self._manifest = manifest_path
             self._cols = tuple(col_names)
             self._keys = tuple(key_cols)
+            self._json_types = tuple(sorted(json_types.items()))
 
         def initialOffset(self):
             return {"v": 0}
@@ -894,12 +1046,14 @@ def make_partitioned_changelog_source():
                                     _FilePart(
                                         v, "INSERT", f, (),
                                         self._cols, self._keys, vals,
+                                        json_types=self._json_types,
                                     )
                                 )
                         continue
                     for f in sorted(glob.glob(f"{s['data_dir']}/*.parquet")):
                         parts.append(
-                            _FilePart(v, "INSERT", f, (), self._cols, self._keys)
+                            _FilePart(v, "INSERT", f, (), self._cols,
+                                      self._keys, json_types=self._json_types)
                         )
                 elif s.get("delta"):
                     # merge-mor AND the delete-mor/update-mor
@@ -911,11 +1065,13 @@ def make_partitioned_changelog_source():
                     )
                     for f in ins:
                         parts.append(
-                            _FilePart(v, "UPSERT", f, (), self._cols, self._keys)
+                            _FilePart(v, "UPSERT", f, (), self._cols,
+                                      self._keys, json_types=self._json_types)
                         )
                     for f in sorted(glob.glob(f"{s['delta']['deletes']}/*.parquet")):
                         parts.append(
-                            _FilePart(v, "DELETE", f, ins, self._cols, self._keys)
+                            _FilePart(v, "DELETE", f, ins, self._cols,
+                                      self._keys, json_types=self._json_types)
                         )
                 else:
                     # copy-on-write fallback (r8): ONE partition per
@@ -927,10 +1083,13 @@ def make_partitioned_changelog_source():
                         _FilePart(
                             v, "COW_DIFF", self._manifest, (),
                             self._cols, self._keys,
+                            json_types=self._json_types,
                         )
                     )
             # the engine expects >= 1 partition per planned batch
-            return parts or [_FilePart(0, "NONE", "", (), self._cols, self._keys)]
+            return parts or [
+                _FilePart(0, "NONE", "", (), self._cols, self._keys)
+            ]
 
         def read(self, partition):
             if not partition.path:
@@ -948,10 +1107,9 @@ def make_partitioned_changelog_source():
                     raw, snap, list(partition.keys), list(partition.cols)
                 )
                 for change_op, r in changes:
-                    yield (
-                        partition.version,
-                        change_op,
-                        *[r.get(c) for c in partition.cols],
+                    yield _emit_row(
+                        partition.version, change_op, r,
+                        partition.cols, partition.json_types,
                     )
                 return
             rows = pq.read_table(partition.path).to_pylist()
@@ -970,10 +1128,9 @@ def make_partitioned_changelog_source():
                     if tuple(r[k] for k in partition.keys) not in up_keys
                 ]
             for r in rows:
-                yield (
-                    partition.version,
-                    partition.change_op,
-                    *[r.get(c) for c in partition.cols],
+                yield _emit_row(
+                    partition.version, partition.change_op, r,
+                    partition.cols, partition.json_types,
                 )
 
         def commit(self, end):
@@ -994,6 +1151,7 @@ def make_partitioned_changelog_source():
                 self.options["manifest"],
                 [f["name"] for f in fields],
                 _resolve_keys(raw, self.options.get("keys")),
+                _json_cols(raw),
             )
 
     return PartitionedTableChangelogSource

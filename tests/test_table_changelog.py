@@ -155,7 +155,7 @@ def test_schema_binds_to_published_snapshot_not_staged(spark, warehouse):
     assert all(len(t_) == 2 + 3 for t_ in rows)  # version, op, 3 cols
 
 
-def test_schema_accepts_primitive_arrays_rejects_nested(spark, warehouse):
+def test_schema_primitive_arrays_native_nested_shimmed(spark, warehouse):
     # arrays of primitives stream (r7: embedding columns for the h24
     # index-maintenance loop) ...
     t = Catalog(spark, warehouse).create_table(
@@ -169,7 +169,9 @@ def test_schema_accepts_primitive_arrays_rejects_nested(spark, warehouse):
     )
     assert "`vec` array<double>" in src.schema()
 
-    # ... but nested arrays / structs still refuse loudly
+    # ... and nested arrays / structs ride as JSON-string shims (r10,
+    # VERDICT r9 #5 — restored consumer-side by restore_nested_columns;
+    # round-trip fidelity pinned in tests/test_nested_changelog.py)
     t2 = Catalog(spark, warehouse).create_table(
         TableSpec(namespace="ns", name="nested", key_columns=("pk",))
     )
@@ -181,8 +183,7 @@ def test_schema_accepts_primitive_arrays_rejects_nested(spark, warehouse):
     src2 = make_changelog_source()(
         options={"manifest": f"{warehouse}/ns/nested/manifest.json", "keys": "pk"}
     )
-    with pytest.raises(TypeError, match="primitive"):
-        src2.schema()
+    assert "`mat` string" in src2.schema()
 
 
 def test_drain_one_microbatch_per_version_and_resume(spark, warehouse, tmp_path):
@@ -930,14 +931,29 @@ def test_partitioned_rename_boundary_emits_upsert_wave(spark, warehouse):
     r = _reader(f"{warehouse}/ns/cdfpr/manifest.json", max_versions=1)
     _, off1 = r.read({"v": 0})
     rows2, off2 = r.read(off1)
-    rows3, off3 = r.read(off2)
-    rows2, rows3 = list(rows2), list(rows3)
-    assert (off2, off3) == ({"v": 2}, {"v": 3})
+    rows2 = list(rows2)
+    assert off2 == {"v": 2}
     # rename boundary: same dirs, new mapping -> per-entry diff = wave
     assert {(x[1], x[2], x[4]) for x in rows2} == {
         ("UPSERT", 1, 10.0),
         ("UPSERT", 2, 20.0),
     }, rows2
+    # corrupted-untouched-partition proof ACROSS the rename commit
+    # (r10, VERDICT r9 #8): once the rename wave is consumed, the
+    # carried partition B — which still binds through its rename
+    # mapping — must never be opened again by later pruned-merge
+    # diffs. Corrupt it between the v2 and v3 reads: a v3 diff that
+    # succeeds provably read only the rewritten partition A.
+    _corrupt_parquet_under(
+        [
+            e["dir"]
+            for e in t.history()[-1].partitions
+            if e["values"]["status"] == "B"
+        ]
+    )
+    rows3, off3 = r.read(off2)
+    rows3 = list(rows3)
+    assert off3 == {"v": 3}
     # post-rename pruned merge: only the touched partition is diffed
     assert {(x[1], x[2], x[4]) for x in rows3} == {("UPSERT", 1, 11.0)}, rows3
 
