@@ -118,6 +118,7 @@ def _ensure_table(table: ManagedTable, batch_schema: T.StructType) -> None:
 # -- out-of-order CDC tolerance (r8 verdict #2) ------------------------------
 
 _STATE_DIR_RE = re.compile(r"^state_v(\d{20})$")
+_DELTA_DIR_RE = re.compile(r"^delta_v(\d{20})$")
 
 
 class VersionState:
@@ -157,6 +158,17 @@ class VersionState:
     the small state (broadcast when small, key-partitioned otherwise)
     — no extra shuffle of the table itself.
 
+    Persistence is INCREMENTAL (r10, VERDICT r9 #7): each batch writes
+    only its own latest-per-key versions as a ``delta_v<batch>`` file
+    — an O(batch) write — and every ``compact_every`` batches the
+    base + pending deltas fold into a fresh ``state_v<batch>`` full
+    snapshot (with watermark GC applied there), off the per-batch hot
+    path. A hot feed with a wide horizon no longer pays an O(state)
+    single-task rewrite per microbatch. Loading state folds the
+    newest prior full snapshot with the (bounded by ``compact_every``)
+    deltas above it via one latest-per-key window over state-sized
+    rows.
+
     Contract: order-column values must be NON-NULL on every change
     row (the same requirement the LWW merge itself has — a NULL
     version is not comparable; under Spark's three-valued logic a
@@ -174,6 +186,7 @@ class VersionState:
         order_cols: tuple[str, ...],
         late_delay: float | None = None,
         keep_snapshots: int = 3,
+        compact_every: int = 10,
     ):
         if not order_cols:
             raise ValueError(
@@ -186,29 +199,71 @@ class VersionState:
         self.order_cols = tuple(order_cols)
         self.late_delay = late_delay
         self.keep_snapshots = keep_snapshots
+        self.compact_every = max(int(compact_every), 1)
         os.makedirs(state_dir, exist_ok=True)
 
     # - snapshot bookkeeping -
 
-    def _snapshots(self) -> list[int]:
+    def _listed(self, pattern: re.Pattern) -> list[int]:
         out = []
         for n in os.listdir(self.state_dir):
-            m = _STATE_DIR_RE.match(n)
+            m = pattern.match(n)
             if m:
                 out.append(int(m.group(1)))
         return sorted(out)
 
+    def _snapshots(self) -> list[int]:
+        return self._listed(_STATE_DIR_RE)
+
+    def _deltas(self) -> list[int]:
+        return self._listed(_DELTA_DIR_RE)
+
     def _path(self, batch_id: int) -> str:
         return os.path.join(self.state_dir, f"state_v{batch_id:020d}")
 
+    def _delta_path(self, batch_id: int) -> str:
+        return os.path.join(self.state_dir, f"delta_v{batch_id:020d}")
+
+    def _latest_per_key(self, versions: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy(*self.keys).orderBy(
+            *[F.col(c).desc() for c in self.order_cols]
+        )
+        return (
+            versions.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
     def _load_before(self, batch_id: int) -> DataFrame | None:
-        """State as of BEFORE ``batch_id`` — snapshots at or past the
-        current batch id are a crashed previous attempt of this very
-        batch and must be ignored (replay reads its PRIOR state)."""
+        """State as of BEFORE ``batch_id``: the newest full snapshot
+        below it folded with the per-batch deltas above that snapshot
+        (latest-per-key window; the delta count is bounded by
+        ``compact_every``). Snapshots/deltas at or past the current
+        batch id are a crashed previous attempt of this very batch and
+        must be ignored (replay reads its PRIOR state)."""
         prior = [s for s in self._snapshots() if s < batch_id]
-        if not prior:
+        base_v = prior[-1] if prior else None
+        deltas = [
+            d
+            for d in self._deltas()
+            if d < batch_id and (base_v is None or d > base_v)
+        ]
+        frames = []
+        if base_v is not None:
+            frames.append(self.spark.read.parquet(self._path(base_v)))
+        frames.extend(
+            self.spark.read.parquet(self._delta_path(d)) for d in deltas
+        )
+        if not frames:
             return None
-        return self.spark.read.parquet(self._path(prior[-1]))
+        state = frames[0]
+        for f in frames[1:]:
+            state = state.unionByName(f)
+        if len(frames) > 1:
+            state = self._latest_per_key(state)
+        return state
 
     def _watermark(self, state: DataFrame | None):
         """Watermark scalar = max(order_cols[0]) - late_delay over the
@@ -258,41 +313,54 @@ class VersionState:
                 .filter(F.col(f"__st_{self.order_cols[0]}").isNull() | newer)
                 .drop(*[f"__st_{c}" for c in self.order_cols])
             )
-        self._write(prev, batch_df, batch_id, wm)
+        self._write(batch_df, batch_id)
         return admitted
 
-    def _write(
-        self,
-        prev: DataFrame | None,
-        batch_df: DataFrame,
-        batch_id: int,
-        wm,
-    ) -> None:
-        target = self._path(batch_id)
-        if os.path.isdir(target):
-            return  # completed by a prior attempt of this batch (rename is atomic)
-        versions = batch_df.select(*self.keys, *self.order_cols)
-        if prev is not None:
-            versions = prev.unionByName(versions)
-        from pyspark.sql.window import Window as W
-
-        w = W.partitionBy(*self.keys).orderBy(
-            *[F.col(c).desc() for c in self.order_cols]
-        )
-        state = (
-            versions.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        new_wm = self._watermark(state)
-        if new_wm is not None:
-            # forgetting below the watermark is safe BECAUSE the late
-            # filter rejects arrivals below it (see class docstring)
-            state = state.filter(F.col(self.order_cols[0]) >= F.lit(new_wm))
+    def _atomic_write(self, df: DataFrame, target: str, batch_id: int) -> None:
         tmp = os.path.join(self.state_dir, f"_tmp_v{batch_id:020d}")
         shutil.rmtree(tmp, ignore_errors=True)
-        state.coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, target)
+
+    def _write(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Persist batch ``batch_id``'s version memory: ONE O(batch)
+        delta file (the batch's latest-per-key versions), plus — every
+        ``compact_every`` batches — a full ``state_v`` snapshot folding
+        the base with the pending deltas (watermark GC applied there,
+        where the whole state is in hand). The per-batch hot path
+        never rewrites O(state) data (r10, VERDICT r9 #7)."""
+        target = self._delta_path(batch_id)
+        if os.path.isdir(target) or os.path.isdir(self._path(batch_id)):
+            return  # completed by a prior attempt of this batch (rename is atomic)
+        delta = self._latest_per_key(
+            batch_df.select(*self.keys, *self.order_cols)
+        )
+        self._atomic_write(delta, target, batch_id)
+        snapshots = self._snapshots()
+        prev_full = snapshots[-1] if snapshots else None
+        pending = [
+            d for d in self._deltas() if prev_full is None or d > prev_full
+        ]
+        if len(pending) < self.compact_every:
+            return
+        # compaction: fold base + pending deltas (this batch included)
+        # into a full snapshot at this batch id, GC below the watermark
+        # (forgetting below it is safe BECAUSE the late filter rejects
+        # arrivals below it — class docstring). Retire only deltas
+        # already folded into the PREVIOUS full — the just-folded ones
+        # must survive until the NEXT compaction: a crash before this
+        # batch's table-merge commit replays batch_id, whose
+        # _load_before needs prev_full + the deltas above it (deleting
+        # them here would silently re-admit stale rows on replay).
+        state = self._load_before(batch_id + 1)
+        new_wm = self._watermark(state)
+        if new_wm is not None:
+            state = state.filter(F.col(self.order_cols[0]) >= F.lit(new_wm))
+        self._atomic_write(state, self._path(batch_id), batch_id)
+        if prev_full is not None:
+            for d in self._deltas():
+                if d <= prev_full:
+                    shutil.rmtree(self._delta_path(d), ignore_errors=True)
         for old in self._snapshots()[: -self.keep_snapshots]:
             shutil.rmtree(self._path(old), ignore_errors=True)
 

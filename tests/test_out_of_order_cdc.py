@@ -208,6 +208,7 @@ def test_version_state_watermark_gc(spark, tmp_path):
         keys=("pk",),
         order_cols=("seq",),
         late_delay=10,
+        compact_every=1,  # full snapshot per batch: GC visible per batch
     )
     mk = lambda rows: spark.createDataFrame(  # noqa: E731
         rows, "pk long, seq long, status string"
@@ -304,6 +305,7 @@ def test_version_state_composite_order_and_timestamp_delay(spark, tmp_path):
         keys=("pk",),
         order_cols=("ts", "seq"),
         late_delay=3600,  # one hour, seconds
+        compact_every=1,  # full snapshot per batch: GC visible per batch
     )
 
     def mk(rows):
@@ -432,3 +434,90 @@ def test_out_of_order_with_merge_on_read(spark, warehouse, tmp_path):
     # compaction folds the layers without changing the state
     t.compact()
     assert {r.pk: (r.status, r.price) for r in t.read().collect()} == got
+
+
+# -- incremental state persistence (r10, VERDICT r9 #7) ----------------------
+
+
+def test_version_state_writes_obatch_deltas(spark, tmp_path):
+    """Per-batch persistence is the batch's OWN latest-per-key rows,
+    not the accumulated horizon: with disjoint keys per batch, each
+    delta file holds exactly that batch's keys."""
+    import os
+
+    st = VersionState(
+        spark, str(tmp_path / "state"), keys=("pk",), order_cols=("seq",)
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "pk long, seq long")  # noqa: E731
+    for b, lo in enumerate([0, 100, 200]):
+        st.filter_and_advance(mk([(lo + i, 1) for i in range(5)]), b)
+    names = sorted(os.listdir(tmp_path / "state"))
+    deltas = [n for n in names if n.startswith("delta_v")]
+    assert len(deltas) == 3, names
+    assert not [n for n in names if n.startswith("state_v")]  # < compact_every
+    for b in range(3):
+        d = spark.read.parquet(
+            str(tmp_path / "state" / f"delta_v{b:020d}")
+        )
+        assert d.count() == 5  # O(batch), not O(horizon)
+
+
+def test_version_state_compaction_folds_deltas(spark, tmp_path):
+    import os
+
+    st = VersionState(
+        spark, str(tmp_path / "state"), keys=("pk",), order_cols=("seq",),
+        compact_every=3,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "pk long, seq long")  # noqa: E731
+    st.filter_and_advance(mk([(1, 1), (2, 1)]), 0)
+    st.filter_and_advance(mk([(1, 2)]), 1)
+    st.filter_and_advance(mk([(3, 1)]), 2)  # triggers compaction at b2
+    names = sorted(os.listdir(tmp_path / "state"))
+    assert f"state_v{2:020d}" in names
+    snap = spark.read.parquet(str(tmp_path / "state" / f"state_v{2:020d}"))
+    got = {r.pk: r.seq for r in snap.collect()}
+    assert got == {1: 2, 2: 1, 3: 1}  # folded, latest-per-key
+    # next round: stale row vs the folded snapshot is still rejected
+    out = st.filter_and_advance(mk([(1, 2), (1, 3)]), 3)
+    assert {(r.pk, r.seq) for r in out.collect()} == {(1, 3)}
+
+
+def test_version_state_replay_after_compaction_crash(spark, tmp_path):
+    """Crash-replay discipline across a compaction boundary: replaying
+    the compacting batch must reject exactly what the first attempt
+    rejected — the deltas it folded are retained until the NEXT
+    compaction, so _load_before(N) still reconstructs the pre-N
+    state."""
+    st = VersionState(
+        spark, str(tmp_path / "state"), keys=("pk",), order_cols=("seq",),
+        compact_every=2,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "pk long, seq long")  # noqa: E731
+    st.filter_and_advance(mk([(1, 5)]), 0)
+    first = st.filter_and_advance(mk([(1, 4), (2, 1)]), 1)  # compacts at b1
+    assert {(r.pk, r.seq) for r in first.collect()} == {(2, 1)}
+    # replay of batch 1 (crash before the table merge committed):
+    # same admission decision, even though state_v1 now exists
+    replay = st.filter_and_advance(mk([(1, 4), (2, 1)]), 1)
+    assert {(r.pk, r.seq) for r in replay.collect()} == {(2, 1)}
+
+
+def test_version_state_delta_retention_bounded(spark, tmp_path):
+    """Folded deltas retire one compaction late (replay safety), so
+    the live delta count stays <= 2 x compact_every."""
+    import os
+
+    st = VersionState(
+        spark, str(tmp_path / "state"), keys=("pk",), order_cols=("seq",),
+        compact_every=2,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "pk long, seq long")  # noqa: E731
+    for b in range(7):
+        st.filter_and_advance(mk([(b, 1)]), b)
+    names = sorted(os.listdir(tmp_path / "state"))
+    deltas = [n for n in names if n.startswith("delta_v")]
+    assert len(deltas) <= 4, names
+    # and admission still sees every key ever recorded
+    out = st.filter_and_advance(mk([(0, 1), (6, 1), (99, 1)]), 7)
+    assert {r.pk for r in out.collect()} == {99}
