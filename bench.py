@@ -98,6 +98,11 @@ HEADLINE = [
     # these stay separable in r10+)
     "h27_out_of_order_cdc",      # version-state drain, reversed arrival
     "e83_batched_ann_topk",      # 64-query IVF serving batch
+    # r10 additions (subtotal_r9_54_sec closes the window above so
+    # these stay separable in r11+)
+    "c30_dml_subquery_journey",  # subquery DML: 3 keyed rewrites
+    "d90c_sql_merge_schema_evolution",  # SQL evolving merge
+    "h28_nested_changelog_stream",  # nested-shim changelog drain
 ]
 
 #: prefix lengths whose subtotals stay comparable across rounds
@@ -110,6 +115,7 @@ N_R5C = 44
 N_R6 = 48
 N_R7 = 50
 N_R8 = 52
+N_R9 = 54
 
 #: recorded quiet-host calibration probe (SCALE.md "Cross-host
 #: normalization"): 0.924s on the r4 build host at rest, 1.028s on the
@@ -121,17 +127,89 @@ N_R8 = 52
 CALIBRATION_QUIET_SEC = 0.92
 CALIBRATION_LOAD_FACTOR = 1.25
 
+#: mid-run probe cadence (VERDICT r9 #2): one single-shot probe every
+#: SEGMENT_LEN headline queries closes the blind spot where load that
+#: arrives after the start probe and leaves before the end probe is
+#: invisible (BENCH_r09 was exactly that: probes quiet, mid-run
+#: queries 3-5x inflated, gate stamped valid).
+SEGMENT_LEN = 10
 
-def _calibration(spark) -> float:
+
+def segment_bounds(n_queries: int, seg_len: int = SEGMENT_LEN) -> list[tuple[int, int]]:
+    """[start, end) query-index ranges; one probe runs at every boundary.
+
+    Pure function (no Spark) so the segmentation math is unit-testable.
+    """
+    if n_queries <= 0:
+        return []
+    return [
+        (lo, min(lo + seg_len, n_queries)) for lo in range(0, n_queries, seg_len)
+    ]
+
+
+def analyze_probes(
+    probes: list[float],
+    quiet: float = CALIBRATION_QUIET_SEC,
+    load_factor: float = CALIBRATION_LOAD_FACTOR,
+) -> dict:
+    """Per-segment host factors + contamination verdict from the probe
+    sequence ``[start, mid_1, ..., mid_{k-1}, end]`` (``k`` segments →
+    ``k+1`` probes).
+
+    Pure function (no Spark) — unit-tested with synthetic load shapes.
+
+    Segment ``i`` is bounded by ``probes[i]`` (before) and
+    ``probes[i+1]`` (after); its host factor is the mean of the two
+    bounds over the quiet reference, floored at 1.0 (a faster-than-
+    reference host never inflates normalized numbers — same convention
+    as the r4-r9 global factor). The START probe can read high purely
+    from C2-JIT warmup (measured r5: 1.2x with nothing running), so for
+    segment 0 a start probe slower than the first warmed probe is
+    replaced by that warmed probe.
+
+    Verdict fields:
+      ``contaminated`` — any WARMED probe (index >= 1) exceeds the load
+        bound ``quiet * load_factor``.
+      ``stable`` — all warmed probes agree within 15% (max <= min*1.15):
+        a uniformly slower host, not transient load.
+      ``valid`` — not contaminated, or contaminated-but-stable. Load
+        that arrives mid-run makes some warmed probe hot while others
+        stay quiet → unstable → valid=False, which is the flag BENCH_r09
+        could not raise.
+    """
+    if len(probes) < 2:
+        raise ValueError("need at least a start and an end probe")
+    warmed = probes[1:]
+    bound = quiet * load_factor
+    contaminated = any(p > bound for p in warmed)
+    stable = max(warmed) <= min(warmed) * 1.15
+    factors = []
+    for i in range(len(probes) - 1):
+        before = probes[i]
+        after = probes[i + 1]
+        if i == 0 and before > after:
+            before = after  # C2-JIT warmup, not load
+        factors.append(max(round(((before + after) / 2) / quiet, 3), 1.0))
+    return {
+        "segment_factors": factors,
+        "contaminated": contaminated,
+        "stable": stable,
+        "valid": (not contaminated) or stable,
+        "hot_probes": [i for i, p in enumerate(probes) if i >= 1 and p > bound],
+    }
+
+
+def _calibration(spark, n_runs: int = 3) -> float:
     """Fixed-size host-speed probe (VERDICT r3 #4): a hash-heavy
     sort+agg over 4M GENERATED rows — independent of SF_DIR and of
     any operator code, so the ratio of calibration_sec between two
     BENCH files mechanically normalizes host-speed differences
-    (SCALE.md "Cross-host normalization")."""
+    (SCALE.md "Cross-host normalization"). ``n_runs=1`` is the cheap
+    mid-run form (the JVM is fully warmed by then; ~1s each)."""
     from pyspark.sql import functions as F
 
     runs = []
-    for _ in range(3):
+    for _ in range(n_runs):
         t0 = time.perf_counter()
         (
             spark.range(0, 4_000_000, 1, 32)
@@ -169,42 +247,48 @@ def main() -> None:
     # min-of-3 is a tighter steady-state estimate; `runs_per_query`
     # in the JSON records which regime a file was measured under.)
     n_runs = 3
-    for name in HEADLINE:
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            QUERY_REGISTRY[name].build(spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            runs.append(time.perf_counter() - t0)
-        cold[name] = round(runs[0], 3)
-        timings[name] = round(min(runs), 3)
+    bounds = segment_bounds(len(HEADLINE))
+    mid_probes: list[float] = []
+    for seg_idx, (lo, hi) in enumerate(bounds):
+        for name in HEADLINE[lo:hi]:
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                QUERY_REGISTRY[name].build(spark, SF_DIR).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            cold[name] = round(runs[0], 3)
+            timings[name] = round(min(runs), 3)
+        if seg_idx < len(bounds) - 1:
+            # single-shot mid-run probe at every interior segment
+            # boundary (VERDICT r9 #2); the final boundary is the
+            # min-of-3 end probe below
+            mid_probes.append(_calibration(spark, n_runs=1))
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     cal_end = _calibration(spark)
-    # min of the two probes = best observed host speed (the value to
-    # ratio against another file's calibration_sec); the WORSE probe
-    # drives the contamination flag — a quiet run must be quiet at
-    # both ends
+    # Probe sequence: [start(min-of-3), mid_1..mid_{k-1}(single-shot),
+    # end(min-of-3)]. analyze_probes derives per-segment host factors
+    # plus the contamination verdict — warmed probes now bracket every
+    # ~10-query segment, so transient mid-run load is visible even when
+    # both ends are quiet (the BENCH_r09 blind spot).
+    probes = [cal_start, *mid_probes, cal_end]
+    verdict = analyze_probes(probes)
     cal = min(cal_start, cal_end)
-    # Flag on the END probe and the best observed probe, not the start:
-    # on a quiet host the start probe reads ~1.2x the end probe because
-    # the JVM's C2 JIT is still warming (measured r5: start 1.23-1.25
-    # vs end 1.04-1.10 with nothing else running), which is host
-    # warmup, not load. The end probe runs fully warmed, so a slow end
-    # IS load (or a slower host) — and persistent load shows there.
-    contaminated = min(cal_start, cal_end) > (
-        CALIBRATION_QUIET_SEC * CALIBRATION_LOAD_FACTOR
-    ) or cal_end > (CALIBRATION_QUIET_SEC * CALIBRATION_LOAD_FACTOR)
-    # Disambiguate the flag's two causes for the reader:
-    # calibration_stable means the END probe is no worse than the
-    # start (within 15%) — load arriving mid-run inflates the end;
-    # C2-JIT warmup only ever inflates the START (see comment above).
-    # A contaminated file with stable probes is a uniformly slower
-    # host: wall-times are valid after dividing by host_speed_factor.
-    # Contaminated + unstable = load arrived mid-run; distrust it.
-    stable = cal_end <= cal_start * 1.15
+    contaminated = verdict["contaminated"]
+    stable = verdict["stable"]
     speed_factor = round(cal / CALIBRATION_QUIET_SEC, 3)
+    # per-query normalization factor = the factor of the segment the
+    # query ran inside (mean of its two bounding probes over quiet,
+    # floored at 1.0)
+    qfactor: dict[str, float] = {}
+    for seg_idx, (lo, hi) in enumerate(bounds):
+        for name in HEADLINE[lo:hi]:
+            qfactor[name] = verdict["segment_factors"][seg_idx]
+
+    def norm_sum(names) -> float:
+        return round(sum(timings[n] / qfactor[n] for n in names), 3)
     print(
         json.dumps(
             {
@@ -241,44 +325,54 @@ def main() -> None:
                 "subtotal_r8_52_sec": round(
                     sum(timings[n] for n in HEADLINE[:N_R8]), 3
                 ),
-                # calibration-normalized twins (VERDICT r7 #5): wall
-                # times divided by host_speed_factor, i.e. projected
-                # onto the quiet r4 reference host — gate regression
-                # analysis on THESE when load_contaminated is true
-                # (valid whenever calibration_stable holds; see the
-                # stable/contaminated comment above)
-                "normalized": {
-                    n: round(t / speed_factor, 3) for n, t in timings.items()
-                },
-                "normalized_total_sec": round(total / speed_factor, 3),
-                "normalized_subtotal_original20_sec": round(
-                    sum(timings[n] for n in HEADLINE[:N_ORIGINAL]) / speed_factor,
-                    3,
+                "subtotal_r9_54_sec": round(
+                    sum(timings[n] for n in HEADLINE[:N_R9]), 3
                 ),
-                # mechanical grading gate (VERDICT r8 #5): one field
-                # the grader can read without re-deriving the
+                # calibration-normalized twins (VERDICT r7 #5, r9 #2):
+                # wall times divided by the PER-SEGMENT host factor —
+                # each query projected onto the quiet r4 reference host
+                # using the probes that actually bracketed it, so
+                # transient mid-run load normalizes the affected
+                # segment only
+                "normalized": {
+                    n: round(t / qfactor[n], 3) for n, t in timings.items()
+                },
+                "normalized_total_sec": norm_sum(HEADLINE),
+                "normalized_subtotal_original20_sec": norm_sum(
+                    HEADLINE[:N_ORIGINAL]
+                ),
+                # per-segment calibration (VERDICT r9 #2): probe at
+                # every ~10-query boundary; factor = mean of bounding
+                # probes / quiet bound, floored at 1.0
+                "segments": [
+                    {
+                        "queries": HEADLINE[lo:hi],
+                        "probe_before_sec": round(probes[i], 3),
+                        "probe_after_sec": round(probes[i + 1], 3),
+                        "factor": verdict["segment_factors"][i],
+                    }
+                    for i, (lo, hi) in enumerate(bounds)
+                ],
+                "hot_probe_indices": verdict["hot_probes"],
+                # mechanical grading gate (VERDICT r8 #5, r9 #2): one
+                # field the grader can read without re-deriving the
                 # normalization story. `use` names which twin of the
                 # frozen original-20 subtotal to compare against
                 # BASELINE/earlier rounds: raw on a quiet host;
-                # normalized (wall / host_speed_factor, projected onto
-                # the quiet r4 reference host whose probe is
-                # calibration_quiet_bound_sec) when the host is
-                # uniformly slower (contaminated but stable probes);
-                # valid=false only when load arrived MID-run
-                # (contaminated + unstable) — then neither twin is
-                # trustworthy and the run should be repeated.
+                # normalized (per-segment factors, projected onto the
+                # quiet r4 reference host) when any warmed probe is hot.
+                # valid=false when load arrived MID-run (some warmed
+                # probe hot while others quiet → unstable) — the
+                # normalized twin is then the best available estimate
+                # but the run should be repeated.
                 "gate": {
                     "metric": "subtotal_original20_sec",
                     "raw": round(
                         sum(timings[n] for n in HEADLINE[:N_ORIGINAL]), 3
                     ),
-                    "normalized": round(
-                        sum(timings[n] for n in HEADLINE[:N_ORIGINAL])
-                        / speed_factor,
-                        3,
-                    ),
+                    "normalized": norm_sum(HEADLINE[:N_ORIGINAL]),
                     "use": "normalized" if contaminated else "raw",
-                    "valid": (not contaminated) or stable,
+                    "valid": verdict["valid"],
                 },
                 "calibration_sec": cal,
                 "calibration_start_sec": cal_start,
