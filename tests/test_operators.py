@@ -45,45 +45,59 @@ def test_doc_counts_match_registry():
 
 
 def test_grade_priority_prefix():
-    # Round-9 rotation (VERDICT r8 #1: finish the stale-grade
-    # burn-down): the driver grades a 50-query prefix of the registry.
-    # The r9 prefix leads with the 2 never-graded r9 additions, then
-    # 17 re-signs for code changed this round (version-state sink,
-    # partition-local CoW diff, e43/e58/d86 review fixes, c04
-    # integration_name, the 9 consolidated journey builders), then ALL
-    # 23 remaining r01/r02-vintage grades, then the 8 oldest r03
-    # grades. After this window grades, every entry's latest driver
-    # grade is r03 or newer and the r03 burn-down has begun.
+    # Round-10 rotation (VERDICT r9 #1: finish the grade-freshness
+    # rotation): the driver grades a 50-query prefix of the registry.
+    # The r10 prefix leads with the 3 never-graded r10 additions, then
+    # 3 re-signs for the heaviest code changed this round (h27
+    # incremental VersionState, c23 sql_dml subquery routing + MERGE
+    # evolution, d94 arrow-batch reader), then ALL 44 remaining
+    # r03-vintage grades (d34-d73 tranche + e20/e21/e25). After this
+    # window grades, every entry's latest driver grade is r04+; the
+    # remaining changed-code re-signs queue at positions 51-60.
     from dynamodb_zero_etl_s3tables_spark.operators import _GRADE_PRIORITY
 
     names = list(QUERY_REGISTRY)
     assert names == _GRADE_PRIORITY
     window = _GRADE_PRIORITY[:50]
-    for name in (
-        # r9 additions, never driver-graded
-        "h27_out_of_order_cdc", "e83_batched_ann_topk",
-        # r9-changed re-signs
-        "h07_stream_merge_sink", "h20_table_changelog_stream",
-        "h26_cow_changelog_stream", "e43_hard_negatives",
-        "e58_blockwise_int4", "d86_bucketed_join", "c04_engine_facade",
-        "c02_catalog_roundtrip", "c08_incremental_view_maintenance",
-        "c17_constraint_gate_journey",
-        # late-r9 re-signs: partitioned schema DDL + ref-guard changes
-        "c14_rename_journey", "c22_drop_column_journey",
-        "c26_sql_ddl_journey",
-        # the last r01/r02-vintage grades (r8 verdict's top item)
-        "d26b_cube", "e05_tfidf", "e05f_rolling_hash", "e11_pii_redaction",
-        "e19_corpus_report", "e24_editdist_verify",
-        # start of the r03 burn-down (d34-d36 queue right behind)
-        "d29c_median_mode", "d33_running_sum",
-    ):
-        assert name in window, name
-    assert _GRADE_PRIORITY[0] == "h27_out_of_order_cdc"
-    # recently-graded queries stay rotated out of the window
-    assert "e20_chunk_dedup" not in window          # r5-graded
-    assert "d25_approx_count_distinct" not in window  # r6-graded
-    assert "d01_parquet_scan" not in window          # r7-graded
-    assert "e38_training_export" not in window       # r8-graded
+    # exact head: additions first, changed-code re-signs second
+    assert _GRADE_PRIORITY[:6] == [
+        "c30_dml_subquery_journey",
+        "d90c_sql_merge_schema_evolution",
+        "h28_nested_changelog_stream",
+        "h27_out_of_order_cdc",
+        "c23_sql_dml_journey",
+        "d94_python_datasource",
+    ]
+    # the full r03-vintage tranche fills the remaining 44 slots
+    r3_tranche = (
+        "d34_range_frame", "d35_topk_per_group", "d36_global_sort",
+        "d37_top_k", "d39_union", "d39b_union_distinct", "d40_intersect",
+        "d41_except_all", "d42_string_fns", "d43_datetime_fns",
+        "d44_math_fns", "d45_array_fns", "d45b_explode", "d46_map_fns",
+        "d47_json_fns", "d48_hash_fns", "d48b_hash_native",
+        "d49_scalar_python_udf", "d50_pandas_udf_scalar",
+        "d51_pandas_udf_grouped_agg", "d52_apply_in_pandas",
+        "d53_map_in_pandas", "d53b_python_udtf", "d54_pivot",
+        "d55_unpivot", "d57_funnel", "d58_cohort_retention",
+        "d59_tpch_q3_shipping_priority", "d60_tpch_q10_returned_items",
+        "d62_hll_mergeable_distinct", "d63_kll_quantile_sketch",
+        "d64_tpch_q5_local_supplier_volume", "d65_tpch_q18_large_orders",
+        "d66_timeseries_gapfill", "d67_tpch_q4_order_priority",
+        "d68_tpch_q12_priority_by_status", "d69_tpch_q14_promo_revenue",
+        "d70_tpch_q19_disjunctive_join", "d71_tpch_q21_waiting_supplier",
+        "d72_tpch_q22_idle_customers", "d73_rolling_distinct_users",
+        "e20_chunk_dedup", "e21_kmeans_refine", "e25_semdedup",
+    )
+    assert len(r3_tranche) == 44
+    assert set(window[6:]) == set(r3_tranche)
+    # freshly-graded queries stay rotated out of the window
+    assert "h07_stream_merge_sink" not in window   # r9-graded
+    assert "e83_batched_ann_topk" not in window    # r9-graded
+    assert "d26b_cube" not in window               # r9-graded
+    assert "d01_parquet_scan" not in window        # r7-graded
+    # queued changed-code re-signs sit right behind the window (r11)
+    assert "h26_cow_changelog_stream" in _GRADE_PRIORITY[50:60]
+    assert "c24_mor_dml_journey" in _GRADE_PRIORITY[50:60]
     # no duplicates, every priority name registered
     assert len(set(_GRADE_PRIORITY)) == len(_GRADE_PRIORITY)
 
