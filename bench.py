@@ -127,7 +127,7 @@ N_R9 = 54
 CALIBRATION_QUIET_SEC = 0.92
 CALIBRATION_LOAD_FACTOR = 1.25
 
-#: mid-run probe cadence (VERDICT r9 #2): one single-shot probe every
+#: mid-run probe cadence (VERDICT r9 #2): one min-of-3 probe every
 #: SEGMENT_LEN headline queries closes the blind spot where load that
 #: arrives after the start probe and leaves before the end probe is
 #: invisible (BENCH_r09 was exactly that: probes quiet, mid-run
@@ -261,10 +261,15 @@ def main() -> None:
             cold[name] = round(runs[0], 3)
             timings[name] = round(min(runs), 3)
         if seg_idx < len(bounds) - 1:
-            # single-shot mid-run probe at every interior segment
-            # boundary (VERDICT r9 #2); the final boundary is the
-            # min-of-3 end probe below
-            mid_probes.append(_calibration(spark, n_runs=1))
+            # mid-run probe at every interior segment boundary
+            # (VERDICT r9 #2). Min-of-3 like the start/end probes:
+            # a single shot measures a DIFFERENT statistic — on a
+            # measured quiet host single shots read 1.4-1.7s where
+            # min-of-3 reads ~1.0s (GC/JIT noise right after heavy
+            # query work) — and comparing it against the min-of-3
+            # quiet bound would stamp every run contaminated. ~3s
+            # per boundary on a quiet host, bounded and worth it.
+            mid_probes.append(_calibration(spark))
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     cal_end = _calibration(spark)
