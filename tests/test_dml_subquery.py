@@ -316,3 +316,33 @@ class TestSqlDoorSubqueries:
         rows = {r.pk: r.tier for r in eng.read().collect()}
         assert rows[1] == "gold"
         assert rows[2] is None
+
+    def test_merge_with_schema_evolution_widens_types(self, spark, warehouse):
+        """Iceberg promotion through the SQL door: the source's BIGINT
+        overlaps the target's INT column — WITH SCHEMA EVOLUTION widens
+        it (d90b's programmatic semantics), without the clause the
+        widened assignment still refuses nothing (widening happens only
+        under the opt-in; the strict door refuses only NEW columns, so
+        pin the widened read here)."""
+        eng = ZeroEtlEngine(
+            spark,
+            warehouse,
+            SourceSpec(table_name="src-ddb", key_columns=("pk",)),
+            TableSpec(namespace="ns", name="sq11", key_columns=("pk",)),
+        )
+        eng.bootstrap(
+            spark.createDataFrame(
+                [(1, 10), (2, 20)], "pk long, qty int"
+            )
+        )
+        spark.createDataFrame(
+            [(1, 3_000_000_000)], "pk long, qty long"
+        ).createOrReplaceTempView("src_sq11")
+        eng.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO ns.sq11 t USING src_sq11 s "
+            "ON t.pk = s.pk WHEN MATCHED THEN UPDATE SET qty = s.qty"
+        )
+        got = eng.read()
+        assert dict(got.dtypes)["qty"] == "bigint"
+        rows = {r.pk: r.qty for r in got.collect()}
+        assert rows == {1: 3_000_000_000, 2: 20}
