@@ -2350,3 +2350,139 @@ def e81_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E84: SimHash near-dup JOIN via the Manku block index (Manku,
+# Jain & Das Sarma, WWW 2007 — the Google web-crawl simhash dedup).
+# e02d computes fingerprints; this finds the PAIRS at scale: split
+# the 60-bit fingerprint into 4 contiguous 15-bit blocks — any pair
+# within Hamming distance <= 3 must agree EXACTLY on >= 1 block
+# (pigeonhole: 4 blocks, at most 3 differing bits), so candidates
+# come from four equi-joins on (block_id, block_value), never an
+# all-pairs bit comparison. The complement of MinHash-LSH (e02b):
+# one 8-byte fingerprint per doc instead of 64, radius semantics
+# instead of Jaccard-threshold semantics.
+# ---------------------------------------------------------------------------
+
+#: Hamming radius for e84 pair verification. 3 is the Manku paper's
+#: operating point; with 4 blocks the pigeonhole candidate rule is
+#: EXACT for radius <= 3 (recall 1.0 by construction, no tuning).
+SIMHASH_RADIUS = int(os.environ.get("SPARK_GRAFT_SIMHASH_RADIUS", "3"))
+
+_SH_BITS = 60  # mh64 width; 4 x 15-bit blocks
+_SH_BLOCKS = 4
+_SH_BLOCK_BITS = _SH_BITS // _SH_BLOCKS
+
+_SH_W_SQL = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}"
+    for b in range(_SH_BITS)
+)
+_SH_SUM_SQL = " + ".join(
+    f"CASE WHEN w{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for b in range(_SH_BITS)
+)
+
+_E84_SQL = f"""
+    WITH occ AS (
+      SELECT doc_id, {_MH64('token')} AS h
+      FROM (SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+            FROM documents)
+    ), w AS (
+      SELECT doc_id, {_SH_W_SQL}
+      FROM occ GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id, CAST({_SH_SUM_SQL} AS BIGINT) AS s FROM w
+    ), blocks AS (
+      SELECT doc_id, s, b.i AS block_id,
+             (s >> ({_SH_BLOCK_BITS} * b.i)) & {(1 << _SH_BLOCK_BITS) - 1} AS block_val
+      FROM sim CROSS JOIN (SELECT UNNEST(range(0, {_SH_BLOCKS})) AS i) b
+    ), sized AS (
+      SELECT block_id, block_val, COUNT(*) AS n
+      FROM blocks GROUP BY block_id, block_val
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.s AS sa, b.s AS sb
+      FROM blocks a
+      JOIN blocks b
+        ON a.block_id = b.block_id AND a.block_val = b.block_val
+       AND a.doc_id < b.doc_id
+      JOIN sized z
+        ON z.block_id = a.block_id AND z.block_val = a.block_val
+      WHERE z.n <= {LSH_BUCKET_CAP}
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {SIMHASH_RADIUS}
+"""
+
+
+def _simhash60(d: DataFrame) -> DataFrame:
+    """(doc_id, s): 60-bit SimHash over whitespace tokens. Per-token
+    OCCURRENCE sign votes (summing +-1 per occurrence == summing
+    +-tf per distinct token, so the (doc, token) tf pre-aggregate
+    e02d pays is skipped): the 60 conditional sums run as ONE
+    partial-aggregated groupBy(doc_id) — one shuffle carrying 60
+    ints per doc, no bit explode, no (doc, token) exchange."""
+    occ = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).withColumn("h", _mh64("token"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"w{b}")
+        for b in range(_SH_BITS)
+    ]
+    per_doc = occ.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(_SH_BITS):
+        term = F.when(F.col(f"w{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("bigint").alias("s"))
+
+
+@query("e84_simhash_hamming_join", oracle=_E84_SQL)
+def e84_simhash_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E84: SimHash Hamming-radius dedup join (Manku et al. 2007).
+    60-bit per-doc fingerprints -> 4 x 15-bit block keys -> candidate
+    pairs by (block_id, block_value) equi-join (pigeonhole-exact for
+    radius <= 3) -> verify popcount(xor) <= SIMHASH_RADIUS. Bucket
+    discipline is e02b's verbatim (shared `_capped_members` /
+    `_bucket_pairs`, LSH_BUCKET_CAP bound BEFORE membership
+    collection), so a degenerate block cell — every near-identical
+    doc votes the same 15 bits — bounds the worst task at O(cap^2).
+
+    Scale: fingerprints are one map-side pass + one groupBy(doc_id)
+    shuffle of 60 ints; the block index carries 4 rows of 2 bigints
+    per doc (vs 16 x 65 for e02b's band rows — the 32x storage trade
+    the paper exists for); verification is one integer xor per
+    candidate, no re-tokenization, no signature re-join."""
+    d = load(spark, sf_dir, "documents")
+    sim = _simhash60(d)
+    mask = (1 << _SH_BLOCK_BITS) - 1
+    blocks = sim.select(
+        F.struct("doc_id", "s").alias("m"),
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_SH_BLOCKS)])
+        ).alias("band_id"),
+    ).select(
+        "m",
+        "band_id",
+        F.expr(
+            f"shiftright(m.s, {_SH_BLOCK_BITS} * band_id) & {mask}"
+        ).alias("bucket"),
+    )
+    members = _capped_members(blocks, F.col("m"))
+    pairs = _bucket_pairs(
+        members,
+        "struct(m.doc_id as doc_a, n.doc_id as doc_b, m.s as sa, n.s as sb)",
+    ).dropDuplicates(["doc_a", "doc_b"])
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.filter(hamming <= SIMHASH_RADIUS)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )

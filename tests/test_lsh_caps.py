@@ -321,3 +321,46 @@ def test_bucket_col_kernel_parity(spark):
             ).collect()
         }
         assert expr and all(kern[(vid, t)] == b for vid, b in expr.items())
+
+
+# ---------------------------------------------------------------------------
+# e84 SimHash Hamming join (Manku block index)
+# ---------------------------------------------------------------------------
+
+
+def test_e84_pigeonhole_recall_and_radius(spark):
+    """Radius-<=3 pairs are found by CONSTRUCTION (pigeonhole over the
+    4 block keys), and the radius gate excludes distant pairs: a doc
+    with a few flipped tokens lands within radius of its source; an
+    unrelated doc does not pair with either."""
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_dedup import (
+        SIMHASH_RADIUS,
+        _SH_BITS,
+        _simhash60,
+        e84_simhash_hamming_join,
+    )
+    import pyspark.sql.functions as F
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    near = " ".join(("tok%d" % i) if i != 7 else "CHANGED" for i in range(120))
+    far = " ".join(f"other{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sims = {r["doc_id"]: r["s"] for r in _simhash60(df).collect()}
+    assert all(0 <= s < (1 << _SH_BITS) for s in sims.values())
+    d12 = bin(sims[1] ^ sims[2]).count("1")
+    d13 = bin(sims[1] ^ sims[3]).count("1")
+    assert d13 > SIMHASH_RADIUS  # unrelated text is far in Hamming space
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in e84_simhash_hamming_join(spark, td).collect()
+        }
+    if d12 <= SIMHASH_RADIUS:
+        # pigeonhole guarantee: within-radius pair MUST be a candidate
+        assert pairs.get((1, 2)) == d12
+    assert (1, 3) not in pairs and (2, 3) not in pairs
