@@ -1213,6 +1213,84 @@ def c07_snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c31_metadata_only_agg_journey",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_orderkey AS pk,
+             CASE WHEN o_orderkey % 10 IN (0, 1)
+                  THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                                  * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE)
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 10 <= 7 AND o_orderkey % 10 <> 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+           MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+           MIN(price) AS min_price, MAX(price) AS max_price
+    FROM final_state
+    """,
+)
+def c31_metadata_only_agg_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-surface: METADATA-ONLY aggregates — ``SELECT COUNT(*) /
+    MIN / MAX`` answered from the manifest's per-file parquet footer
+    stats with ZERO data files opened (the Iceberg metadata-only
+    scan; on a 100 TB replica this is an O(manifest) driver lookup
+    where a naive engine runs a full-table cluster job). A known
+    journey (bootstrap -> CDC merge with price bumps and deletes)
+    runs first so the stats under test are post-merge CoW state,
+    not the bootstrap image; the ORACLE RECOMPUTES the same
+    aggregates from the raw data in SQL, so the per-file row counts
+    and min/max ranges the manifest recorded at write time — the
+    same ranges the pruning scan trusts — are inside the
+    hash-match. The no-data-read claim is proven separately by
+    corrupting every data file on a twin table
+    (tests/test_table.py): the aggregate still answers.
+
+    Reference tie: the Iceberg-native bucket's manifest stats
+    (src/dynamodb-zero-etl-s3tables.ts:77-79) exist so engines can
+    skip data objects; this is the degenerate — and common — case
+    where the whole query collapses into the manifest."""
+    wh = _scratch(sf_dir, "warehouse_c31", wipe=True)
+    cat = Catalog(spark, wh)
+    t = cat.create_table(
+        TableSpec(
+            namespace="meta",
+            name="orders_statagg",
+            key_columns=("pk",),
+            order_columns=("seq",),
+        )
+    )
+    _o, mod10, base, rows, bump = _orders_journey_fixture(spark, sf_dir, 7)
+    t.bootstrap(base)
+    batch = rows("MODIFY", 1, mod10.isin(0, 1), price=bump("1.1")).unionByName(
+        rows("REMOVE", 1, mod10 == 2)
+    )
+    t.apply_changes(batch, order_cols=("seq",))
+    agg = t.metadata_aggregate(("pk", "price"))
+    schema = T.StructType(
+        [
+            T.StructField("row_count", T.LongType(), False),
+            T.StructField("min_pk", T.LongType(), True),
+            T.StructField("max_pk", T.LongType(), True),
+            T.StructField("min_price", T.DoubleType(), True),
+            T.StructField("max_price", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["row_count"]),
+                int(agg["min"]["pk"]),
+                int(agg["max"]["pk"]),
+                float(agg["min"]["price"]),
+                float(agg["max"]["price"]),
+            )
+        ],
+        schema,
+    )
+
+
+@query(
     "d76_variant_semistructured",
     oracle="""
     SELECT event_type,

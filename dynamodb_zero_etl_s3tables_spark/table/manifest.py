@@ -862,6 +862,107 @@ class ManagedTable:
         ]
         return self.spark.createDataFrame(rows, schema)
 
+    def metadata_aggregate(self, columns: tuple[str, ...] = ()) -> dict[str, Any]:
+        """COUNT(*) plus per-column MIN/MAX answered from MANIFEST
+        FILE STATISTICS alone — no data file is opened (the Iceberg
+        metadata-only scan: what makes ``SELECT COUNT(*)`` on a
+        100 TB replica an O(manifest) driver operation instead of a
+        cluster job). The same footer stats that power min/max file
+        skipping (reference ts:77-79, the Iceberg-native bucket's
+        manifest) already carry the answer; this surfaces it.
+
+        Contract, stated refusals instead of silent guesses:
+
+        * the published head must be a complete copy-on-write
+          snapshot — a merge-on-read delta head refuses (its
+          tombstones change count/extremes in ways only a key read
+          can resolve; ``compact()`` first);
+        * a requested column whose stats are missing in any
+          NON-EMPTY file (all-NULL column chunk, unsupported
+          physical type) refuses — parquet MIN/MAX ignores NULLs
+          exactly like SQL, but an absent range cannot distinguish
+          "all NULL" from "not collected".
+
+        Returns ``{"row_count": int, "min": {col: v}, "max":
+        {col: v}}``; an empty table surfaces ``None`` in both maps
+        (SQL MIN/MAX over zero rows). Rename-transparent: stats
+        dicts are re-keyed to current names by ``rename_column``
+        itself (the invariant the pruning scan already relies on),
+        so lookups use the current name directly."""
+        m = self._read_manifest()
+        snap = m.current
+        if snap is None:
+            raise RuntimeError("metadata_aggregate: no published snapshot")
+        if snap.delta is not None:
+            raise RuntimeError(
+                "metadata_aggregate requires a copy-on-write head: "
+                f"v{snap.version} is a merge-on-read delta whose "
+                "tombstones cannot be resolved from file stats; run "
+                "compact() first"
+            )
+        schema_names = {f.name for f in T.StructType.fromJson(json.loads(snap.schema_json)).fields}
+        unknown = [c for c in columns if c not in schema_names]
+        if unknown:
+            raise ValueError(f"metadata_aggregate: unknown column(s) {unknown}")
+        if snap.partitions is not None:
+            file_sets: list[dict[str, Any]] = []
+            for e in snap.partitions:
+                if e.get("files") is None:
+                    raise RuntimeError(
+                        "metadata_aggregate: partition entry "
+                        f"{e.get('dir')!r} carries no file stats"
+                    )
+                file_sets.extend(e["files"])
+            part_values = {
+                c: [e["values"].get(c) for e in snap.partitions]
+                for c in (self.spec.partition_columns or ())
+            }
+        else:
+            if snap.files is None:
+                raise RuntimeError(
+                    "metadata_aggregate: snapshot carries no file stats"
+                )
+            file_sets = list(snap.files)
+            part_values = {}
+        total = sum(int(f["rows"]) for f in file_sets)
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        for col in columns:
+            if col in part_values:
+                # partition-literal columns: values live in the
+                # manifest entries, typed via dir-name strings —
+                # lexicographic min/max only matches SQL for strings,
+                # so refuse non-string partition columns here.
+                f0 = T.StructType.fromJson(json.loads(snap.schema_json))[col]
+                if not isinstance(f0.dataType, T.StringType):
+                    raise RuntimeError(
+                        f"metadata_aggregate: partition column {col!r} "
+                        "is non-string; dir-name order is not value order"
+                    )
+                vals = [v for v in part_values[col] if v is not None]
+                mins[col] = min(vals) if vals else None
+                maxs[col] = max(vals) if vals else None
+                continue
+            lo = hi = None
+            for f in file_sets:
+                if int(f["rows"]) == 0:
+                    continue
+                # stats dicts are keyed by CURRENT column names —
+                # rename_column re-keys them at commit time (the
+                # pruning scan depends on the same invariant)
+                rng = (f.get("stats") or {}).get(col)
+                if rng is None:
+                    raise RuntimeError(
+                        f"metadata_aggregate: no stats for column {col!r} "
+                        f"in {f['path']!r} — cannot distinguish all-NULL "
+                        "from uncollected; read the data instead"
+                    )
+                lo = rng[0] if lo is None else min(lo, rng[0])
+                hi = rng[1] if hi is None else max(hi, rng[1])
+            mins[col] = lo
+            maxs[col] = hi
+        return {"row_count": total, "min": mins, "max": maxs}
+
     def read_changes(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

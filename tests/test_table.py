@@ -2048,3 +2048,111 @@ def test_vacuum_reclaims_orphan_manifest_tmp(spark, warehouse):
     os.utime(orphan, (0, 0))
     t.vacuum(unreferenced_days=0, noncurrent_days=10_000)
     assert not orphan.exists()
+
+
+# ---------------------------------------------------------------------------
+# metadata_aggregate (r10): COUNT/MIN/MAX from manifest stats alone
+# ---------------------------------------------------------------------------
+
+
+def test_metadata_aggregate_no_data_read(spark, warehouse):
+    """The headline claim, proven by corruption: after the manifest is
+    written, every parquet data file is OVERWRITTEN WITH GARBAGE — the
+    metadata aggregate still answers (it never opens data files),
+    and the answers match the pre-corruption state."""
+    t = _mk_r8(spark, warehouse, "statagg")
+    t.apply_changes(
+        spark.createDataFrame(
+            [("INSERT", 1, 3, "C", 5.5), ("REMOVE", 1, 1, "A", 10.0)],
+            "op string, seq long, pk long, status string, price double",
+        ),
+        order_cols=("seq",),
+    )
+    agg = t.metadata_aggregate(("pk", "price", "status"))
+    assert agg == {
+        "row_count": 2,
+        "min": {"pk": 2, "price": 5.5, "status": "B"},
+        "max": {"pk": 3, "price": 20.0, "status": "C"},
+    }
+    from pathlib import Path
+
+    n_corrupted = 0
+    for p in Path(warehouse).rglob("*.parquet"):
+        p.write_bytes(b"garbage" * 16)
+        n_corrupted += 1
+    assert n_corrupted > 0
+    assert t.metadata_aggregate(("pk", "price", "status")) == agg
+
+
+def test_metadata_aggregate_refusals(spark, warehouse):
+    import pytest
+
+    t = _mk_r8(spark, warehouse, "statref")
+    with pytest.raises(ValueError, match="unknown column"):
+        t.metadata_aggregate(("nope",))
+    # merge-on-read head: tombstones are unresolvable from stats
+    t.apply_changes(
+        spark.createDataFrame(
+            [("REMOVE", 1, 1, "A", 10.0)],
+            "op string, seq long, pk long, status string, price double",
+        ),
+        order_cols=("seq",),
+        strategy="merge-on-read",
+    )
+    with pytest.raises(RuntimeError, match="copy-on-write head"):
+        t.metadata_aggregate(("pk",))
+    t.compact()
+    assert t.metadata_aggregate(("pk",))["row_count"] == 1
+
+
+def test_metadata_aggregate_partitioned_and_renamed(spark, warehouse):
+    """Partitioned tables aggregate across entry file stats (carried
+    entries included); a renamed column resolves through the stored
+    file name; a non-string partition column refuses (dir-name order
+    is not value order)."""
+    import pytest
+
+    t = Catalog(spark, warehouse).create_table(
+        TableSpec(
+            namespace="ns",
+            name="statpart",
+            key_columns=("pk",),
+            partition_columns=("part",),
+        )
+    )
+    t.bootstrap(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "b", 30.0)],
+            "pk long, part string, x double",
+        )
+    )
+    # pruned merge touches only partition 'a' — 'b' entries are carried
+    t.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 1, 1, "a", 9.0)],
+            "op string, seq long, pk long, part string, x double",
+        ),
+        order_cols=("seq",),
+    )
+    agg = t.metadata_aggregate(("pk", "x", "part"))
+    assert agg["row_count"] == 3
+    assert agg["min"] == {"pk": 1, "x": 2.0, "part": "a"}
+    assert agg["max"] == {"pk": 3, "x": 30.0, "part": "b"}
+    t.rename_column("x", "y")
+    agg2 = t.metadata_aggregate(("y",))
+    assert (agg2["min"]["y"], agg2["max"]["y"]) == (2.0, 30.0)
+
+    t2 = Catalog(spark, warehouse).create_table(
+        TableSpec(
+            namespace="ns",
+            name="statpart_int",
+            key_columns=("pk",),
+            partition_columns=("bucket",),
+        )
+    )
+    t2.bootstrap(
+        spark.createDataFrame([(1, 2, 1.0), (2, 10, 2.0)], "pk long, bucket int, x double")
+    )
+    assert t2.metadata_aggregate(("pk",))["row_count"] == 2
+    with pytest.raises(RuntimeError, match="non-string"):
+        t2.metadata_aggregate(("bucket",))
