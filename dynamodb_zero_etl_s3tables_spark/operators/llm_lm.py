@@ -1074,3 +1074,132 @@ def e78_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("n") * tok)
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E85: Moore-Lewis cross-entropy-difference data selection (Moore &
+# Lewis, ACL 2010 — the standard "intelligent selection" recipe for
+# domain-targeted training corpora; axolotl of every WMT-era MT
+# pipeline and the ancestor of DSIR's importance weights, e27/e45).
+# Score(d) = H_in-domain(d) − H_general(d): documents the IN-DOMAIN
+# LM finds more probable than the general LM score negative and are
+# selected. Both LMs are the e42 add-one-smoothed bigram shape — the
+# in-domain model trains on the English slice (the "target
+# distribution"), the general model on the whole corpus.
+# ---------------------------------------------------------------------------
+
+#: in-domain slice for the target-side model: the corpus's largest
+#: language. A deployment points this at its actual target corpus
+#: (the clean seed set); the MODEL SHAPE, not the slice, is the op.
+ML_TARGET_LANG = "en"
+
+_E85_SQL = f"""
+    WITH {_XENT_CTES},
+    tgt AS (SELECT doc_id FROM documents WHERE lang = '{ML_TARGET_LANG}'),
+    bgt AS (SELECT bg.* FROM bg JOIN tgt USING (doc_id)),
+    c12t AS (SELECT w1, w2, COUNT(*) AS n12t FROM bgt GROUP BY w1, w2),
+    c1t AS (SELECT w1, CAST(SUM(n12t) AS BIGINT) AS n1t FROM c12t GROUP BY w1),
+    vt AS (
+      SELECT COUNT(DISTINCT tok) AS vszt
+      FROM (SELECT UNNEST(t) AS tok FROM toks JOIN tgt USING (doc_id))
+    ),
+    terms_in AS (
+      SELECT dpc.doc_id, dpc.cnt,
+             dpc.cnt * (ln(COALESCE(c1t.n1t, 0) + vszt)
+                        - ln(COALESCE(c12t.n12t, 0) + 1)) AS nll
+      FROM dpc
+      LEFT JOIN c12t ON dpc.w1 = c12t.w1 AND dpc.w2 = c12t.w2
+      LEFT JOIN c1t ON dpc.w1 = c1t.w1, vt
+    ),
+    agg_in AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(nll AS DECIMAL(25,9))) AS DOUBLE)
+                   / SUM(cnt), 6) AS xent_in
+      FROM terms_in GROUP BY doc_id
+    )
+    SELECT agg.doc_id, agg_in.xent_in, agg.cross_entropy AS xent_gen,
+           ROUND(agg_in.xent_in - agg.cross_entropy, 6) AS ml_score,
+           ROUND(agg_in.xent_in - agg.cross_entropy, 6) < 0.0 AS selected
+    FROM agg JOIN agg_in USING (doc_id)
+"""
+
+
+@query("e85_moore_lewis_selection", oracle=_E85_SQL)
+def e85_moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E85: Moore-Lewis cross-entropy-difference selection — every
+    document scored under TWO add-one-smoothed bigram LMs (in-domain
+    = the ML_TARGET_LANG slice, general = whole corpus);
+    ``ml_score = H_in(d) - H_gen(d)``, selected where negative (the
+    in-domain model explains the doc better than the corpus
+    baseline). Subtracting the general score cancels the "easy text
+    scores high everywhere" bias that makes raw in-domain perplexity
+    (e42 with a swapped model) a poor selector — the Moore-Lewis
+    observation.
+
+    Scale: one bigram explode feeds BOTH models (the in-domain
+    count tables are an aggregation of the target slice of the same
+    stream — no second tokenization); model tables are
+    (bigram-type, count) rows joined on uniformly-hashed string
+    keys; vocabulary scalars are 1-row broadcasts; per-doc sums
+    route through DECIMAL(25,9) + ROUND-6 (the e42 discipline), and
+    the selection flag compares the ROUNDED score so it cannot
+    straddle an ulp. Unseen-in-target bigrams resolve through the
+    LEFT joins as count-0 Laplace mass, not dropped rows."""
+    tdf, bg, dpc, c12, v = _bigram_frames(spark, sf_dir)
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    d = load(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("lang") == ML_TARGET_LANG).select("doc_id")
+    bgt = bg.join(tgt, "doc_id")
+    c12t = bgt.groupBy("w1", "w2").agg(F.count("*").alias("n12t"))
+    c1t = c12t.groupBy("w1").agg(F.sum("n12t").alias("n1t"))
+    vt = (
+        tdf.join(tgt, "doc_id")
+        .select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vszt"))
+    )
+    terms = (
+        dpc.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .join(c12t, ["w1", "w2"], "left")
+        .join(c1t, "w1", "left")
+        .crossJoin(F.broadcast(vt))
+        .select(
+            "doc_id",
+            "cnt",
+            (
+                F.col("cnt")
+                * (
+                    F.log(F.col("n1") + F.col("vsz"))
+                    - F.log(F.col("n12") + F.lit(1))
+                )
+            ).alias("nll_gen"),
+            (
+                F.col("cnt")
+                * (
+                    F.log(F.coalesce(F.col("n1t"), F.lit(0)) + F.col("vszt"))
+                    - F.log(F.coalesce(F.col("n12t"), F.lit(0)) + F.lit(1))
+                )
+            ).alias("nll_in"),
+        )
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("nll_in").cast("decimal(25,9)")).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("xent_in"),
+        F.round(
+            F.sum(F.col("nll_gen").cast("decimal(25,9)")).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("xent_gen"),
+    )
+    score = F.round(F.col("xent_in") - F.col("xent_gen"), 6)
+    return agg.select(
+        "doc_id",
+        "xent_in",
+        "xent_gen",
+        score.alias("ml_score"),
+        (score < 0.0).alias("selected"),
+    )
