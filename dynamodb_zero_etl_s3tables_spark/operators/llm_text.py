@@ -2378,3 +2378,173 @@ def e82_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alloc.cast("double") / F.col("n_tokens"), 6).alias("epochs"),
         (alloc == F.col("cap")).alias("at_repeat_cap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E86: TRAINED quality classifier — logistic regression by full-batch
+# gradient descent, run entirely as DataFrame aggregates. e46 scores
+# with a FIXED linear model; this one LEARNS the weights (the
+# fastText/FineWeb-Edu classifier-training step, distilled to the
+# engine's determinism discipline): 3 GD iterations, each ONE
+# corpus-scan gradient aggregate against the previous round's
+# broadcast weights. The e34 precedent (power iteration) extended
+# from linear algebra to model fitting: per-round 6dp re-quantization
+# of z, p, and w keeps the whole iterative float chain bit-identical
+# across engines.
+# ---------------------------------------------------------------------------
+
+#: hashed bag-of-words dimensionality (e73's hashing-trick space)
+LR_DIMS = 64
+LR_ITERS = 3
+#: learning rate — DYADIC (exact double multiply, no 0.1-style
+#: representation error entering the update)
+LR_RATE = 2.0
+
+
+def _lr_oracle() -> str:
+    from dynamodb_zero_etl_s3tables_spark.operators.registry import MH64
+
+    dim_expr = f"({MH64(chr(39) + 'lrq|' + chr(39) + ' || token')} % {LR_DIMS})"
+    ctes = [
+        "toks AS (SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents)",
+        f"""occ AS (
+          SELECT doc_id, len(t) AS n, {dim_expr} AS dim
+          FROM (SELECT doc_id, t, UNNEST(t) AS token FROM toks)
+        )""",
+        """feats AS (
+          SELECT doc_id, dim, ROUND(CAST(COUNT(*) AS DOUBLE) / n, 6) AS x
+          FROM occ GROUP BY doc_id, dim, n
+        )""",
+        "labels AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents)",
+        "ndocs AS (SELECT COUNT(*) AS nd FROM documents)",
+        f"dims AS (SELECT UNNEST(range(0, {LR_DIMS})) AS dim)",
+        "w0 AS (SELECT dim, CAST(0.0 AS DOUBLE) AS w FROM dims)",
+    ]
+    for t in range(1, LR_ITERS + 1):
+        ctes.append(
+            f"""z{t} AS (
+          SELECT f.doc_id,
+                 ROUND(CAST(SUM(CAST(f.x * w.w AS DECIMAL(25,12))) AS DOUBLE), 6) AS z
+          FROM feats f JOIN w{t - 1} w USING (dim) GROUP BY f.doc_id
+        )"""
+        )
+        ctes.append(
+            f"p{t} AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS p FROM z{t})"
+        )
+        ctes.append(
+            f"""g{t} AS (
+          SELECT dim,
+                 CAST(SUM(CAST((p.p - l.y) * f.x AS DECIMAL(25,12))) AS DOUBLE) AS gsum
+          FROM feats f JOIN p{t} p USING (doc_id) JOIN labels l USING (doc_id)
+          GROUP BY dim
+        )"""
+        )
+        ctes.append(
+            f"""w{t} AS (
+          SELECT d.dim,
+                 ROUND(COALESCE(w.w, 0.0) - {LR_RATE} * COALESCE(g.gsum, 0.0) / nd, 6) AS w
+          FROM dims d
+          LEFT JOIN w{t - 1} w USING (dim)
+          LEFT JOIN g{t} g USING (dim), ndocs
+        )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT dim, w AS weight FROM w{LR_ITERS}"
+    )
+
+
+def _lr_feats(spark: SparkSession, sf_dir: str):
+    """(feats, labels) for e86: 64-dim hashed bag-of-words with
+    per-doc L1 normalization at 6dp, and the lang='en' teacher
+    label. Shared with the learning-signal test."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    occ = toks.select(
+        "doc_id", F.size("t").alias("n"), F.explode("t").alias("token")
+    )
+    dim = (mh64(F.concat(F.lit("lrq|"), F.col("token"))) % LR_DIMS).alias("dim")
+    feats = (
+        occ.groupBy("doc_id", "n", dim)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "doc_id",
+            "dim",
+            F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias("x"),
+        )
+    )
+    labels = d.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    return feats, labels
+
+
+@query("e86_logreg_quality_training", oracle=_lr_oracle())
+def e86_logreg_quality_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E86: distributed logistic-regression TRAINING by full-batch
+    gradient descent — the model-based-quality-classifier training
+    loop (fastText shape; FineWeb-Edu trains exactly this over
+    teacher labels). Features are e73's hashing trick (64-dim hashed
+    bag-of-words, L1-normalized per doc, 6dp); the label distilled
+    here is lang='en' membership (a stand-in for any reference set —
+    swapping the label column swaps the teacher, not the loop).
+
+    Per iteration, everything is ONE scan + two bounded aggregates:
+    z (per-doc dot product against the 64-weight LITERAL MAP — no
+    join, the weights ride the closure like a broadcast), p
+    (sigmoid), and the per-dim gradient sum; the weight update runs
+    in a 64-row frame and only the 64 floats come back to the driver
+    (planning-scalar class, the e67 merge-table discipline). Products
+    route through DECIMAL(25,12) before summing (order-independent),
+    and z/p/w re-quantize to 6dp each round (the e34 law), so three
+    rounds of iterative float optimization stay bit-identical to the
+    DuckDB replay. At 100 TB: 3 corpus scans, map-side partial
+    aggregation everywhere, shuffles carry (doc, 2 doubles) and
+    (dim, 1 double) rows only."""
+    feats, labels = _lr_feats(spark, sf_dir)
+    nd = labels.count()  # planning scalar (doc count)
+    w = {j: 0.0 for j in range(LR_DIMS)}
+    for _t in range(LR_ITERS):
+        wmap = F.create_map(
+            *[c for j in range(LR_DIMS) for c in (F.lit(j), F.lit(w[j]))]
+        )
+        z = feats.groupBy("doc_id").agg(
+            F.round(
+                F.sum(
+                    (F.col("x") * F.element_at(wmap, F.col("dim"))).cast(
+                        "decimal(25,12)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("z")
+        )
+        p = z.select(
+            "doc_id",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("p"),
+        )
+        resid = p.join(labels, "doc_id").select(
+            "doc_id", (F.col("p") - F.col("y")).alias("r")
+        )
+        grad = (
+            feats.join(resid, "doc_id")
+            .groupBy("dim")
+            .agg(
+                F.sum((F.col("r") * F.col("x")).cast("decimal(25,12)"))
+                .cast("double")
+                .alias("gsum")
+            )
+        )
+        wnext = grad.select(
+            "dim",
+            F.round(
+                F.element_at(wmap, F.col("dim"))
+                - F.lit(LR_RATE) * F.col("gsum") / F.lit(nd),
+                6,
+            ).alias("w"),
+        )
+        updated = {int(r["dim"]): float(r["w"]) for r in wnext.collect()}
+        w = {j: updated.get(j, w[j]) for j in range(LR_DIMS)}
+    schema = "dim int, weight double"
+    return spark.createDataFrame(
+        [(j, w[j]) for j in range(LR_DIMS)], schema
+    )

@@ -280,3 +280,36 @@ def test_quality_split_export_empty_gate(spark, tmp_path):
     out = quality_split_export(spark, docs, str(tmp_path), "empty_gate_r8")
     assert out.columns == ["split", "n_docs", "n_tokens", "n_chars"]
     assert out.count() == 0
+
+
+def test_e86_logreg_actually_learns(spark):
+    """The trained weights separate the classes: mean score (w·x) of
+    positive-label docs exceeds the negative-label mean after 3 GD
+    rounds (with w0 = 0 both means are exactly 0, so any positive
+    separation is learned signal), and the weights are non-trivial."""
+    import pyspark.sql.functions as F
+
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_text import (
+        _lr_feats,
+        e86_logreg_quality_training,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    wdf = e86_logreg_quality_training(spark, sf)
+    weights = {r["dim"]: r["weight"] for r in wdf.collect()}
+    assert len(weights) == 64 and any(abs(v) > 1e-4 for v in weights.values())
+    feats, labels = _lr_feats(spark, sf)
+    wmap = F.create_map(
+        *[c for j, v in weights.items() for c in (F.lit(j), F.lit(v))]
+    )
+    z = feats.groupBy("doc_id").agg(
+        F.sum(F.col("x") * F.element_at(wmap, F.col("dim"))).alias("z")
+    )
+    means = (
+        z.join(labels, "doc_id")
+        .groupBy("y")
+        .agg(F.avg("z").alias("mz"))
+        .collect()
+    )
+    mz = {r["y"]: r["mz"] for r in means}
+    assert mz[1] > mz[0], f"no class separation: {mz}"
