@@ -2788,3 +2788,118 @@ def e83_batched_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BATCH_K)
         .select("qid", "vec_id", "label", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# E87: SEMANTIC split decontamination — the embedding-space twin of
+# e56's token-level split-leakage audit. e56 catches near-verbatim
+# eval/train straddlers via MinHash-LSH; paraphrased or re-rendered
+# duplicates share no shingles but still collide in embedding space —
+# the leak class LLM eval decontamination actually worries about
+# (GPT-3/PaLM appendix-style contamination studies moved from n-gram
+# to embedding checks for exactly this reason).
+# ---------------------------------------------------------------------------
+
+_E87_THRESHOLD = 0.35  # the corpus's e25/e02e near-dup operating point
+
+
+def _e87_oracle() -> str:
+    from dynamodb_zero_etl_s3tables_spark.operators.registry import KEY_BUCKET
+
+    return f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding,
+             ({KEY_BUCKET("split|", 100, "vec_id")}) AS bucket100
+      FROM embeddings
+    ),
+    codes AS ({_codes_long_sql(_NEARDUP_PLANES_TBL, 'base', ', label, bucket100')}),
+    cpairs AS (
+      SELECT DISTINCT x.vec_id AS train_id, y.vec_id AS eval_id
+      FROM codes x JOIN codes y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.label = y.label
+       AND x.bucket100 < 80 AND y.bucket100 >= 80
+    ),
+    n AS (
+      SELECT vec_id, label, embedding, bucket100,
+             SQRT({_DOT('embedding', 'embedding')}) AS nrm
+      FROM base
+    )
+    SELECT c.eval_id, c.train_id, b.label,
+           CASE WHEN b.bucket100 < 90 THEN 'valid' ELSE 'test' END AS eval_split,
+           ROUND({_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6)
+             AS cos_sim
+    FROM cpairs c
+    JOIN n a ON a.vec_id = c.train_id
+    JOIN n b ON b.vec_id = c.eval_id
+    WHERE {_DOT('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+          >= {_E87_THRESHOLD}
+    """
+
+
+@query("e87_semantic_split_decontamination", oracle=_e87_oracle())
+def e87_semantic_split_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E87: semantic eval-set decontamination — embedding-cosine
+    near-dups STRADDLING the e08 deterministic split boundary (train
+    on one side, valid/test on the other), found through the same
+    hyperplane-bucket candidate machinery as e02e (short codes for
+    the 0.35 operating point, label as the blocking key) but with the
+    pair predicate flipped from vec_id ordering to SPLIT SIDES:
+    candidates are train x eval collisions only, so same-side
+    near-dups — e02e's business — never expand here. Each surviving
+    row is an eval item whose semantic twin sits in train: the
+    contamination dedup-after-split would have caused (e56's token
+    twin catches the verbatim subset; this one catches paraphrase).
+
+    Scale: identical candidate bounds to e02e (bucket-occupancy per
+    (table, bucket, label) cell) further cut ~3x by the cross-split
+    requirement; exact rescoring touches survivors only; the split
+    flag is the e08 hash — a pure map-side function of vec_id, no
+    join against a split table."""
+    from dynamodb_zero_etl_s3tables_spark.operators.registry import key_bucket
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.withColumn("bucket100", key_bucket("split|", 100, "vec_id"))
+    codes = codes_long(base, _NEARDUP_PLANES_TBL, ["label", "bucket100"])
+    x, y = codes.alias("x"), codes.alias("y")
+    cpairs = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.label") == F.col("y.label"))
+            & (F.col("x.bucket100") < 80)
+            & (F.col("y.bucket100") >= 80),
+        )
+        .select(
+            F.col("x.vec_id").alias("train_id"),
+            F.col("y.vec_id").alias("eval_id"),
+        )
+        .distinct()
+    )
+    n = base.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "bucket100",
+        norm_fold(F.col("embedding")).alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot_fold(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        cpairs.join(a, F.col("train_id") == F.col("a.vec_id"))
+        .join(b, F.col("eval_id") == F.col("b.vec_id"))
+        .filter(cos >= _E87_THRESHOLD)
+        .select(
+            "eval_id",
+            "train_id",
+            F.col("b.label").alias("label"),
+            F.when(F.col("b.bucket100") < 90, "valid")
+            .otherwise("test")
+            .alias("eval_split"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
