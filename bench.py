@@ -103,6 +103,13 @@ HEADLINE = [
     "c30_dml_subquery_journey",  # subquery DML: 3 keyed rewrites
     "d90c_sql_merge_schema_evolution",  # SQL evolving merge
     "h28_nested_changelog_stream",  # nested-shim changelog drain
+    # r10 session-2 additions (subtotal_r10_57_sec closes the window
+    # above so these stay separable in r11+)
+    "e84_simhash_hamming_join",  # Manku block-index Hamming pairs
+    "c31_metadata_only_agg_journey",  # manifest-stats COUNT/MIN/MAX
+    "e85_moore_lewis_selection",  # two-LM cross-entropy difference
+    "e86_logreg_quality_training",  # 3-round full-batch GD
+    "e87_semantic_split_decontamination",  # cross-split cosine leaks
 ]
 
 #: prefix lengths whose subtotals stay comparable across rounds
@@ -116,6 +123,7 @@ N_R6 = 48
 N_R7 = 50
 N_R8 = 52
 N_R9 = 54
+N_R10 = 57
 
 #: recorded quiet-host calibration probe (SCALE.md "Cross-host
 #: normalization"): 0.924s on the r4 build host at rest, 1.028s on the
@@ -332,6 +340,9 @@ def main() -> None:
                 ),
                 "subtotal_r9_54_sec": round(
                     sum(timings[n] for n in HEADLINE[:N_R9]), 3
+                ),
+                "subtotal_r10_57_sec": round(
+                    sum(timings[n] for n in HEADLINE[:N_R10]), 3
                 ),
                 # calibration-normalized twins (VERDICT r7 #5, r9 #2):
                 # wall times divided by the PER-SEGMENT host factor —
