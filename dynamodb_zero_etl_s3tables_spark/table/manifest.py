@@ -862,7 +862,9 @@ class ManagedTable:
         ]
         return self.spark.createDataFrame(rows, schema)
 
-    def metadata_aggregate(self, columns: tuple[str, ...] = ()) -> dict[str, Any]:
+    def metadata_aggregate(
+        self, columns: tuple[str, ...] = (), version: int | None = None
+    ) -> dict[str, Any]:
         """COUNT(*) plus per-column MIN/MAX answered from MANIFEST
         FILE STATISTICS alone — no data file is opened (the Iceberg
         metadata-only scan: what makes ``SELECT COUNT(*)`` on a
@@ -888,9 +890,31 @@ class ManagedTable:
         (SQL MIN/MAX over zero rows). Rename-transparent: stats
         dicts are re-keyed to current names by ``rename_column``
         itself (the invariant the pruning scan already relies on),
-        so lookups use the current name directly."""
+        so lookups use the current name directly. ``version`` time-
+        travels over the manifest alone — any retained published
+        CoW snapshot's stats answer identically (column names
+        resolve against THAT snapshot's schema, exactly like a
+        time-travel read)."""
         m = self._read_manifest()
-        snap = m.current
+        if version is None:
+            snap = m.current
+        else:
+            # time travel over the manifest alone: any RETAINED
+            # published snapshot's stats answer the same way (vacuum
+            # bounds retention, so this is still O(manifest))
+            snap = next(
+                (
+                    s
+                    for s in m.snapshots
+                    if s.version == version and not s.staged
+                ),
+                None,
+            )
+            if snap is None:
+                raise ValueError(
+                    f"metadata_aggregate: no retained published snapshot "
+                    f"v{version}"
+                )
         if snap is None:
             raise RuntimeError("metadata_aggregate: no published snapshot")
         if snap.delta is not None:

@@ -186,9 +186,15 @@ def merge_into(
       on these branches. Same first-match-wins discipline; a row
       winning no clause carries through unchanged.
 
-    Caller contract (same as Delta): ``source`` must be unique on its
-    join columns — a target row matched by several source rows would
-    make the update ambiguous.
+    Source-uniqueness is ENFORCED, not assumed (Delta parity, r10
+    review): a target row matched by more than one source row makes
+    every clause ambiguous, so the first such row raises
+    executor-side (plan-embedded ``raise_error`` behind a window
+    count over the join's own key partitioning — no extra scan, no
+    extra exchange; Delta throws
+    ``MERGE_MATCHED_MULTIPLE_SOURCE_ROWS`` for the same input).
+    Duplicate source keys among NOT-MATCHED rows insert normally,
+    exactly like Delta.
 
     ``merge_schema=True`` is Delta's ``mergeSchema`` MERGE semantics
     (VERDICT r6 #7): source columns absent from the target are ADDED
@@ -245,7 +251,24 @@ def merge_into(
         c = F.col(f"t.{tc}") == F.col(f"s.{sc}")
         join_cond = c if join_cond is None else (join_cond & c)
     j = t.join(s, join_cond, "left")
-    is_matched = F.col("s.__matched").isNotNull()
+    # ambiguity guard: matched source rows per target join-key group.
+    # The window partitions on the join keys the shuffle just hashed
+    # on, so no new exchange; unmatched target rows count 0; NULL-
+    # keyed rows never match so they count 0 too. Every clause
+    # evaluation flows through `is_matched`, so the guard cannot be
+    # pruned out of the plan.
+    wk = W.partitionBy(*[F.col(f"t.{tc}") for tc, _sc in on])
+    n_match = F.count(F.when(F.col("s.__matched").isNotNull(), 1)).over(wk)
+    is_matched = F.when(
+        n_match <= 1, F.col("s.__matched").isNotNull()
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "MERGE: multiple source rows matched the same target row "
+                "(source must be unique on the join columns)"
+            )
+        ).cast("boolean")
+    )
 
     # matched clauses fire on matched rows, not-matched-by-source
     # clauses on unmatched target rows — DISJOINT row sets, so one

@@ -2082,6 +2082,15 @@ def test_metadata_aggregate_no_data_read(spark, warehouse):
         n_corrupted += 1
     assert n_corrupted > 0
     assert t.metadata_aggregate(("pk", "price", "status")) == agg
+    # time travel over the manifest alone: v1 is the bootstrap image
+    v1 = t.metadata_aggregate(("pk", "price"), version=1)
+    assert v1["row_count"] == 2
+    assert (v1["min"]["pk"], v1["max"]["pk"]) == (1, 2)
+    assert (v1["min"]["price"], v1["max"]["price"]) == (10.0, 20.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no retained published"):
+        t.metadata_aggregate(("pk",), version=99)
 
 
 def test_metadata_aggregate_refusals(spark, warehouse):
@@ -2156,3 +2165,43 @@ def test_metadata_aggregate_partitioned_and_renamed(spark, warehouse):
     assert t2.metadata_aggregate(("pk",))["row_count"] == 2
     with pytest.raises(RuntimeError, match="non-string"):
         t2.metadata_aggregate(("bucket",))
+
+
+def test_merge_into_ambiguous_source_refused(spark, warehouse):
+    """Delta parity (r10 review): multiple source rows matching ONE
+    target row previously duplicated the target row silently — every
+    clause is ambiguous, so the merge must raise. Pure-INSERT merges
+    tolerate duplicate matches exactly like Delta (the guard is only
+    referenced by clause evaluation)."""
+    import pytest
+
+    t = ManagedTable(spark, warehouse, SPEC)
+    t.bootstrap(base_df(spark))  # pk 1..5
+    dup = spark.createDataFrame(
+        [Row(pk=1, np=111.0), Row(pk=1, np=222.0), Row(pk=9, np=9.0)]
+    )
+    with pytest.raises(Exception, match="multiple source rows matched"):
+        t.merge_into(
+            dup,
+            on=[("pk", "pk")],
+            matched=[("update", None, {"price": F.col("s.np")})],
+        )
+    # the failed merge must not have committed anything
+    assert t.history()[-1].operation == "bootstrap"
+    # INSERT-only merge: duplicate MATCHED keys are ignored (no clause
+    # touches them), duplicate UNMATCHED keys insert both — Delta's
+    # behavior for a NOT MATCHED-only statement
+    t.merge_into(
+        dup.unionByName(
+            spark.createDataFrame([Row(pk=9, np=10.0)])
+        ),
+        on=[("pk", "pk")],
+        insert_values={
+            "pk": F.col("pk"),
+            "status": F.lit("new"),
+            "price": F.col("np"),
+        },
+    )
+    rows = [r for r in t.read().collect() if r.pk == 9]
+    assert len(rows) == 2 and {r.price for r in rows} == {9.0, 10.0}
+    assert all(r.pk != 1 or r.price == 10.0 for r in t.read().collect())
