@@ -2397,11 +2397,20 @@ def e82_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 LR_DIMS = 64
 LR_ITERS = 3
 #: learning rate — DYADIC (exact double multiply, no 0.1-style
-#: representation error entering the update)
-LR_RATE = 2.0
+#: representation error entering the update). 64 suits the
+#: L1-normalized feature scale (each x_j <= 1, sum_j x_j = 1, so
+#: per-dim gradients are O(1/DIMS)): measured across all three SFs,
+#: 3 rounds at 64 reach max|w| ~0.6-0.7 with monotone loss and a
+#: well-calibrated reliability table (e88 ECE 0.002-0.016), where
+#: 2.0 leaves predictions pinned to the base rate and 256 overshoots
+#: (ECE 0.29).
+LR_RATE = 64.0
 
 
-def _lr_oracle() -> str:
+def _lr_ctes() -> list:
+    """Shared CTE chain for e86 (training) and e88 (calibration):
+    features, labels, and LR_ITERS unrolled GD rounds ending in
+    w{LR_ITERS}."""
     from dynamodb_zero_etl_s3tables_spark.operators.registry import MH64
 
     dim_expr = f"({MH64(chr(39) + 'lrq|' + chr(39) + ' || token')} % {LR_DIMS})"
@@ -2448,8 +2457,12 @@ def _lr_oracle() -> str:
           LEFT JOIN g{t} g USING (dim), ndocs
         )"""
         )
+    return ctes
+
+
+def _lr_oracle() -> str:
     return (
-        "WITH " + ",\n    ".join(ctes)
+        "WITH " + ",\n    ".join(_lr_ctes())
         + f"\n    SELECT dim, w AS weight FROM w{LR_ITERS}"
     )
 
@@ -2479,28 +2492,10 @@ def _lr_feats(spark: SparkSession, sf_dir: str):
     return feats, labels
 
 
-@query("e86_logreg_quality_training", oracle=_lr_oracle())
-def e86_logreg_quality_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E86: distributed logistic-regression TRAINING by full-batch
-    gradient descent — the model-based-quality-classifier training
-    loop (fastText shape; FineWeb-Edu trains exactly this over
-    teacher labels). Features are e73's hashing trick (64-dim hashed
-    bag-of-words, L1-normalized per doc, 6dp); the label distilled
-    here is lang='en' membership (a stand-in for any reference set —
-    swapping the label column swaps the teacher, not the loop).
-
-    Per iteration, everything is ONE scan + two bounded aggregates:
-    z (per-doc dot product against the 64-weight LITERAL MAP — no
-    join, the weights ride the closure like a broadcast), p
-    (sigmoid), and the per-dim gradient sum; the weight update runs
-    in a 64-row frame and only the 64 floats come back to the driver
-    (planning-scalar class, the e67 merge-table discipline). Products
-    route through DECIMAL(25,12) before summing (order-independent),
-    and z/p/w re-quantize to 6dp each round (the e34 law), so three
-    rounds of iterative float optimization stay bit-identical to the
-    DuckDB replay. At 100 TB: 3 corpus scans, map-side partial
-    aggregation everywhere, shuffles carry (doc, 2 doubles) and
-    (dim, 1 double) rows only."""
+def _train_logreg(spark: SparkSession, sf_dir: str) -> dict:
+    """The e86 GD loop, shared with e88's calibration audit: returns
+    the final {dim: weight} after LR_ITERS rounds (each round ONE
+    corpus scan; only 64 floats return to the driver per round)."""
     feats, labels = _lr_feats(spark, sf_dir)
     nd = labels.count()  # planning scalar (doc count)
     w = {j: 0.0 for j in range(LR_DIMS)}
@@ -2544,7 +2539,147 @@ def e86_logreg_quality_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         updated = {int(r["dim"]): float(r["w"]) for r in wnext.collect()}
         w = {j: updated.get(j, w[j]) for j in range(LR_DIMS)}
+    return w
+
+
+@query("e86_logreg_quality_training", oracle=_lr_oracle())
+def e86_logreg_quality_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E86: distributed logistic-regression TRAINING by full-batch
+    gradient descent — the model-based-quality-classifier training
+    loop (fastText shape; FineWeb-Edu trains exactly this over
+    teacher labels). Features are e73's hashing trick (64-dim hashed
+    bag-of-words, L1-normalized per doc, 6dp); the label distilled
+    here is lang='en' membership (a stand-in for any reference set —
+    swapping the label column swaps the teacher, not the loop).
+
+    Per iteration, everything is ONE scan + two bounded aggregates:
+    z (per-doc dot product against the 64-weight LITERAL MAP — no
+    join, the weights ride the closure like a broadcast), p
+    (sigmoid), and the per-dim gradient sum; the weight update runs
+    in a 64-row frame and only the 64 floats come back to the driver
+    (planning-scalar class, the e67 merge-table discipline). Products
+    route through DECIMAL(25,12) before summing (order-independent),
+    and z/p/w re-quantize to 6dp each round (the e34 law), so three
+    rounds of iterative float optimization stay bit-identical to the
+    DuckDB replay. At 100 TB: 3 corpus scans, map-side partial
+    aggregation everywhere, shuffles carry (doc, 2 doubles) and
+    (dim, 1 double) rows only."""
+    w = _train_logreg(spark, sf_dir)
     schema = "dim int, weight double"
     return spark.createDataFrame(
         [(j, w[j]) for j in range(LR_DIMS)], schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# E88: calibration audit of the trained classifier — the reliability
+# table (Guo et al. 2017's calibration framing) a deployment checks
+# BEFORE using e86's probabilities as sampling weights or keep
+# thresholds: 10 probability bins x (mean predicted p, observed
+# positive rate), whose per-bin gap is the Expected Calibration Error
+# integrand. Closes the train -> EVALUATE loop the same way e03e
+# closes it for ANN recall and e50/e81 for LSH dedup.
+# ---------------------------------------------------------------------------
+
+CAL_BINS = 10
+
+
+def _e88_oracle() -> str:
+    ctes = _lr_ctes()
+    t = LR_ITERS
+    ctes.append(
+        f"""zf AS (
+          SELECT f.doc_id,
+                 ROUND(CAST(SUM(CAST(f.x * w.w AS DECIMAL(25,12))) AS DOUBLE), 6) AS z
+          FROM feats f JOIN w{t} w USING (dim) GROUP BY f.doc_id
+        )"""
+    )
+    ctes.append(
+        "pf AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS p FROM zf)"
+    )
+    ctes.append(
+        f"""binned AS (
+          SELECT l.y, p.p,
+                 LEAST(CAST(FLOOR(p.p * {CAL_BINS}) AS INT), {CAL_BINS - 1}) AS bin
+          FROM pf p JOIN labels l USING (doc_id)
+        )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT bin, n, mean_p, pos_rate, ABS(pos_rate - mean_p) AS abs_gap
+    FROM (
+      SELECT bin, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(p AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_p,
+             ROUND(CAST(SUM(CAST(y AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*), 6)
+               AS pos_rate
+      FROM binned GROUP BY bin
+    )"""
+    )
+
+
+@query("e88_classifier_calibration", oracle=_e88_oracle())
+def e88_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E88: reliability table for the e86 classifier — score the
+    corpus under the TRAINED weights, bin predictions into 10
+    probability deciles, and report each bin's mean predicted
+    probability against its observed positive rate; ``abs_gap`` is
+    the ECE integrand (sum n/N * abs_gap = Expected Calibration
+    Error). A curation pipeline that converts classifier scores into
+    keep-probabilities or mixture weights (the FineWeb-Edu pattern)
+    is only sound when this table is near-diagonal — the audit is
+    the operator.
+
+    Scale: one extra scoring pass over the corpus beyond e86's
+    training (same literal-map dot product, no join), then ONE
+    aggregate over {CAL_BINS} cells; determinism inherits e86's
+    fixed-point chain plus decimal sums for the bin means (the
+    binning FLOOR acts on 6dp-rounded doubles — no engine ROUND-half
+    behavior anywhere)."""
+    w = _train_logreg(spark, sf_dir)
+    feats, labels = _lr_feats(spark, sf_dir)
+    wmap = F.create_map(
+        *[c for j in range(LR_DIMS) for c in (F.lit(j), F.lit(w[j]))]
+    )
+    z = feats.groupBy("doc_id").agg(
+        F.round(
+            F.sum(
+                (F.col("x") * F.element_at(wmap, F.col("dim"))).cast(
+                    "decimal(25,12)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("z")
+    )
+    p = z.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("p"),
+    )
+    binned = p.join(labels, "doc_id").select(
+        "y",
+        "p",
+        F.least(
+            F.floor(F.col("p") * CAL_BINS).cast("int"), F.lit(CAL_BINS - 1)
+        ).alias("bin"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(25,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_p"),
+        F.round(
+            F.sum(F.col("y").cast("decimal(25,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("pos_rate"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "mean_p",
+        "pos_rate",
+        F.abs(F.col("pos_rate") - F.col("mean_p")).alias("abs_gap"),
     )

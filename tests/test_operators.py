@@ -95,9 +95,18 @@ def test_grade_priority_prefix():
     assert "e83_batched_ann_topk" not in window    # r9-graded
     assert "d26b_cube" not in window               # r9-graded
     assert "d01_parquet_scan" not in window        # r7-graded
-    # queued changed-code re-signs sit right behind the window (r11)
-    assert "h26_cow_changelog_stream" in _GRADE_PRIORITY[50:60]
-    assert "c24_mor_dml_journey" in _GRADE_PRIORITY[50:60]
+    # r11 queue right behind the window: the six never-driver-graded
+    # session-2 additions first, then the changed-code re-signs
+    assert _GRADE_PRIORITY[50:56] == [
+        "e84_simhash_hamming_join",
+        "c31_metadata_only_agg_journey",
+        "e85_moore_lewis_selection",
+        "e86_logreg_quality_training",
+        "e87_semantic_split_decontamination",
+        "e88_classifier_calibration",
+    ]
+    assert "h26_cow_changelog_stream" in _GRADE_PRIORITY[56:66]
+    assert "c24_mor_dml_journey" in _GRADE_PRIORITY[56:66]
     # no duplicates, every priority name registered
     assert len(set(_GRADE_PRIORITY)) == len(_GRADE_PRIORITY)
 
