@@ -3084,7 +3084,8 @@ def c22_drop_column_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     src AS (
       SELECT pk, 'P' AS status, price * 0.5 AS price FROM t0 WHERE pk % 7 = 0
       UNION ALL
-      SELECT -pk AS pk, 'I' AS status, 1000.0 AS price FROM t0 WHERE pk % 97 = 0
+      SELECT -pk AS pk, 'I' AS status, 1000.0 AS price
+      FROM t0 WHERE pk % 97 = 0 AND pk > 0
     ),
     kept AS (  -- MATCHED: first clause (src.price>120000 -> DELETE) else UPDATE
       SELECT t2.pk,
@@ -3166,10 +3167,14 @@ def c23_sql_dml_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SQL UPDATE must keep c20's partition pruning, got {res}",
     )
 
+    # pk > 0 on the negated-insert branch: pk=0 is 7- AND 97-divisible
+    # and -0 == 0, so without it the source carries pk=0 twice and the
+    # MERGE is a standard-SQL cardinality violation (the engine's
+    # ambiguity guard — r10 — now raises exactly like Delta would)
     o.filter(F.col("pk") % 7 == 0).select(
         "pk", F.lit("P").alias("status"), (F.col("price") * 0.5).alias("price")
     ).unionAll(
-        o.filter(F.col("pk") % 97 == 0).select(
+        o.filter((F.col("pk") % 97 == 0) & (F.col("pk") > 0)).select(
             (-F.col("pk")).alias("pk"),
             F.lit("I").alias("status"),
             F.lit(1000.0).alias("price"),
