@@ -300,3 +300,50 @@ def test_e38_dedup_stage_shape(spark):
     assert "Exchange hashpartitioning(__h" in plan
     partial_out = plan.split("partial_min")[1].splitlines()[0]
     assert "text" not in partial_out  # output=[__h#x, min#xL]
+
+
+def test_e86_training_round_plan(spark):
+    """e86's registered frame is driver-assembled (64 rows), so the
+    scale evidence lives in the TRAINING-ROUND plans: one gradient
+    round must be pure JVM — partial+final HashAggregate, the weight
+    map as a literal (no join or broadcast for the model), and no
+    Python eval node anywhere."""
+    import pyspark.sql.functions as F
+
+    from dynamodb_zero_etl_s3tables_spark.operators.llm_text import (
+        LR_DIMS,
+        _lr_feats,
+    )
+
+    feats, labels = _lr_feats(spark, "/root/testdata/sf0.001")
+    wmap = F.create_map(
+        *[c for j in range(LR_DIMS) for c in (F.lit(j), F.lit(0.0))]
+    )
+    z = feats.groupBy("doc_id").agg(
+        F.round(
+            F.sum(
+                (F.col("x") * F.element_at(wmap, F.col("dim"))).cast(
+                    "decimal(25,12)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("z")
+    )
+    p = z.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("p"),
+    )
+    grad = (
+        feats.join(p.join(labels, "doc_id"), "doc_id")
+        .groupBy("dim")
+        .agg(
+            F.sum(((F.col("p") - F.col("y")) * F.col("x")).cast("decimal(25,12)"))
+            .cast("double")
+            .alias("gsum")
+        )
+    )
+    plan = grad._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "partial" in plan.lower()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan

@@ -257,6 +257,24 @@ FLAGSHIPS = {
         "shuffles k x batches x queries narrow rows, not the probed "
         "corpus fraction. No BNLJ, no cartesian."
     ),
+    "e84_simhash_hamming_join": (
+        "SimHash Hamming join (r10): fingerprints are ONE partial-"
+        "aggregated groupBy(doc_id) of 60 conditional sums (no bit "
+        "explode, no (doc, token) pre-aggregate); block-key candidates "
+        "ride an equi-join-free bucket collapse (the shared "
+        "_capped_members window + collect), and verification is one "
+        "integer xor + bit_count per pair. No cross join anywhere."
+    ),
+    "e86_logreg_quality_training": (
+        "Trained logistic regression (r10): the REGISTERED frame is the "
+        "64-row weight table assembled on the driver (metadata-scale by "
+        "design — ExistingRDD below), because the training rounds "
+        "execute eagerly during build. The per-round plans are the "
+        "evidence: one scan each, weights entering as a LITERAL MAP (no "
+        "join/broadcast for the model), z/gradient as partial+final "
+        "HashAggregates, zero Python nodes — pinned mechanically by "
+        "tests/test_plans.py::test_e86_training_round_plan."
+    ),
 }
 
 
