@@ -127,6 +127,13 @@ def parse_media_header(payload: bytes) -> dict | None:
                         "ok": True, "codec": "png"}
         return None
     if payload[:2] == b"BM" and len(payload) >= 26:
+        # DIB header size gates the field layout: BITMAPINFOHEADER
+        # and successors (>= 40 bytes) store i32 dims at 18/22; the
+        # ancient BITMAPCOREHEADER (12) stores u16 dims at 18/20 and
+        # would misparse as a garbage i32 — refuse it (r10 review)
+        (hdr_size,) = struct.unpack("<I", payload[14:18])
+        if hdr_size < 40:
+            return None
         w, h = struct.unpack("<ii", payload[18:26])
         if w > 0 and h != 0:
             return {"width": w, "height": abs(h), "n_frames": 1,

@@ -183,3 +183,22 @@ def test_parse_wav_body_containing_chunk_id_words():
     got = M.parse_media_header(hdr + body)
     assert got["n_frames"] == 100 + 4150 % 50
     assert got == M.parse_media_header(hdr)  # body never inspected
+
+
+def test_parse_bmp_core_header_refused():
+    """BITMAPCOREHEADER (12-byte DIB header, u16 dims) stores fields
+    at different offsets — parsing it with the INFOHEADER layout
+    would return garbage i32 dims, so the parser must return None
+    (fall through to Pillow / the stub) instead (r10 review)."""
+    import struct
+
+    from dynamodb_zero_etl_s3tables_spark.operators import llm_multimodal as M
+
+    core = (
+        b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 320, 200, 1, 24)  # CORE: u16 dims
+    )
+    assert M.parse_media_header(core + b"px") is None
+    # the INFOHEADER fixture still parses (guard keys on header size)
+    info = M.synth_media_header(1, 7)
+    assert M.parse_media_header(info)["codec"] == "bmp"
