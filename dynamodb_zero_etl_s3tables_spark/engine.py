@@ -224,6 +224,14 @@ class ZeroEtlEngine:
             # a dedicated snapshot view, then the statement runs as
             # ordinary Spark SQL
             query = sql_dml.rewrite_time_travel(self, query)
+        else:
+            # metadata-only fast path (r10): a pure COUNT/MIN/MAX
+            # aggregate over this table answers from manifest file
+            # stats with zero data files opened (the Iceberg
+            # metadata-only scan); None = run the ordinary scan
+            fast = sql_dml.try_metadata_select(self, query, version=version)
+            if fast is not None:
+                return fast
         return self.catalog.sql(query)
 
     def read(self, version: int | None = None) -> DataFrame:

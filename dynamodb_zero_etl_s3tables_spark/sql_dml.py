@@ -41,9 +41,12 @@ shape, never a silent partial apply:
   ``table.merge.merge_into`` implements (first matching clause wins).
 
 Anything else (including DML aimed at a table other than the
-engine's managed table) raises rather than guessing. SELECTs never
-reach this module — ``engine.sql`` only routes statements whose first
-keyword is MERGE/UPDATE/DELETE.
+engine's managed table) raises rather than guessing. SELECTs run as
+ordinary Spark SQL — with ONE read-path exception: a pure
+COUNT/MIN/MAX aggregate over the managed table consults
+:func:`try_metadata_select` first (the manifest-stats fast path,
+r10), which either answers exactly from metadata or returns None to
+run the scan.
 
 Scale: routing is driver-side string work on one statement; the
 executed plans are exactly the Python-API ones (pruned CoW rewrites
@@ -1218,3 +1221,105 @@ def _route_ctas(engine: "ZeroEtlEngine", m: re.Match) -> DataFrame:
         engine, "create-table-as",
         {"table": f"{ns}.{name}", "keys": list(keys), "rows": t.read().count()},
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only SELECT fast path (r10): the SQL-door rendering of
+# ManagedTable.metadata_aggregate. `SELECT COUNT(*) / MIN(c) / MAX(c)
+# FROM t` with no WHERE/GROUP/JOIN is the one query shape whose whole
+# answer already sits in the manifest (Iceberg engines special-case
+# exactly this); everything else — and every case where stats cannot
+# answer exactly (MoR head, missing stats, truncation-length strings,
+# non-scalar-stat types) — falls back SILENTLY to the ordinary scan,
+# so the fast path is an optimization, never a semantics change.
+# ---------------------------------------------------------------------------
+
+_META_SELECT_RE = re.compile(
+    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>[A-Za-z0-9_.`\"]+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_META_ITEM_RE = re.compile(
+    r"^(?:(?P<count>COUNT\s*\(\s*(?:\*|1)\s*\))"
+    r"|(?P<fn>MIN|MAX)\s*\(\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*\))"
+    r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?$",
+    re.IGNORECASE,
+)
+
+
+def try_metadata_select(
+    engine: "ZeroEtlEngine", statement: str, version: int | None = None
+) -> DataFrame | None:
+    """Answer a pure COUNT/MIN/MAX aggregate over the managed table
+    from manifest file stats alone — or return None to run the
+    ordinary scan. Returning None is ALWAYS safe; returning a frame
+    promises exact equality with the scan's result (same column
+    names, types, values)."""
+    from pyspark.sql import types as T
+
+    m = _META_SELECT_RE.match(statement)
+    if m is None:
+        return None
+    spec = engine.spec
+    accepted = {
+        spec.qualified_name.lower(),
+        spec.qualified_name.replace(".", "_").lower(),
+        spec.name.lower(),
+    }
+    if m.group("table").lower().strip('`"') not in accepted:
+        return None
+    items = []
+    for raw in m.group("items").split(","):
+        im = _META_ITEM_RE.match(raw.strip())
+        if im is None:
+            return None  # expression outside the COUNT/MIN/MAX shape
+        if im.group("count"):
+            items.append(("count", None, im.group("alias") or "count(1)"))
+        else:
+            fn = im.group("fn").lower()
+            col = im.group("col")
+            items.append((fn, col, im.group("alias") or f"{fn}({col})"))
+    try:
+        import json as _json
+
+        from pyspark.sql import types as _T
+
+        mf = engine.table._read_manifest()
+        snap = (
+            mf.current
+            if version is None
+            else next(
+                s
+                for s in mf.snapshots
+                if s.version == version and not s.staged
+            )
+        )
+        schema = _T.StructType.fromJson(_json.loads(snap.schema_json))
+    except Exception:
+        return None
+    by_name = {f.name: f for f in schema.fields}
+    scalar_ok = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.StringType,
+    )
+    cols = []
+    for _fn, col, _alias in items:
+        if col is None:
+            continue
+        f = by_name.get(col)
+        if f is None or not isinstance(f.dataType, scalar_ok):
+            return None  # unknown column or a type whose stats round-trip
+            # is not exactly the SQL extreme (dates ride ISO strings)
+        cols.append(col)
+    try:
+        agg = engine.table.metadata_aggregate(tuple(dict.fromkeys(cols)), version=version)
+    except Exception:
+        return None  # MoR head / missing stats / truncation — scan instead
+    fields, values = [], []
+    for fn, col, alias in items:
+        if fn == "count":
+            fields.append(T.StructField(alias, T.LongType(), False))
+            values.append(int(agg["row_count"]))
+        else:
+            fields.append(T.StructField(alias, by_name[col].dataType, True))
+            values.append(agg["min" if fn == "min" else "max"][col])
+    return engine.spark.createDataFrame([tuple(values)], T.StructType(fields))

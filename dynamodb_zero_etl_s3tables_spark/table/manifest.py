@@ -981,6 +981,18 @@ class ManagedTable:
                         f"in {f['path']!r} — cannot distinguish all-NULL "
                         "from uncollected; read the data instead"
                     )
+                if any(isinstance(v, str) and len(v) >= 64 for v in rng):
+                    # parquet writers may TRUNCATE long binary/string
+                    # statistics (truncated bounds are valid for
+                    # PRUNING but not exact extremes) — 64 bytes is
+                    # the conservative cutoff below every known
+                    # writer default, so only provably-exact string
+                    # stats answer here
+                    raise RuntimeError(
+                        f"metadata_aggregate: string stats for {col!r} "
+                        "reach the writer-truncation length; read the "
+                        "data instead"
+                    )
                 lo = rng[0] if lo is None else min(lo, rng[0])
                 hi = rng[1] if hi is None else max(hi, rng[1])
             mins[col] = lo

@@ -250,3 +250,55 @@ def test_get_logger_custom_name_gets_json_handler():
     base = logging.getLogger("my_pipeline_r8")
     assert base.handlers and not base.propagate
     assert lg.name == "my_pipeline_r8.r1"
+
+
+def test_sql_metadata_only_select(spark, warehouse):
+    """The SQL door's metadata fast path (r10): a pure COUNT/MIN/MAX
+    aggregate answers from manifest stats with no data read (proven
+    by corrupting the parquet files), is value- and schema-identical
+    to the scan, and falls back to the scan for every shape stats
+    cannot answer exactly."""
+    from pathlib import Path
+
+    import pyspark.sql.functions as F
+
+    from dynamodb_zero_etl_s3tables_spark.engine import ZeroEtlEngine
+    from dynamodb_zero_etl_s3tables_spark.spec import SourceSpec, TableSpec
+
+    eng = ZeroEtlEngine(
+        spark,
+        warehouse,
+        SourceSpec(table_name="t-ddb", key_columns=("pk",)),
+        TableSpec(namespace="ns", name="meta_sql", key_columns=("pk",)),
+    )
+    eng.bootstrap(
+        spark.createDataFrame(
+            [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 5.5)],
+            "pk long, status string, price double",
+        )
+    )
+    q = "SELECT COUNT(*), MIN(pk) AS lo, MAX(price), MIN(status) FROM ns.meta_sql"
+    eng._refresh_own_view()
+    scan = eng.catalog.sql(
+        q.replace("ns.meta_sql", "ns_meta_sql")
+    )
+    fast = eng.sql(q)
+    # full StructType equality would compare Spark's presentation-only
+    # __autoGeneratedAlias metadata; names/types/nullability are the
+    # contract
+    assert [(f.name, f.dataType, f.nullable) for f in fast.schema.fields] == [
+        (f.name, f.dataType, f.nullable) for f in scan.schema.fields
+    ]
+    assert fast.collect() == scan.collect()
+    # no data read: corrupt every parquet file; the door still answers
+    for p in Path(warehouse).rglob("*.parquet"):
+        p.write_bytes(b"junk")
+    assert eng.sql(q).collect() == scan.collect()
+    # shapes the stats cannot answer run the scan (and now crash on
+    # the corrupted files — which is exactly the fallback happening)
+    import pytest
+
+    with pytest.raises(Exception):
+        eng.sql("SELECT COUNT(*) FROM ns.meta_sql WHERE pk > 1").collect()
+    with pytest.raises(Exception):
+        eng.sql("SELECT SUM(price) FROM ns.meta_sql").collect()
