@@ -938,7 +938,7 @@ class ManagedTable:
                     )
                 file_sets.extend(e["files"])
             part_values = {
-                c: [e["values"].get(c) for e in snap.partitions]
+                c: [(e.get("values") or {}).get(c) for e in snap.partitions]
                 for c in (self.spec.partition_columns or ())
             }
         else:
@@ -962,6 +962,20 @@ class ManagedTable:
                     raise RuntimeError(
                         f"metadata_aggregate: partition column {col!r} "
                         "is non-string; dir-name order is not value order"
+                    )
+                if any(
+                    col not in (e.get("values") or {})
+                    for e in snap.partitions
+                ):
+                    # a carried PRE-EVOLUTION entry stores this column
+                    # in its data files, not its dir name (lazy
+                    # migration) — a KEY absent from `values` is that
+                    # case, distinct from an explicit NULL value, and
+                    # its rows' extremes are invisible here
+                    raise RuntimeError(
+                        f"metadata_aggregate: partition column {col!r} "
+                        "is missing from a pre-evolution carried entry; "
+                        "read the data instead"
                     )
                 vals = [v for v in part_values[col] if v is not None]
                 mins[col] = min(vals) if vals else None

@@ -2205,3 +2205,26 @@ def test_merge_into_ambiguous_source_refused(spark, warehouse):
     rows = [r for r in t.read().collect() if r.pk == 9]
     assert len(rows) == 2 and {r.price for r in rows} == {9.0, 10.0}
     assert all(r.pk != 1 or r.price == 10.0 for r in t.read().collect())
+
+
+def test_metadata_aggregate_evolved_partition_column_refused(spark, warehouse):
+    """After partition-spec evolution, carried old-layout entries
+    store the NEW partition column in their data files, not their dir
+    names — its extremes are invisible to the manifest, so the
+    partition-column aggregate must refuse instead of silently
+    dropping those rows; non-partition columns still answer from the
+    per-file stats carried with every entry."""
+    import pytest
+
+    spec = TableSpec(
+        namespace="ns", name="pevo_meta", key_columns=("pk",),
+        order_columns=("seq",), partition_columns=("part",),
+    )
+    t = ManagedTable(spark, warehouse, spec)
+    t.bootstrap(_pe_base(spark))
+    t.evolve_partitioning(("cat",))
+    agg = t.metadata_aggregate(("pk", "qty"))
+    assert agg["row_count"] == 4
+    assert (agg["min"]["qty"], agg["max"]["qty"]) == (10, 40)
+    with pytest.raises(RuntimeError, match="pre-evolution carried entry"):
+        t.metadata_aggregate(("cat",))
