@@ -138,6 +138,8 @@ def test_registry_wide_plan_sweep(spark):
         #                               signature table (broadcast)
         "e53_kneser_ney_score",     # two 1-row broadcasts (vocab size,
         #                             bigram-type total)
+        "e85_moore_lewis_selection",  # two 1-row broadcasts (general +
+        #                               in-domain vocab sizes, e42 shape)
         "e60_incontext_packing",    # k=8 centroid broadcasts (composes e21)
         "e61_matryoshka_recall",    # 1-row query-vector broadcast
         "e62_hybrid_rrf",           # composes e18's 1-row corpus-stats
