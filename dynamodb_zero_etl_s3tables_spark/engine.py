@@ -218,6 +218,12 @@ class ZeroEtlEngine:
             # query over ANOTHER table in the warehouse must not crash
             # on this table's missing first snapshot (r8 review)
             self._refresh_own_view()
+        if "table_changes" in query.lower():
+            # B10b through the SQL door (r10): Delta's
+            # `table_changes('t', from [, to])` TVF — each call
+            # materializes read_changes as a temp view, then the
+            # statement runs as ordinary Spark SQL
+            query = sql_dml.rewrite_table_changes(self, query)
         if sql_dml.has_time_travel(query):
             # SELECT-level `FROM t VERSION AS OF n` / `TIMESTAMP AS OF
             # ts` (B10 through the SQL door): each travel clause binds

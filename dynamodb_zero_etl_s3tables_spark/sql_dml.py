@@ -1323,3 +1323,40 @@ def try_metadata_select(
             fields.append(T.StructField(alias, by_name[col].dataType, True))
             values.append(agg["min" if fn == "min" else "max"][col])
     return engine.spark.createDataFrame([tuple(values)], T.StructType(fields))
+
+
+# ---------------------------------------------------------------------------
+# table_changes() through the SQL door (r10): Delta exposes CDF to
+# SQL as `SELECT ... FROM table_changes('t', from, to)`; the engine's
+# incremental surface is ManagedTable.read_changes (B10b). This
+# rewrite lets the same consumers use the same syntax: each TVF call
+# materializes the keyed diff as a temp view and the statement runs
+# as ordinary Spark SQL over it (filters/aggregates/joins compose).
+# Version arguments use the ENGINE's snapshot semantics — the diff
+# BETWEEN retained snapshots from_v -> to_v (to_v optional =
+# published head) — stated here because Delta numbers by commit
+# containing the change, not by snapshot pair.
+# ---------------------------------------------------------------------------
+
+_TABLE_CHANGES_RE = re.compile(
+    r"table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_table_changes(engine: "ZeroEtlEngine", statement: str) -> str:
+    """Replace every ``table_changes('<t>', from [, to])`` call with a
+    temp view holding ``read_changes(from, to)``. Raises on a table
+    the engine does not manage; returns the statement unchanged when
+    no call is present."""
+    import uuid as _uuid
+
+    def _sub(m: "re.Match") -> str:
+        _check_target(engine, m.group(1))
+        from_v = int(m.group(2))
+        to_v = int(m.group(3)) if m.group(3) is not None else None
+        view = f"__table_changes_{_uuid.uuid4().hex[:10]}"
+        engine.table.read_changes(from_v, to_v).createOrReplaceTempView(view)
+        return view
+
+    return _TABLE_CHANGES_RE.sub(_sub, statement)

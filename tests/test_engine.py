@@ -302,3 +302,49 @@ def test_sql_metadata_only_select(spark, warehouse):
         eng.sql("SELECT COUNT(*) FROM ns.meta_sql WHERE pk > 1").collect()
     with pytest.raises(Exception):
         eng.sql("SELECT SUM(price) FROM ns.meta_sql").collect()
+
+
+def test_sql_table_changes_tvf(spark, warehouse):
+    """B10b through the SQL door (r10): Delta's ``table_changes('t',
+    from [, to])`` TVF materializes ``read_changes`` and composes
+    with ordinary SQL (projection, aggregate); an unmanaged table
+    name raises."""
+    import pytest
+
+    from dynamodb_zero_etl_s3tables_spark.engine import ZeroEtlEngine
+    from dynamodb_zero_etl_s3tables_spark.spec import SourceSpec, TableSpec
+
+    eng = ZeroEtlEngine(
+        spark,
+        warehouse,
+        SourceSpec(table_name="t-ddb", key_columns=("pk",)),
+        TableSpec(namespace="ns", name="chg_sql", key_columns=("pk",)),
+    )
+    eng.bootstrap(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "pk long, x double")
+    )
+    eng.apply_changes(
+        spark.createDataFrame(
+            [("MODIFY", 1, 1, 11.0), ("INSERT", 1, 3, 30.0)],
+            "op string, seq long, pk long, x double",
+        ),
+        order_cols=("seq",),
+    )
+    got = {
+        (r.op, r.pk): r.x
+        for r in eng.sql(
+            "SELECT op, pk, x FROM table_changes('ns.chg_sql', 1, 2)"
+        ).collect()
+    }
+    want = {
+        (r.op, r.pk): r.x for r in eng.table.read_changes(1, 2).collect()
+    }
+    assert got == want and ("MODIFY", 1) in got and ("INSERT", 3) in got
+    # composes with ordinary SQL; omitted end version = published head
+    n = eng.sql(
+        "SELECT COUNT(*) AS n FROM table_changes('ns.chg_sql', 1) "
+        "WHERE op <> 'REMOVE'"
+    ).first().n
+    assert n == 2
+    with pytest.raises(ValueError, match="unknown table"):
+        eng.sql("SELECT * FROM table_changes('other.tbl', 1)")
