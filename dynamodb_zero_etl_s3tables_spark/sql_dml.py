@@ -1349,13 +1349,16 @@ def rewrite_table_changes(engine: "ZeroEtlEngine", statement: str) -> str:
     temp view holding ``read_changes(from, to)``. Raises on a table
     the engine does not manage; returns the statement unchanged when
     no call is present."""
-    import uuid as _uuid
-
     def _sub(m: "re.Match") -> str:
         _check_target(engine, m.group(1))
         from_v = int(m.group(2))
         to_v = int(m.group(3)) if m.group(3) is not None else None
-        view = f"__table_changes_{_uuid.uuid4().hex[:10]}"
+        # deterministic per-(table, range) names: repeated calls
+        # REPLACE their view instead of leaking one per statement
+        view = (
+            f"__table_changes_{engine.spec.qualified_name.replace('.', '_')}"
+            f"_{from_v}_{to_v if to_v is not None else 'head'}"
+        )
         engine.table.read_changes(from_v, to_v).createOrReplaceTempView(view)
         return view
 
