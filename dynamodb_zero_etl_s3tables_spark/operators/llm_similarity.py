@@ -2265,8 +2265,20 @@ def e64_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(edges_path)
     edges = spark.read.parquet(edges_path)
 
-    outd = edges.groupBy("src").agg(F.count("*").alias("od"))
-    nodes = edges.select(F.col("src").alias("v")).distinct()
+    # pin the two O(N) side frames ONCE (same discipline as e02h's
+    # labels / e67's vocab): each of the PR_ITERS rounds joins both,
+    # and the final projection joins outd again — without the eager
+    # checkpoint every consumer re-derived them from the edge parquet
+    # (r10 measured: warm-neutral under exchange reuse, but the
+    # un-truncated 4-round lineage paid ~5s of one-time codegen and
+    # re-plans the whole history at lower core counts where AQE's
+    # reuse window shrinks)
+    outd = edges.groupBy("src").agg(F.count("*").alias("od")).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        edges.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=True)
+    )
     n = nodes.count()
     teleport = 150000000 // n
     ranks = nodes.select("v", F.lit(10**9 // n).cast("long").alias("r"))

@@ -2497,7 +2497,16 @@ def _train_logreg(spark: SparkSession, sf_dir: str) -> dict:
     the final {dim: weight} after LR_ITERS rounds (each round ONE
     corpus scan; only 64 floats return to the driver per round)."""
     feats, labels = _lr_feats(spark, sf_dir)
-    nd = labels.count()  # planning scalar (doc count)
+    # feats feeds TWO passes per round (the z dot-product and the
+    # gradient join) and labels one; without pinning them the
+    # tokenize->explode->aggregate pipeline re-ran from the documents
+    # scan 2x per round (guide §5 "reused AND expensive to recompute"
+    # — measured r10: 2.1s of e86's 3.8s was repeated tokenization).
+    # Values are unchanged: the pinned frames are deterministic
+    # intermediates of THIS query's own inputs, released on return.
+    feats = feats.cache()
+    labels = labels.cache()
+    nd = labels.count()  # planning scalar (doc count; also pins labels)
     w = {j: 0.0 for j in range(LR_DIMS)}
     for _t in range(LR_ITERS):
         wmap = F.create_map(
@@ -2539,6 +2548,8 @@ def _train_logreg(spark: SparkSession, sf_dir: str) -> dict:
         )
         updated = {int(r["dim"]): float(r["w"]) for r in wnext.collect()}
         w = {j: updated.get(j, w[j]) for j in range(LR_DIMS)}
+    feats.unpersist()
+    labels.unpersist()
     return w
 
 

@@ -471,9 +471,19 @@ def _route_matching_dml(
     engine.catalog.refresh_view(q)
     view = engine.catalog.view_name(q)
     alias = target_name.strip("`\"").split(".")[-1]
-    kcols = ", ".join(
-        f"{alias}.`{k}` AS `{k}`" for k in engine.spec.key_columns
-    )
+    # keys + partition columns in ONE selection: the same WHERE scan
+    # that evaluates the subquery predicate also yields the matched
+    # rows' partition values, so the pruned-CoW commit learns which
+    # partitions to rewrite from the key set itself instead of
+    # re-scanning the table through a semi-join (r10 opt, guide §2.4
+    # — one pass where two ran; partition values are functionally
+    # dependent on the key, so the dedup downstream stays exact).
+    out_cols = list(engine.spec.key_columns) + [
+        p
+        for p in engine.spec.partition_columns
+        if p not in engine.spec.key_columns
+    ]
+    kcols = ", ".join(f"{alias}.`{c}` AS `{c}`" for c in out_cols)
     select = (
         f"SELECT {kcols} FROM {view} AS {alias} WHERE {where_text}"
     )

@@ -411,16 +411,33 @@ def apply_changes_stream(
         )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        _ensure_table(table, batch_df.schema)
-        if state is not None:
-            batch_df = state.filter_and_advance(batch_df, batch_id)
+        # one microbatch feeds several actions (emptiness probe, the
+        # version-state delta write, the admitted-set probe, and the
+        # merge itself) — pin it so the source files are read once per
+        # batch instead of once per action (guide §5; r10). The
+        # admitted frame is pinned for the same reason: its state join
+        # otherwise re-runs between its probe and the merge.
+        batch_df = batch_df.persist()
+        admitted = None
+        try:
             if batch_df.isEmpty():
-                return  # every row in the batch was stale or late
-        table.apply_changes(batch_df, strategy=strategy)
-        if auto_compact:
-            table.maybe_compact(max_delta_layers=max_delta_layers)
+                return
+            _ensure_table(table, batch_df.schema)
+            merged_df = batch_df
+            if state is not None:
+                admitted = state.filter_and_advance(
+                    batch_df, batch_id
+                ).persist()
+                if admitted.isEmpty():
+                    return  # every row in the batch was stale or late
+                merged_df = admitted
+            table.apply_changes(merged_df, strategy=strategy)
+            if auto_compact:
+                table.maybe_compact(max_delta_layers=max_delta_layers)
+        finally:
+            if admitted is not None:
+                admitted.unpersist()
+            batch_df.unpersist()
 
     writer = (
         changes.writeStream.foreachBatch(merge_batch)

@@ -2291,8 +2291,20 @@ class ManagedTable:
             )
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         by_name = {f.name: f for f in schema.fields}
+        # Partition-value columns RIDING the key set (the SQL door
+        # selects them alongside the keys from the same WHERE scan —
+        # guide §1.2/§2.4: the prune info comes out of the pass that
+        # already runs, so the pruned-CoW branch below never re-scans
+        # the table just to learn which partitions the keys live in).
+        # Keys are unique per row, so keeping the matched row's
+        # partition values through the key dedup is exact.
+        ride = [
+            c
+            for c in keys.columns
+            if c not in kcols and c in self.spec.partition_columns
+        ]
         # dedupe: several subquery matches per key must not double-join
-        keys = keys.select(*kcols).dropDuplicates(kcols)
+        keys = keys.select(*kcols, *ride).dropDuplicates(kcols)
 
         if strategy == "merge-on-read":
             base = self.read(version=snap.version)  # pinned anchor
@@ -2326,9 +2338,11 @@ class ManagedTable:
 
         def rewrite(df: DataFrame) -> DataFrame:
             if assignments is None:
-                return df.join(keys, kcols, "left_anti")
+                return df.join(keys.select(*kcols), kcols, "left_anti")
             j = df.join(
-                keys.withColumn("__hit", F.lit(True)), kcols, "left_outer"
+                keys.select(*kcols).withColumn("__hit", F.lit(True)),
+                kcols,
+                "left_outer",
             )
             hit = F.coalesce(F.col("__hit"), F.lit(False))
             for col, expr in assignments.items():
@@ -2355,15 +2369,22 @@ class ManagedTable:
                         if pc in by_name
                     }
                 )
-                rows = (
-                    self.read(version=snap.version)
-                    .join(keys, kcols, "left_semi")
-                    .select(*pcols)
-                    .distinct()
-                    .collect()
-                    if pcols
-                    else []
-                )
+                if pcols and all(pc in keys.columns for pc in pcols):
+                    # the key set already carries the matched rows'
+                    # partition values (SQL-door fast path): the prune
+                    # set is a distinct over the CACHED key frame — no
+                    # second full-table scan, no semi-join (r10 opt)
+                    rows = keys.select(*pcols).distinct().collect()
+                elif pcols:
+                    rows = (
+                        self.read(version=snap.version)
+                        .join(keys.select(*kcols), kcols, "left_semi")
+                        .select(*pcols)
+                        .distinct()
+                        .collect()
+                    )
+                else:
+                    rows = []
                 vals = [r.asDict() for r in rows]
 
                 def may_match(e: dict[str, Any]) -> bool:
