@@ -908,7 +908,13 @@ def drain_changelog(stream_df, out_path: str, checkpoint: str,
                 break
             if q.exception() is not None:
                 raise q.exception()
-            _time.sleep(0.1)
+            # 20ms poll: the loop only gates FINAL-offset detection
+            # (intermediate microbatches flow without it), so the poll
+            # interval is pure added tail latency per drain — a
+            # journey with 4 drains paid up to 0.4s of sleep at the
+            # old 100ms tick. The check is two small file reads;
+            # 50/s is negligible driver load (r10).
+            _time.sleep(0.02)
         else:
             raise TimeoutError(
                 f"changelog drain did not reach version {target} within "

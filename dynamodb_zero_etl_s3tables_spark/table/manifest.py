@@ -2303,8 +2303,16 @@ class ManagedTable:
             for c in keys.columns
             if c not in kcols and c in self.spec.partition_columns
         ]
-        # dedupe: several subquery matches per key must not double-join
-        keys = keys.select(*kcols, *ride).dropDuplicates(kcols)
+        # Project only; per-key dedup happens AT EACH CONSUMER (r10):
+        # a dropDuplicates(kcols) here would drag the riding string
+        # partition values through a first()-style aggregation buffer,
+        # which is not hash-aggregatable — Spark plans SortAggregate +
+        # two Sorts for it. Instead the rewrite joins (the only
+        # consumers that duplicate rows on duplicate keys) dedup the
+        # key columns alone (HashAggregate), semi joins need no dedup
+        # at all, and the prune set distincts the partition values
+        # directly (duplicates collapse there anyway).
+        keys = keys.select(*kcols, *ride)
 
         if strategy == "merge-on-read":
             base = self.read(version=snap.version)  # pinned anchor
@@ -2337,10 +2345,13 @@ class ManagedTable:
             }
 
         def rewrite(df: DataFrame) -> DataFrame:
+            # dedupe: several subquery matches per key must not
+            # double-join (kcols-only frame -> hash-aggregate distinct)
+            kset = keys.select(*kcols).dropDuplicates(kcols)
             if assignments is None:
-                return df.join(keys.select(*kcols), kcols, "left_anti")
+                return df.join(kset, kcols, "left_anti")
             j = df.join(
-                keys.select(*kcols).withColumn("__hit", F.lit(True)),
+                kset.withColumn("__hit", F.lit(True)),
                 kcols,
                 "left_outer",
             )

@@ -151,6 +151,35 @@ class TestUpdateMatching:
         got = {r.pk: r.price for r in t.read().collect()}
         assert got == {1: 10.0, 2: 300.0, 3: 40.0, 4: 250.0}
 
+    def test_duplicate_keys_update_once(self, spark, warehouse):
+        """r10 internals change: per-key dedup moved from one
+        up-front dropDuplicates into each consumer (the rewrite's
+        left_outer join is the row-duplication hazard). Duplicate
+        keys must neither duplicate rows nor double-apply the
+        assignment."""
+        t = _table(spark, warehouse, name="squ4")
+        keys = spark.createDataFrame([(2,), (2,), (2,)], "pk long")
+        t.update_matching(keys, {"price": "price * 2"})
+        got = {r.pk: r.price for r in t.read().collect()}
+        assert got == {1: 10.0, 2: 300.0, 3: 20.0, 4: 250.0}
+        assert t.read().count() == 4
+
+    def test_duplicate_keys_with_riding_partition_values(
+        self, spark, warehouse
+    ):
+        """r10 fast path: a key frame that carries partition values
+        (the SQL door's shape) with duplicate key rows — the prune
+        set comes off the key frame, the rewrite still applies once
+        per row, and only the matched partition is rewritten."""
+        t = _table(spark, warehouse, name="squ5")
+        keys = spark.createDataFrame(
+            [(2, "A"), (2, "A")], "pk long, status string"
+        )
+        info = t.update_matching(keys, {"price": "price + 1"})
+        assert info == {"partitions_rewritten": 1, "partitions_carried": 1}
+        got = {r.pk: r.price for r in t.read().collect()}
+        assert got == {1: 10.0, 2: 151.0, 3: 20.0, 4: 250.0}
+
     def test_mor_update(self, spark, warehouse):
         t = _table(spark, warehouse, name="squ2", partition_columns=())
         base_dir = t._read_manifest().snapshots[0].data_dir
