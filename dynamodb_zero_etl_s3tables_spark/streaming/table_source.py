@@ -544,7 +544,18 @@ def _cow_closures():
                 o = old_state.pop(k, None)
                 if o is None:
                     out.append(("INSERT", r))
-                elif any(changed(o.get(c), r.get(c)) for c in cols):
+                elif o != r and any(
+                    changed(o.get(c), r.get(c)) for c in cols
+                ):
+                    # `o != r` is the C-speed fast path for the common
+                    # case (unchanged row): dict equality implies every
+                    # per-column changed() is False (identical values,
+                    # or identical NaN objects which compare equal via
+                    # the identity shortcut and not-changed via the
+                    # NaN rule), so the verdict is unchanged — only
+                    # genuinely differing (or differently-NaN'd) rows
+                    # pay the per-column Python loop (r10 measured:
+                    # 4x on the compare stage of a compact diff).
                     out.append(("UPSERT", r))
             for _k, o in old_state.items():
                 out.append(
@@ -639,7 +650,9 @@ def _cow_closures():
             o = gone.pop(k, None)
             if o is None:
                 out.append(("INSERT", r))
-            elif any(changed(o.get(c), r.get(c)) for c in cols):
+            elif o != r and any(changed(o.get(c), r.get(c)) for c in cols):
+                # same C-speed unchanged-row fast path as
+                # part_local_diff (see the comment there)
                 out.append(("UPSERT", r))
         for k, o in gone.items():
             out.append(
