@@ -1767,8 +1767,9 @@ from dynamodb_zero_etl_s3tables_spark.operators.llm_similarity import (  # noqa:
 def h24_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H20 x E52 (VERDICT r6 #8): CONTINUOUS index maintenance — the
     production "index follows the table" loop. The vector corpus
-    lives in a managed table; its CHANGELOG STREAM (h20's Python
-    DataSource over manifest versions) drives a ``foreachBatch``
+    lives in a managed table; its CHANGELOG STREAM (r11: the staged
+    JVM file stream over per-version changelog files,
+    streaming/changelog_files.py) drives a ``foreachBatch``
     consumer that maintains an IVF-PQ codes index against FROZEN
     artifacts (codebook + coarse centroids, trained once from the
     standing corpus and materialized so microbatches READ them, never
@@ -1809,9 +1810,10 @@ def h24_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         PQ_SUB,
     )
     from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
-    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
-        drain_changelog,
-        make_changelog_source,
+    from dynamodb_zero_etl_s3tables_spark.streaming.changelog_files import (
+        changelog_file_stream,
+        drain_changelog_files,
+        materialize_changelog,
     )
     from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
@@ -1916,11 +1918,19 @@ def h24_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
                 "vec_id", "cell", "embedding", F.lit("delta").alias("src")
             )
         )
+        # cell/src ride THROUGH the encode as extra key columns (they
+        # are per-vec_id constants) instead of re-joining enc_in to its
+        # own encode — the join evaluated the whole enc_in subtree
+        # (union + crossJoin + window) twice per microbatch (r11,
+        # guide §2.4/§5)
         codes = _pq_encode(
-            enc_in.select("vec_id", F.posexplode(subvecs).alias("m", "svec")),
+            enc_in.select(
+                "vec_id", "cell", "src",
+                F.posexplode(subvecs).alias("m", "svec"),
+            ),
             cb,
-            ["vec_id"],
-        ).join(enc_in.select("vec_id", "cell", "src"), "vec_id")
+            ["vec_id", "cell", "src"],
+        )
         dels = batch.filter(F.col("change_op") == "DELETE").select(
             "vec_id",
             F.lit(None).cast(label_t).alias("cell"),
@@ -1936,17 +1946,16 @@ def h24_streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             .parquet(f"{log_dir}/batch={batch_id}")
         )
 
-    spark.dataSource.register(make_changelog_source())
+    # r11 (guide §4, VERDICT r10 #1): JVM-visible staged changelog —
+    # one parquet file per version, drained through a JVM file stream
+    # (same per-version microbatches, no Python-source startup premium)
     manifest = str(root / "wh" / "ml" / "vectors" / "manifest.json")
-    stream = (
-        spark.readStream.format("table_changelog")
-        .option("manifest", manifest)
-        .option("keys", "vec_id")
-        .load()
-    )
+    stage = str(root / "cl_stage")
+    materialize_changelog(t, stage)
+    stream = changelog_file_stream(spark, manifest, stage)
     try:
-        n = drain_changelog(
-            stream, str(root / "unused"), str(root / "ckpt"), manifest,
+        n = drain_changelog_files(
+            stream, str(root / "unused"), str(root / "ckpt"),
             foreach_batch=maintain,
         )
         if n < 3:  # bootstrap + 2 CDC versions, one microbatch each
@@ -2073,12 +2082,26 @@ def h26_cow_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback is strictly more useful). merge-on-read remains the
     documented production cadence for high-frequency CDC; CoW + diff
     fits the low-cadence bulk-revision shape where rewrite cost
-    already dominates."""
+    already dominates.
+
+    r11 (guide §4, VERDICT r10 #1): the drain rides the JVM-visible
+    staged changelog (``streaming/changelog_files.py``) — each
+    version's diff is computed BY SPARK (``read_changes``: one
+    distributed full-outer join, not driver-side Python row dicts),
+    staged as one parquet file per version, and drained through a
+    standard JVM file stream (one microbatch per version via
+    ``maxFilesPerTrigger=1`` + AvailableNow). Same rows, same
+    per-version cadence, same checkpoint-resume contract (equivalence
+    test: tests/test_table_changelog.py); what disappears is the
+    ~1.5 s-per-query Python streaming-source startup premium and the
+    Python diff loop. The Python DataSource readers remain the
+    registry's API-demonstration surface (h20/h25)."""
 
     from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
-    from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
-        drain_changelog,
-        make_changelog_source,
+    from dynamodb_zero_etl_s3tables_spark.streaming.changelog_files import (
+        changelog_file_stream,
+        drain_changelog_files,
+        materialize_changelog,
     )
     from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
 
@@ -2119,18 +2142,14 @@ def h26_cow_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.apply_changes(wave1)                                         # v2: CoW merge
     t.compact()                                                    # v3: must diff empty
 
-    spark.dataSource.register(make_changelog_source())
     manifest = str(root / "wh" / "ns" / "orders_cow" / "manifest.json")
-    stream = (
-        spark.readStream.format("table_changelog")
-        .option("manifest", manifest)
-        .option("keys", "pk")
-        .load()
-    )
+    stage = str(root / "cl_stage")
 
     def drain() -> int:
-        batches = drain_changelog(
-            stream, str(root / "out"), str(root / "ckpt"), manifest
+        materialize_changelog(t, stage)  # Spark-side diff, 1 file/version
+        stream = changelog_file_stream(spark, manifest, stage)
+        batches = drain_changelog_files(
+            stream, str(root / "out"), str(root / "ckpt")
         )
         if batches < 1:
             raise AssertionError("drain committed no microbatch")
@@ -2205,15 +2224,26 @@ def h28_nested_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle restates them relationally — a hash match proves the
     JSON round trip is value-exact, field by field.
 
-    Scale: serialization happens where the rows already are (driver
-    for the simple reader, executors for the partitioned one);
+    Scale: serialization happens where the rows already are;
     ``from_json`` is a codegen'd JVM expression inside the microbatch
-    plan — no extra pass, no Python in the restore path."""
+    plan — no extra pass, no Python in the restore path.
+
+    r11 (guide §4, VERDICT r10 #1): the drain rides the JVM-visible
+    staged changelog (``streaming/changelog_files.py``) — the shim
+    half becomes a codegen'd ``to_json`` inside the staging write
+    (executor-side, no Python row work at all), the restore half is
+    unchanged, and the stream is a standard JVM parquet file stream
+    (one microbatch per version). Same rows, same string-shimmed
+    stream schema (asserted below), no Python streaming-source
+    startup premium."""
     from dynamodb_zero_etl_s3tables_spark.operators.sources_sinks import _check
     from dynamodb_zero_etl_s3tables_spark.spec import TableSpec
+    from dynamodb_zero_etl_s3tables_spark.streaming.changelog_files import (
+        changelog_file_stream,
+        drain_changelog_files,
+        materialize_changelog,
+    )
     from dynamodb_zero_etl_s3tables_spark.streaming.table_source import (
-        drain_changelog,
-        make_changelog_source,
         restore_nested_columns,
     )
     from dynamodb_zero_etl_s3tables_spark.table.catalog import Catalog
@@ -2261,13 +2291,9 @@ def h28_nested_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.apply_changes(wave, strategy="merge-on-read")
     manifest = str(root / "wh" / "ns" / "orders_nested" / "manifest.json")
 
-    spark.dataSource.register(make_changelog_source())
-    raw_stream = (
-        spark.readStream.format("table_changelog")
-        .option("manifest", manifest)
-        .option("keys", "pk")
-        .load()
-    )
+    stage = str(root / "cl_stage")
+    materialize_changelog(t, stage)  # to_json shim rides the staging write
+    raw_stream = changelog_file_stream(spark, manifest, stage)
     # the shim is visible in the source schema: nested cols ride as
     # JSON strings until restored
     _check(
@@ -2281,8 +2307,8 @@ def h28_nested_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         and dict(restored.dtypes)["tags"] == "map<string,int>",
         f"restore must rebind the table types, got {restored.dtypes}",
     )
-    batches = drain_changelog(
-        restored, str(root / "out"), str(root / "ckpt"), manifest
+    batches = drain_changelog_files(
+        restored, str(root / "out"), str(root / "ckpt")
     )
     if batches < 2:
         raise AssertionError(
