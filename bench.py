@@ -110,6 +110,12 @@ HEADLINE = [
     "e85_moore_lewis_selection",  # two-LM cross-entropy difference
     "e86_logreg_quality_training",  # 3-round full-batch GD
     "e87_semantic_split_decontamination",  # cross-split cosine leaks
+    # r11 addition (subtotal_r11_62_sec closes the window above so it
+    # stays separable in r12+; VERDICT r10 #2): a deliberately
+    # CPU-SCALABLE probe so the driver's 8-core axis measures real
+    # parallel scaling instead of the machinery floor every other
+    # sf0.1 query is bound by.
+    "d48c_cpu_scaling_probe",
 ]
 
 #: prefix lengths whose subtotals stay comparable across rounds
@@ -124,6 +130,7 @@ N_R7 = 50
 N_R8 = 52
 N_R9 = 54
 N_R10 = 57
+N_R11 = 62
 
 #: recorded quiet-host calibration probe (SCALE.md "Cross-host
 #: normalization"): 0.924s on the r4 build host at rest, 1.028s on the
@@ -237,6 +244,7 @@ def _calibration(spark, n_runs: int = 3) -> float:
 
 
 def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -344,6 +352,15 @@ def main() -> None:
                 "subtotal_r10_57_sec": round(
                     sum(timings[n] for n in HEADLINE[:N_R10]), 3
                 ),
+                "subtotal_r11_62_sec": round(
+                    sum(timings[n] for n in HEADLINE[:N_R11]), 3
+                ),
+                # CPU/scaling contract made self-describing (VERDICT
+                # r10 #2): echo the core count and master this run
+                # actually used, so the driver's low-core axis can
+                # verify compliance instead of inferring it
+                "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+                "master": spark.sparkContext.master,
                 # calibration-normalized twins (VERDICT r7 #5, r9 #2):
                 # wall times divided by the PER-SEGMENT host factor —
                 # each query projected onto the quiet r4 reference host

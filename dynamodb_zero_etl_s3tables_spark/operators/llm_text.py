@@ -2506,6 +2506,17 @@ def _train_logreg(spark: SparkSession, sf_dir: str) -> dict:
     # intermediates of THIS query's own inputs, released on return.
     feats = feats.cache()
     labels = labels.cache()
+    try:
+        return _logreg_rounds(feats, labels)
+    finally:
+        # release on EVERY path (r11, ADVICE r10): an exception inside
+        # the GD loop must not leak two cached frames for the lifetime
+        # of the long-lived bench/driver session
+        feats.unpersist()
+        labels.unpersist()
+
+
+def _logreg_rounds(feats: DataFrame, labels: DataFrame) -> dict:
     nd = labels.count()  # planning scalar (doc count; also pins labels)
     w = {j: 0.0 for j in range(LR_DIMS)}
     for _t in range(LR_ITERS):
@@ -2548,8 +2559,6 @@ def _train_logreg(spark: SparkSession, sf_dir: str) -> dict:
         )
         updated = {int(r["dim"]): float(r["w"]) for r in wnext.collect()}
         w = {j: updated.get(j, w[j]) for j in range(LR_DIMS)}
-    feats.unpersist()
-    labels.unpersist()
     return w
 
 

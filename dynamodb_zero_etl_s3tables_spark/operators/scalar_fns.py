@@ -308,3 +308,78 @@ def d48b_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.99 * F.countDistinct("c_name")
         ).alias("crc32_low_collision"),
     )
+
+
+#: CPU scaling probe shape: customer x FANOUT exploded rows, each
+#: hashed through an ITERS-deep md5 chain. The scan is tiny (customer)
+#: so the serial fraction is job constants only; the chain work is
+#: embarrassingly parallel across the exploded rows — measured r11:
+#: the first lineitem-scan draft had a ~1s serial scan+repartition
+#: floor and scaled only 1.5x from 8->32 cores; this shape scales
+#: ~2.5-3x, which is what makes the driver's low-core axis readable.
+_CPU_PROBE_ITERS = 96
+_CPU_PROBE_FANOUT = 40
+
+
+def _md5_chain_sql(expr: str, n: int) -> str:
+    for _ in range(n):
+        expr = f"md5({expr})"
+    return expr
+
+
+@query(
+    "d48c_cpu_scaling_probe",
+    oracle=f"""
+    SELECT flag, COUNT(*) AS n, bit_xor(hd) AS hxor
+    FROM (
+      SELECT c_mktsegment AS flag,
+             (('0x' || substr({_md5_chain_sql(
+                 "CAST(c_custkey AS VARCHAR) || '|' || CAST(i AS VARCHAR)",
+                 _CPU_PROBE_ITERS,
+             )}, 1, 15))::BIGINT) AS hd
+      FROM customer,
+           (SELECT UNNEST(range(1, {_CPU_PROBE_FANOUT + 1})) AS i)
+    )
+    GROUP BY 1
+    """,
+)
+def d48c_cpu_scaling_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D48c (r11, VERDICT r10 #2): a deliberately CPU-SCALABLE probe
+    for the driver's low-core bench axis. Every other headline query
+    at sf0.1 is dominated by fixed costs (job launch, commit
+    machinery, microbatch floors), so the 8-core/32-core ratio reads
+    ~1 everywhere and the scaling measurement is uninterpretable; this
+    query is pure per-row compute — each customer row explodes into
+    _CPU_PROBE_FANOUT rows, each hashed through a _CPU_PROBE_ITERS-deep
+    md5 chain — sequential per row, embarrassingly parallel across rows
+    (``fan_out`` spreads the single sf0.1 parquet split over the
+    cores), with a 5-row aggregate on top. Its 8c/32c ratio tracks
+    the core count, mechanically separating "machinery floor" from
+    "serial operator" on the scaling axis. The oracle replays the
+    identical chain in DuckDB (md5 hex is engine-portable, proven by
+    d48)."""
+    from dynamodb_zero_etl_s3tables_spark.operators.registry import fan_out
+
+    c = fan_out(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    rows = c.select(
+        F.col("c_mktsegment").alias("flag"),
+        F.col("c_custkey"),
+        F.explode(F.sequence(F.lit(1), F.lit(_CPU_PROBE_FANOUT))).alias("i"),
+    )
+    h = F.concat_ws(
+        "|", F.col("c_custkey").cast("string"), F.col("i").cast("string")
+    )
+    for _ in range(_CPU_PROBE_ITERS):
+        h = F.md5(h)
+    # numeric 60-bit digest + bit_xor: fixed-width aggregate buffer so
+    # the plan stays HashAggregate (min/max over the hex STRING would
+    # demote to SortAggregate — the registry-wide plan gate forbids it)
+    hd = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    return (
+        rows.select("flag", hd.alias("hd"))
+        .groupBy("flag")
+        .agg(F.count("*").alias("n"), F.bit_xor("hd").alias("hxor"))
+    )
+

@@ -488,10 +488,17 @@ def _route_matching_dml(
         f"SELECT {kcols} FROM {view} AS {alias} WHERE {where_text}"
     )
     keys = engine.spark.sql(rewrite_time_travel(engine, select))
+    # trusted: the riding partition values above come from the matched
+    # rows of the table's own WHERE scan, which is exactly the
+    # invariant the fast path needs (delete_matching docstring)
     if assignments is None:
-        result = engine.table.delete_matching(keys)
+        result = engine.table.delete_matching(
+            keys, trust_riding_partition_values=True
+        )
         return _result_df(engine, "delete", result)
-    result = engine.table.update_matching(keys, assignments)
+    result = engine.table.update_matching(
+        keys, assignments, trust_riding_partition_values=True
+    )
     return _result_df(engine, "update", result)
 
 

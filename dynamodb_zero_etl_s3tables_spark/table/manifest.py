@@ -2240,6 +2240,7 @@ class ManagedTable:
         keys: DataFrame,
         assignments: dict[str, str] | None,
         strategy: str,
+        trust_riding_partition_values: bool = False,
     ) -> dict[str, Any]:
         """Shared engine of :meth:`delete_matching` /
         :meth:`update_matching`: the keyed half of subquery DML. The
@@ -2298,11 +2299,22 @@ class ManagedTable:
         # the table just to learn which partitions the keys live in).
         # Keys are unique per row, so keeping the matched row's
         # partition values through the key dedup is exact.
+        #
+        # GATED on trust_riding_partition_values (r11, ADVICE r10): the
+        # fast path is only sound when the riding values come from the
+        # MATCHED ROWS THEMSELVES — true for the SQL door, which
+        # constructs the frame from the table's own WHERE scan, but
+        # unverifiable for an arbitrary caller-supplied frame (a
+        # wrong-valued column named like a partition column would
+        # silently prune partitions that hold matching rows). The
+        # public delete_matching/update_matching therefore project
+        # extra columns away (their documented contract) and take the
+        # semi-join prune; only the trusted internal route rides.
         ride = [
             c
             for c in keys.columns
             if c not in kcols and c in self.spec.partition_columns
-        ]
+        ] if trust_riding_partition_values else []
         # Project only; per-key dedup happens AT EACH CONSUMER (r10):
         # a dropDuplicates(kcols) here would drag the riding string
         # partition values through a first()-style aggregation buffer,
@@ -2433,7 +2445,10 @@ class ManagedTable:
         return {"partitions_rewritten": None, "partitions_carried": None}
 
     def delete_matching(
-        self, keys: DataFrame, strategy: str = "copy-on-write"
+        self,
+        keys: DataFrame,
+        strategy: str = "copy-on-write",
+        trust_riding_partition_values: bool = False,
     ) -> dict[str, Any]:
         """Keyed DELETE from a computed key set — the commit half of
         ``DELETE FROM t WHERE k IN (SELECT ...)`` (the Athena cleanup
@@ -2444,22 +2459,39 @@ class ManagedTable:
         columns; extra columns are projected away, duplicates deduped.
         Copy-on-write rewrites only partitions that hold a matching
         key (data-driven carry); ``strategy="merge-on-read"`` commits
-        tombstones in O(matches) with zero rewrite."""
-        return self._matching_commit(keys, None, strategy)
+        tombstones in O(matches) with zero rewrite.
+
+        ``trust_riding_partition_values=True`` skips the semi-join
+        partition probe and prunes from partition-named columns riding
+        ``keys`` instead. ONLY pass it when those values come from the
+        matched rows of THIS table's current snapshot (the SQL door's
+        WHERE scan does; see :meth:`_matching_commit`) — wrong-valued
+        riding columns would silently skip partitions that hold
+        matching rows. Left False, partition-named extras are
+        projected away like any other extra column."""
+        return self._matching_commit(
+            keys, None, strategy,
+            trust_riding_partition_values=trust_riding_partition_values,
+        )
 
     def update_matching(
         self,
         keys: DataFrame,
         assignments: dict[str, str],
         strategy: str = "copy-on-write",
+        trust_riding_partition_values: bool = False,
     ) -> dict[str, Any]:
         """Keyed UPDATE over a computed key set — the commit half of
         ``UPDATE t SET ... WHERE k IN (SELECT ...)``. ``assignments``
         are column -> SQL expression in the matched row's scope (same
         contract as :meth:`update_where`); rows whose keys are absent
-        from ``keys`` pass through untouched. Pruning/strategy notes:
+        from ``keys`` pass through untouched. Pruning/strategy/
+        ``trust_riding_partition_values`` notes:
         :meth:`delete_matching`."""
-        return self._matching_commit(keys, assignments, strategy)
+        return self._matching_commit(
+            keys, assignments, strategy,
+            trust_riding_partition_values=trust_riding_partition_values,
+        )
 
     def create_tag(self, name: str, version: int | None = None) -> None:
         """Iceberg TAG analog: pin a retained snapshot version under a

@@ -375,3 +375,34 @@ class TestSqlDoorSubqueries:
         assert dict(got.dtypes)["qty"] == "bigint"
         rows = {r.pk: r.qty for r in got.collect()}
         assert rows == {1: 3_000_000_000, 2: 20}
+
+
+def test_wrong_valued_partition_column_is_projected_away(spark, warehouse):
+    """ADVICE r10 / r11 hardening: the public delete_matching contract
+    is "extra columns are projected away" — a caller-supplied frame
+    whose partition-named column carries WRONG values must not steer
+    the prune (before the r11 gate it silently skipped the partitions
+    that actually held the matching rows)."""
+    t = _table(spark, warehouse, name="wrongride")
+    # pk 1 and 2 live in status='A'; lie that they live in 'B'
+    keys = spark.createDataFrame(
+        [(1, "B"), (2, "B")], "pk long, status string"
+    )
+    res = t.delete_matching(keys)
+    assert res["partitions_rewritten"] == 1  # 'A' (found by semi-join)
+    left = sorted(r.pk for r in t.read().collect())
+    assert left == [3, 4]
+
+
+def test_trusted_riding_partition_values_prune_without_rescan(
+    spark, warehouse
+):
+    """The SQL-door fast path, exercised through the public flag:
+    riding values that DO come from the matched rows prune exactly."""
+    t = _table(spark, warehouse, name="trustride")
+    keys = t.read().filter(F.col("pk").isin(1, 2)).select("pk", "status")
+    res = t.delete_matching(keys, trust_riding_partition_values=True)
+    assert res["partitions_rewritten"] == 1
+    assert res["partitions_carried"] == 1
+    left = sorted(r.pk for r in t.read().collect())
+    assert left == [3, 4]
