@@ -2265,20 +2265,18 @@ def e64_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(edges_path)
     edges = spark.read.parquet(edges_path)
 
-    # pin the two O(N) side frames ONCE (same discipline as e02h's
-    # labels / e67's vocab): each of the PR_ITERS rounds joins both,
-    # and the final projection joins outd again — without the eager
-    # checkpoint every consumer re-derived them from the edge parquet
-    # (r10 measured: warm-neutral under exchange reuse, but the
-    # un-truncated 4-round lineage paid ~5s of one-time codegen and
-    # re-plans the whole history at lower core counts where AQE's
-    # reuse window shrinks)
-    outd = edges.groupBy("src").agg(F.count("*").alias("od")).localCheckpoint(
-        eager=True
-    )
-    nodes = (
-        edges.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=True)
-    )
+    # r10 pinned these two side frames with localCheckpoint(eager) on
+    # a claimed cold-codegen/low-core win; the r11 confirmation A/B
+    # (VERDICT r10 #6 — fresh process per variant, alternated) found
+    # NO benefit anywhere: 8 cores cold 13.6/14.1s (ckpt) vs
+    # 14.3/13.9s (no ckpt), 32 cores cold 15.4 vs 14.0, warm
+    # overlapping both ways. Reverted — the eager checkpoint costs
+    # executor/block-manager memory at scale for nothing, and the
+    # non-reliable storage it uses is a durability regression under
+    # executor loss (ADVICE r10). The edge parquet the frames derive
+    # from is already materialized above, so lineage is short anyway.
+    outd = edges.groupBy("src").agg(F.count("*").alias("od"))
+    nodes = edges.select(F.col("src").alias("v")).distinct()
     n = nodes.count()
     teleport = 150000000 // n
     ranks = nodes.select("v", F.lit(10**9 // n).cast("long").alias("r"))
