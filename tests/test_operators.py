@@ -45,68 +45,46 @@ def test_doc_counts_match_registry():
 
 
 def test_grade_priority_prefix():
-    # Round-10 rotation (VERDICT r9 #1: finish the grade-freshness
-    # rotation): the driver grades a 50-query prefix of the registry.
-    # The r10 prefix leads with the 3 never-graded r10 additions, then
-    # 3 re-signs for the heaviest code changed this round (h27
-    # incremental VersionState, c23 sql_dml subquery routing + MERGE
-    # evolution, d94 arrow-batch reader), then ALL 44 remaining
-    # r03-vintage grades (d34-d73 tranche + e20/e21/e25). After this
-    # window grades, every entry's latest driver grade is r04+; the
-    # remaining changed-code re-signs queue at positions 51-60.
+    # Round-11 rotation: the driver grades a 50-query prefix of the
+    # registry. The r11 prefix leads with the 7 never-driver-graded
+    # entries (d48c is the new r11 CPU scaling probe; e84/c31/e85/e87/
+    # e88/e86 are r10 session-2 additions the r10 window missed), then
+    # 6 re-signs for the code changed this session (h26/h28/h24 staged
+    # JVM changelog drains, e64 checkpoint revert, c23/c30 keyed-DML
+    # trust gate), then the standing never-recently-graded queue. The
+    # r10-graded names not re-signed rotate to the tail.
     from dynamodb_zero_etl_s3tables_spark.operators import _GRADE_PRIORITY
 
     names = list(QUERY_REGISTRY)
     assert names == _GRADE_PRIORITY
     window = _GRADE_PRIORITY[:50]
     # exact head: additions first, changed-code re-signs second
-    assert _GRADE_PRIORITY[:6] == [
-        "c30_dml_subquery_journey",
-        "d90c_sql_merge_schema_evolution",
-        "h28_nested_changelog_stream",
-        "h27_out_of_order_cdc",
-        "c23_sql_dml_journey",
-        "d94_python_datasource",
-    ]
-    # the full r03-vintage tranche fills the remaining 44 slots
-    r3_tranche = (
-        "d34_range_frame", "d35_topk_per_group", "d36_global_sort",
-        "d37_top_k", "d39_union", "d39b_union_distinct", "d40_intersect",
-        "d41_except_all", "d42_string_fns", "d43_datetime_fns",
-        "d44_math_fns", "d45_array_fns", "d45b_explode", "d46_map_fns",
-        "d47_json_fns", "d48_hash_fns", "d48b_hash_native",
-        "d49_scalar_python_udf", "d50_pandas_udf_scalar",
-        "d51_pandas_udf_grouped_agg", "d52_apply_in_pandas",
-        "d53_map_in_pandas", "d53b_python_udtf", "d54_pivot",
-        "d55_unpivot", "d57_funnel", "d58_cohort_retention",
-        "d59_tpch_q3_shipping_priority", "d60_tpch_q10_returned_items",
-        "d62_hll_mergeable_distinct", "d63_kll_quantile_sketch",
-        "d64_tpch_q5_local_supplier_volume", "d65_tpch_q18_large_orders",
-        "d66_timeseries_gapfill", "d67_tpch_q4_order_priority",
-        "d68_tpch_q12_priority_by_status", "d69_tpch_q14_promo_revenue",
-        "d70_tpch_q19_disjunctive_join", "d71_tpch_q21_waiting_supplier",
-        "d72_tpch_q22_idle_customers", "d73_rolling_distinct_users",
-        "e20_chunk_dedup", "e21_kmeans_refine", "e25_semdedup",
-    )
-    assert len(r3_tranche) == 44
-    assert set(window[6:]) == set(r3_tranche)
-    # freshly-graded queries stay rotated out of the window
-    assert "h07_stream_merge_sink" not in window   # r9-graded
-    assert "e83_batched_ann_topk" not in window    # r9-graded
-    assert "d26b_cube" not in window               # r9-graded
-    assert "d01_parquet_scan" not in window        # r7-graded
-    # r11 queue right behind the window: the six never-driver-graded
-    # session-2 additions first, then the changed-code re-signs
-    assert _GRADE_PRIORITY[50:56] == [
+    assert _GRADE_PRIORITY[:13] == [
+        "d48c_cpu_scaling_probe",
         "e84_simhash_hamming_join",
         "c31_metadata_only_agg_journey",
         "e85_moore_lewis_selection",
-        "e86_logreg_quality_training",
         "e87_semantic_split_decontamination",
         "e88_classifier_calibration",
+        "e86_logreg_quality_training",
+        "h26_cow_changelog_stream",
+        "h28_nested_changelog_stream",
+        "h24_streaming_index_maintenance",
+        "e64_knn_pagerank",
+        "c23_sql_dml_journey",
+        "c30_dml_subquery_journey",
     ]
-    assert "h26_cow_changelog_stream" in _GRADE_PRIORITY[56:66]
-    assert "c24_mor_dml_journey" in _GRADE_PRIORITY[56:66]
+    # the standing queue follows (h20/h25 share the changelog
+    # emission semantics the staged path must match)
+    assert _GRADE_PRIORITY[13:15] == [
+        "h20_table_changelog_stream",
+        "h25_partitioned_changelog_drain",
+    ]
+    # freshly-graded queries stay rotated out of the window
+    assert "d34_range_frame" not in window         # r10-graded
+    assert "d94_python_datasource" not in window   # r10-graded
+    assert "h27_out_of_order_cdc" not in window    # r10-graded, unchanged
+    assert "d01_parquet_scan" not in window        # r7-graded
     # no duplicates, every priority name registered
     assert len(set(_GRADE_PRIORITY)) == len(_GRADE_PRIORITY)
 
