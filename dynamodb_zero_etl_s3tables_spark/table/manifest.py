@@ -1799,14 +1799,31 @@ class ManagedTable:
         inserts, obs = observe_rows(inserts, name="merge-mor")
         ev_type = {f.name: f.dataType for f in evolved.fields}
         try:
-            inserts.write.mode("overwrite").parquet(str(delta_root / "inserts"))
-            # tombstone keys under the EVOLVED key types, matching the
-            # inserts cast — a narrow incoming key type must not leak a
-            # narrower physical type into the deletes files than the
-            # key_schema readers bind
-            last.select(
-                *[F.col(k).cast(ev_type[k]).alias(k) for k in keys]
-            ).write.mode("overwrite").parquet(str(delta_root / "deletes"))
+            # the two delta writes are independent jobs over the SAME
+            # cached frame writing DISJOINT dirs — overlap them so the
+            # second job's tasks back-fill the first's tail instead of
+            # paying two full job-launch constants (guide §2.6; r11).
+            # Tombstone keys are cast to the EVOLVED key types,
+            # matching the inserts cast — a narrow incoming key type
+            # must not leak a narrower physical type into the deletes
+            # files than the key_schema readers bind.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _write_inserts():
+                inserts.write.mode("overwrite").parquet(
+                    str(delta_root / "inserts")
+                )
+
+            def _write_deletes():
+                last.select(
+                    *[F.col(k).cast(ev_type[k]).alias(k) for k in keys]
+                ).write.mode("overwrite").parquet(str(delta_root / "deletes"))
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fi = pool.submit(_write_inserts)
+                fd = pool.submit(_write_deletes)
+                fi.result()
+                fd.result()
         finally:
             last.unpersist()
         n = int(obs.get["row_count"])
