@@ -28,6 +28,8 @@ OUT = ROOT / "plans" / "r11"
 SF_DIR = "/root/testdata/sf0.001"
 
 QUERIES = [
+    "e86_logreg_quality_training",
+    "h27_out_of_order_cdc",
     "h24_streaming_index_maintenance",
     "h26_cow_changelog_stream",
     "h28_nested_changelog_stream",
